@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star query (daily supplier aggregate —
+the fato_agg_previsoes_dia shape of the reference) on sf0.001.
+``queries()``/``oracle_sql()`` expose the full operator inventory from
+SURVEY.md §2 plus the LLM-data-pipeline extensions; implementations live
+in ``airflow_etl_pyspark_inmet_spark.plans.registry``.
 """
 
 from __future__ import annotations
@@ -13,26 +13,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from airflow_etl_pyspark_inmet_spark.plans.registry import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import (
+        q2_daily_supplier_agg,
+    )
+
+    return q2_daily_supplier_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame. Every
+    computed column is aliased identically in the Spark code and the
+    oracle SQL.
     """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query. Keys missing here (simhash,
+    sign-LSH ANN) are engine-hash-specific — rows-only check; their
+    exactness is instead cross-checked in tests/ against exact
+    counterparts."""
+    return {k: v for k, v in ORACLES.items() if v is not None}

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each with a different scale/recall trade-off:
+
+- :func:`dedup_exact` — hash-groupBy on the full text. One shuffle on the
+  (hashed) text; at 100 TB group on ``xxhash64(text)`` so shuffle rows are
+  8 bytes + id, never the document body.
+- :func:`jaccard_pairs` — EXACT n-gram Jaccard via shingle inverted index
+  self-join. Quadratic in the worst case; the candidate join is on the
+  shingle key, so it's only quadratic per posting list. Ground truth for
+  the approximate tiers; at scale you run it only within LSH buckets.
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH bucketing,
+  candidates verified with exact Jaccard. The production near-dup path:
+  shuffle volume is (#docs x #bands) tiny keys, never doc x doc.
+- :func:`simhash64` — 64-bit SimHash signature per doc; near-dups are
+  signature pairs within a Hamming radius, bucketed by band equality.
+
+All hashing uses Spark's ``xxhash64`` with distinct integer salts —
+deterministic across runs/partitions, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keeper id (min id) per exact-duplicate group + group size.
+
+    Shuffles the hash of the text, not the text: at 100 TB the exchange
+    carries (hash, id) pairs only. Collision risk of 64-bit xxhash at
+    1e12 docs is handled in production by a 128-bit double-hash; here one
+    key suffices.
+    """
+    h = F.xxhash64(F.col(text_col))
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (co-occurrence count = |A∩B|), broadcast per-doc shingle
+    counts, jaccard = inter / (|A| + |B| - inter). Every step is a plain
+    shuffle/groupBy — no UDFs, no driver loops.
+    """
+    s = shingle_sets(df, id_col, text_col, ngram)
+    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = s.toDF("id_a", "shingle")
+    b = s.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.toDF("id_a", "n_a")
+    nb = sizes.toDF("id_b", "n_b")
+    j = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int
+) -> DataFrame:
+    """MinHash signature per doc: for salt k in 0..num_hashes-1,
+    sig[k] = min over shingles of xxhash64(k, shingle). One groupBy,
+    num_hashes min-aggregates — all JVM-side."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
+
+    Candidate generation: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash become
+    candidates (join key = (band_idx, band_hash) — small fixed-width
+    shuffle). Verification recomputes exact Jaccard on candidates only.
+    With r=2, b=16 the LSH S-curve crosses ~(1/16)^(1/2) ≈ 0.25, so
+    recall at threshold 0.5 is ~1; output ⊆ exact jaccard_pairs output.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    s = shingle_sets(df, id_col, text_col, ngram)
+    sig = minhash_signatures(s, num_hashes)
+
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols)
+    stacked = banded.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("_id", "bh.band", "bh.h")
+
+    l = stacked.toDF("id_a", "band", "h")
+    r = stacked.toDF("id_b", "band", "h")
+    candidates = (
+        l.join(r, ["band", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard (semi-join the inverted index
+    # down to candidate docs only)
+    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.toDF("id_a", "shingle")
+    b = s.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.toDF("id_a", "n_a")
+    nb = sizes.toDF("id_b", "n_b")
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: hash each token with xxhash64, sum ±1 per
+    bit position, sign -> bit. 64 conditional sums in one hash aggregate.
+
+    Near-dup detection then bands the signature (4x16-bit) and compares
+    Hamming distance within buckets — see simhash_pairs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("_id").agg(*aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
+    chunks (pigeonhole: distance <= 3 => at least one identical chunk),
+    join on chunk equality, verify Hamming distance with bit_count."""
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("_id", "simhash", "cv.chunk", "cv.v")
+    l = chunks.toDF("id_a", "sig_a", "chunk", "v")
+    r = chunks.toDF("id_b", "sig_b", "chunk", "v")
+    return (
+        l.join(r, ["chunk", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed in Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode kernel is a
+deterministic STUB (clearly marked) — but everything Spark-side is real:
+schema contract, batch iteration, partition parallelism, and the pattern a
+real decoder drops into (swap `_fake_decode` for PIL/libav and nothing
+else changes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, format string"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a fake binary payload column (UTF-8 bytes of the text) —
+    stands in for an image/audio blob column in the testdata, which has
+    no true binary column."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB decode: deterministic pseudo-metadata from the byte length.
+    A real pipeline replaces this with PIL.Image.open / soundfile /
+    pyav frame extraction — per-batch, inside the same mapInPandas."""
+    n = len(payload)
+    return n, (n % 640) + 1, (n % 480) + 1, "fake"
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload) partitions.
+
+    Each batch is a pandas DataFrame; the kernel is vectorized per batch
+    (python-side, but amortized over thousands of rows per Arrow batch).
+    Output: typed metadata per blob.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]),
+                    "height": meta.map(lambda m: m[2]),
+                    "format": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return src.mapInPandas(kernel, DECODE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """STUB frame sampler: emits one row per sampled "frame" offset —
+    the explode-shaped plumbing of video frame extraction (1 input row ->
+    n output rows) without a codec. Real version: pyav keyframe iteration
+    inside mapInPandas with the same output contract."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.length("payload") / every_n_bytes).cast("int") - 1, F.lit(0)
+                ),
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,118 @@
+"""Generalized relational operators.
+
+The reference's query surface (SURVEY.md §2.3-2.6) plus the standard OLAP
+extensions Spark gives for free. Everything is a lazy DataFrame composition
+— one shuffle per groupBy/join key change, dims broadcast explicitly.
+
+Determinism-for-oracle note: SUM/AVG over doubles are order-sensitive in
+the last ulp (partial aggregation order differs between engines). Queries
+meant for hash-comparison against an external oracle should route double
+sums through :func:`exact_sum` / :func:`exact_avg`, which cast to
+DECIMAL(18,4) (exact, associative addition) and back — bit-identical
+results on any engine at any parallelism, at ~zero cost at scale since
+decimal sums stay in Tungsten codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: str | Column, scale: int = 4) -> Column:
+    """Order-insensitive double sum: decimal-sum then one double cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_avg(col: str | Column, scale: int = 4) -> Column:
+    """Order-insensitive mean: exact decimal sum / count, divided in IEEE
+    double (deterministic), never a double accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return exact_sum(c, scale) / F.count(c)
+
+
+def calendar_dim(
+    spark: SparkSession, lo: Column | str, hi: Column | str
+) -> DataFrame:
+    """Dense daily calendar [lo, hi] with date parts — the generalized
+    `datas` builder (job_parquet.py:261-280) as a reusable operator.
+    Fully distributed via sequence+explode; no pandas date_range."""
+    from ..functions.cleaning import date_parts
+
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("date"), F.lit(hi).cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("data_medicao")
+    )
+    parts = date_parts("data_medicao")
+    return cal.select("data_medicao", *[e.alias(n) for n, e in parts.items()])
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group via row_number window. ``tiebreak`` must be a
+    unique column for deterministic output (oracle comparability).
+
+    At scale: Spark pushes a per-partition local top-k (WindowGroupLimit)
+    before the shuffle since 3.5, so this does not materialize full groups.
+    """
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``.
+
+    Classic lag + conditional cumsum (two stacked windows over the same
+    partitioning -> one shuffle on ``user_col``). Streaming equivalent:
+    ``session_window`` in streaming/windows.py.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # microsecond precision: cast-to-long truncates to seconds and would
+    # misclassify sub-second boundary gaps
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        "session_seq", F.sum("_new_session").over(w)
+    ).drop("_new_session")
+
+
+def star_daily_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    date_col: str,
+    measures: dict[str, Column],
+) -> DataFrame:
+    """Generalized fato_agg_previsoes_dia (J1+A2): fact x broadcast dim on
+    ``key``, group by (key + dim attrs + day). ``measures`` maps output
+    alias -> aggregate Column."""
+    j = fact.join(F.broadcast(dim), key, "inner")
+    return j.groupBy(key, date_col).agg(
+        *[c.alias(n) for n, c in measures.items()]
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+tokenization stats, quality scoring, language-ID heuristic, document
+fingerprinting. All pure `pyspark.sql.functions` compositions — JVM-side,
+codegen'd, linear per-row work, no shuffles — so they scale to any corpus
+by partition parallelism alone.
+
+Regex patterns are kept to the RE2-compatible subset so the same pattern
+is usable in a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Token pattern, BPE-ish: word pieces, digit runs, or single non-space symbols.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# tiny marker-word inventories for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish token count + char count."""
+    t = F.col(text_col)
+    return df.select(
+        *df.columns,
+        F.size(F.split(F.trim(t), "\\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        F.length(t).cast("bigint").alias("chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, alpha ratio, punctuation ratio,
+    stopword ratio, mean word length — the standard cheap pre-filters of a
+    training-data pipeline. Ratios are deterministic IEEE divisions of
+    exact integer counts, so they oracle-compare exactly."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_alpha = (n_chars - F.length(F.regexp_replace(t, "[a-zA-Z]", ""))).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(t, "[.,;:!?]", ""))).cast("double")
+    words = F.split(F.trim(t), "\\s+")
+    n_words = F.size(words).cast("double")
+    stop = F.lit(["the", "a", "and", "of", "to", "in", "is"])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, F.lower(w)))).cast(
+        "double"
+    )
+    return df.select(
+        *df.columns,
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        ((n_chars - n_words + 1) / n_words).alias("mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: count marker hits per language,
+    argmax with fixed precedence order (en > es > de > fr > unknown).
+
+    A real pipeline swaps in fastText/CLD3 behind the same column contract;
+    the plumbing (pure column expr, no shuffle) is the point here.
+    """
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: F.array_contains(F.lit(ms), w)))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in ["en", "es", "de", "fr"]:  # fixed precedence for ties
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.select(
+        *df.columns,
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in scores],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-gram shingles (space-joined), JVM-side via
+    transform+sequence — the shared shingler for dedup/fingerprinting."""
+    words = F.split(F.trim(text), "\\s+")
+    k = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                ngram: int = 3) -> DataFrame:
+    """Content fingerprint: lexicographic min/max of md5(word-ngram) plus
+    ngram count — a winnowing-style rolling-hash signature. md5 is
+    identical across engines, so this is oracle-checkable; at scale the
+    min/max reduce is a cheap partial aggregate."""
+    grams = F.explode(word_ngrams(F.col(text_col), ngram)).alias("g")
+    e = df.select(F.col(id_col), grams)
+    return e.groupBy(id_col).agg(
+        F.min(F.md5(F.col("g"))).alias("fp_min"),
+        F.max(F.md5(F.col("g"))).alias("fp_max"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )

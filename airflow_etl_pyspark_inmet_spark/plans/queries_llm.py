@@ -1,0 +1,148 @@
+"""LLM-training-data pipeline queries over documents/embeddings/events:
+dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search,
+text analysis, multimodal plumbing, and the streaming twins.
+
+Each is a thin binding of an operators/* function to the testdata tables;
+oracle SQL lives in plans.registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import decode_metadata, frame_sample_stub, with_binary_payload
+from ..operators.similarity import cosine_topk, lsh_cosine_topk
+from ..operators.text import fingerprint, lang_id, quality_score, token_stats
+from .queries_relational import _t
+
+
+def d1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keeper id + copy count per distinct text. The shuffle
+    carries (64-bit hash, id), never the document body."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("keep_id", "n_copies")
+
+
+def d2_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs at threshold 0.5 (the
+    testdata plants ~25 pairs >= 0.85; noise pairs sit <= 0.15)."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, ngram=3, threshold=0.5)
+
+
+def d3_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16-band LSH candidates, verified with exact Jaccard.
+    At threshold 0.5 with r=2/b=16 the miss probability of a true pair is
+    < 1e-11, so the output equals the exact-Jaccard result (same oracle) —
+    while the candidate join stays linear in docs, not quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, ngram=3, num_hashes=32, bands=16, threshold=0.5
+    )
+
+
+def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3 (banded by
+    16-bit chunks). Engine-specific hashing -> rows-only driver check."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stats(docs).select("doc_id", "ws_tokens", "bpe_tokens", "chars")
+
+
+def t2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id", "n_chars_calc", "alpha_ratio", "stopword_ratio"
+    )
+
+
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id(docs).select(
+        "doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred"
+    )
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, ngram=3)
+
+
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast
+    queries, JVM-side dot products, window top-k. Rank-only output (ids),
+    engine-neutral."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10)
+
+
+def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: same contract as s1 but candidates come from
+    an equi-join on an 8-bit hyperplane bucket. Approximate -> rows-only
+    driver check (recall tracked in tests against s1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, k=10, dim=64, n_planes=8)
+
+
+def m1_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas decode stub -> typed metadata."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return decode_metadata(docs)
+
+
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: 1 blob -> n sampled frame rows."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return frame_sample_stub(docs)
+
+
+def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg run to completion over the
+    static events dir; equals the batch q19 result (same oracle)."""
+    from ..streaming.windows import streaming_tumbling_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = streaming_tumbling_counts(
+        spark, f"{sf_dir}/events.parquet", window="1 day", watermark="1 hour"
+    )
+    return out.select(
+        F.to_date("window_start").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def st2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window(30 min) per user; session end = last event
+    + gap per Spark semantics, mirrored in the oracle."""
+    from ..streaming.windows import streaming_session_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = streaming_session_counts(
+        spark, f"{sf_dir}/events.parquet", gap="30 minutes", watermark="1 hour"
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )

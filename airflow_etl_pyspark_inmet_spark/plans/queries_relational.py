@@ -1,0 +1,404 @@
+"""Relational query inventory over the driver testdata (TPC-H-ish star
+schema), one entry per operator family of SURVEY.md §2, each with a DuckDB
+oracle in plans.registry.
+
+Determinism contract (oracle hash-match): every SUM/AVG over doubles goes
+through an exact decimal accumulation (order-insensitive) and is cast back
+to double — see operators.relational.exact_sum/exact_avg. Timestamps are
+output as DATE or epoch-microsecond BIGINT, never raw timestamps, to avoid
+engine-specific tz/precision formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import (
+    date_parts,
+    dayfirst_date,
+    decimal_comma_to_double,
+    surrogate_key,
+)
+from ..operators.relational import (
+    calendar_dim,
+    exact_avg,
+    exact_sum,
+    sessionize,
+    topk_per_group,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects. Read nanos as long and truncate to micros (integer
+    `div`, never `/` — double division loses precision on int64 nanos),
+    matching DuckDB's ns->us truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# --- A2/A1 family: aggregations ---------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical grouped-agg (SURVEY §2.4 A2):
+    filter -> groupBy 2 keys -> 8 aggregates, partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias(
+                "sum_disc_price"
+            ),
+            exact_avg("l_quantity", 2).alias("avg_qty"),
+            exact_avg("l_extendedprice", 2).alias("avg_price"),
+            exact_avg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q2_daily_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fato_agg_previsoes_dia analog (J1+A2, create_analitic_fato_agg_
+    previsoes_dia.sql:4-19): fact x broadcast tiny dim on the key, group
+    by (key, day), MIN/MAX/AVG/SUM/COUNT."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "inner")
+    return j.groupBy(
+        "s_suppkey", "s_name", F.to_date("l_shipdate").alias("ship_date")
+    ).agg(
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        exact_avg("l_quantity", 2).alias("qty_avg"),
+        exact_sum("l_extendedprice", 2).alias("price_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cidade_kpis_mensal analog (J2+A3+P10, create_analitic_cidade_kpis_
+    mensal.sql:5-18): daily aggregate re-joined with two broadcast dims,
+    monthly rollup with AVG-of-daily-averages and COUNT_IF."""
+    daily = q2_daily_supplier_agg(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = daily.join(F.broadcast(sup), "s_suppkey").join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    return j.groupBy(
+        "n_name", F.year("ship_date").alias("ano"), F.month("ship_date").alias("mes")
+    ).agg(
+        exact_avg("qty_avg", 8).alias("mensal_qty_media"),
+        F.max("qty_max").alias("mensal_qty_max"),
+        exact_sum("price_total", 2).alias("mensal_price_total"),
+        F.count_if(F.col("price_total") > 50000).alias("dias_high_rev"),
+    )
+
+
+def q4_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: one-job scalar min/max/count (the reference runs two separate
+    collect()s at job_parquet.py:265-266)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- F11/F12: calendar dimension ---------------------------------------------
+
+
+def q5_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datas builder (F12+F11, job_parquet.py:261-280): dense daily
+    calendar between orders min/max, distributed sequence+explode."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    ).first()
+    return calendar_dim(spark, b["lo"], b["hi"])
+
+
+# --- F9/P2/P4: surrogate keys, renames, projections --------------------------
+
+
+def q6_surrogate_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_cidade_atributos analog (F9, create_dim_cidade_atributos.sql:
+    7-12): broadcast dim join + TRIM/UPPER/COALESCE surrogate key +
+    projection reorder (P4)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return j.select(
+        surrogate_key("n_name", "r_name").alias("nation_sk"),
+        F.col("n_nationkey").alias("nation_id"),
+        F.col("n_name").alias("nome"),
+        F.col("r_name").alias("regiao"),
+    )
+
+
+# --- F1/F2/F3: dirty-data parsing --------------------------------------------
+
+
+def q7_decimal_comma_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: build decimal-comma dirty strings from part prices (incl.
+    'None' markers) and parse them back with the cleaning kit."""
+    p = _t(spark, sf_dir, "part")
+    dirty = F.when(F.col("p_partkey") % 97 == 0, F.lit("None")).otherwise(
+        F.replace(F.col("p_retailprice").cast("string"), F.lit("."), F.lit(","))
+    )
+    return p.select(
+        "p_partkey",
+        decimal_comma_to_double(dirty).alias("parsed_price"),
+    )
+
+
+def q8_dayfirst_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: multi-format date strings (dd/MM/yyyy and yyyy/MM/dd mixed by
+    row, plus junk) parsed with the coerce-to-null chain."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    s = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format(d, "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format(d, "yyyy/MM/dd"))
+        .otherwise(F.lit("not a date"))
+    )
+    return o.select("o_orderkey", dayfirst_date(s).alias("parsed_date"))
+
+
+# --- U1/U2: unions ------------------------------------------------------------
+
+
+def q9_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 (job_parquet.py:104,249-252): unionByName of two differently
+    shaped projections, then aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        "l_returnflag", "l_orderkey", "l_quantity"  # shuffled column order
+    )
+    u = a.unionByName(b)
+    return u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", 2).alias("qty")
+    )
+
+
+# --- J family: join types ------------------------------------------------------
+
+
+def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent order —
+    anti against a filtered build side so the result is non-trivial."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q21_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 shape: fact x dim x dim chained equi-joins, grouped. customer is
+    broadcast here (1.5k rows/SF); at SF where it outgrows the broadcast
+    threshold AQE falls back to shuffle join on the sorted key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", 2).alias("revenue"),
+    )
+
+
+# --- windows -------------------------------------------------------------------
+
+
+def q12_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (free Spark extension the
+    reference lacks, SURVEY §2.7). Spark 3.5+ pushes a WindowGroupLimit
+    below the shuffle so full groups never materialize."""
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        k=3,
+        tiebreak="o_orderkey",
+    )
+
+
+def q13_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum + row numbering per partition — decimal
+    accumulation so the cumulative values oracle-match exactly."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a new session; one shuffle on
+    user_id, stacked lag + cumsum windows; timestamps surfaced as epoch
+    micros for engine-neutral comparison."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+# --- grouping sets / distinct / pivot -------------------------------------------
+
+
+def q14_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region/nation with grouping id — free extension
+    (SURVEY §2.4 note: reference has no grouping sets)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal", 2).alias("acctbal_total"),
+        F.grouping_id().alias("grp_id"),
+    )
+
+
+def q15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag/linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity", 2).alias("qty"),
+        F.grouping_id().alias("grp_id"),
+    )
+
+
+def q16_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (reference has none, SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (P1 analog — the metadata row->column pivot generalized):
+    explicit value list so no extra distinct-scan job."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_o"),
+        F.col("F").alias("qty_f"),
+    )
+
+
+# --- filters / projections / pushdown --------------------------------------------
+
+
+def q22_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/P7/P10: predicate + projection; filter and column pruning
+    reach the parquet scan (verified in bench explain audit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+        & (F.col("l_quantity") > 45)
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+def q23_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 semantics: null measures zero-filled BEFORE aggregation, so the
+    AVG counts zeros (differs from SQL null-skipping AVG — the reference's
+    exact behavior at job_parquet.py:214-220)."""
+    li = _t(spark, sf_dir, "lineitem")
+    nullable = F.when(F.col("l_quantity") < 5, None).otherwise(F.col("l_quantity"))
+    filled = li.select("l_returnflag", nullable.alias("q")).na.fill(
+        0, subset=["q"]
+    )
+    return filled.groupBy("l_returnflag").agg(
+        exact_avg("q", 2).alias("avg_filled"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q19_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily window over events (batch form; streaming twin in
+    streaming/windows.py)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 4).alias("total_value"),
+    )
+
+
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column (map/json
+    functions — absent in the reference, SURVEY §2.6 note)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.countDistinct("k").alias("k_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,382 @@
+"""Query registry: name -> (spark callable, DuckDB oracle SQL or None).
+
+The driver runs each callable at sf0.01 and compares row count + schema +
+order-insensitive value hash against the oracle SQL executed by DuckDB on
+the same parquet files (views: region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Queries without an oracle (None) are genuinely non-SQL-expressible or use
+engine-specific hashing (SimHash/sign-LSH); the driver records a weaker
+rows-only check for those, and tests/ cross-check them against their exact
+counterparts instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import queries_llm as L
+from . import queries_relational as R
+
+# shared SQL fragments ---------------------------------------------------------
+
+# word-3gram shingle sets (distinct per doc), as used by dedup operators
+_GRAMS_DISTINCT = """
+grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) u
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_GRAMS_DISTINCT},
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+"""
+
+_Q2_DAILY_SQL = """
+SELECT s_suppkey, s_name, CAST(l_shipdate AS DATE) AS ship_date,
+       min(l_quantity) AS qty_min,
+       max(l_quantity) AS qty_max,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS qty_avg,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2, 3
+"""
+
+_SESSION_EVENTS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) {op} {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM x
+)"""
+
+_TUMBLING_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES: dict[str, str | None] = {
+    "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q02_daily_supplier_agg": _Q2_DAILY_SQL,
+    "q03_monthly_kpis": f"""
+WITH daily AS ({_Q2_DAILY_SQL})
+SELECT n_name,
+       CAST(EXTRACT(year FROM ship_date) AS INTEGER) AS ano,
+       CAST(EXTRACT(month FROM ship_date) AS INTEGER) AS mes,
+       CAST(SUM(CAST(qty_avg AS DECIMAL(18,8))) AS DOUBLE) / COUNT(qty_avg) AS mensal_qty_media,
+       max(qty_max) AS mensal_qty_max,
+       CAST(SUM(CAST(price_total AS DECIMAL(18,2))) AS DOUBLE) AS mensal_price_total,
+       count_if(price_total > 50000) AS dias_high_rev
+FROM daily
+JOIN supplier USING (s_suppkey)
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+""",
+    "q04_minmax_bounds": """
+SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi,
+       COUNT(*) AS n
+FROM orders
+""",
+    "q05_calendar_dim": """
+WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) lo, CAST(max(o_orderdate) AS DATE) hi FROM orders),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS data_medicao
+  FROM b
+)
+SELECT data_medicao,
+       CAST(day(data_medicao) AS INTEGER) AS dia,
+       CAST(month(data_medicao) AS INTEGER) AS mes,
+       CAST(year(data_medicao) AS INTEGER) AS ano,
+       CAST(quarter(data_medicao) AS INTEGER) AS quartil,
+       CAST(weekofyear(data_medicao) AS INTEGER) AS semana_do_ano
+FROM days
+""",
+    "q06_surrogate_dim": """
+SELECT CONCAT(TRIM(UPPER(COALESCE(n_name, ''))), '-', TRIM(UPPER(COALESCE(r_name, '')))) AS nation_sk,
+       n_nationkey AS nation_id, n_name AS nome, r_name AS regiao
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+    "q07_decimal_comma_roundtrip": """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 97 = 0 THEN NULL
+            ELSE CAST(replace(replace(CAST(p_retailprice AS VARCHAR), '.', ','), ',', '.') AS DOUBLE)
+       END AS parsed_price
+FROM part
+""",
+    "q08_dayfirst_dates": """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 IN (0, 1) THEN CAST(o_orderdate AS DATE) ELSE NULL END AS parsed_date
+FROM orders
+""",
+    "q09_union_by_name": """
+WITH u AS (
+  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'A'
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM u GROUP BY 1
+""",
+    "q10_semi_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    "q11_anti_join": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    "q12_topk_per_group": """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+""",
+    "q13_running_window": """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "q14_rollup": """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total,
+       CAST(GROUPING(r_name, n_name) AS BIGINT) AS grp_id
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "q15_cube": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q16_distinct_agg": """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1
+""",
+    "q17_pivot": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY 1
+""",
+    "q18_sessionize": _SESSION_EVENTS_SQL.format(op=">", gap_us=1800 * 1_000_000)
+    + """
+SELECT user_id, sid AS session_seq, COUNT(*) AS n_events,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM y GROUP BY 1, 2
+""",
+    "q19_tumbling_batch": _TUMBLING_SQL,
+    "q20_json_extract": """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       COUNT(DISTINCT k) AS k_distinct,
+       COUNT(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY 1
+""",
+    "q21_three_way_join": """
+SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+    "q22_filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+  AND l_quantity > 45
+  AND l_returnflag IS NOT NULL
+""",
+    "q23_zero_fill": """
+SELECT l_returnflag,
+       CAST(SUM(CAST(COALESCE(CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END, 0) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_filled,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+""",
+    # --- LLM-pipeline ops ---
+    "d1_dedup_exact": """
+SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
+""",
+    "d2_dedup_jaccard": _JACCARD_SQL,
+    "d3_dedup_minhash": _JACCARD_SQL,  # LSH recall ≈ 1 at this threshold; verified subset equality
+    "d4_dedup_simhash": None,  # engine-specific xxhash64 — rows-only
+    "t1_token_stats": """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+FROM documents
+""",
+    "t2_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w) IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+FROM documents
+""",
+    "t3_lang_id": """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('the','and','of','a'))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('el','la','de','que'))) AS BIGINT) AS score_es,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('der','die','und','das'))) AS BIGINT) AS score_de,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('le','la','et','les'))) AS BIGINT) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+            WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    "t4_fingerprint": """
+WITH grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) u
+)
+SELECT doc_id, min(md5(g)) AS fp_min, max(md5(g)) AS fp_max, COUNT(*) AS n_grams
+FROM grams GROUP BY 1
+""",
+    "s1_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank FROM r WHERE rank <= 10
+""",
+    "s2_lsh_topk": None,  # approximate, deterministic-seeded — rows-only; recall vs s1 in tests
+    "m1_decode_meta": """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(strlen(text) % 480 + 1 AS INTEGER) AS height,
+       'fake' AS format
+FROM documents
+""",
+    "m2_frame_sample": """
+SELECT doc_id,
+       CAST(unnest(generate_series(0, greatest(CAST(floor(strlen(text) / 64.0) AS INTEGER) - 1, 0))) AS INTEGER) AS frame_idx
+FROM documents
+""",
+    "st1_stream_tumbling": _TUMBLING_SQL,
+    "st2_stream_sessions": _SESSION_EVENTS_SQL.format(op=">=", gap_us=1800 * 1_000_000)
+    + """
+SELECT user_id, epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, sid
+""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": R.q1_pricing_summary,
+    "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
+    "q03_monthly_kpis": R.q3_monthly_kpis,
+    "q04_minmax_bounds": R.q4_minmax_bounds,
+    "q05_calendar_dim": R.q5_calendar_dim,
+    "q06_surrogate_dim": R.q6_surrogate_dim,
+    "q07_decimal_comma_roundtrip": R.q7_decimal_comma_roundtrip,
+    "q08_dayfirst_dates": R.q8_dayfirst_dates,
+    "q09_union_by_name": R.q9_union_by_name,
+    "q10_semi_join": R.q10_semi_join,
+    "q11_anti_join": R.q11_anti_join,
+    "q12_topk_per_group": R.q12_topk_per_group,
+    "q13_running_window": R.q13_running_window,
+    "q14_rollup": R.q14_rollup,
+    "q15_cube": R.q15_cube,
+    "q16_distinct_agg": R.q16_distinct_agg,
+    "q17_pivot": R.q17_pivot,
+    "q18_sessionize": R.q18_sessionize,
+    "q19_tumbling_batch": R.q19_tumbling_batch,
+    "q20_json_extract": R.q20_json_extract,
+    "q21_three_way_join": R.q21_three_way_join,
+    "q22_filter_project": R.q22_filter_project,
+    "q23_zero_fill": R.q23_zero_fill,
+    "d1_dedup_exact": L.d1_dedup_exact,
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    "t1_token_stats": L.t1_token_stats,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "m1_decode_meta": L.m1_decode_meta,
+    "m2_frame_sample": L.m2_frame_sample,
+    "st1_stream_tumbling": L.st1_stream_tumbling,
+    "st2_stream_sessions": L.st2_stream_sessions,
+}

@@ -1,0 +1,116 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY.md §2.7: no streaming anywhere), so
+this module is pure extension surface: tumbling-window aggregation with
+watermarked late-data handling, plus a session-window variant. Batch
+equivalents live in the entry queries so the streaming results are
+oracle-checkable (stream over a static parquet dir == batch over it when
+run to completion in complete mode).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over the events parquet; the file stores ts as
+    TIMESTAMP(NANOS) which Spark rejects, so read nanos-as-long and
+    truncate to micros (same convention as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    # the streaming file source requires a directory: stream the parent
+    # dir with a glob filter when events_dir is a single parquet file
+    if events_dir.endswith(".parquet"):
+        parent, _, fname = events_dir.rpartition("/")
+        reader = spark.readStream.schema(schema).option("pathGlobFilter", fname)
+        stream = reader.parquet(parent)
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run a watermarked tumbling-window count/sum over the events parquet
+    directory AS A STREAM, to completion, and return the final result.
+
+    Uses complete output mode + memory sink so every window is emitted
+    (append mode would withhold the last windows past the watermark —
+    fine for an unbounded source, wrong for a finite oracle check).
+    On a real cluster the source becomes Kafka and the sink a Delta/
+    parquet table; the aggregation is unchanged.
+    """
+    stream = _read_stream_events(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window (dynamic gap-based) aggregation as a stream:
+    ``session_window(ts, gap)`` keyed by user. Streaming-native
+    counterpart of operators.relational.sessionize."""
+    stream = _read_stream_events(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
