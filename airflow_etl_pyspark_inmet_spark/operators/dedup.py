@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_ngrams
+from .text import exploded_ngrams
 
 
 def dedup_exact(
@@ -51,12 +51,13 @@ def dedup_exact(
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc. The shingle is carried as
+    its 64-bit xxhash, not the string: set semantics are preserved
+    (collision odds ~n²/2⁶⁵) while every downstream shuffle/join moves
+    8-byte keys instead of text."""
     return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
-        )
+        exploded_ngrams(df, id_col, text_col, ngram)
+        .select("_id", F.xxhash64("g").alias("shingle"))
         .distinct()
     )
 
@@ -200,7 +201,9 @@ def simhash64(
     Near-dup detection then bands the signature (4x16-bit) and compares
     Hamming distance within buckets — see simhash_pairs.
     """
-    toks = df.select(
+    from .util import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     )

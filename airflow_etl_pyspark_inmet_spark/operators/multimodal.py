@@ -44,7 +44,9 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (python-side, but amortized over thousands of rows per Arrow batch).
     Output: typed metadata per blob.
     """
-    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+    from .util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), "payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -19,6 +19,8 @@ deterministic as long as no two scores tie exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,11 +59,13 @@ def cosine_topk(
     BroadcastNestedLoopJoin over the corpus — no shuffle of the corpus,
     one window top-k on (query, score).
     """
+    from .util import ensure_parallelism
+
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = items.select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    scored = ensure_parallelism(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
     ).crossJoin(F.broadcast(q))
     scored = scored.filter(F.col("item_id") != F.col(query_id_col)).select(
         query_id_col,
@@ -101,42 +105,65 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH bucket join then exact re-rank.
+    """Approximate top-k: multi-table sign-LSH bucket join, exact re-rank.
 
-    Bucket id = bit pattern of sign(v . h_i). Items and queries land in
-    one bucket each; the candidate join is an equi-join on the bucket id
-    (shuffle ~N rows of (bucket, id), never N x Q). Recall is tunable via
-    ``n_planes`` (fewer planes -> bigger buckets -> higher recall).
+    Per table t, bucket id = bit pattern of sign(v . h_i) over that
+    table's ``n_planes`` hyperplanes. Items land in one bucket per table
+    (L rows each); a query probes its bucket per table plus (with
+    ``multiprobe``) every bucket at Hamming distance 1 — recovering
+    neighbors whose projection sits near a hyperplane. Candidates are an
+    equi-join on (table, bucket): shuffle ~L x N fixed-width rows, never
+    N x Q. Recall ≈ 1-(1-r)^L tunes via n_tables/n_planes; every
+    candidate is re-scored exactly, so precision is exact.
+
+    Bucketing runs as an Arrow-batched pandas UDF (one numpy matmul per
+    batch over all tables' hyperplanes) — dense linear algebra is the one
+    place the vectorized Python path beats per-element SQL folds.
     """
-    planes = _hyperplanes(n_planes, dim)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes]
-    )
+    mats = [
+        np.array(_hyperplanes(n_planes, dim, seed=7 + 101 * t), dtype=np.float64)
+        for t in range(n_tables)
+    ]
+    stacked = np.concatenate(mats, axis=0)  # (tables*planes, dim)
 
-    def bucket(vec: Column) -> Column:
-        b = F.lit(0).cast("long")
-        for i in range(n_planes):
-            proj = _dot(vec, planes_lit.getItem(i))
-            bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            b = b.bitwiseXOR(F.shiftleft(bit, i))
-        return b
+    def _bucket_udf(with_probes: bool):
+        @F.pandas_udf("array<bigint>")
+        def udf(vecs: pd.Series) -> pd.Series:
+            V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+            bits = (V @ stacked.T >= 0).astype(np.int64)  # (n, tables*planes)
+            cols = []
+            for t in range(n_tables):
+                block = bits[:, t * n_planes : (t + 1) * n_planes]
+                b = (block << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+                cols.append(b ^ (t << 32))  # tag table in high bits
+            B = np.stack(cols, axis=1)  # (n, tables)
+            if with_probes:
+                B = np.concatenate(
+                    [B] + [B ^ (1 << i) for i in range(n_planes)], axis=1
+                )
+            return pd.Series(list(B))
+
+        return udf
 
     it = items.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).alias("_ivec"),
-        bucket(F.col(vec_col)).alias("_bucket"),
+        F.explode(_bucket_udf(False)(F.col(vec_col))).alias("_bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        bucket(F.col(vec_col)).alias("_bucket"),
+        F.explode(_bucket_udf(multiprobe)(F.col(vec_col))).alias("_bucket"),
     )
-    cand = it.join(F.broadcast(q), "_bucket").filter(
-        F.col("item_id") != F.col(query_id_col)
+    cand = (
+        it.join(F.broadcast(q), "_bucket")
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(query_id_col, "item_id", "_ivec", "_qvec")
+        .dropDuplicates([query_id_col, "item_id"])
     )
     scored = cand.select(
         query_id_col,

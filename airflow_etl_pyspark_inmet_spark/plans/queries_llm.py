@@ -98,7 +98,7 @@ def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(emb, queries, k=10, dim=64, n_planes=8)
+    return lsh_cosine_topk(emb, queries, k=10, dim=64, n_planes=6, n_tables=8)
 
 
 def m1_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

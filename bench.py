@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced through the noop sink (full materialization, no
+driver collect) after a warm-up of the session. Timings are wall-clock
+per query, single run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-parity star aggregates + the heavy
+# LLM-pipeline operators. Names match plans.registry keys.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_daily_supplier_agg",
+    "q03_monthly_kpis",
+    "q12_topk_per_group",
+    "q13_running_window",
+    "q16_distinct_agg",
+    "q18_sessionize",
+    "q21_three_way_join",
+    "d1_dedup_exact",
+    "d2_dedup_jaccard",
+    "d3_dedup_minhash",
+    "d4_dedup_simhash",
+    "t1_token_stats",
+    "t4_fingerprint",
+    "s1_cosine_topk",
+    "s2_lsh_topk",
+    "m1_decode_meta",
+]
+
+
+def main() -> None:
+    from airflow_etl_pyspark_inmet_spark.plans.registry import QUERIES
+    from airflow_etl_pyspark_inmet_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm-up: JVM + codegen + parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Driver-contract smoke tests: entry() runs, every query key is callable,
+every oracle key exists in queries()."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0
+
+
+def test_query_and_oracle_keys_consistent():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every no-oracle query is one of the documented engine-hash ops
+    assert set(qs) - set(oracles) == {"d4_dedup_simhash", "s2_lsh_topk"}
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "d1_dedup_exact", "s1_cosine_topk"])
+def test_sample_queries_run_at_sf0001(spark, sf_small, name):
+    df = E.queries()[name](spark, sf_small)
+    assert df.count() >= 0

@@ -1,0 +1,80 @@
+"""Golden end-to-end test of the INMET pipeline on the 3 reference CSVs
+(SURVEY.md §5 item 2) + property checks (FIXTURES.md invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.plans.inmet_pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def tables(spark, inmet_glob):
+    return run_pipeline(spark, inmet_glob)
+
+
+def test_golden_counts(tables):
+    assert tables["cidades"].count() == 3
+    assert tables["previsoes"].count() == 3 * 4344  # hourly rows per file
+    assert tables["dim_cidade_atributos"].count() == 3
+    assert tables["datas"].count() == 181  # 2025-01-01..2025-06-30
+    assert tables["cidade_kpis_mensal"].count() == 18  # 3 stations x 6 months
+
+
+def test_station_attributes(tables):
+    rows = {r["wmo"]: r for r in tables["cidades"].collect()}
+    assert set(rows) == {"A507", "A508", "A509"}
+    a507 = rows["A507"]
+    assert a507["estacao"] == "UBERLANDIA"
+    assert a507["latitude"] == pytest.approx(-18.91694443)
+    assert str(a507["data_fundacao"]) == "2002-12-18"  # dd/MM/yy dayfirst
+    assert str(rows["A509"]["data_fundacao"]) == "2004-12-19"  # dd/MM/yyyy
+
+
+def test_surrogate_keys(tables):
+    sks = {r["cidade_sk"] for r in tables["dim_cidade_atributos"].collect()}
+    assert sks == {"A507-MG-UBERLANDIA", "A508-MG-ALMENARA", "A509-MG-MONTE VERDE"}
+
+
+def test_registros_horarios_sums_to_fact_count(tables):
+    total = (
+        tables["fato_agg_previsoes_dia"]
+        .agg(F.sum("registros_horarios"))
+        .first()[0]
+    )
+    assert total == tables["previsoes"].count()
+
+
+def test_calendar_dense_no_gaps(tables):
+    datas = tables["datas"]
+    n = datas.count()
+    distinct = datas.select("data_medicao").distinct().count()
+    bounds = datas.agg(
+        F.min("data_medicao").alias("lo"), F.max("data_medicao").alias("hi")
+    ).first()
+    assert n == distinct == (bounds["hi"] - bounds["lo"]).days + 1
+
+
+def test_daily_agg_invariants(tables):
+    bad = (
+        tables["fato_agg_previsoes_dia"]
+        .filter(
+            (F.col("temp_min_c") > F.col("temp_avg_c"))
+            | (F.col("temp_avg_c") > F.col("temp_max_c"))
+            | (F.col("registros_horarios") > 24)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_monthly_kpis_invariants(tables):
+    kpis = tables["cidade_kpis_mensal"]
+    bad = kpis.filter(
+        (F.col("dias_com_precip") < 0) | (F.col("dias_com_precip") > 31)
+    ).count()
+    assert bad == 0
+    # zero-fill-before-agg means every station-day exists => months have
+    # full day coverage: dias_com_precip <= days in month always holds
+    assert kpis.count() == 18

@@ -1,0 +1,124 @@
+"""Operator-level tests: approximate operators cross-checked against their
+exact counterparts (the checks the driver's rows-only gate can't do)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from airflow_etl_pyspark_inmet_spark.operators.relational import (
+    sessionize,
+    topk_per_group,
+)
+from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+def test_dedup_exact_finds_planted_dups(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_minhash_recall_equals_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact  # r=2/b=16 at t=0.5: recall ~1 and verify removes FPs
+    assert len(exact) > 0  # testdata plants near-dups
+
+
+def test_simhash_identical_texts_collide(spark):
+    long_a = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 5)
+    rows = [
+        (1, long_a),
+        (2, long_a),  # identical -> identical signature, hamming 0
+        (3, "completely different words nothing shared here at all " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs_on_corpus_are_valid(docs):
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        assert r["id_a"] in ids and r["id_b"] in ids and r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_lsh_topk_recall_vs_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in lsh_cosine_topk(emb, queries, k=10, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # 6 planes x 8 tables + hamming-1 multiprobe
+    # every approx hit must be a real item (sanity)
+    assert all(q != i for q, i in approx)
+
+
+def test_topk_per_group_deterministic(spark):
+    rows = [("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 5.0), ("h", 4, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "id", "v"])
+    got = [
+        (r["k"], r["id"])
+        for r in topk_per_group(df, ["k"], "v", k=2, tiebreak="id")
+        .orderBy("k", "id")
+        .collect()
+    ]
+    assert got == [("g", 1), ("g", 2), ("h", 4)]
+
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=1800)),  # exactly gap -> same session (> rule)
+        (1, t0 + dt.timedelta(seconds=1800 + 1801)),  # new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    seqs = [
+        r["session_seq"]
+        for r in out.filter(F.col("user_id") == 1).orderBy("ts").collect()
+    ]
+    assert seqs == [1, 1, 2]
