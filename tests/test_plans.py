@@ -1,0 +1,66 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted on
+the actual optimized plans (SURVEY.md §4).
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema)
+- tiny dims join as broadcast hash joins (no shuffle of the fact side)
+- aggregations are partial+final hash aggregates inside codegen
+"""
+
+from __future__ import annotations
+
+from airflow_etl_pyspark_inmet_spark.plans import queries_relational as R
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushdown(spark, sf_small):
+    df = R.q22_filter_project(spark, sf_small)
+    plan = _explain(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan or "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
+    # only the needed columns are read
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_daily_agg_uses_broadcast_join(spark, sf_small):
+    plan = _explain(R.q2_daily_supplier_agg(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_final_agg(spark, sf_small):
+    df = R.q1_pricing_summary(spark, sf_small)
+    plan = _explain(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange (") == 1  # exactly one shuffle (tree node)
+    # AQE wraps the plan before execution, hiding codegen spans; disable it
+    # for the inspection only to confirm the operators are codegen-eligible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = R.q1_pricing_summary(spark, sf_small)
+        simple = df2._jdf.queryExecution().explainString(
+            df2._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "*(" in simple  # whole-stage codegen spans
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_three_way_join_broadcasts_both_dims(spark, sf_small):
+    plan = _explain(R.q21_three_way_join(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_pushes_window_group_limit(spark, sf_small):
+    plan = _explain(R.q12_topk_per_group(spark, sf_small))
+    assert "WindowGroupLimit" in plan  # local top-k before the shuffle
