@@ -1,0 +1,108 @@
+"""Engine-local warehouse: Spark SQL-managed databases/tables replacing the
+reference's Snowflake layer (SURVEY.md §2.1 S8-S10).
+
+The reference ships parquet over WebHDFS into pandas and bulk-loads it to
+Snowflake (dag_inmet.py:12-105); its DDL and CTAS live in sql/create_*.sql.
+Here the warehouse is the Spark catalog itself: `CREATE DATABASE` +
+`saveAsTable` (typed, managed parquet) + CTAS via `spark.sql` — no data
+ever leaves the cluster, and downstream queries read the tables through
+the catalog with full pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Typed stage DDL mirroring sql/create_dim_cidades.sql:4-13,
+# create_dim_datas.sql:5-12, create_fato_previsoes.sql:4-12 (Snowflake
+# types mapped to Spark; dates are real DATE end-to-end).
+STAGE_DDL = {
+    "dim_cidades": """
+        CREATE TABLE IF NOT EXISTS {db}.dim_cidades (
+            regiao STRING, uf STRING, estacao STRING, wmo STRING,
+            latitude DECIMAL(11,8), longitude DECIMAL(11,8),
+            altitude DECIMAL(9,2), data_fundacao DATE
+        ) USING PARQUET
+    """,
+    "dim_datas": """
+        CREATE TABLE IF NOT EXISTS {db}.dim_datas (
+            data_medicao DATE, dia INT, mes INT, ano INT,
+            quartil INT, semana_do_ano INT
+        ) USING PARQUET
+    """,
+    "fato_previsoes": """
+        CREATE TABLE IF NOT EXISTS {db}.fato_previsoes (
+            wmo STRING, data_medicao DATE, precipitacao_mm DOUBLE,
+            pressao_atm_kpa DOUBLE, temperatura_c DOUBLE,
+            umidade_porcentagem DOUBLE, vento_mps DOUBLE
+        ) USING PARQUET PARTITIONED BY (ano INT)
+    """,
+}
+
+
+def create_database(spark: SparkSession, db: str) -> None:
+    """S9's `CREATE SCHEMA IF NOT EXISTS` equivalent."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+def create_stage_tables(spark: SparkSession, db: str = "stage") -> None:
+    """Typed landing tables (S9)."""
+    create_database(spark, db)
+    for ddl in STAGE_DDL.values():
+        spark.sql(ddl.format(db=db))
+
+
+def _drop_table_and_location(spark: SparkSession, db: str, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any orphaned managed location. The
+    in-memory catalog forgets tables between sessions while their files
+    survive, and saveAsTable then fails with LOCATION_ALREADY_EXISTS;
+    with a persistent metastore this is a no-op. Uses the Hadoop
+    FileSystem API so it works on any storage, not just local disk."""
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{name}")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def save_table(
+    df: DataFrame,
+    name: str,
+    db: str = "analitic",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S8's warehouse load, Spark-native: managed parquet table, overwrite
+    semantics matching CREATE OR REPLACE."""
+    spark = df.sparkSession
+    create_database(spark, db)
+    _drop_table_and_location(spark, db, name)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(f"{db}.{name}")
+
+
+def ctas(spark: SparkSession, name: str, sql: str, db: str = "analitic") -> DataFrame:
+    """S10's `CREATE OR REPLACE TABLE ... AS SELECT` (the v1 parquet
+    catalog has no atomic REPLACE, so drop-then-create)."""
+    create_database(spark, db)
+    _drop_table_and_location(spark, db, name)
+    spark.sql(f"CREATE TABLE {db}.{name} USING PARQUET AS {sql}")
+    return spark.table(f"{db}.{name}")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose the testdata star schema as temp views so every engine query
+    is also reachable through the plain SQL surface (spark.sql)."""
+    from .queries_relational import _t
+
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return names

@@ -69,6 +69,26 @@ def test_daily_agg_invariants(tables):
     assert bad == 0
 
 
+def test_parquet_sink_partitioned_by_year(spark, inmet_glob, tmp_path):
+    """S6: parquet sinks; the fact is written partitioned by ano so
+    downstream year-filtered queries get partition pruning."""
+    out = str(tmp_path / "wh")
+    run_pipeline(spark, inmet_glob, out_dir=out)
+    fact = spark.read.parquet(f"{out}/previsoes")
+    assert fact.count() == 3 * 4344
+    assert "ano" in fact.columns  # partition column materialized
+    plan = (
+        fact.filter(F.col("ano") == 2025)
+        ._jdf.queryExecution()
+        .explainString(
+            fact._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PartitionFilters: [isnotnull(ano" in plan or "ano#" in plan
+
+
 def test_monthly_kpis_invariants(tables):
     kpis = tables["cidade_kpis_mensal"]
     bad = kpis.filter(
