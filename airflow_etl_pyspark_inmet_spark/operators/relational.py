@@ -102,6 +102,101 @@ def sessionize(
     ).drop("_new_session")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row of the same
+    key with ``right_ts <= left_ts`` (inclusive). Spark has no native
+    ASOF JOIN; the classic distributed plan is union + ordered window:
+
+      tag rows (right=0, left=1), union, one window per key ordered by
+      (ts, tag, right-row order), carry ``last(right_payload, ignorenulls)``
+      over the running frame, keep left rows.
+
+    ONE shuffle on the key, no range explosion, no per-group pandas —
+    this is the 100 TB shape (a merge_asof-in-applyInPandas variant would
+    materialize whole groups in Python).
+
+    Output: all left columns + right columns (null when no match).
+    """
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    l_ = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols) + ">"
+        ).alias("_r"),
+    )
+    r_ = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
+        ).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    u = l_.unionByName(r_)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag", "_r")  # right rows first at equal ts (>= semantics)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(c) for c in rcols],
+    )
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (value BETWEEN lo AND hi) via bucketization: each range
+    explodes to the integer buckets it spans, each value hashes to its one
+    bucket, candidates equi-join on the bucket and the exact predicate
+    filters. Each qualifying (row, range) pair matches in exactly one
+    bucket (the value's), so no dedup is needed.
+
+    Turns an O(N x R) theta join into a shuffle on bucket ids — the
+    standard interval-join strategy when the ranges side is too big to
+    broadcast; with a tiny ranges side Spark would broadcast-nested-loop
+    anyway, but this form scales both sides.
+    """
+    rb = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    lb = left.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def star_daily_agg(
     fact: DataFrame,
     dim: DataFrame,

@@ -402,3 +402,49 @@ def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").alias("k_distinct"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- beyond-reference joins (as-of, range) ---------------------------------------
+
+
+def q24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no reference analog — SURVEY §2.3 notes only equi-joins
+    exist there): each order matched to the customer's latest high-revenue
+    day (day_max > 300000) at or before its order date. Single-shuffle
+    union+window plan (operators.relational.asof_join); DuckDB oracle uses
+    its native ASOF LEFT JOIN."""
+    from ..operators.relational import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    marks = (
+        o.groupBy("o_custkey", F.to_date("o_orderdate").alias("_mark_ts"))
+        .agg(F.max("o_totalprice").cast("double").alias("day_max"))
+        .filter(F.col("day_max") > 300000)
+        .select("o_custkey", "_mark_ts", F.col("_mark_ts").alias("mark_date"), "day_max")
+    )
+    return asof_join(left, marks, on="o_custkey", left_ts="order_date", right_ts="_mark_ts")
+
+
+def q25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via bucketization (operators.relational.
+    range_join_bucketed): parts banded by retail price into fixed [lo,hi]
+    bands, then count+revenue per band. Scales both sides (no broadcast
+    nested loop at 100 TB)."""
+    from ..operators.relational import range_join_bucketed
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.range(90, 100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 9.99).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        part, bands, value_col="p_retailprice", lo_col="lo", hi_col="hi", bucket_width=4.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        exact_sum("p_retailprice", 2).alias("price_total"),
+    )

@@ -247,6 +247,27 @@ SELECT l_returnflag,
        COUNT(*) AS n
 FROM lineitem GROUP BY 1
 """,
+    "q24_asof_join": """
+WITH marks AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS mark_date,
+         CAST(max(o_totalprice) AS DOUBLE) AS day_max
+  FROM orders GROUP BY 1, 2 HAVING CAST(max(o_totalprice) AS DOUBLE) > 300000
+)
+SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       m.mark_date, m.day_max
+FROM orders o ASOF LEFT JOIN marks m
+  ON o.o_custkey = m.o_custkey AND CAST(o.o_orderdate AS DATE) >= m.mark_date
+""",
+    "q25_range_join": """
+WITH bands AS (
+  SELECT CAST(i AS BIGINT) AS band_id, i * 10.0 AS lo, i * 10.0 + 9.99 AS hi
+  FROM (SELECT unnest(generate_series(90, 99)) AS i)
+)
+SELECT band_id, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice <= hi
+GROUP BY 1
+""",
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -365,6 +386,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_three_way_join": R.q21_three_way_join,
     "q22_filter_project": R.q22_filter_project,
     "q23_zero_fill": R.q23_zero_fill,
+    "q24_asof_join": R.q24_asof_join,
+    "q25_range_join": R.q25_range_join,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,

@@ -122,3 +122,50 @@ def test_sessionize_gap_boundary(spark):
         for r in out.filter(F.col("user_id") == 1).orderBy("ts").collect()
     ]
     assert seqs == [1, 1, 2]
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "L1"), ("a", 10, "L2"), ("a", 2, "L3"), ("b", 7, "L4")],
+        "k string, t int, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 30.0), ("a", 5, 50.0), ("a", 9, 90.0), ("c", 1, 10.0)],
+        "k string, rt int, v double",
+    )
+    out = {
+        r["lbl"]: r["v"]
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+    }
+    # L1 at t=5: inclusive match with rt=5 -> 50.0; L3 at t=2 precedes all
+    assert out == {"L1": 50.0, "L2": 90.0, "L3": None, "L4": None}
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        range_join_bucketed,
+    )
+
+    vals = spark.range(0, 200).select((F.col("id") * 0.7).alias("v"))
+    ranges = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 9.5, 9.9), (3, 50.0, 120.0), (4, 200.0, 300.0)],
+        "rid int, lo double, hi double",
+    )
+    got = (
+        range_join_bucketed(vals, ranges, "v", "lo", "hi", bucket_width=7.0)
+        .groupBy("rid")
+        .count()
+        .collect()
+    )
+    naive = (
+        vals.crossJoin(ranges)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy("rid")
+        .count()
+        .collect()
+    )
+    assert {r["rid"]: r["count"] for r in got} == {
+        r["rid"]: r["count"] for r in naive
+    }
