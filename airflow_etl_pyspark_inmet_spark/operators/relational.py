@@ -211,3 +211,34 @@ def star_daily_agg(
     return j.groupBy(key, date_col).agg(
         *[c.alias(n) for n, c in measures.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-resistant inner equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, n_salts) and the right side is replicated
+    once per salt, so a hot key's rows spread across ``n_salts`` reducers
+    instead of one straggler. Result set is identical to ``left.join(
+    right, on)``.
+
+    Salt is ``pmod(xxhash64(row cols), n)`` — deterministic (no rand(),
+    replayable under task retry, which nondeterministic salting is not)
+    yet varying WITHIN a key (salting by the key itself would put the hot
+    key back on one reducer). AQE's skew-join split covers sort-merge
+    cases automatically; this operator is the explicit form for when the
+    optimizer can't see the skew (e.g. skew introduced after an exchange).
+    """
+    src_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in left.columns]
+    lb = left.withColumn("_salt", F.pmod(F.xxhash64(*src_cols), F.lit(n_salts)))
+    rb = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long"))
+        ),
+    )
+    return lb.join(rb, [on, "_salt"]).drop("_salt")

@@ -178,3 +178,96 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "item_id", "rank", "score")
     )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse index: partition
+    the corpus into ``n_cells`` Voronoi cells around centroid vectors,
+    route each query to its ``n_probe`` nearest cells, re-rank exactly
+    inside the probed cells only.
+
+    Centroids: the ``n_cells`` lowest-id corpus vectors refined by one
+    distributed Lloyd iteration (assign + per-cell mean) — deterministic,
+    no RNG, and the only driver materialization is the (n_cells x dim)
+    centroid matrix, which then ships broadcast inside the assignment UDF.
+    At 100 TB the corpus is scanned once to build cell assignments (an
+    Arrow-batched matmul per batch), and each query touches
+    ~n_probe/n_cells of the data — the same recall/cost dial as FAISS
+    IVF-Flat, expressed as one equi-join on cell id.
+    """
+    from .util import ensure_parallelism
+
+    seed_rows = (
+        items.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    C0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (cells, dim)
+
+    def assign_udf(centroids: np.ndarray, n: int):
+        @F.pandas_udf("array<int>")
+        def udf(vecs: pd.Series) -> pd.Series:
+            V = np.stack(vecs.to_numpy()).astype(np.float64)
+            # cosine distance == euclidean on normalized vectors; normalize both
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            Cn = centroids / np.maximum(
+                np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+            )
+            sims = Vn @ Cn.T  # (rows, cells)
+            top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+            return pd.Series(list(top))
+
+        return udf
+
+    base = ensure_parallelism(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
+    )
+    # one Lloyd step: assign to seed centroid, recompute cell means
+    assigned = base.withColumn(
+        "_cell", assign_udf(C0, 1)(F.col("_ivec"))[0]
+    )
+    dim = len(C0[0])
+    means = (
+        assigned.groupBy("_cell")
+        .agg(
+            F.array(
+                *[F.avg(F.col("_ivec")[i].cast("double")) for i in range(dim)]
+            ).alias("mean_vec"),
+        )
+        .collect()
+    )
+    C1 = C0.copy()
+    for r in means:
+        C1[r["_cell"]] = np.array(r["mean_vec"], dtype=np.float64)
+
+    it = base.withColumn("_cell", assign_udf(C1, 1)(F.col("_ivec"))[0])
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    cand = (
+        it.join(F.broadcast(q), "_cell")
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(query_id_col, "item_id", "_ivec", "_qvec")
+    )
+    scored = cand.select(
+        query_id_col,
+        "item_id",
+        cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank", "score")
+    )

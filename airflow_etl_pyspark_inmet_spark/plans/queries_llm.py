@@ -146,3 +146,33 @@ def st2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
     )
+
+
+def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: exact-Jaccard near-dup pairs -> connected
+    components -> (doc_id, cluster_id = min reachable doc_id). The
+    canonical keeper per cluster is the cluster_id itself. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pairs."""
+    from ..operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, ngram=3, threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10: 16 Voronoi cells (one Lloyd
+    refinement), 4-probe queries, exact re-rank in probed cells.
+    Approximate by design -> rows-only driver check; recall vs the exact
+    s1 baseline is asserted in tests/test_operators.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "item_id", "rank"
+    )

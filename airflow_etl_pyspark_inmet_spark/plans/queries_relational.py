@@ -448,3 +448,50 @@ def q25_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         exact_sum("p_retailprice", 2).alias("price_total"),
     )
+
+
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median, p90) per group — F.percentile is the
+    exact sort-based aggregate (approx_percentile is the sketch variant;
+    not oracle-comparable). DuckDB twin: quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias("qty_median"),
+        F.percentile(F.col("l_quantity").cast("double"), F.lit(0.9)).alias("qty_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q27_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets per customer order history: days since previous
+    order and price delta to the next order (deterministic tiebreak on
+    orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag(F.to_date("o_orderdate")).over(w)
+    next_price = F.lead(F.col("o_totalprice")).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), prev_date).alias("days_since_prev"),
+        (next_price.cast("decimal(18,2)") - F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("next_price_delta"),
+    )
+
+
+def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators.relational.salted_join): result
+    identical to the plain join — the oracle IS the plain join — while the
+    physical plan spreads each suppkey across 8 reducers."""
+    from ..operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity", "l_orderkey")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    j = salted_join(li, sup, on="l_suppkey", n_salts=8)
+    return j.groupBy("s_name").agg(
+        exact_sum("l_quantity", 2).alias("qty_total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -268,6 +268,29 @@ SELECT band_id, COUNT(*) AS n_parts,
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice <= hi
 GROUP BY 1
 """,
+    "q26_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS qty_median,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS qty_p90,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+""",
+    "q27_lag_lead": """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       CAST(CAST(lead(o_totalprice) OVER w AS DECIMAL(18,2))
+            - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS next_price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "q28_salted_join": """
+SELECT s_name,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+""",
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -275,6 +298,20 @@ SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
     "d2_dedup_jaccard": _JACCARD_SQL,
     "d3_dedup_minhash": _JACCARD_SQL,  # LSH recall ≈ 1 at this threshold; verified subset equality
     "d4_dedup_simhash": None,  # engine-specific xxhash64 — rows-only
+    "d5_dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY 1
+""",
     "t1_token_stats": """
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
@@ -339,6 +376,7 @@ r AS (
 SELECT query_id, item_id, rank FROM r WHERE rank <= 10
 """,
     "s2_lsh_topk": None,  # approximate, deterministic-seeded — rows-only; recall vs s1 in tests
+    "s3_ivf_topk": None,  # approximate IVF — rows-only; recall vs s1 in tests
     "m1_decode_meta": """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -388,16 +426,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_zero_fill": R.q23_zero_fill,
     "q24_asof_join": R.q24_asof_join,
     "q25_range_join": R.q25_range_join,
+    "q26_percentiles": R.q26_percentiles,
+    "q27_lag_lead": R.q27_lag_lead,
+    "q28_salted_join": R.q28_salted_join,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
+    "d5_dedup_clusters": L.d5_dedup_clusters,
     "t1_token_stats": L.t1_token_stats,
     "t2_quality": L.t2_quality,
     "t3_lang_id": L.t3_lang_id,
     "t4_fingerprint": L.t4_fingerprint,
     "s1_cosine_topk": L.s1_cosine_topk,
     "s2_lsh_topk": L.s2_lsh_topk,
+    "s3_ivf_topk": L.s3_ivf_topk,
     "m1_decode_meta": L.m1_decode_meta,
     "m2_frame_sample": L.m2_frame_sample,
     "st1_stream_tumbling": L.st1_stream_tumbling,

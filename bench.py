@@ -32,6 +32,9 @@ HEADLINE = [
     "q16_distinct_agg",
     "q18_sessionize",
     "q21_three_way_join",
+    "q24_asof_join",
+    "q25_range_join",
+    "q27_lag_lead",
     "d1_dedup_exact",
     "d2_dedup_jaccard",
     "d3_dedup_minhash",
@@ -40,6 +43,8 @@ HEADLINE = [
     "t4_fingerprint",
     "s1_cosine_topk",
     "s2_lsh_topk",
+    "s3_ivf_topk",
+    "d5_dedup_clusters",
     "m1_decode_meta",
 ]
 

@@ -169,3 +169,51 @@ def test_range_join_bucketed_matches_naive(spark):
     assert {r["rid"]: r["count"] for r in got} == {
         r["rid"]: r["count"] for r in naive
     }
+
+
+def test_connected_components_chain_and_island(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration) + island 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int"
+    )
+    out = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in cosine_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], "k int, payload string"
+    )
+    right = spark.createDataFrame([(1, "A"), (2, "B")], "k int, tag string")
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, on="k", n_salts=4).collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
