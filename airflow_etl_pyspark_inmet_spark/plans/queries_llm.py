@@ -175,3 +175,13 @@ def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4).select(
         "query_id", "item_id", "rank"
     )
+
+
+def st3_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (applyInPandasWithState): per-user
+    running count/first/last across micro-batches; finite-input result
+    equals the batch group-by (the oracle)."""
+    from ..streaming.windows import streaming_stateful_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_stateful_counts(spark, f"{sf_dir}/events.parquet")

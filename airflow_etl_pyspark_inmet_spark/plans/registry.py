@@ -391,6 +391,11 @@ SELECT doc_id,
 FROM documents
 """,
     "st1_stream_tumbling": _TUMBLING_SQL,
+    "st3_stream_stateful": """
+SELECT user_id, COUNT(*) AS n_events,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM events GROUP BY 1
+""",
     "st2_stream_sessions": _SESSION_EVENTS_SQL.format(op=">=", gap_us=1800 * 1_000_000)
     + """
 SELECT user_id, epoch_us(min(ts)) AS start_us,
@@ -445,4 +450,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m2_frame_sample": L.m2_frame_sample,
     "st1_stream_tumbling": L.st1_stream_tumbling,
     "st2_stream_sessions": L.st2_stream_sessions,
+    "st3_stream_stateful": L.st3_stream_stateful,
 }

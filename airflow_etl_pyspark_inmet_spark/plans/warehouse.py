@@ -106,3 +106,26 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> list[str]:
     for n in names:
         _t(spark, sf_dir, n).createOrReplaceTempView(n)
     return names
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    db: str = "analitic",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows hash-distributed into ``n_buckets``
+    files per partition by ``bucket_cols``. Two tables bucketed the same
+    way join WITHOUT a shuffle (their Exchange nodes disappear from the
+    plan) — the pre-shuffle is paid once at write time, which is the 100
+    TB recipe for a fact table joined repeatedly on the same key. Add
+    ``sort_cols`` to also skip the sort of a sort-merge join."""
+    spark = df.sparkSession
+    create_database(spark, db)
+    _drop_table_and_location(spark, db, name)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(f"{db}.{name}")

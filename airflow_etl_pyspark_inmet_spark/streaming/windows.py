@@ -114,3 +114,81 @@ def streaming_session_counts(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_stateful_counts(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, first-seen, last-seen) held in GroupState
+    across micro-batches — the arbitrary-state API for operators that
+    window/session aggregation can't express (per-key counters, online
+    models, CDC merge).
+
+    Emits the running totals per key per batch (update mode); because
+    count/min/max are monotone, the finite-input final answer is the
+    per-user max/min/max over emitted rows — which equals the batch
+    group-by, making this oracle-checkable. Timestamps are carried as
+    epoch-microsecond int64 (never raw timestamps) per the determinism
+    contract.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _read_stream_events(spark, events_dir).select("user_id", "ts")
+
+    out_schema = (
+        "user_id bigint, n_events bigint, first_us bigint, last_us bigint"
+    )
+    state_schema = "n bigint, lo bigint, hi bigint"
+
+    def track(key, pdfs, state: GroupState):
+        if state.exists:
+            n, lo, hi = state.get
+        else:
+            n, lo, hi = 0, None, None
+        for pdf in pdfs:
+            us = (
+                pd.to_datetime(pdf["ts"])
+                .values.astype("datetime64[us]")
+                .astype("int64")
+            )
+            if len(us):
+                n += len(us)
+                b_lo, b_hi = int(us.min()), int(us.max())
+                lo = b_lo if lo is None else min(lo, b_lo)
+                hi = b_hi if hi is None else max(hi, b_hi)
+        state.update((n, lo, hi))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "first_us": [lo], "last_us": [hi]}
+        )
+
+    running = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # fold per-batch running rows to the final state per key
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+    )

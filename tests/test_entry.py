@@ -19,7 +19,11 @@ def test_query_and_oracle_keys_consistent():
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # every no-oracle query is one of the documented engine-hash ops
-    assert set(qs) - set(oracles) == {"d4_dedup_simhash", "s2_lsh_topk"}
+    assert set(qs) - set(oracles) == {
+        "d4_dedup_simhash",
+        "s2_lsh_topk",
+        "s3_ivf_topk",
+    }
 
 
 @pytest.mark.parametrize("name", ["q01_pricing_summary", "d1_dedup_exact", "s1_cosine_topk"])

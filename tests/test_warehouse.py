@@ -64,3 +64,63 @@ def test_sql_surface_matches_dataframe_api(spark, sf_small):
     a = {tuple(r) for r in sql.collect()}
     b = {tuple(r) for r in df.collect()}
     assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    """Co-bucketed tables sort-merge-join with zero Exchange nodes — the
+    write-once pre-shuffle that makes repeated fact joins scale."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        save_bucketed_table,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    save_bucketed_table(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    save_bucketed_table(o, "o_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("analitic.li_bkt").join(
+            spark.table("analitic.o_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_small):
+    """A fact table partitioned by ship year: a literal year filter prunes
+    at the scan (static), and a join against a filtered dim compiles a
+    dynamicpruning subquery (DPP) so only matching partitions are read."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import save_table
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    save_table(li, "li_part", partition_by=["ship_year"])
+    fact = spark.table("analitic.li_part")
+
+    # static pruning: partition filter, not a post-scan filter
+    plan = (
+        fact.filter(F.col("ship_year") == 1997)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(ship_year" in plan, plan
+
+    # dynamic pruning: the dim filter reaches the fact scan as a subquery
+    years = (
+        fact.select("ship_year").distinct().filter(F.col("ship_year") >= 1997)
+    )
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        j = fact.join(years, "ship_year")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        )
