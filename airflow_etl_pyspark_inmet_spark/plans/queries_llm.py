@@ -185,3 +185,18 @@ def st3_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return streaming_stateful_counts(spark, f"{sf_dir}/events.parquet")
+
+
+def m3_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding feature extraction JVM-side (no UDF): L2 norm via an
+    aggregate fold over the vector column plus dimensionality — the
+    normalize-before-index step of the ANN path, oracle-checked exactly
+    (DuckDB list_dot_product folds in the same element order)."""
+    from ..operators.similarity import _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        _norm(F.col("embedding")).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )

@@ -495,3 +495,69 @@ def q28_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum("l_quantity", 2).alias("qty_total"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q29_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent in the reference — SURVEY §2.5 notes no
+    set ops beyond union): customers active in both 1997 and 1998 vs 1997
+    only."""
+    o = _t(spark, sf_dir, "orders")
+    y97 = (
+        o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    y98 = (
+        o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    )
+    both = y97.intersect(y98).withColumn("segment", F.lit("both"))
+    only97 = y97.exceptAll(y98).withColumn("segment", F.lit("1997_only"))
+    return both.unionByName(only97)
+
+
+def q30_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fan-out with position (posexplode / lateral unnest): part
+    names tokenized to (word, pos) rows."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", F.col("pos").cast("int").alias("pos"))
+
+
+def q31_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (finer than rollup/cube: exactly
+    the three sets (flag), (status), ())."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q32_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: 7-day trailing revenue per supplier
+    over daily totals. rangeBetween(-6, 0) on an integer day key — a
+    value-based frame (includes absent days implicitly), not a row-count
+    frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01")).alias("day_n"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day_n")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "l_suppkey",
+        "day_n",
+        F.col("_rev").cast("double").alias("day_rev"),
+        F.sum("_rev").over(w).cast("double").alias("rev_7d"),
+    )

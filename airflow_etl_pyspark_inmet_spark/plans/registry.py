@@ -291,6 +291,39 @@ SELECT s_name,
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1
 """,
+    "q29_set_ops": """
+WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+     y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+SELECT o_custkey, 'both' AS segment
+FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT o_custkey, '1997_only' AS segment
+FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+""",
+    "q30_posexplode": """
+SELECT p_partkey, ws[i] AS word, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part) t,
+     LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u
+""",
+    "q31_grouping_sets": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    "q32_rolling_range_window": """
+WITH daily AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INTEGER) AS day_n,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS _rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, day_n, CAST(_rev AS DOUBLE) AS day_rev,
+       CAST(SUM(_rev) OVER (PARTITION BY l_suppkey ORDER BY day_n
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+FROM daily
+""",
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -377,6 +410,12 @@ SELECT query_id, item_id, rank FROM r WHERE rank <= 10
 """,
     "s2_lsh_topk": None,  # approximate, deterministic-seeded — rows-only; recall vs s1 in tests
     "s3_ivf_topk": None,  # approximate IVF — rows-only; recall vs s1 in tests
+    "m3_embed_norm": """
+SELECT vec_id,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+       CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+""",
     "m1_decode_meta": """
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -434,6 +473,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_percentiles": R.q26_percentiles,
     "q27_lag_lead": R.q27_lag_lead,
     "q28_salted_join": R.q28_salted_join,
+    "q29_set_ops": R.q29_set_ops,
+    "q30_posexplode": R.q30_posexplode,
+    "q31_grouping_sets": R.q31_grouping_sets,
+    "q32_rolling_range_window": R.q32_rolling_range_window,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,
@@ -447,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_lsh_topk": L.s2_lsh_topk,
     "s3_ivf_topk": L.s3_ivf_topk,
     "m1_decode_meta": L.m1_decode_meta,
+    "m3_embed_norm": L.m3_embed_norm,
     "m2_frame_sample": L.m2_frame_sample,
     "st1_stream_tumbling": L.st1_stream_tumbling,
     "st2_stream_sessions": L.st2_stream_sessions,
