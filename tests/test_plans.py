@@ -64,3 +64,25 @@ def test_three_way_join_broadcasts_both_dims(spark, sf_small):
 def test_topk_pushes_window_group_limit(spark, sf_small):
     plan = _explain(R.q12_topk_per_group(spark, sf_small))
     assert "WindowGroupLimit" in plan  # local top-k before the shuffle
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The union+window as-of plan shuffles exactly once on the key —
+    no range explosion, no per-group materialization."""
+    df = R.q24_asof_join(spark, sf_small)
+    plan = _explain(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one exchange for the window; the marks aggregate upstream adds its
+    # own — but the as-of itself must not multiply exchanges
+    assert n_exchanges <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_small):
+    """Bucketization turns the interval predicate into an equi-join:
+    no nested-loop/cartesian physical operator anywhere."""
+    df = R.q25_range_join(spark, sf_small)
+    plan = _explain(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
