@@ -200,3 +200,26 @@ def m3_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("l2_norm"),
         F.size("embedding").alias("dim"),
     )
+
+
+def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched with a static
+    per-user tier dimension (derived once, batch-side), then aggregated
+    per tier. Finite input == the batch join (the oracle)."""
+    from ..streaming.windows import streaming_static_join_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    profiles = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.when(F.col("_n") >= 50, F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("tier"),
+        )
+    )
+    return streaming_static_join_counts(
+        spark, f"{sf_dir}/events.parquet", profiles
+    )

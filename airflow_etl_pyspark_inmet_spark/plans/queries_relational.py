@@ -561,3 +561,34 @@ def q32_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rev").cast("double").alias("day_rev"),
         F.sum("_rev").over(w).cast("double").alias("rev_7d"),
     )
+
+
+def q33_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (orders 1.5x above their customer's
+    average) — Catalyst decorrelates both into aggregate+join. The
+    predicate is rewritten to exact decimal arithmetic
+    (2 * price * n > 3 * total) so the filter boundary is engine-exact."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ords_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM _ords_cs o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+                (SELECT COUNT(*) FROM _ords_cs i WHERE i.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM _ords_cs i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch aggregate (approx_count_distinct, rsd 2%):
+    the constant-memory path for distinct counts at 100 TB where exact
+    distinct shuffles every key. Sketch values are engine-specific ->
+    rows-only driver check; accuracy vs exact asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -324,6 +324,16 @@ SELECT l_suppkey, day_n, CAST(_rev AS DOUBLE) AS day_rev,
             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
 FROM daily
 """,
+    "q33_correlated_subquery": """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+        (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+""",
+    "q34_approx_distinct": None,  # HLL++ sketch values are engine-specific — rows-only; accuracy in tests
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -430,6 +440,17 @@ SELECT doc_id,
 FROM documents
 """,
     "st1_stream_tumbling": _TUMBLING_SQL,
+    "st4_stream_static_join": """
+WITH prof AS (
+  SELECT user_id,
+         CASE WHEN COUNT(*) >= 50 THEN 'heavy' ELSE 'light' END AS tier
+  FROM events GROUP BY 1
+)
+SELECT tier, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events JOIN prof USING (user_id)
+GROUP BY 1
+""",
     "st3_stream_stateful": """
 SELECT user_id, COUNT(*) AS n_events,
        epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
@@ -477,6 +498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_posexplode": R.q30_posexplode,
     "q31_grouping_sets": R.q31_grouping_sets,
     "q32_rolling_range_window": R.q32_rolling_range_window,
+    "q33_correlated_subquery": R.q33_correlated_subquery,
+    "q34_approx_distinct": R.q34_approx_distinct,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,
@@ -495,4 +518,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st1_stream_tumbling": L.st1_stream_tumbling,
     "st2_stream_sessions": L.st2_stream_sessions,
     "st3_stream_stateful": L.st3_stream_stateful,
+    "st4_stream_static_join": L.st4_stream_static_join,
 }

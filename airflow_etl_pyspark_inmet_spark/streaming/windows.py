@@ -192,3 +192,33 @@ def streaming_stateful_counts(
             F.max("last_us").alias("last_us"),
         )
     )
+
+
+def streaming_static_join_counts(
+    spark: SparkSession, events_dir: str, profiles: DataFrame
+) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    static ``profiles`` dimension (broadcast per batch, no state), then a
+    grouped aggregate. The enrich-then-aggregate shape of a production
+    feature pipeline; at scale the static side is a slowly-refreshed dim
+    table and the join stays shuffle-free via broadcast."""
+    stream = _read_stream_events(spark, events_dir).select("user_id", "value")
+    joined = stream.join(F.broadcast(profiles), "user_id")
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

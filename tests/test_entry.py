@@ -23,6 +23,7 @@ def test_query_and_oracle_keys_consistent():
         "d4_dedup_simhash",
         "s2_lsh_topk",
         "s3_ivf_topk",
+        "q34_approx_distinct",
     }
 
 

@@ -8,6 +8,8 @@ the actual optimized plans (SURVEY.md §4).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from airflow_etl_pyspark_inmet_spark.plans import queries_relational as R
 
 
@@ -86,3 +88,46 @@ def test_range_join_is_equi_join(spark, sf_small):
     plan = _explain(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jsonl_roundtrip_and_corrupt_line(spark, sf_small, tmp_path):
+    from airflow_etl_pyspark_inmet_spark.sources.corpus import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out, shards=4)
+    back = read_jsonl(spark, out, "doc_id bigint, text string")
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+
+    # corrupt line is captured, not fatal
+    with open(f"{out}/extra.json", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    back2 = read_jsonl(
+        spark, out, "doc_id bigint, text string, _corrupt_record string"
+    ).cache()  # Spark disallows querying only _corrupt_record off a raw scan
+    try:
+        assert back2.filter("_corrupt_record IS NOT NULL").count() == 1
+    finally:
+        back2.unpersist()
+
+
+def test_approx_distinct_within_rsd(spark, sf_small):
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in R.q34_approx_distinct(spark, sf_small).collect()
+    }
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.1, (k, got[k], n)
