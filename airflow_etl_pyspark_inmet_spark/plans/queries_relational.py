@@ -592,3 +592,32 @@ def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q35_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS slope (quantity trend over ship day per supplier)
+    from closed-form exact sums: slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2).
+    All four accumulators are decimal (order-insensitive), so the slope is
+    bit-identical across engines — the no-UDF way to push simple ML
+    features into the partial+final aggregate path."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01"))
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    g = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,0)")).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(28,2)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(28,0)")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # divide as doubles (exact-integer decimals convert identically under
+    # IEEE on both engines; decimal/decimal division scale rules differ)
+    return g.select(
+        "l_suppkey",
+        "n",
+        F.when(denom != 0, num.cast("double") / denom.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("qty_slope"),
+    )

@@ -334,6 +334,26 @@ WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
              FROM orders i WHERE i.o_custkey = o.o_custkey)
 """,
     "q34_approx_distinct": None,  # HLL++ sketch values are engine-specific — rows-only; accuracy in tests
+    "q35_regression_per_group": """
+WITH b AS (
+  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS y,
+         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS x
+  FROM lineitem
+),
+g AS (
+  SELECT l_suppkey, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+         SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(28,2))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(28,0))) AS sxx
+  FROM b GROUP BY 1
+)
+SELECT l_suppkey, n,
+       CASE WHEN n * sxx - sx * sx != 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            ELSE NULL END AS qty_slope
+FROM g
+""",
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -500,6 +520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_rolling_range_window": R.q32_rolling_range_window,
     "q33_correlated_subquery": R.q33_correlated_subquery,
     "q34_approx_distinct": R.q34_approx_distinct,
+    "q35_regression_per_group": R.q35_regression_per_group,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,
