@@ -30,6 +30,11 @@ from ..operators.relational import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE: no blanket ensure_parallelism here — measured at sf0.1, a
+    # round-robin pre-shuffle only pays off for CPU-bound pre-shuffle
+    # work (the doc/similarity operators apply it internally); queries
+    # whose first op is already a shuffle (window/groupBy) get strictly
+    # slower from the extra exchange.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
