@@ -626,3 +626,44 @@ def q35_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("qty_slope"),
     )
+
+
+def q36_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT k: Spark compiles this to
+    TakeOrderedAndProject — each partition keeps its local top-k, the
+    driver merges k*partitions rows — never a full sort of the table
+    (asserted in tests/test_plans.py). Deterministic tiebreak on the key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q37_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one pass computing violation counts per rule
+    (null keys, out-of-range measures, malformed flags) as conditional
+    aggregates — the validate-before-publish step of a production
+    pipeline, fused into a single scan instead of one job per rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        F.count_if(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+        ).alias("qty_out_of_range"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("disc_out_of_range"),
+        F.count_if(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "bad_returnflag"
+        ),
+        F.count_if(
+            F.col("l_shipdate") < F.lit("1992-01-01")
+        ).alias("shipdate_too_early"),
+    )

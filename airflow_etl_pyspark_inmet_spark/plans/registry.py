@@ -354,6 +354,22 @@ SELECT l_suppkey, n,
             ELSE NULL END AS qty_slope
 FROM g
 """,
+    "q36_global_topk": """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders
+ORDER BY price DESC, o_orderkey ASC
+LIMIT 20
+""",
+    "q37_quality_gate": """
+SELECT COUNT(*) AS n_rows,
+       CAST(count_if(l_orderkey IS NULL) AS BIGINT) AS null_orderkey,
+       CAST(count_if(l_quantity <= 0 OR l_quantity > 50) AS BIGINT) AS qty_out_of_range,
+       CAST(count_if(l_discount < 0 OR l_discount > 0.1) AS BIGINT) AS disc_out_of_range,
+       CAST(count_if(l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) AS bad_returnflag,
+       CAST(count_if(l_shipdate < TIMESTAMP '1992-01-01') AS BIGINT) AS shipdate_too_early
+FROM lineitem
+""",
     # --- LLM-pipeline ops ---
     "d1_dedup_exact": """
 SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
@@ -521,6 +537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_correlated_subquery": R.q33_correlated_subquery,
     "q34_approx_distinct": R.q34_approx_distinct,
     "q35_regression_per_group": R.q35_regression_per_group,
+    "q36_global_topk": R.q36_global_topk,
+    "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d3_dedup_minhash": L.d3_dedup_minhash,

@@ -131,3 +131,10 @@ def test_approx_distinct_within_rsd(spark, sf_small):
     }
     for k, n in exact.items():
         assert abs(got[k] - n) / n < 0.1, (k, got[k], n)
+
+
+def test_global_topk_uses_take_ordered(spark, sf_small):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k, merge on driver) — never a full global sort."""
+    plan = _explain(R.q36_global_topk(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
