@@ -129,3 +129,15 @@ def save_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(f"{db}.{name}")
+
+
+def analyze_table(
+    spark: SparkSession, name: str, db: str = "analitic", columns: bool = True
+) -> None:
+    """Compute table (and optionally per-column) statistics so the
+    cost-based optimizer can reorder joins and pick broadcast sides from
+    real row counts instead of file-size guesses. Run after large loads;
+    at 100 TB, stats staleness — not stats cost — is the thing to manage."""
+    spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS FOR ALL COLUMNS")

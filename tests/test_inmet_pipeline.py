@@ -98,3 +98,68 @@ def test_monthly_kpis_invariants(tables):
     # zero-fill-before-agg means every station-day exists => months have
     # full day coverage: dias_com_precip <= days in month always holds
     assert kpis.count() == 18
+
+
+def test_reader_scales_to_many_files(spark, tmp_path):
+    """50 synthetic stations, varying day counts per file — the pattern-
+    based reader has no positional/per-file-loop dependence, so counts
+    must be exact at any file count (the reference loops files on the
+    driver; this plan is one distributed read)."""
+    import itertools
+
+    from airflow_etl_pyspark_inmet_spark.sources.inmet_csv import (
+        read_inmet_measurements,
+        read_inmet_stations,
+    )
+
+    d = tmp_path / "many"
+    d.mkdir()
+    total_rows = 0
+    for i in range(50):
+        code = f"Z{i:03d}"
+        n_days = 1 + (i % 5)
+        lines = [
+            "REGIAO:;SE",
+            "UF:;MG",
+            f"ESTACAO:;FAKE_{code}",
+            f"CODIGO (WMO):;{code}",
+            f"LATITUDE:;-1{i % 9},5",
+            f"LONGITUDE:;-4{i % 9},25",
+            "ALTITUDE:;500,5",
+            "DATA DE FUNDACAO:;18/12/02",
+            "Data;Hora UTC;PRECIPITAÇÃO TOTAL, HORÁRIO (mm);"
+            "PRESSÃO ATMOSFERICA MAX.NA HORA ANT. (AUT) (mB);"
+            "TEMPERATURA DO AR - BULBO SECO, HORARIA (°C);"
+            "UMIDADE RELATIVA DO AR, HORARIA (%);"
+            "VENTO, VELOCIDADE HORARIA (m/s);",
+        ]
+        for day, hour in itertools.product(range(n_days), range(24)):
+            lines.append(
+                f"2025/02/{day + 1:02d};{hour:02d}00 UTC;0;915,{i % 10};"
+                f"2{i % 10},5;8{i % 10};1,{i % 10};"
+            )
+            total_rows += 1
+        (d / f"INMET_SE_MG_{code}_FAKE.csv").write_text(
+            "\n".join(lines), encoding="utf-8"
+        )
+
+    glob = str(d / "*.csv")
+    stations = read_inmet_stations(spark, glob)
+    meas = read_inmet_measurements(spark, glob)
+    assert stations.count() == 50
+    assert meas.count() == total_rows
+    # every measurement row joins back to its own station's wmo via _src
+    from pyspark.sql import functions as F
+
+    with_wmo = meas.join(
+        F.broadcast(stations.select("_src", "wmo")), "_src"
+    )
+    per_station = {
+        r["wmo"]: r["n"]
+        for r in with_wmo.groupBy("wmo")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert len(per_station) == 50
+    assert per_station["Z003"] == 24 * (1 + 3 % 5)

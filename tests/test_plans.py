@@ -138,3 +138,34 @@ def test_global_topk_uses_take_ordered(spark, sf_small):
     top-k, merge on driver) — never a full global sort."""
     plan = _explain(R.q36_global_topk(spark, sf_small))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """A selective dim filter injects a runtime bloom filter on the fact
+    side of a shuffle join (row-level pruning before the exchange). The
+    size thresholds are production-scale, so lower them for the audit."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F2
+
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_small}/orders.parquet").filter(
+            F2.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = _explain(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

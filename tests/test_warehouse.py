@@ -124,3 +124,19 @@ def test_partition_pruning_static_and_dynamic(spark, sf_small):
         spark.conf.unset(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
         )
+
+
+def test_analyze_table_records_stats(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        analyze_table,
+        save_table,
+    )
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    save_table(o, "orders_stats", db="analitic")
+    analyze_table(spark, "orders_stats")
+    desc = spark.sql(
+        "DESCRIBE TABLE EXTENDED analitic.orders_stats"
+    ).collect()
+    stats = {r["col_name"]: r["data_type"] for r in desc}
+    assert "Statistics" in stats and "rows" in stats["Statistics"]
