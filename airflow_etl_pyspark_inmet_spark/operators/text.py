@@ -140,3 +140,36 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.max(F.md5(F.col("g"))).alias("fp_max"),
         F.count(F.lit(1)).alias("n_grams"),
     ).withColumnRenamed("_id", id_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preprocessing step of an LLM training/RAG pipeline.
+    Pure JVM array ops (split -> sequence of starts -> posexplode ->
+    slice -> array_join): per-row fan-out with no UDF and no shuffle;
+    chunking 100 TB is a map-only stage."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_ws"), F.col("_start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

@@ -223,3 +223,12 @@ def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_static_join_counts(
         spark, f"{sf_dir}/events.parquet", profiles
     )
+
+
+def t5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks with stride 40 per document
+    (operators.text.chunk_documents) — map-only fan-out, no UDF."""
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=50, stride=40)

@@ -398,6 +398,19 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS chars
 FROM documents
 """,
+    "t5_chunk_docs": """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+s AS (
+  SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 40)) AS st FROM w
+)
+SELECT doc_id,
+       CAST(st // 40 AS INTEGER) AS chunk_idx,
+       CAST(least(50, len(ws) - st) AS INTEGER) AS n_tokens,
+       array_to_string(ws[st + 1 : st + 50], ' ') AS chunk_text
+FROM s
+""",
     "t2_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -548,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_quality": L.t2_quality,
     "t3_lang_id": L.t3_lang_id,
     "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
     "s1_cosine_topk": L.s1_cosine_topk,
     "s2_lsh_topk": L.s2_lsh_topk,
     "s3_ivf_topk": L.s3_ivf_topk,

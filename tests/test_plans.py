@@ -169,3 +169,22 @@ def test_runtime_bloom_filter_injected(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_piggyback_on_job(spark, sf_small):
+    """df.observe(): pipeline health metrics collected as a side effect of
+    the job that already runs — no second scan for row counts (the
+    production alternative to the reference's print-based checks,
+    SURVEY §5)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+    )
+    li.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows_seen"] == li.count()
+    assert got["null_qty"] == 0
