@@ -173,3 +173,20 @@ def chunk_documents(
             F.slice(F.col("_ws"), F.col("_start") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization ahead of dedup/fingerprinting: lower,
+    strip non-alphanumerics, collapse whitespace. Doing this BEFORE
+    shingling makes near-dup detection robust to case/punctuation noise;
+    all JVM regexp ops, map-only."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), cleaned.alias("norm_text"))

@@ -232,3 +232,11 @@ def t5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, chunk_tokens=50, stride=40)
+
+
+def t6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only text canonicalization (operators.text.normalize_text)."""
+    from ..operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(docs)

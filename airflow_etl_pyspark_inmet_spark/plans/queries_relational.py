@@ -667,3 +667,16 @@ def q37_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") < F.lit("1992-01-01")
         ).alias("shipdate_too_early"),
     )
+
+
+def q38_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: customers ranked into spend quartiles (exact
+    decimal totals, deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        exact_sum("o_totalprice", 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey", "spend", F.ntile(4).over(w).cast("int").alias("quartile")
+    )

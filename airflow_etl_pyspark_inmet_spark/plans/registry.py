@@ -354,6 +354,16 @@ SELECT l_suppkey, n,
             ELSE NULL END AS qty_slope
 FROM g
 """,
+    "q38_ntile_quartiles": """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, spend,
+       CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INTEGER) AS quartile
+FROM s
+""",
     "q36_global_topk": """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
@@ -410,6 +420,12 @@ SELECT doc_id,
        CAST(least(50, len(ws) - st) AS INTEGER) AS n_tokens,
        array_to_string(ws[st + 1 : st + 50], ' ') AS chunk_text
 FROM s
+""",
+    "t6_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_text
+FROM documents
 """,
     "t2_quality": """
 SELECT doc_id,
@@ -551,6 +567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_approx_distinct": R.q34_approx_distinct,
     "q35_regression_per_group": R.q35_regression_per_group,
     "q36_global_topk": R.q36_global_topk,
+    "q38_ntile_quartiles": R.q38_ntile_quartiles,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
@@ -562,6 +579,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_lang_id": L.t3_lang_id,
     "t4_fingerprint": L.t4_fingerprint,
     "t5_chunk_docs": L.t5_chunk_docs,
+    "t6_normalize": L.t6_normalize,
     "s1_cosine_topk": L.s1_cosine_topk,
     "s2_lsh_topk": L.s2_lsh_topk,
     "s3_ivf_topk": L.s3_ivf_topk,

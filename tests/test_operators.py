@@ -217,3 +217,30 @@ def test_salted_join_equals_plain_join(spark):
     )
     want = sorted(tuple(r) for r in left.join(right, "k").collect())
     assert got == want
+
+
+def test_python_udtf_lateral_join(spark):
+    """Python UDTF surface (Spark 4): table function registered in SQL and
+    applied per-row via LATERAL — the escape hatch for fan-out logic that
+    truly needs Python (most fan-outs should stay native: see
+    chunk_documents / posexplode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql("SELECT * FROM split_words('a bb ccc')").collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
+
+    df = spark.createDataFrame([(1, "x yy"), (2, "zzz")], "id int, t string")
+    df.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT d.id, s.word FROM _udtf_docs d, LATERAL split_words(d.t) s"
+    ).collect()
+    assert sorted((r["id"], r["word"]) for r in out) == [
+        (1, "x"), (1, "yy"), (2, "zzz"),
+    ]
