@@ -240,3 +240,22 @@ def t6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return normalize_text(docs)
+
+
+def t7_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) keyed on the stable
+    doc id — reproducible across runs/retries, unlike randomSplit. On
+    synthetic sequential ids a modulus is unbiased and oracle-able; on
+    production keys use pmod(xxhash64(key), 100) for the same contract."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -427,6 +427,17 @@ SELECT doc_id,
                            '\\s+', ' ', 'g')) AS norm_text
 FROM documents
 """,
+    "t7_train_split": """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 < 80 THEN 'train'
+              WHEN doc_id % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM s GROUP BY 1
+""",
     "t2_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -580,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t4_fingerprint": L.t4_fingerprint,
     "t5_chunk_docs": L.t5_chunk_docs,
     "t6_normalize": L.t6_normalize,
+    "t7_train_split": L.t7_train_split,
     "s1_cosine_topk": L.s1_cosine_topk,
     "s2_lsh_topk": L.s2_lsh_topk,
     "s3_ivf_topk": L.s3_ivf_topk,

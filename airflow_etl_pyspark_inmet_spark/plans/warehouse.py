@@ -141,3 +141,26 @@ def analyze_table(
     spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS")
     if columns:
         spark.sql(f"ANALYZE TABLE {db}.{name} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def save_range_sorted_table(
+    df: DataFrame,
+    name: str,
+    sort_col: str,
+    n_files: int,
+    db: str = "analitic",
+) -> None:
+    """Range-partition + sort the data before writing so each parquet
+    file covers a disjoint slice of ``sort_col``: row-group min/max stats
+    become tight, and any reader filtering on that column skips whole
+    files (poor man's Z-order, one dimension). The layout cost is paid
+    once at write; every downstream range scan wins."""
+    spark = df.sparkSession
+    create_database(spark, db)
+    _drop_table_and_location(spark, db, name)
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .saveAsTable(f"{db}.{name}")
+    )

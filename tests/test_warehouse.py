@@ -140,3 +140,37 @@ def test_analyze_table_records_stats(spark, sf_small):
     ).collect()
     stats = {r["col_name"]: r["data_type"] for r in desc}
     assert "Statistics" in stats and "rows" in stats["Statistics"]
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, sf_small):
+    """Files written by save_range_sorted_table cover near-disjoint
+    sort-key ranges (tight parquet min/max stats -> file-level skipping
+    for range predicates)."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        save_range_sorted_table,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    save_range_sorted_table(li, "li_sorted", "l_orderkey", n_files=8)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    files = globmod.glob(f"{warehouse}/analitic.db/li_sorted/*.parquet")
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "l_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint file ranges
