@@ -35,12 +35,15 @@ HEADLINE = [
     "q24_asof_join",
     "q25_range_join",
     "q27_lag_lead",
+    "q33_correlated_subquery",
+    "q35_regression_per_group",
     "d1_dedup_exact",
     "d2_dedup_jaccard",
     "d3_dedup_minhash",
     "d4_dedup_simhash",
     "t1_token_stats",
     "t4_fingerprint",
+    "t5_chunk_docs",
     "s1_cosine_topk",
     "s2_lsh_topk",
     "s3_ivf_topk",
