@@ -188,3 +188,29 @@ def test_observation_metrics_piggyback_on_job(spark, sf_small):
     got = obs.get
     assert got["rows_seen"] == li.count()
     assert got["null_qty"] == 0
+
+
+def test_foreachbatch_sink_idempotent_epochs(spark, sf_small, tmp_path):
+    """foreachBatch parquet sink: all rows land exactly once across
+    epoch-keyed directories; a re-run from the same checkpoint commits no
+    new epochs (idempotent replay)."""
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        stream_to_parquet_idempotent,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream_to_parquet_idempotent(
+        spark, f"{sf_small}/events.parquet", out, ckpt
+    )
+    assert n1 >= 1
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import _t
+
+    expected = _t(spark, sf_small, "events").count()
+    assert spark.read.parquet(out).count() == expected
+    # replay with the same checkpoint: nothing new to process
+    n2 = stream_to_parquet_idempotent(
+        spark, f"{sf_small}/events.parquet", out, ckpt
+    )
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == expected
