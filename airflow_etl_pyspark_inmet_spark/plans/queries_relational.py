@@ -716,3 +716,21 @@ def q39_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+def q40_argmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a window: max_by keeps each customer's single most
+    expensive order inside a plain hash aggregate — one shuffle, no sort,
+    the cheap form of 'top-1 per group' (deterministic tiebreak folded
+    into the ordering struct)."""
+    o = _t(spark, sf_dir, "orders")
+    best = F.struct(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        (-F.col("o_orderkey")).alias("negk"),  # tie -> lowest orderkey wins
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", best).alias("best_orderkey"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("best_price"),
+    )

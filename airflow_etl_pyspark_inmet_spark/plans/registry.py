@@ -378,6 +378,18 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q40_argmax_per_key": """
+WITH m AS (
+  SELECT o_custkey, max(CAST(o_totalprice AS DECIMAL(18,2))) AS mp
+  FROM orders GROUP BY 1
+)
+SELECT o.o_custkey, min(o.o_orderkey) AS best_orderkey,
+       CAST(m.mp AS DOUBLE) AS best_price
+FROM orders o
+JOIN m ON o.o_custkey = m.o_custkey
+      AND CAST(o.o_totalprice AS DECIMAL(18,2)) = m.mp
+GROUP BY o.o_custkey, m.mp
+""",
     "q36_global_topk": """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
@@ -594,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_global_topk": R.q36_global_topk,
     "q38_ntile_quartiles": R.q38_ntile_quartiles,
     "q39_tpch_q5": R.q39_tpch_q5,
+    "q40_argmax_per_key": R.q40_argmax_per_key,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -214,3 +214,11 @@ def test_foreachbatch_sink_idempotent_epochs(spark, sf_small, tmp_path):
     )
     assert n2 == 0
     assert spark.read.parquet(out).count() == expected
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_small):
+    """Q5 plan: the only shuffle join is lineitem x orders; customer,
+    supplier, and nation-region all broadcast."""
+    plan = _explain(R.q39_tpch_q5(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
