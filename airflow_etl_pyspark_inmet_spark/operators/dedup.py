@@ -298,6 +298,43 @@ def simhash_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs within blocks.
+
+    The self-join is an equi-join on ``block_col`` — the blocking key that
+    makes this linear in block size instead of quadratic in the corpus. At
+    100 TB the block key is an LSH bucket (operators.similarity sign-LSH)
+    or an IVF cell id; here the testdata's cluster ``label`` plays that
+    role so the result stays exactly oracle-able. Norms are computed once
+    per row BEFORE the join (each pair then costs one dot product, not
+    three), and the scoring is a JVM-side aggregate fold — no Python, no
+    broadcast of the corpus.
+    """
+    from .similarity import _dot, _norm
+
+    e = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = e.toDF("id_a", "_blk", "_va", "_na")
+    b = e.toDF("id_b", "_blk", "_vb", "_nb")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

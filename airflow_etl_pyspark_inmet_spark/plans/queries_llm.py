@@ -161,6 +161,18 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d6_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine (semantic) near-dup pairs, blocked by the cluster
+    label (stand-in for an LSH/IVF bucket at scale — see
+    operators.dedup.embedding_cosine_pairs). Exact oracle: the JVM
+    aggregate fold matches DuckDB's list_dot_product element order
+    bit-for-bit (proven by m3)."""
+    from ..operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, block_col="label", threshold=0.35)
+
+
 def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10: 16 Voronoi cells (one Lloyd
     refinement), 4-probe queries, exact re-rank in probed cells.

@@ -413,6 +413,18 @@ SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
     "d2_dedup_jaccard": _JACCARD_SQL,
     "d3_dedup_minhash": _JACCARD_SQL,  # LSH recall ≈ 1 at this threshold; verified subset equality
     "d4_dedup_simhash": None,  # engine-specific xxhash64 — rows-only
+    "d6_dedup_embedding": """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
     "d5_dedup_clusters": f"""
 WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
 edges AS (
@@ -613,6 +625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
     "d5_dedup_clusters": L.d5_dedup_clusters,
+    "d6_dedup_embedding": L.d6_dedup_embedding,
     "t1_token_stats": L.t1_token_stats,
     "t2_quality": L.t2_quality,
     "t3_lang_id": L.t3_lang_id,

@@ -48,6 +48,7 @@ HEADLINE = [
     "s2_lsh_topk",
     "s3_ivf_topk",
     "d5_dedup_clusters",
+    "d6_dedup_embedding",
     "m1_decode_meta",
 ]
 

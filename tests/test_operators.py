@@ -244,3 +244,31 @@ def test_python_udtf_lateral_join(spark):
     assert sorted((r["id"], r["word"]) for r in out) == [
         (1, "x"), (1, "yy"), (2, "zzz"),
     ]
+
+
+def test_embedding_pairs_match_numpy_bruteforce(emb):
+    """d6 within-block cosine pairs == numpy brute force on the same data,
+    and the plan is an equi-join on the block key (no cartesian)."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    got = embedding_cosine_pairs(emb, block_col="label", threshold=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    pdf = emb.select("vec_id", "label", "embedding").toPandas()
+    M = np.stack(pdf.embedding.values).astype(np.float64)
+    n = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = n @ n.T
+    ids, labs = pdf.vec_id.values, pdf.label.values
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if labs[i] == labs[j] and S[i, j] >= 0.3 and ids[i] != ids[j]:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                expected.add((a, b))
+    actual = {(r.id_a, r.id_b) for r in got.collect()}
+    assert actual == expected
