@@ -734,3 +734,75 @@ def q40_argmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("best_price"),
     )
+
+
+def q41_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (the inverse of q17's pivot): the four lineitem
+    measures become (measure, value) rows via the native unpivot operator
+    — a map-only Expand, no shuffle, no UDF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+def q42_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a pure hash aggregate: bucket id is
+    floor(x/width) computed map-side, so the shuffle carries one row per
+    (bucket) per partition — the distributed way to histogram 100 TB
+    (never a driver-side collect of values)."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0)).alias("bucket")
+    return (
+        o.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            exact_sum("o_totalprice").alias("total"),
+        )
+    )
+
+
+def q43_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two per-customer activity periods: customers
+    active in only one period survive with the other side null->0
+    (SortMergeJoin FullOuter — the one join shape that can never
+    broadcast; both sides shuffle on the key)."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = (
+        o.filter(F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    h2 = (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    j = h1.withColumnRenamed("o_custkey", "k1").join(
+        h2.withColumnRenamed("o_custkey", "k2"),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("k1"), F.col("k2")).alias("custkey"),
+        F.coalesce(F.col("n_early"), F.lit(0)).alias("n_early"),
+        F.coalesce(F.col("n_late"), F.lit(0)).alias("n_late"),
+    )
+
+
+def q44_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive list aggregation: collect_list gathers in
+    partition-arrival order (non-deterministic), so array_sort canonicalizes
+    before array_join — the only safe way to emit list-valued results from
+    a distributed agg."""
+    o = _t(spark, sf_dir, "orders")
+    keys = F.array_sort(F.collect_list("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.size(keys).alias("n_orders"),
+        F.array_join(keys.cast("array<string>"), ",").alias("orderkeys_csv"),
+    )

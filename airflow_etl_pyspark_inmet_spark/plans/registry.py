@@ -378,6 +378,44 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q41_unpivot": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+    "q42_histogram": """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+""",
+    "q43_full_outer_join": """
+WITH h1 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_early FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00' GROUP BY 1
+), h2 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_late FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00' GROUP BY 1
+)
+SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS custkey,
+       COALESCE(n_early, 0) AS n_early,
+       COALESCE(n_late, 0) AS n_late
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+""",
+    "q44_array_agg_sorted": """
+SELECT o_custkey,
+       CAST(COUNT(*) AS INTEGER) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys_csv
+FROM orders
+GROUP BY o_custkey
+""",
     "q40_argmax_per_key": """
 WITH m AS (
   SELECT o_custkey, max(CAST(o_totalprice AS DECIMAL(18,2))) AS mp
@@ -619,6 +657,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_ntile_quartiles": R.q38_ntile_quartiles,
     "q39_tpch_q5": R.q39_tpch_q5,
     "q40_argmax_per_key": R.q40_argmax_per_key,
+    "q41_unpivot": R.q41_unpivot,
+    "q42_histogram": R.q42_histogram,
+    "q43_full_outer_join": R.q43_full_outer_join,
+    "q44_array_agg_sorted": R.q44_array_agg_sorted,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -174,3 +174,20 @@ def test_range_sorted_layout_enables_file_skipping(spark, sf_small):
     ranges.sort()
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges  # disjoint file ranges
+
+
+def test_orc_sink_source_roundtrip(spark, sf_small, tmp_path):
+    """ORC is the second columnar format the engine reads/writes natively;
+    roundtrip preserves schema and values, and the ORC scan still takes
+    predicate pushdown (the scan node advertises the filter)."""
+    src = spark.read.parquet(f"{sf_small}/orders.parquet")
+    out = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = src.agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).first()[0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))).first()[0]
+    assert a == b
+    plan = back.filter(F.col("o_custkey") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
