@@ -237,6 +237,16 @@ def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: self-unioned event stream (simulated
+    at-least-once duplicates) -> dropDuplicatesWithinWatermark. Finite
+    input == batch DISTINCT (the oracle)."""
+    from ..streaming.windows import streaming_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
 def t5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 50-token chunks with stride 40 per document
     (operators.text.chunk_documents) — map-only fan-out, no UDF."""

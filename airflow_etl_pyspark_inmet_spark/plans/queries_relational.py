@@ -806,3 +806,62 @@ def q44_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(keys).alias("n_orders"),
         F.array_join(keys.cast("array<string>"), ",").alias("orderkeys_csv"),
     )
+
+
+def q45_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily series per event type: a generated date spine
+    (sequence+explode, fully distributed) cross-joined with the tiny
+    distinct-type dim (broadcast), left-joined to the daily counts,
+    missing days zero-filled. The spine never materializes on the driver
+    — only the 2-scalar min/max does (one job), so the pattern holds when
+    the fact side is 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).first()
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+        )
+    )
+
+
+def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD2 collapse: consecutive same-type events per
+    user become one validity interval [first_ts, last_ts] — the change
+    flag is a lag() comparison, the island id a running sum of flags, the
+    interval a group-by over (user, island). Two window passes + one
+    aggregate, all on the same user_id partitioning, so the three shuffles
+    collapse to one exchange at scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.unix_micros(F.max("ts")).alias("valid_to_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -378,6 +378,46 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q45_date_spine_gapfill": """
+WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, t.event_type, COALESCE(d.n, CAST(0 AS BIGINT)) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+""",
+    "q46_scd2_intervals": """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island, min(event_type) AS event_type,
+       epoch_us(min(ts)) AS valid_from_us,
+       epoch_us(max(ts)) AS valid_to_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island
+""",
+    "st5_stream_dedup": """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+""",
     "q41_unpivot": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
@@ -661,6 +701,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_histogram": R.q42_histogram,
     "q43_full_outer_join": R.q43_full_outer_join,
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
+    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
+    "q46_scd2_intervals": R.q46_scd2_intervals,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
@@ -685,4 +727,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st2_stream_sessions": L.st2_stream_sessions,
     "st3_stream_stateful": L.st3_stream_stateful,
     "st4_stream_static_join": L.st4_stream_static_join,
+    "st5_stream_dedup": L.st5_stream_dedup,
 }

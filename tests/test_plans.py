@@ -8,6 +8,7 @@ the actual optimized plans (SURVEY.md §4).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from airflow_etl_pyspark_inmet_spark.plans import queries_relational as R
@@ -222,3 +223,38 @@ def test_tpch_q5_broadcasts_all_dims(spark, sf_small):
     plan = _explain(R.q39_tpch_q5(spark, sf_small))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_intervals_partition_the_events(spark, sf_small):
+    """Islands cover every event exactly once, are numbered consecutively
+    per user, and never overlap in time within a user."""
+    ev = R._t(spark, sf_small, "events")
+    got = R.q46_scd2_intervals(spark, sf_small).cache()
+    assert got.agg(F.sum("n_events")).first()[0] == ev.count()
+    bad_numbering = (
+        got.groupBy("user_id")
+        .agg(F.min("island").alias("lo"), F.max("island").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert bad_numbering == 0
+    w = Window.partitionBy("user_id").orderBy("island")
+    overlaps = (
+        got.withColumn("prev_to", F.lag("valid_to_us").over(w))
+        .filter(F.col("prev_to").isNotNull()
+                & (F.col("valid_from_us") <= F.col("prev_to")))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_gapfill_spine_is_dense(spark, sf_small):
+    """Every (day, type) cell exists: rows == n_days x n_types, and the
+    zero-filled cells plus observed cells reconcile with the raw count."""
+    got = R.q45_date_spine_gapfill(spark, sf_small).cache()
+    days = got.select("day").distinct().count()
+    types = got.select("event_type").distinct().count()
+    assert got.count() == days * types
+    ev = R._t(spark, sf_small, "events")
+    assert got.agg(F.sum("n_events")).first()[0] == ev.count()
