@@ -242,3 +242,18 @@ def salted_join(
         ),
     )
     return lb.join(rb, [on, "_salt"]).drop("_salt")
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """SCD1 upsert (the batch MERGE INTO): update rows replace base rows on
+    the key; unmatched base rows pass through; unmatched update rows insert.
+
+    Expressed as updates ∪ (base ⟕anti updates): one hash/sort-merge
+    anti-join on the key plus a union — no driver state, no per-row logic.
+    At scale this is the foreachBatch body of a CDC sink (see
+    streaming.windows.stream_to_parquet_idempotent for the idempotent
+    write half); with base bucketed on the key the anti-join is
+    exchange-free.
+    """
+    survivors = base.join(updates.select(key), key, "left_anti")
+    return updates.unionByName(survivors)

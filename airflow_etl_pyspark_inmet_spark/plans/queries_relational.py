@@ -865,3 +865,36 @@ def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.max("ts")).alias("valid_to_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def q47_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style SCD1 upsert via operators.relational.merge_upsert: a
+    deterministic update batch (10% of orders, repriced) merged into the
+    base table — update rows win, the rest pass through an anti-join."""
+    from ..operators.relational import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    return merge_upsert(base, updates, "o_orderkey")
+
+
+def q48_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one window (segment, acctbal
+    desc): rank / dense_rank / percent_rank / cume_dist — all computed in
+    a single Window pass (one shuffle on the segment key)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )

@@ -378,6 +378,24 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q47_upsert_merge": """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+""",
+    "q48_rank_suite": """
+SELECT c_custkey, c_mktsegment,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+""",
     "q45_date_spine_gapfill": """
 WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
 spine AS (
@@ -703,6 +721,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
+    "q47_upsert_merge": R.q47_upsert_merge,
+    "q48_rank_suite": R.q48_rank_suite,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

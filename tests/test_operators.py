@@ -272,3 +272,15 @@ def test_embedding_pairs_match_numpy_bruteforce(emb):
                 expected.add((a, b))
     actual = {(r.id_a, r.id_b) for r in got.collect()}
     assert actual == expected
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win on key match, unmatched base survives, new keys insert."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in merge_upsert(base, updates, "k").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
