@@ -898,3 +898,28 @@ def q48_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+def q49_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap repair, the sensor-data
+    twin of q45's spine fill: readings are nulled deterministically
+    (event_id % 7 == 0), then repaired with last(ignorenulls) over an
+    unbounded-preceding frame per user — one window pass, one shuffle on
+    the key, no self-join."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    gappy = ev.withColumn(
+        "v",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return gappy.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+    )

@@ -378,6 +378,19 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q49_forward_fill": """
+WITH gappy AS (
+  SELECT user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS ts_us,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled
+FROM gappy
+""",
     "q47_upsert_merge": """
 WITH updates AS (
   SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
@@ -723,6 +736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_scd2_intervals": R.q46_scd2_intervals,
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
+    "q49_forward_fill": R.q49_forward_fill,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the cleaning kit — SURVEY.md §5's
+property-check tier. Each property generates a batch of examples and runs
+them through Spark in ONE job (a generated-literal DataFrame), so hypothesis
+stays fast despite JVM round-trips.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.functions.cleaning import (
+    dayfirst_date,
+    decimal_comma_to_double,
+    sanitize_name,
+    surrogate_key,
+)
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decimal_comma_roundtrip_property(spark, values):
+    """repr(x) with ',' for '.' parses back to exactly x for any finite
+    double (repr round-trips IEEE doubles)."""
+    rows = [(i, repr(v).replace(".", ",")) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", decimal_comma_to_double("s").alias("v")).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == v
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2199, 12, 31)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from(["%d/%m/%Y", "%Y/%m/%d"]),
+)
+def test_dayfirst_date_roundtrip_property(spark, dates, fmt):
+    """Any real date rendered in either supported 4-digit-year format
+    parses back to itself; junk strings null out."""
+    rows = [(i, d.strftime(fmt)) for i, d in enumerate(dates)]
+    rows.append((len(dates), "99/99/9999"))  # shape-valid junk -> null
+    rows.append((len(dates) + 1, "not a date"))
+    df = spark.createDataFrame(rows, ["i", "s"])
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", dayfirst_date("s").alias("d")).collect()
+    }
+    for i, d in enumerate(dates):
+        assert got[i] == d
+    assert got[len(dates)] is None
+    assert got[len(dates) + 1] is None
+
+
+@settings(**_SETTINGS)
+@given(st.text(max_size=40))
+def test_sanitize_name_is_idempotent_and_clean(name):
+    """sanitize(sanitize(x)) == sanitize(x), and the output is always
+    lowercase ASCII word chars (pure python — no Spark job)."""
+    once = sanitize_name(name)
+    assert sanitize_name(once) == once
+    assert once == once.lower()
+    for ch in once:
+        assert ch.isascii() and (ch.isalnum() or ch == "_")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet="abcXYZ ", max_size=8)),
+            st.one_of(st.none(), st.text(alphabet="abcXYZ ", max_size=8)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_surrogate_key_never_null_property(spark, pairs):
+    """Keys are never null, contain exactly one separator for two parts,
+    and equal inputs yield equal keys."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i int, a string, b string")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", surrogate_key("a", "b").alias("k")).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        k = got[i]
+        assert k is not None
+        exp = "-".join(
+            [(a or "").strip().upper(), (b or "").strip().upper()]
+        )
+        # surrogate_key trims AFTER upper; upper never introduces/removes
+        # whitespace, so trim-then-upper == upper-then-trim
+        assert k == exp
