@@ -923,3 +923,45 @@ def q49_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+def q50_anomaly_vs_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly KPI the reference *promises but never implements* — its
+    comment "KPIs por cidade e mes: medias, anomalias, dias com
+    precipitacao" (create_analitic_cidade_kpis_mensal.sql:2) lists
+    anomalies, the SELECT below it has none. Here: each (supplier, day)
+    average vs the supplier's own long-run mean, as a windowed deviation
+    on the daily aggregate — no second scan, no self-join; the
+    climatology mean is an exact decimal window sum / count (order-
+    insensitive, oracle-stable)."""
+    daily = q2_daily_supplier_agg(spark, sf_dir)
+    w = Window.partitionBy("s_suppkey")
+    clim = (
+        F.sum(F.col("qty_avg").cast("decimal(18,8)")).over(w).cast("double")
+        / F.count("qty_avg").over(w)
+    )
+    return daily.select(
+        "s_suppkey",
+        "ship_date",
+        "qty_avg",
+        clim.alias("clim_mean"),
+        (F.col("qty_avg") - clim).alias("anomaly"),
+    )
+
+
+def q51_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile, Greenwald-Khanna):
+    the 100 TB path for percentiles — partial sketches merge
+    associatively, so no global sort ever happens (q26 is the exact
+    counterpart). Engine-specific sketch -> rows-only driver check;
+    accuracy vs exact asserted in tests."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias(
+            "p95_approx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -378,6 +378,17 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
+    "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
+    "q50_anomaly_vs_climatology": f"""
+WITH daily AS ({_Q2_DAILY_SQL})
+SELECT s_suppkey, ship_date, qty_avg,
+       CAST(SUM(CAST(qty_avg AS DECIMAL(18,8))) OVER w AS DOUBLE)
+         / COUNT(qty_avg) OVER w AS clim_mean,
+       qty_avg - (CAST(SUM(CAST(qty_avg AS DECIMAL(18,8))) OVER w AS DOUBLE)
+         / COUNT(qty_avg) OVER w) AS anomaly
+FROM daily
+WINDOW w AS (PARTITION BY s_suppkey)
+""",
     "q49_forward_fill": """
 WITH gappy AS (
   SELECT user_id, ts,
@@ -737,6 +748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,
+    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
+    "q51_approx_quantiles": R.q51_approx_quantiles,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

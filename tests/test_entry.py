@@ -24,6 +24,7 @@ def test_query_and_oracle_keys_consistent():
         "s2_lsh_topk",
         "s3_ivf_topk",
         "q34_approx_distinct",
+        "q51_approx_quantiles",
     }
 
 

@@ -258,3 +258,26 @@ def test_gapfill_spine_is_dense(spark, sf_small):
     assert got.count() == days * types
     ev = R._t(spark, sf_small, "events")
     assert got.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_small):
+    """GK sketch at accuracy 10000 lands within 1% relative error of the
+    exact percentile on every group."""
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p95_approx"])
+        for r in R.q51_approx_quantiles(spark, sf_small).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p95"])
+        for r in R._t(spark, sf_small, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for k, (a50, a95) in approx.items():
+        e50, e95 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.01
+        assert abs(a95 - e95) / e95 < 0.01
