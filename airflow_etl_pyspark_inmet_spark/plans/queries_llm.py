@@ -247,6 +247,15 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup(spark, f"{sf_dir}/events.parquet")
 
 
+def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x following views
+    within 30 min). Finite input == the batch interval join (the oracle)."""
+    from ..streaming.windows import streaming_stream_stream_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
 def t5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 50-token chunks with stride 40 per document
     (operators.text.chunk_documents) — map-only fan-out, no UDF."""

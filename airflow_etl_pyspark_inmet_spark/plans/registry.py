@@ -460,6 +460,15 @@ GROUP BY user_id, island
     "st5_stream_dedup": """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
 """,
+    "st6_stream_stream_join": """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 30 MINUTE
+""",
     "q41_unpivot": """
 SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
 UNION ALL
@@ -775,4 +784,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st3_stream_stateful": L.st3_stream_stateful,
     "st4_stream_static_join": L.st4_stream_static_join,
     "st5_stream_dedup": L.st5_stream_dedup,
+    "st6_stream_stream_join": L.st6_stream_stream_join,
 }

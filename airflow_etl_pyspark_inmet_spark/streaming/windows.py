@@ -297,3 +297,64 @@ def streaming_dedup(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the views that follow
+    them within ``within``, both sides watermarked. The time-bound predicate
+    is what makes an unbounded-stream join feasible — it lets Spark evict
+    buffered rows once the watermark passes click_ts + within, so state is
+    O(rate x window), not O(stream). Inner-join matches emit as soon as
+    both sides arrive (append mode withholds nothing for inner joins);
+    finite input therefore equals the batch interval join (the oracle).
+    """
+    ev = _read_stream_events(spark, events_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        _read_stream_events(spark, events_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts "
+            f"AND view_ts <= click_ts + interval {within}"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("view_ts").alias("view_us"),
+    )
+    name = f"stream_ssj2_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
