@@ -257,3 +257,34 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """
     survivors = base.join(updates.select(key), key, "left_anti")
     return updates.unionByName(survivors)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    percent: int = 10,
+) -> DataFrame:
+    """Deterministic stratified sampling: within each stratum, keep the
+    first ceil(percent% of rows) ordered by md5(id) — a reproducible
+    pseudo-random draw with exact per-stratum proportions (unlike
+    ``df.sampleBy``, whose Bernoulli draw gives only expected fractions
+    and differs across runs/engines).
+
+    One shuffle on the strata column; the per-stratum quota is a window
+    count over the same partitioning, so no extra exchange. Quota uses
+    integer ceil-division — no float rounding. For 100 TB with few,
+    huge strata the md5 sort dominates; percent-exact sampling is
+    inherently a per-stratum global order, so use hash-threshold
+    (approximate) sampling instead when exactness isn't required.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col)
+    ranked = df.withColumn(
+        "pick",
+        F.row_number()
+        .over(w.orderBy(key.asc(), F.col(id_col).asc()))
+        .cast("int"),
+    ).withColumn("strata_n", F.count(F.lit(1)).over(w).cast("bigint"))
+    quota = F.floor((F.col("strata_n") * percent + 99) / 100)
+    return ranked.filter(F.col("pick") <= quota)

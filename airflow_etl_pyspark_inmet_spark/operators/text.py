@@ -175,6 +175,157 @@ def chunk_documents(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, sklearn-style).
+
+    Plan shape for 100 TB: one explode + two hash aggregates (term
+    frequency per (doc, term), then document frequency per term — both
+    with map-side partial aggregation), the corpus size N joined in as a
+    broadcast scalar, and a WindowGroupLimit top-k per doc. No UDFs; the
+    shuffles carry (doc_id, term, count) triples, never document bodies.
+
+    The score is emitted rounded to 6 decimals and the ranking uses the
+    rounded value: ln() differs in the last ulp across engines (measured
+    Spark vs DuckDB), so rounding is what makes the result — and the
+    rank ordering — engine-portable. Ties break on the term string.
+    """
+    from pyspark.sql import Window
+
+    tokens = exploded_ngrams(df, id_col, text_col, 1)
+    tf = tokens.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "g")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("g"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("g").alias("term"),
+            "tf",
+            "df",
+            "tfidf",
+            "rank",
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the number
+    of distinct word n-grams it shares with ANY document of the eval set,
+    and the contaminated flag at `threshold` overlap ratio.
+
+    Scale shape: the eval set is small (benchmarks are KBs, corpora are
+    TBs), so its distinct n-grams BROADCAST to every executor and the
+    check is a map-side broadcast left-semi probe per train gram — the
+    100 TB corpus is scanned once, shuffled only by doc_id for the final
+    per-doc count. Ratios are IEEE divisions of exact integer counts, so
+    the result oracle-compares exactly.
+    """
+    train_grams = exploded_ngrams(train, id_col, text_col, ngram).distinct()
+    eval_grams = (
+        exploded_ngrams(eval_df, id_col, text_col, ngram)
+        .select("g")
+        .distinct()
+    )
+    hits = train_grams.join(
+        F.broadcast(eval_grams), "g", "left_semi"
+    ).groupBy("_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    totals = train_grams.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    out = (
+        totals.join(hits, "_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn(
+            "contamination",
+            F.col("n_shared") / F.col("n_grams").cast("double"),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_shared",
+        "n_grams",
+        "contamination",
+        (F.col("contamination") >= threshold).alias("is_contaminated"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-word
+    ratio, most-common-word fraction, most-common-bigram fraction. High
+    values of the latter two mark boilerplate/spam for quality filtering.
+
+    Two aggregate pyramids (word counts -> per-doc stats; bigram counts ->
+    per-doc stats) joined on doc_id; every measure is integer counts and
+    IEEE division — exact across engines. At 100 TB both pyramids get
+    map-side partial aggregation and shuffle only (id, token, count).
+    """
+    words = exploded_ngrams(df, id_col, text_col, 1)
+    wstats = (
+        words.groupBy("_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    bigrams = exploded_ngrams(df, id_col, text_col, 2)
+    bstats = (
+        bigrams.groupBy("_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.count(F.lit(1)).alias("_nb"))
+    )
+    out = wstats.join(bstats, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("n_distinct") / F.col("n_words").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_word_n") / F.col("n_words").cast("double")).alias(
+            "top_word_frac"
+        ),
+        (
+            F.col("top_bigram_n")
+            / F.greatest(F.col("n_words") - 1, F.lit(1)).cast("double")
+        ).alias("top_bigram_frac"),
+    )
+
+
 def normalize_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

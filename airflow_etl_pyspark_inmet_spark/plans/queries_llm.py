@@ -19,7 +19,15 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import decode_metadata, frame_sample_stub, with_binary_payload
 from ..operators.similarity import cosine_topk, lsh_cosine_topk
-from ..operators.text import fingerprint, lang_id, quality_score, token_stats
+from ..operators.text import (
+    decontaminate,
+    fingerprint,
+    lang_id,
+    quality_score,
+    repetition_stats,
+    tfidf_top_terms,
+    token_stats,
+)
 from .queries_relational import _t
 
 
@@ -254,6 +262,43 @@ def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return streaming_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
+def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (operators.text
+    .tfidf_top_terms): two hash-agg pyramids + broadcast scalar N +
+    WindowGroupLimit; score rounded to 6dp for engine portability."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+def t9_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 8-gram overlap of every train
+    doc (doc_id % 23 != 0) against the eval set (doc_id % 23 == 0),
+    broadcast-semi probe (operators.text.decontaminate)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 23 == 0)
+    return decontaminate(train, eval_df, ngram=8, threshold=0.05)
+
+
+def t10_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc (operators.text
+    .repetition_stats): distinct-word ratio, top-word/top-bigram fracs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+def t11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10%-per-language stratified sample of documents,
+    md5-ordered with exact integer quotas (operators.relational
+    .stratified_sample) — reproducible train-subset draws."""
+    from ..operators.relational import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", percent=10).select(
+        "doc_id", "lang", "pick", "strata_n"
+    )
 
 
 def t5_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

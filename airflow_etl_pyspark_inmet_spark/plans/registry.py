@@ -605,6 +605,77 @@ WITH s AS (
 SELECT split, COUNT(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM s GROUP BY 1
 """,
+    "t8_tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS g FROM documents
+), tf AS (
+  SELECT doc_id, g, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT g, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.g AS term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+         round(tf.tf * (ln((1 + n.n_docs) / CAST(1 + dfreq.df AS DOUBLE)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (g) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 3
+""",
+    "t9_decontaminate": """
+WITH grams AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-7, 0))) AS i) u
+), tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 23 != 0),
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM tg
+  WHERE g IN (SELECT g FROM eg) GROUP BY 1
+), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY 1)
+SELECT tot.doc_id,
+       CAST(COALESCE(hits.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       COALESCE(hits.n_shared, 0) / CAST(tot.n_grams AS DOUBLE) AS contamination,
+       (COALESCE(hits.n_shared, 0) / CAST(tot.n_grams AS DOUBLE)) >= 0.05 AS is_contaminated
+FROM tot LEFT JOIN hits USING (doc_id)
+""",
+    "t10_repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS g FROM documents
+), wc AS (SELECT doc_id, g, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+wstats AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_word_n
+  FROM wc GROUP BY 1
+), big AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-1, 0))) AS i) u
+), bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bstats AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       w.n_distinct / CAST(w.n_words AS DOUBLE) AS distinct_ratio,
+       w.top_word_n / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+       b.top_bigram_n / CAST(greatest(w.n_words - 1, 1) AS DOUBLE) AS top_bigram_frac
+FROM wstats w LEFT JOIN bstats b USING (doc_id)
+""",
+    "t11_stratified_sample": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INTEGER) AS pick,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS strata_n
+  FROM documents
+)
+SELECT doc_id, lang, pick, strata_n FROM ranked
+WHERE pick <= (strata_n * 10 + 99) // 100
+""",
     "t2_quality": """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -773,6 +844,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t5_chunk_docs": L.t5_chunk_docs,
     "t6_normalize": L.t6_normalize,
     "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
     "s1_cosine_topk": L.s1_cosine_topk,
     "s2_lsh_topk": L.s2_lsh_topk,
     "s3_ivf_topk": L.s3_ivf_topk,

