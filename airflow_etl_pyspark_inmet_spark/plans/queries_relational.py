@@ -965,3 +965,27 @@ def q51_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def q53_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches (Datasketches HLL):
+    build one user sketch per (event_type, day), then MERGE the daily
+    sketches up to per-type totals with hll_union_agg — the
+    materialized-rollup pattern that makes distinct counts cheap at
+    100 TB (daily sketch table is tiny; any coarser rollup is a sketch
+    merge, never a rescan of the raw events). Sketch binaries are
+    engine-specific -> rows-only driver check; the merge-invariance
+    property (union of partials == sketch of the whole) and accuracy vs
+    exact are asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("event_type", "approx_users", "n_days")
+    )

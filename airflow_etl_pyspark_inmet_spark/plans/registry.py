@@ -379,6 +379,7 @@ WHERE r_name = 'ASIA'
 GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
+    "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
     "q50_anomaly_vs_climatology": f"""
 WITH daily AS ({_Q2_DAILY_SQL})
 SELECT s_suppkey, ship_date, qty_avg,
@@ -830,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_forward_fill": R.q49_forward_fill,
     "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
     "q51_approx_quantiles": R.q51_approx_quantiles,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -164,3 +164,96 @@ def save_range_sorted_table(
         .write.mode("overwrite")
         .saveAsTable(f"{db}.{name}")
     )
+
+
+def table_size_bytes(spark: SparkSession, name: str, db: str = "analitic") -> int:
+    """On-disk byte size of a managed table via the Hadoop FileSystem API
+    (works on any storage backend, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{name}")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    return fs.getContentSummary(path).getLength()
+
+
+def compact_table(
+    spark: SparkSession,
+    name: str,
+    db: str = "analitic",
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction (OPTIMIZE): rewrite the table into
+    ceil(size / target) files and atomically swap it in via RENAME.
+    Streaming sinks and per-batch upserts accrete thousands of tiny files;
+    at 100 TB the resulting task-per-file scheduling and footer-read
+    overhead dominate scans, so periodic compaction to ~128 MB files is
+    the standard maintenance op (Delta OPTIMIZE / Iceberg rewrite_files).
+    Returns the new file count."""
+    import math
+
+    tbl = f"{db}.{name}"
+    size = table_size_bytes(spark, name, db)
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = f"{name}__compacting"
+    _drop_table_and_location(spark, db, tmp)
+    spark.table(tbl).repartition(n_files).write.saveAsTable(f"{db}.{tmp}")
+    _drop_table_and_location(spark, db, name)
+    spark.sql(f"ALTER TABLE {db}.{tmp} RENAME TO {db}.{name}")
+    return n_files
+
+
+def _quantile_buckets(df: DataFrame, col: str, n_buckets: int) -> list[float]:
+    """Approx-quantile cut points (driver-side list of n_buckets-1 floats)
+    — the scale-safe way to equi-depth-bucket a column: one pass with a
+    mergeable GK sketch, no global sort."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return df.stat.approxQuantile(col, probs, 0.001)
+
+
+def save_zorder_table(
+    df: DataFrame,
+    name: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    db: str = "analitic",
+    bits: int = 4,
+) -> None:
+    """Two-dimensional Z-order clustering: equi-depth-bucket both columns
+    into 2^bits buckets (approxQuantile boundaries — no global sort),
+    interleave the bucket bits into a Morton code, then range-partition +
+    sort the data by that code. Each output file covers a small rectangle
+    of (col_a, col_b) space, so point/range predicates on EITHER column
+    skip most files — the multi-dimensional generalization of
+    save_range_sorted_table, same pay-once-at-write economics."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    create_database(spark, db)
+    _drop_table_and_location(spark, db, name)
+
+    def bucket(col: str) -> "F.Column":
+        cuts = _quantile_buckets(df, col, 1 << bits)
+        arr = ", ".join(repr(c) for c in cuts)
+        return F.expr(
+            f"cardinality(filter(array({arr}), b -> b <= {col}))"
+        ).cast("long")
+
+    one = F.lit(1).cast("long")
+    ba, bb = bucket(col_a), bucket(col_b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ba, i).bitwiseAND(one), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(bb, i).bitwiseAND(one), 2 * i))
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .saveAsTable(f"{db}.{name}")
+    )

@@ -368,3 +368,34 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     ids1 = sorted(r.id for r in s1.collect())
     ids2 = sorted(r.id for r in stratified_sample(df, "s", "id", 10).collect())
     assert ids1 == ids2
+
+
+def test_hll_sketch_merge_invariance_and_accuracy(spark, sf_small):
+    """Union of per-day HLL sketches == one sketch over all rows (exact
+    merge invariance — THE property that makes sketch rollups sound),
+    and the estimate lands within 5% of the exact distinct count."""
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import (
+        _t,
+        q53_sketch_rollup,
+    )
+
+    merged = {
+        r.event_type: r.approx_users
+        for r in q53_sketch_rollup(spark, sf_small).collect()
+    }
+    ev = _t(spark, sf_small, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05

@@ -191,3 +191,75 @@ def test_orc_sink_source_roundtrip(spark, sf_small, tmp_path):
     assert a == b
     plan = back.filter(F.col("o_custkey") == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+
+
+def test_compact_table_rewrites_small_files(spark, sf_small):
+    """200 tiny files compact to the ceil(size/target) count with no row
+    loss — the OPTIMIZE maintenance op for streaming-sink accretion."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        compact_table,
+        save_table,
+        table_size_bytes,
+    )
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import _t
+
+    ev = _t(spark, sf_small, "events").repartition(200)
+    save_table(ev, "events_shredded", db="analitic")
+    files_before = (
+        spark.table("analitic.events_shredded")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert files_before == 200
+    n_expected = compact_table(spark, "events_shredded", target_file_bytes=1 << 20)
+    after = spark.table("analitic.events_shredded")
+    files_after = after.select(F.input_file_name()).distinct().count()
+    assert files_after == n_expected < files_before
+    assert after.count() == ev.count()
+    assert table_size_bytes(spark, "events_shredded") > 0
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, sf_small):
+    """Z-ordered (user_id, value) layout: a point-ish predicate on EITHER
+    dimension intersects only a fraction of the files' min/max boxes,
+    unlike the same data laid out randomly (every file matches)."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import save_zorder_table
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import _t
+
+    ev = _t(spark, sf_small, "events").select("event_id", "user_id", "value")
+    save_zorder_table(ev, "events_z", "user_id", "value", n_files=16)
+
+    boxes = (
+        spark.table("analitic.events_z")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+        )
+        .collect()
+    )
+    assert len(boxes) == 16
+    med_u = ev.stat.approxQuantile("user_id", [0.5], 0.01)[0]
+    med_v = ev.stat.approxQuantile("value", [0.5], 0.01)[0]
+    hit_u = sum(1 for b in boxes if b.ulo <= med_u <= b.uhi)
+    hit_v = sum(1 for b in boxes if b.vlo <= med_v <= b.vhi)
+    # each single-dim slice must exclude a healthy share of the 16 files
+    assert hit_u <= 10 and hit_v <= 10
+    assert spark.table("analitic.events_z").count() == ev.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema=true reads a table whose later files added a column —
+    the append-only schema-evolution contract of a long-lived corpus."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(f"{p}/d=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "x", "quality"]
+    ).write.parquet(f"{p}/d=2")
+    got = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(got.columns) == {"id", "x", "quality", "d"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].quality is None and rows[2].quality == 9.5
