@@ -989,3 +989,45 @@ def q53_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "n_days")
     )
+
+
+def q54_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment keeping driverless rows: every customer with
+    their order count/total, zero-order customers preserved with NULL
+    total. The dim side drives the join, so Spark broadcasts the smaller
+    customer side only if it is the build side of the preserved row set —
+    here customer is the left (preserved) side and orders shuffles; at
+    100 TB this is the canonical dim-LEFT-fact aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+def q55_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    parse_json once into a binary variant, extract typed fields with
+    variant_get — the open-schema ingestion path (shredded, no
+    per-row string re-parsing downstream, unlike get_json_object which
+    re-parses per extraction; q20 is the string-path counterpart)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -380,6 +380,21 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q54_left_outer_enrich": """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1, 2
+""",
+    "q55_variant_json": """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""",
     "q50_anomaly_vs_climatology": f"""
 WITH daily AS ({_Q2_DAILY_SQL})
 SELECT s_suppkey, ship_date, qty_avg,
@@ -832,6 +847,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
     "q51_approx_quantiles": R.q51_approx_quantiles,
     "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
