@@ -44,6 +44,9 @@ HEADLINE = [
     "t1_token_stats",
     "t4_fingerprint",
     "t5_chunk_docs",
+    "t8_tfidf_top_terms",
+    "t9_decontaminate",
+    "t10_repetition_stats",
     "s1_cosine_topk",
     "s2_lsh_topk",
     "s3_ivf_topk",
