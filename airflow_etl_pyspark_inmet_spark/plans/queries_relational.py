@@ -1031,3 +1031,64 @@ def q55_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def q56_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via a GROUPED_AGG pandas UDF (Arrow-batched
+    Python UDAF): per-event-type value spread (max - min). The UDAF path
+    is for aggregations with no built-in equivalent — each group's values
+    arrive as one pandas Series per task, partials combine per the
+    groupBy shuffle. Spread of IEEE doubles is exact across engines
+    (max/min/subtract involve no accumulation order)."""
+    import pandas as pd
+
+    def _spread(v):
+        return float(v.max() - v.min())
+
+    # set real type objects: the module-wide `from __future__ import
+    # annotations` would otherwise hand pandas_udf string annotations,
+    # which its Series->scalar (GROUPED_AGG) signature inference rejects
+    _spread.__annotations__ = {"v": pd.Series, "return": float}
+    value_spread = F.pandas_udf(_spread, "double")
+
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    value_n = F.pandas_udf(_n, "long")
+
+    # NB: Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a pandas UDAF too
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        value_spread("value").alias("spread"),
+        value_n("value").alias("n"),
+    )
+
+
+def q57_group_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch group-map applyInPandas: per-user event ranking computed in
+    Python (numpy lexsort on (value, event_id) — deterministic ties).
+    The group-map pattern is the escape hatch for per-group logic the
+    built-ins can't express (model scoring, curve fitting); each group
+    becomes one Arrow batch in one task after the groupBy shuffle.
+    Integer output -> exact oracle (row_number equivalent)."""
+    import numpy as np
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["event_id"].to_numpy(), pdf["value"].to_numpy()))
+        rank = np.empty(len(pdf), dtype=np.int32)
+        rank[order] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value_rank": rank,
+            }
+        )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group, schema="user_id bigint, event_id bigint, value_rank int"
+    )

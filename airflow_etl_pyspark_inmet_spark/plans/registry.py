@@ -380,6 +380,17 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q56_grouped_agg_udaf": """
+SELECT event_type,
+       max(value) - min(value) AS spread,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""",
+    "q57_group_rank_pandas": """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS INTEGER) AS value_rank
+FROM events
+""",
     "q54_left_outer_enrich": """
 SELECT c_custkey, c_name,
        COUNT(o_orderkey) AS n_orders,
@@ -849,6 +860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_sketch_rollup": R.q53_sketch_rollup,
     "q54_left_outer_enrich": R.q54_left_outer_enrich,
     "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -399,3 +399,33 @@ def test_hll_sketch_merge_invariance_and_accuracy(spark, sf_small):
     }
     for et, est in merged.items():
         assert abs(est - exact[et]) / exact[et] < 0.05
+
+
+def test_python_datasource_partitioned_deterministic(spark):
+    """Spark 4 Python Data Source API: the synthetic_docs source reads
+    through declared partitions (parallel split, no driver bottleneck)
+    and is a pure function of its options (replayable under retries)."""
+    from airflow_etl_pyspark_inmet_spark.sources.python_datasource import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("n_partitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 100
+    a = sorted(df.collect())
+    b = sorted(
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("n_partitions", 3)
+        .load()
+        .collect()
+    )
+    assert a == b  # same rows regardless of split
+    assert all(len(r.text.split()) == 40 for r in a[:5])
+    assert {r.lang for r in a} == {"en", "es", "de", "fr"}
