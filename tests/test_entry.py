@@ -25,6 +25,7 @@ def test_query_and_oracle_keys_consistent():
         "s3_ivf_topk",
         "q34_approx_distinct",
         "q51_approx_quantiles",
+        "q53_sketch_rollup",
     }
 
 
