@@ -1092,3 +1092,57 @@ def q57_group_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         rank_group, schema="user_id bigint, event_id bigint, value_rank int"
     )
+
+
+def q58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day (cohort),
+    counted by day-offset of each later activity — the standard
+    engagement triangle. One window (min day per user, no sort needed --
+    min over unbounded frame) + one distinct aggregate; shuffles carry
+    (user, day) pairs. Exact integer outputs."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = days.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q59_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel: sessions that contain a click, and among
+    those, sessions where a purchase follows the first click — a
+    composition of sessionize (30-min gap) + conditional ordered
+    aggregation. min(ts) FILTER (event=click) then an exists-after check,
+    all in one grouped pass over the sessionized rows."""
+    from ..operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", gap_seconds=1800)
+    agg = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.max(F.col("ts")).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_id"),
+        "n_events",
+        F.col("first_click").isNotNull().alias("has_click"),
+        (
+            F.col("first_click").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (F.col("last_purchase") >= F.col("first_click"))
+        ).alias("converted"),
+    )

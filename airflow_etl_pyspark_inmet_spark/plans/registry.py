@@ -380,6 +380,36 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q58_cohort_retention": """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+""",
+    "q59_session_funnel": """
+WITH x AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM x
+)
+SELECT user_id, sid AS session_id, COUNT(*) AS n_events,
+       (min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL) AS has_click,
+       (min(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+        AND max(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        AND max(CASE WHEN event_type = 'purchase' THEN ts END)
+            >= min(CASE WHEN event_type = 'click' THEN ts END)) AS converted
+FROM y GROUP BY 1, 2
+""",
     "q56_grouped_agg_udaf": """
 SELECT event_type,
        max(value) - min(value) AS spread,
@@ -862,6 +892,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_variant_json": R.q55_variant_json,
     "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
     "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

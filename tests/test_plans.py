@@ -281,3 +281,51 @@ def test_approx_quantiles_close_to_exact(spark, sf_small):
         e50, e95 = exact[k]
         assert abs(a50 - e50) / e50 < 0.01
         assert abs(a95 - e95) / e95 < 0.01
+
+
+def test_repetition_stats_is_map_only(spark, sf_small):
+    """t10's whole plan has no aggregate/join Exchange — per-doc signals
+    stay map-side (the only allowed Exchange is the small-file
+    parallelism round-robin, which has no shuffle key)."""
+    from airflow_etl_pyspark_inmet_spark.plans import queries_llm as L
+
+    plan = _explain(L.t10_repetition_stats(spark, sf_small))
+    assert plan.count("Exchange (") <= 1  # tree node, counted once
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_small):
+    """t9's eval-gram probe must broadcast (map-side), never shuffle the
+    train side against it."""
+    from airflow_etl_pyspark_inmet_spark.plans import queries_llm as L
+
+    plan = _explain(L.t9_decontaminate(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_exact_brute_force(spark, sf_small):
+    """q58 equals a driver-side brute-force cohort computation."""
+    from collections import Counter
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import (
+        _t,
+        q58_cohort_retention,
+    )
+
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in q58_cohort_retention(spark, sf_small).collect()
+    }
+    rows = _t(spark, sf_small, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).collect()
+    first = {}
+    for r in rows:
+        if r.user_id not in first or r.day < first[r.user_id]:
+            first[r.user_id] = r.day
+    seen = {(first[r.user_id], (r.day - first[r.user_id]).days, r.user_id)
+            for r in rows}
+    expected = Counter((c, o) for c, o, _ in seen)
+    assert got == dict(expected)

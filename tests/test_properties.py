@@ -115,3 +115,32 @@ def test_surrogate_key_never_null_property(spark, pairs):
         # surrogate_key trims AFTER upper; upper never introduces/removes
         # whitespace, so trim-then-upper == upper-then-trim
         assert k == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "x y", ""]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_max_run_equals_mode_count_property(spark, docs):
+    """The sorted-array max-run fold == collections.Counter mode count
+    for arbitrary word arrays (incl. empties and duplicate-heavy)."""
+    from collections import Counter
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import _max_run
+
+    df = spark.createDataFrame(
+        [(i, words) for i, words in enumerate(docs)],
+        "id int, ws array<string>",
+    )
+    got = {r.id: r.m for r in df.select("id", _max_run(F.col("ws")).alias("m")).collect()}
+    for i, words in enumerate(docs):
+        expected = max(Counter(words).values()) if words else 0
+        assert got[i] == expected, (i, words)
