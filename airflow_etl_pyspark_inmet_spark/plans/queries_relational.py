@@ -1146,3 +1146,19 @@ def q59_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("last_purchase") >= F.col("first_click"))
         ).alias("converted"),
     )
+
+
+def q60_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc): the smallest actual data
+    value at-or-above each rank — unlike q26's continuous interpolation,
+    the result is always a real row value, which matters for quantile
+    CUTOFFS on skewed money data. Exact distributed sort-based rank."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_cont"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("p50_disc"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("p95_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -380,6 +380,14 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q60_percentile_disc": """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50_cont,
+       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+       quantile_disc(o_totalprice, 0.95) AS p95_disc,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""",
     "q58_cohort_retention": """
 WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days)
@@ -894,6 +902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_group_rank_pandas": R.q57_group_rank_pandas,
     "q58_cohort_retention": R.q58_cohort_retention,
     "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
