@@ -1162,3 +1162,59 @@ def q60_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95_disc"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def q61_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP): nation roster
+    per region. Deterministic because the order-by key is unique within
+    the group; at scale listagg concatenates after the per-group sort,
+    so memory is bounded by group payload (keep groups small — this is a
+    dim-side op, not a fact-side one)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+def q62_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: under Spark 4's ANSI mode, /0 and overflow
+    THROW; try_divide/try_multiply return NULL instead — the contract for
+    dirty-data math at scale, where one bad row must not kill a 100 TB
+    job. Returns per-row safe ratios incl. engineered zero denominators."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    denom = F.when(F.col("l_linenumber") % 3 == 0, F.lit(0.0)).otherwise(
+        F.col("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), denom).alias("price_per_unit"),
+        F.try_divide(F.lit(1.0), F.col("l_quantity") - F.col("l_quantity"))
+        .alias("always_null"),
+    )
+
+
+def q63_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (bitmap_bit_position
+    / bitmap_construct_agg / bitmap_count): each partition builds a
+    fixed-size bitmap chunk, chunks OR together associatively — exact
+    like countDistinct but with sketch-like mergeability, so a 100 TB
+    distinct is a bitmap-OR rollup, not a shuffle of every key. Ints must
+    be dense-ish (bitmap is positional); user_id qualifies."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("n_users"))
+    )

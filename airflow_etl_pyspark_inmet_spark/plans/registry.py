@@ -380,6 +380,26 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q61_listagg": """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+    "q62_try_arithmetic": """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE l_quantity END) = 0.0
+            THEN NULL
+            ELSE l_extendedprice / (CASE WHEN l_linenumber % 3 = 0 THEN 0.0 ELSE l_quantity END)
+       END AS price_per_unit,
+       CAST(NULL AS DOUBLE) AS always_null
+FROM lineitem WHERE l_orderkey % 5 = 0
+""",
+    "q63_bitmap_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
     "q60_percentile_disc": """
 SELECT o_orderstatus,
        quantile_cont(o_totalprice, 0.5) AS p50_cont,
@@ -903,6 +923,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_cohort_retention": R.q58_cohort_retention,
     "q59_session_funnel": R.q59_session_funnel,
     "q60_percentile_disc": R.q60_percentile_disc,
+    "q61_listagg": R.q61_listagg,
+    "q62_try_arithmetic": R.q62_try_arithmetic,
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
