@@ -329,3 +329,36 @@ def test_cohort_retention_exact_brute_force(spark, sf_small):
             for r in rows}
     expected = Counter((c, o) for c, o, _ in seen)
     assert got == dict(expected)
+
+
+def test_available_now_incremental_ingest(spark, tmp_path):
+    """Trigger.AvailableNow + checkpoint: run 1 ingests the initial
+    files and stops; run 2 after new files land ingests ONLY the delta;
+    run 3 with nothing new ingests zero. The checkpoint, not directory
+    listing diffs, is the exactly-once ledger."""
+    import json
+
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        incremental_ingest_available_now,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        with open(land / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    drop("a.json", [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}])
+    n1 = incremental_ingest_available_now(spark, str(land), out, ckpt)
+    assert n1 == 2
+    drop("b.json", [{"id": 3, "v": "z"}])
+    n2 = incremental_ingest_available_now(spark, str(land), out, ckpt)
+    assert n2 == 1  # only the new file
+    n3 = incremental_ingest_available_now(spark, str(land), out, ckpt)
+    assert n3 == 0
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # no re-ingestion duplicates
