@@ -1218,3 +1218,26 @@ def q63_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("c").alias("n_users"))
     )
+
+
+def q64_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over the
+    implicit binary tree on part keys (parent = key div 2), emitting each
+    node's depth — the transitive-closure query class (org charts, BOM
+    explosion, graph reachability) that previously needed a driver-side
+    loop (cf. operators.dedup connected components). Each iteration is
+    one equi-join against the frontier; Spark materializes the frontier
+    per step, so work is O(edges) total like the iterative formulation."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+WITH RECURSIVE tree(pk, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS pk, 1 AS depth
+  UNION ALL
+  SELECT p.p_partkey, t.depth + 1
+  FROM part_v p JOIN tree t ON p.p_partkey DIV 2 = t.pk
+  WHERE p.p_partkey > 1
+)
+SELECT pk, depth FROM tree
+"""
+    )

@@ -380,6 +380,16 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q64_recursive_cte": """
+WITH RECURSIVE tree(pk, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS pk, 1 AS depth
+  UNION ALL
+  SELECT p.p_partkey, t.depth + 1
+  FROM part p JOIN tree t ON p.p_partkey // 2 = t.pk
+  WHERE p.p_partkey > 1
+)
+SELECT pk, CAST(depth AS INTEGER) AS depth FROM tree
+""",
     "q61_listagg": """
 SELECT r_name,
        string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -926,6 +936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_listagg": R.q61_listagg,
     "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
+    "q64_recursive_cte": R.q64_recursive_cte,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
