@@ -197,11 +197,25 @@ def compact_table(
     tbl = f"{db}.{name}"
     size = table_size_bytes(spark, name, db)
     n_files = max(1, math.ceil(size / target_file_bytes))
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(name, db) if c.isPartition
+    ]
     tmp = f"{name}__compacting"
     _drop_table_and_location(spark, db, tmp)
-    spark.table(tbl).repartition(n_files).write.saveAsTable(f"{db}.{tmp}")
+    df = spark.table(tbl)
+    if part_cols:
+        # preserve the partition layout: n_files becomes files PER
+        # partition-value via a repartition keyed on the partition columns
+        w = df.repartition(n_files, *part_cols).write.partitionBy(*part_cols)
+    else:
+        w = df.repartition(n_files).write
+    w.saveAsTable(f"{db}.{tmp}")
     _drop_table_and_location(spark, db, name)
     spark.sql(f"ALTER TABLE {db}.{tmp} RENAME TO {db}.{name}")
+    if part_cols:
+        # RENAME moves the root location; catalog partition entries still
+        # point at the old paths until recovered
+        spark.sql(f"MSCK REPAIR TABLE {db}.{name}")
     return n_files
 
 

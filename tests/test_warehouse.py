@@ -263,3 +263,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(got.columns) == {"id", "x", "quality", "d"}
     rows = {r.id: r for r in got.collect()}
     assert rows[1].quality is None and rows[2].quality == 9.5
+
+
+def test_compact_table_preserves_partitioning(spark, sf_small):
+    """Compacting a partitioned table keeps the partition columns and
+    directory layout (Delta-OPTIMIZE semantics: compact within
+    partitions, never merge across them)."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        compact_table,
+        save_table,
+    )
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    save_table(o.repartition(40), "orders_part", db="analitic",
+               partition_by=["status"])
+    before = spark.table("analitic.orders_part").count()
+    compact_table(spark, "orders_part", target_file_bytes=1 << 20)
+    t = spark.table("analitic.orders_part")
+    assert t.count() == before
+    part_cols = [
+        c.name for c in spark.catalog.listColumns("orders_part", "analitic")
+        if c.isPartition
+    ]
+    assert part_cols == ["status"]
+    # partition pruning still works after compaction
+    plan = t.filter(F.col("status") == "O")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or t.filter(F.col("status") == "O").count() > 0
