@@ -80,3 +80,67 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def extract_byte_histogram(
+    df: DataFrame, id_col: str = "doc_id", buckets: int = 16
+) -> DataFrame:
+    """Feature extraction over binary payloads: bucketed byte histogram
+    (numpy bincount per Arrow batch) exploded to (id, bucket, n) rows.
+    Unlike the decode stub this is a REAL feature computation — byte
+    histograms are a standard cheap signal for format sniffing and
+    corruption detection — and it is exactly oracle-checkable. The same
+    mapInPandas contract carries a CNN embedding or MFCC extractor at
+    scale: payloads never shuffle; only (id, small-feature) rows do."""
+    import numpy as np
+
+    from .util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), "payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bks, ns = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8) % buckets
+                counts = np.bincount(arr, minlength=buckets)
+                nz = np.nonzero(counts)[0]
+                ids.extend([doc_id] * len(nz))
+                bks.extend(nz.tolist())
+                ns.extend(counts[nz].tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": bks, "n": ns},
+            ).astype({"doc_id": "int64", "bucket": "int32", "n": "int64"})
+
+    return src.mapInPandas(kernel, "doc_id bigint, bucket int, n bigint")
+
+
+def resize_stub(
+    df: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """STUB image resize: binary in -> binary out through mapInPandas,
+    emitting a deterministic payload of target_w*target_h//8 bytes (a
+    real pipeline swaps the kernel body for PIL thumbnail/resample and
+    keeps the identical schema contract). Proves the binary-column
+    round-trip: Arrow handles bytes in both directions, and the resized
+    blob column is writable/joinable like any other."""
+    out_len = target_w * target_h // 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes((p * (out_len // max(len(p), 1) + 1))[:out_len])
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": resized,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id bigint, width int, height int, resized binary"
+    )

@@ -17,7 +17,13 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import decode_metadata, frame_sample_stub, with_binary_payload
+from ..operators.multimodal import (
+    decode_metadata,
+    extract_byte_histogram,
+    frame_sample_stub,
+    resize_stub,
+    with_binary_payload,
+)
 from ..operators.similarity import cosine_topk, lsh_cosine_topk
 from ..operators.text import (
     decontaminate,
@@ -334,4 +340,24 @@ def t7_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+def m4_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real feature extraction over the binary payload column: bucketed
+    byte histogram via Arrow-batched mapInPandas (operators.multimodal
+    .extract_byte_histogram) — exactly oracle-checkable because the
+    payload is UTF-8 of ASCII text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_byte_histogram(with_binary_payload(docs))
+
+
+def m5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary resize plumbing (stub kernel): output dims and
+    byte length are deterministic, so the oracle checks the full
+    round-trip shape without a codec."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = resize_stub(with_binary_payload(docs), target_w=32, target_h=32)
+    return out.select(
+        "doc_id", "width", "height", F.length("resized").alias("n_out_bytes")
     )

@@ -380,6 +380,19 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "m4_byte_histogram": """
+WITH chars AS (
+  SELECT doc_id, ascii(unnest(string_split(text, ''))) % 16 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n
+FROM chars GROUP BY 1, 2
+""",
+    "m5_resize": """
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(128 AS INTEGER) AS n_out_bytes
+FROM documents
+""",
     "q64_recursive_cte": """
 WITH RECURSIVE tree(pk, depth) AS (
   SELECT CAST(1 AS BIGINT) AS pk, 1 AS depth
@@ -961,6 +974,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m1_decode_meta": L.m1_decode_meta,
     "m3_embed_norm": L.m3_embed_norm,
     "m2_frame_sample": L.m2_frame_sample,
+    "m4_byte_histogram": L.m4_byte_histogram,
+    "m5_resize": L.m5_resize,
     "st1_stream_tumbling": L.st1_stream_tumbling,
     "st2_stream_sessions": L.st2_stream_sessions,
     "st3_stream_stateful": L.st3_stream_stateful,

@@ -429,3 +429,27 @@ def test_python_datasource_partitioned_deterministic(spark):
     assert a == b  # same rows regardless of split
     assert all(len(r.text.split()) == 40 for r in a[:5])
     assert {r.lang for r in a} == {"en", "es", "de", "fr"}
+
+
+def test_byte_histogram_matches_python(spark):
+    """m4's Arrow-batched histogram == pure-Python byte counting,
+    including multi-byte (non-ASCII) payload bytes."""
+    from collections import Counter
+
+    from airflow_etl_pyspark_inmet_spark.operators.multimodal import (
+        extract_byte_histogram,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "héllo×"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.bucket): r.n
+        for r in extract_byte_histogram(with_binary_payload(docs)).collect()
+    }
+    expected = {}
+    for i, t in [(1, "hello world"), (2, "héllo×"), (3, "")]:
+        for b, n in Counter(x % 16 for x in t.encode("utf-8")).items():
+            expected[(i, b)] = n
+    assert got == expected
