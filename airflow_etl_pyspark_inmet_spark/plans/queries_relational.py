@@ -1241,3 +1241,62 @@ WITH RECURSIVE tree(pk, depth) AS (
 SELECT pk, depth FROM tree
 """
     )
+
+
+def q65_map_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: per-user map of event_type -> count built with
+    map_from_entries, filtered with map_filter (drop singleton types),
+    then exploded back to rows. Maps are the natural carrier for sparse
+    per-entity feature bags; building them post-aggregation keeps the
+    map payload out of the shuffle (only (user, type, n) rows move)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    filtered = maps.select(
+        "user_id",
+        F.map_filter("type_counts", lambda k, v: v > 1).alias("type_counts"),
+    )
+    return filtered.select(
+        "user_id", F.explode("type_counts").alias("event_type", "n")
+    )
+
+
+def q66_array_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array analytics at the query surface: per order,
+    collect the sorted quantity basket, then pure array math — basket
+    size, share of lines above qty 25 (F.filter), basket sum
+    (F.aggregate), largest gap between consecutive sorted quantities
+    (F.zip_with on shifted slices). One shuffle (the collect_list);
+    everything after is map-side array code."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias(
+            "qs"
+        )
+    )
+    qs = F.col("qs")
+    n = F.size(qs)
+    return baskets.select(
+        "l_orderkey",
+        n.cast("bigint").alias("n_lines"),
+        F.size(F.filter(qs, lambda q: q > 25)).cast("bigint").alias("n_big"),
+        F.aggregate(qs, F.lit(0).cast("long"), lambda a, q: a + q).alias(
+            "qty_sum"
+        ),
+        F.when(
+            n >= 2,
+            F.array_max(
+                F.zip_with(
+                    F.slice(qs, 2, 1000),
+                    F.slice(qs, 1, 1000),
+                    lambda hi, lo: hi - lo,
+                )
+            ),
+        ).alias("max_gap"),
+    )

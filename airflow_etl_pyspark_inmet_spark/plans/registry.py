@@ -380,6 +380,27 @@ GROUP BY 1
 """,
     "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
     "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    "q65_map_type": """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, n FROM counts WHERE n > 1
+""",
+    "q66_array_analytics": """
+WITH baskets AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(qs, q -> q > 25)) AS BIGINT) AS n_big,
+       CAST(list_sum(qs) AS BIGINT) AS qty_sum,
+       CASE WHEN len(qs) >= 2
+            THEN list_max(list_transform(generate_series(2, len(qs)), i -> qs[i] - qs[i-1]))
+       END AS max_gap
+FROM baskets
+""",
     "m4_byte_histogram": """
 WITH chars AS (
   SELECT doc_id, ascii(unnest(string_split(text, ''))) % 16 AS bucket
@@ -950,6 +971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
+    "q65_map_type": R.q65_map_type,
+    "q66_array_analytics": R.q66_array_analytics,
     "q37_quality_gate": R.q37_quality_gate,
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,

@@ -362,3 +362,40 @@ def test_available_now_incremental_ingest(spark, tmp_path):
     assert n3 == 0
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # no re-ingestion duplicates
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_small):
+    """AQE skew-join: a hot key whose partition dwarfs the median gets
+    split into multiple tasks at runtime (the executed plan marks the
+    sort-merge join as skew=true). Thresholds lowered to trigger on
+    test-scale data; on a real cluster the defaults (256MB) apply."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        # 90% of left rows pile onto key 0; keys 1..9 stay tiny, so the
+        # hot partition dwarfs the median and trips the skew handler
+        k = F.when(F.col("l_orderkey") % 10 < 9, F.lit(0)).otherwise(
+            F.col("l_orderkey") % 10
+        )
+        left = li.select(k.cast("long").alias("k"), "l_quantity", "l_shipdate")
+        right = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        j = left.join(right, "k")
+        j.collect()  # execute THIS plan instance so AQE finalizes it
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
