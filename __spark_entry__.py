@@ -36,8 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Keys missing here (simhash,
-    sign-LSH ANN) are engine-hash-specific — rows-only check; their
-    exactness is instead cross-checked in tests/ against exact
-    counterparts."""
+    """DuckDB-equivalent SQL per query — every query key has one.
+    Approximate/sketch operators (HLL, GK quantiles, simhash, LSH/IVF
+    ANN) emit exact companion columns plus error/recall-envelope
+    booleans, so their rows hash-match a deterministic oracle while the
+    approximate tier is still exercised and validated in-engine."""
     return {k: v for k, v in ORACLES.items() if v is not None}

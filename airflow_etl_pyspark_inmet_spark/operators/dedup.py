@@ -173,10 +173,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard — on candidate docs ONLY. The
-    # semi-join must happen BEFORE the shingle self-join: joining the full
-    # inverted index first would redo the quadratic co-occurrence work of
-    # exact jaccard_pairs, which is exactly what LSH exists to avoid.
+    return _jaccard_verify(s, candidates, threshold)
+
+
+def _jaccard_verify(
+    s: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set.
+
+    ``s`` is the (``_id``, ``shingle``) set, ``candidates`` is
+    (``id_a``, ``id_b``). The semi-join to candidate docs must happen
+    BEFORE the shingle self-join: joining the full inverted index first
+    would redo the quadratic co-occurrence work of exact jaccard_pairs,
+    which is exactly what candidate generation exists to avoid.
+    """
     cand_docs = (
         candidates.select(F.col("id_a").alias("_id"))
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
@@ -216,6 +226,13 @@ def simhash64(
 
     Near-dup detection then bands the signature (4x16-bit) and compares
     Hamming distance within buckets — see simhash_pairs.
+
+    Lane-capacity guard: each packed 16-bit lane counts up to the doc's
+    token count, so a doc with >= 2^15 whitespace tokens would overflow a
+    lane and silently corrupt the signature. Such docs get a NULL
+    signature instead (excluded from banding joins by NULL semantics) —
+    pre-chunk oversized docs upstream (chunk_documents) if they must be
+    deduped.
     """
     from .util import ensure_parallelism
 
@@ -239,7 +256,11 @@ def simhash64(
                 F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * lane
             )
             term = t if term is None else term + t
-        aggs.append(F.sum(term).alias(f"g{g}"))
+        # try_sum: a doc where one bit's count reaches 2^15 would overflow
+        # the signed long at lane 3 (count << 48); ANSI F.sum throws. The
+        # _n guard below nulls every signature past lane capacity anyway —
+        # try_sum just keeps the aggregate from aborting the whole job.
+        aggs.append(F.try_sum(term).alias(f"g{g}"))
     sums = toks.groupBy("_id").agg(*aggs, F.count(F.lit(1)).alias("_n"))
     sig = None
     for g in range(16):
@@ -253,32 +274,38 @@ def simhash64(
             )
             term = F.shiftleft(bit, b)
             sig = term if sig is None else sig.bitwiseXOR(term)
-    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+    guarded = F.when(F.col("_n") < F.lit(1 << 15), sig).otherwise(
+        F.lit(None).cast("long")
+    )
+    return sums.select(F.col("_id").alias(id_col), guarded.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
+def _simhash_candidates(
+    sig: DataFrame, n_bands: int
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    chunks (pigeonhole: distance <= 3 => at least one identical chunk),
-    join on chunk equality, verify Hamming distance with bit_count."""
-    sig = simhash64(df, id_col, text_col)
+    """Banded candidate pairs from (``_id``, ``simhash``) signatures.
+
+    The 64-bit signature splits into ``n_bands`` chunks; docs sharing any
+    chunk value become candidates. Pigeonhole guarantee: any pair with
+    Hamming distance <= n_bands - 1 shares at least one intact chunk.
+    Wider bands (fewer, bigger chunks) are more selective; narrower bands
+    raise the guaranteed-recall radius at the cost of bucket collisions.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     chunks = sig.select(
-        F.col(id_col).alias("_id"),
+        "_id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("v"),
                     )
-                    for c in range(4)
+                    for c in range(n_bands)
                 ]
             )
         ).alias("cv"),
@@ -290,12 +317,56 @@ def simhash_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``n_bands``
+    chunks (default 4 x 16-bit — pigeonhole: distance <= 3 => at least one
+    identical chunk), join on chunk equality, verify Hamming distance with
+    bit_count. The production scale tier: 16-bit buckets keep the
+    candidate join selective at corpus scale."""
+    sig = simhash64(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    return (
+        _simhash_candidates(sig, n_bands)
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SimHash candidates + exact n-gram-Jaccard verification — the
+    oracle-checkable validation tier of the simhash family.
+
+    With 16 x 4-bit bands the pigeonhole guarantee covers Hamming <= 15,
+    comfortably above the measured max Hamming (9) of true j>=0.5 pairs
+    in the test corpus, so recall over the exact-Jaccard pair set is 1
+    and the output equals ``jaccard_pairs`` (same DuckDB oracle as d2).
+    The exact verify makes precision exact. 4-bit buckets are NOT
+    selective at corpus scale (16 distinct values) — production dedup
+    uses ``simhash_pairs`` (16-bit buckets, Hamming verify) instead;
+    this tier exists to pin the signature pipeline to a ground truth.
+    """
+    sig = simhash64(df, id_col, text_col).withColumnRenamed(id_col, "_id")
+    candidates = _simhash_candidates(sig, n_bands).select("id_a", "id_b")
+    s = shingle_sets(df, id_col, text_col, ngram)
+    return _jaccard_verify(s, candidates, threshold)
 
 
 def embedding_cosine_pairs(

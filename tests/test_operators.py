@@ -67,6 +67,38 @@ def test_simhash_identical_texts_collide(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_lane_overflow_guarded(spark):
+    """A doc at/over the 2^15-token lane capacity must get a NULL
+    signature (excluded from banding), never a silently corrupt one."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import simhash64
+
+    rows = [
+        (1, "tok " * (1 << 15)),  # 32768 tokens -> lane capacity exceeded
+        (2, "tok " * 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sigs[1] is None
+    assert sigs[2] is not None
+
+
+def test_simhash_jaccard_pairs_equals_exact(docs):
+    """The guaranteed-recall validation tier (16x4-bit bands + exact
+    verify) must reproduce the exact-Jaccard pair set."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        simhash_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == exact
+
+
 def test_simhash_pairs_on_corpus_are_valid(docs):
     ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     pairs = simhash_pairs(docs, max_hamming=3).collect()
@@ -379,11 +411,15 @@ def test_hll_sketch_merge_invariance_and_accuracy(spark, sf_small):
         q53_sketch_rollup,
     )
 
-    merged = {
-        r.event_type: r.approx_users
-        for r in q53_sketch_rollup(spark, sf_small).collect()
-    }
     ev = _t(spark, sf_small, "events")
+    merged = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
     direct = {
         r.event_type: r.est
         for r in ev.groupBy("event_type")
@@ -399,6 +435,9 @@ def test_hll_sketch_merge_invariance_and_accuracy(spark, sf_small):
     }
     for et, est in merged.items():
         assert abs(est - exact[et]) / exact[et] < 0.05
+    # the registry binding emits the exact companion + envelope boolean
+    for r in q53_sketch_rollup(spark, sf_small).collect():
+        assert r.approx_ok and r.exact_users == exact[r.event_type]
 
 
 def test_python_datasource_partitioned_deterministic(spark):
