@@ -50,11 +50,54 @@ _META_KEYS = [
 ]
 
 
+# Lowercase accented chars (Latin-1 Portuguese set) -> ASCII for key
+# sanitization; values keep their accents. Built pairwise so the two
+# translate() arguments can never fall out of alignment.
+_ACCENT_MAP = {
+    "a": "ãâáàä", "e": "éêèë", "i": "íîìï", "o": "õôóòö",
+    "u": "úûùü", "c": "ç", "n": "ñ",
+}
+_ACCENTS = "".join(v for v in _ACCENT_MAP.values())
+_ASCII = "".join(k * len(v) for k, v in _ACCENT_MAP.items())
+
+
+def _norm_src(col: F.Column) -> F.Column:
+    """Normalize a file URI to a plain path: binaryFile's ``path`` says
+    ``file:/root/x`` while ``input_file_name()`` says ``file:///root/x`` —
+    both must join as ``/root/x``."""
+    return F.regexp_replace(col, r"^[a-zA-Z0-9.+-]+:/+", "/")
+
+
 def _lines(spark: SparkSession, path: str) -> DataFrame:
-    """All lines of all files, tagged with their source file."""
+    """All lines of all files (UTF-8 — the reference's body encoding,
+    job_parquet.py:131), tagged with their source file."""
     return (
         spark.read.text(path)
-        .select(F.col("value"), F.input_file_name().alias("_src"))
+        .select(
+            F.col("value"), _norm_src(F.input_file_name()).alias("_src")
+        )
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+    )
+
+
+def _meta_lines(spark: SparkSession, path: str) -> DataFrame:
+    """All lines of all files decoded as ISO-8859-1 — the reference reads
+    the station-metadata section with that charset (job_parquet.py:63)
+    while the body is UTF-8 (:131). ``spark.read.text`` decodes UTF-8
+    only (irreversibly replacing invalid bytes), so the metadata path
+    reads raw bytes per file (``binaryFile``) and decodes JVM-side. One
+    row per file before the explode — INMET stations are one small file
+    each, so file-level parallelism is the scale axis here, same as the
+    text scan."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            _norm_src(F.col("path")).alias("_src"),
+            F.explode(
+                F.split(F.decode(F.col("content"), "ISO-8859-1"), r"\r?\n")
+            ).alias("value"),
+        )
         .filter(F.length(F.trim(F.col("value"))) > 0)
     )
 
@@ -66,19 +109,27 @@ def read_inmet_stations(spark: SparkSession, path: str) -> DataFrame:
 
     Replaces P1/S3 (job_parquet.py:57-104) with a distributed
     ``groupBy(file).pivot(key).agg(first(value))`` — no limit(8), no pandas.
+    Metadata bytes are decoded as ISO-8859-1 (reference parity —
+    job_parquet.py:63); values keep their accents, keys are accent-folded
+    before sanitizing so ``REGIÃO:`` and ``REGIAO:`` pivot to the same
+    ``regiao`` column.
     """
-    lines = _lines(spark, path)
+    lines = _meta_lines(spark, path)
     meta = lines.filter(F.col("value").rlike(_META_LINE_RE)).select(
         "_src",
         F.regexp_extract("value", r"^([^;]*):;", 1).alias("raw_key"),
         F.regexp_replace(F.substring_index("value", ":;", -1), ";+$", "").alias("val"),
     )
-    # Sanitize keys JVM-side with the same rules as sanitize_name: the key
-    # alphabet here is ASCII + ' ()' so lower + non-word->_ suffices.
+    # Sanitize keys JVM-side with the same rules as sanitize_name, plus
+    # accent folding (the key alphabet is ASCII + ' ()' + Latin-1 accents).
     meta = meta.withColumn(
         "key",
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.trim(F.col("raw_key"))), r"[^a-z0-9]+", "_"),
+            F.regexp_replace(
+                F.translate(F.lower(F.trim(F.col("raw_key"))), _ACCENTS, _ASCII),
+                r"[^a-z0-9]+",
+                "_",
+            ),
             r"^_+|_+$",
             "",
         ),

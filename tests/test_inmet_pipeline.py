@@ -163,3 +163,52 @@ def test_reader_scales_to_many_files(spark, tmp_path):
     }
     assert len(per_station) == 50
     assert per_station["Z003"] == 24 * (1 + 3 % 5)
+
+
+def test_latin1_metadata_decodes_like_reference(spark, tmp_path):
+    """Reference parity: the metadata section is ISO-8859-1
+    (job_parquet.py:63) while the body is UTF-8 (:131). In Latin-1 the
+    Ã of REGIÃO is the single byte 0xC3 — invalid alone in UTF-8, so a
+    UTF-8 text scan would replace it irreversibly. The reader must
+    decode the accented VALUE correctly, and the accented KEY must fold
+    onto the same pivot column as its unaccented twin."""
+    from airflow_etl_pyspark_inmet_spark.sources.inmet_csv import (
+        read_inmet_measurements,
+        read_inmet_stations,
+    )
+
+    d = tmp_path / "latin1"
+    d.mkdir()
+    meta = (
+        "REGIÃO:;SÃO PAULO\n"
+        "UF:;SP\n"
+        "ESTAÇÃO:;SÃO MIGUEL ARCANJO\n"
+        "CODIGO (WMO):;A713\n"
+        "LATITUDE:;-23,85\n"
+        "LONGITUDE:;-48,16\n"
+        "ALTITUDE:;660,0\n"
+        "DATA DE FUNDACAO:;18/12/02\n"
+    )
+    header = (
+        "Data;Hora UTC;PRECIPITAÇÃO TOTAL, HORÁRIO (mm);"
+        "TEMPERATURA DO AR - BULBO SECO, HORARIA (°C);\n"
+    )
+    body = "2025/02/01;0000 UTC;0;21,5;\n"
+    # metadata bytes in ISO-8859-1, header/body in UTF-8 — the reference's
+    # exact dual-encoding contract
+    raw = meta.encode("iso-8859-1") + header.encode("utf-8") + body.encode("utf-8")
+    (d / "INMET_SE_SP_A713_SAOMIGUEL.csv").write_bytes(raw)
+
+    st = read_inmet_stations(spark, str(d / "*.csv")).collect()
+    assert len(st) == 1
+    row = st[0].asDict()
+    # Latin-1 values decode to real accented text, not mojibake
+    assert row["regiao"] == "SÃO PAULO"
+    assert row["estacao"] == "SÃO MIGUEL ARCANJO"
+    assert row["wmo"] == "A713"
+    # the UTF-8 body still parses and joins back via _src
+    meas = read_inmet_measurements(spark, str(d / "*.csv"))
+    assert meas.count() == 1
+    assert meas.join(
+        read_inmet_stations(spark, str(d / "*.csv")).select("_src"), "_src"
+    ).count() == 1
