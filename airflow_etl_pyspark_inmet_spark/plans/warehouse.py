@@ -179,6 +179,40 @@ def table_size_bytes(spark: SparkSession, name: str, db: str = "analitic") -> in
     return fs.getContentSummary(path).getLength()
 
 
+def _table_fs_and_path(spark: SparkSession, name: str, db: str):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{name}")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _partition_file_stats(
+    spark: SparkSession, name: str, db: str
+) -> dict[str, tuple[int, int]]:
+    """``{partition-spec: (bytes, file_count)}`` from one recursive FS
+    listing, where spec is the Hive-style relative dir (``ano=1995`` or
+    ``a=1/b=x``; '' for an unpartitioned root). Catalog-scale driver work:
+    one round-trip per listing page, never per row."""
+    fs, root = _table_fs_and_path(spark, name, db)
+    stats: dict[str, tuple[int, int]] = {}
+    if not fs.exists(root):
+        return stats
+    root_str = root.toUri().getPath()
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        base = p.getName()
+        if base.startswith("_") or base.startswith("."):
+            continue  # _SUCCESS, hidden metadata
+        rel = p.getParent().toUri().getPath()[len(root_str):].strip("/")
+        b, n = stats.get(rel, (0, 0))
+        stats[rel] = (b + f.getLen(), n + 1)
+    return stats
+
+
 def compact_table(
     spark: SparkSession,
     name: str,
@@ -186,17 +220,27 @@ def compact_table(
     target_file_bytes: int = 128 << 20,
 ) -> int:
     """Small-file compaction (OPTIMIZE): rewrite the table into
-    ceil(size / target) files and atomically swap it in via RENAME.
+    ~target_file_bytes files and atomically swap it in via RENAME.
     Streaming sinks and per-batch upserts accrete thousands of tiny files;
     at 100 TB the resulting task-per-file scheduling and footer-read
     overhead dominate scans, so periodic compaction to ~128 MB files is
     the standard maintenance op (Delta OPTIMIZE / Iceberg rewrite_files).
-    Returns the new file count."""
+
+    Partitioned tables honor the target WITHIN each partition value: each
+    value's file budget is ceil(its_bytes / target) (measured from one
+    recursive FS listing), and rows are range-repartitioned on
+    (partition cols, hash-split id) so a hot partition value fans out to
+    its budgeted number of ~target-size files instead of one giant
+    file/task. Partition values are matched to FS dirs via their Hive
+    string form — exotic values needing path-escaping fall back to a
+    1-file budget rather than mis-splitting.
+
+    Returns the actual post-compaction data-file count."""
     import math
 
+    from pyspark.sql import functions as F
+
     tbl = f"{db}.{name}"
-    size = table_size_bytes(spark, name, db)
-    n_files = max(1, math.ceil(size / target_file_bytes))
     part_cols = [
         c.name for c in spark.catalog.listColumns(name, db) if c.isPartition
     ]
@@ -204,10 +248,40 @@ def compact_table(
     _drop_table_and_location(spark, db, tmp)
     df = spark.table(tbl)
     if part_cols:
-        # preserve the partition layout: n_files becomes files PER
-        # partition-value via a repartition keyed on the partition columns
-        w = df.repartition(n_files, *part_cols).write.partitionBy(*part_cols)
+        stats = _partition_file_stats(spark, name, db)
+        budget = {
+            spec: max(1, math.ceil(b / target_file_bytes))
+            for spec, (b, _) in stats.items()
+        }
+        total = sum(budget.values()) or 1
+        spec_df = spark.createDataFrame(
+            [(s, n) for s, n in budget.items()], "_spec STRING, _n INT"
+        )
+        spec_col = F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in part_cols
+            ],
+        )
+        data_cols = [c for c in df.columns]
+        w = (
+            df.withColumn("_spec", spec_col)
+            .join(F.broadcast(spec_df), "_spec", "left")
+            .withColumn(
+                "_split",
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in data_cols]),
+                    F.coalesce(F.col("_n"), F.lit(1)),
+                ),
+            )
+            .repartitionByRange(total, *part_cols, F.col("_split"))
+            .drop("_spec", "_n", "_split")
+            .write.partitionBy(*part_cols)
+        )
     else:
+        size = table_size_bytes(spark, name, db)
+        n_files = max(1, math.ceil(size / target_file_bytes))
         w = df.repartition(n_files).write
     w.saveAsTable(f"{db}.{tmp}")
     _drop_table_and_location(spark, db, name)
@@ -216,7 +290,7 @@ def compact_table(
         # RENAME moves the root location; catalog partition entries still
         # point at the old paths until recovered
         spark.sql(f"MSCK REPAIR TABLE {db}.{name}")
-    return n_files
+    return sum(n for _, n in _partition_file_stats(spark, name, db).values())
 
 
 def _quantile_buckets(df: DataFrame, col: str, n_buckets: int) -> list[float]:

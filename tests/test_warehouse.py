@@ -291,3 +291,34 @@ def test_compact_table_preserves_partitioning(spark, sf_small):
     # partition pruning still works after compaction
     plan = t.filter(F.col("status") == "O")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or t.filter(F.col("status") == "O").count() > 0
+
+
+def test_compact_table_splits_hot_partition(spark, sf_small):
+    """target_file_bytes is honored WITHIN a partition value: a hot value
+    holding ~99% of the bytes fans out to multiple ~target files instead
+    of one giant file/task, a cold value compacts to one file, and the
+    returned count is the real post-compaction file count."""
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        _partition_file_stats,
+        compact_table,
+        save_table,
+    )
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").withColumn(
+        "bucket",
+        F.when(F.col("l_orderkey") % 100 < 99, "hot").otherwise("cold"),
+    )
+    save_table(li.repartition(40), "li_hot", db="analitic",
+               partition_by=["bucket"])
+    before = spark.table("analitic.li_hot").count()
+    returned = compact_table(spark, "li_hot", target_file_bytes=32 << 10)
+    stats = _partition_file_stats(spark, "li_hot", "analitic")
+    hot_bytes, hot_files = stats["bucket=hot"]
+    cold_bytes, cold_files = stats["bucket=cold"]
+    assert hot_files > 1  # the old repartition(n, *part_cols) gave exactly 1
+    assert cold_files == 1
+    assert returned == hot_files + cold_files
+    # files land near the target: no file more than ~3x target (parquet
+    # compression shifts sizes between the sizing listing and the rewrite)
+    assert hot_bytes / hot_files < 3 * (32 << 10)
+    assert spark.table("analitic.li_hot").count() == before
