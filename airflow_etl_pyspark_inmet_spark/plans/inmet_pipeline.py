@@ -34,19 +34,35 @@ from ..schemas import MEASURE_COLS, MEASURE_RENAMES
 from ..sources.inmet_csv import read_inmet_measurements, read_inmet_stations
 
 
-def build_cidades(spark: SparkSession, input_glob: str) -> DataFrame:
+def build_cidades(
+    spark: SparkSession, input_glob: str, decimal_parity: bool = False
+) -> DataFrame:
     """Station dimension (job_parquet.py:57-104 + write at 236-240):
     typed lat/long/alt (decimal-comma), day-first founding date,
-    rows with unparseable ``data_fundacao`` dropped (P7)."""
+    rows with unparseable ``data_fundacao`` dropped (P7).
+
+    ``decimal_parity=True`` emits the reference warehouse types exactly —
+    DECIMAL(11,8) lat/long, DECIMAL(9,2) altitude
+    (create_dim_cidades.sql:9-11) — so the output loads into STAGE_DDL's
+    ``dim_cidades`` without implicit casts. Default stays DOUBLE
+    (SURVEY §1.2): cheaper arithmetic, and every downstream agg in this
+    engine re-types explicitly anyway."""
     raw = read_inmet_stations(spark, input_glob)
+    lat = decimal_comma_to_double("latitude")
+    lon = decimal_comma_to_double("longitude")
+    alt = decimal_comma_to_double("altitude")
+    if decimal_parity:
+        lat = lat.cast("decimal(11,8)")
+        lon = lon.cast("decimal(11,8)")
+        alt = alt.cast("decimal(9,2)")
     return raw.select(
         "regiao",
         "uf",
         "estacao",
         "wmo",
-        decimal_comma_to_double("latitude").alias("latitude"),
-        decimal_comma_to_double("longitude").alias("longitude"),
-        decimal_comma_to_double("altitude").alias("altitude"),
+        lat.alias("latitude"),
+        lon.alias("longitude"),
+        alt.alias("altitude"),
         dayfirst_date("data_fundacao").alias("data_fundacao"),
         "_src",
     ).filter(F.col("data_fundacao").isNotNull())

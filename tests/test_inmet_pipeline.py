@@ -212,3 +212,28 @@ def test_latin1_metadata_decodes_like_reference(spark, tmp_path):
     assert meas.join(
         read_inmet_stations(spark, str(d / "*.csv")).select("_src"), "_src"
     ).count() == 1
+
+
+def test_decimal_parity_round_trips_reference_ddl(spark, inmet_glob, tmp_path):
+    """decimal_parity=True emits the exact create_dim_cidades.sql types —
+    DECIMAL(11,8) lat/long, DECIMAL(9,2) altitude — and the output loads
+    into STAGE_DDL's typed dim_cidades table unchanged (no implicit
+    casts, values survive the round trip)."""
+    from decimal import Decimal
+
+    from airflow_etl_pyspark_inmet_spark.plans.inmet_pipeline import build_cidades
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import create_stage_tables
+
+    cid = build_cidades(spark, inmet_glob, decimal_parity=True).drop("_src")
+    types = dict(cid.dtypes)
+    assert types["latitude"] == "decimal(11,8)"
+    assert types["longitude"] == "decimal(11,8)"
+    assert types["altitude"] == "decimal(9,2)"
+
+    create_stage_tables(spark, db="stage_parity")
+    cid.write.mode("overwrite").insertInto("stage_parity.dim_cidades")
+    back = spark.table("stage_parity.dim_cidades")
+    assert dict(back.dtypes)["latitude"] == "decimal(11,8)"
+    rows = {r["wmo"]: r for r in back.collect()}
+    assert rows["A507"]["latitude"] == Decimal("-18.91694443")
+    assert back.count() == 3
