@@ -1,0 +1,208 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+segment-level (paragraph) dedup, PII redaction, and sequence packing.
+
+These extend the document toolbox (operators.text, operators.dedup) with
+the write-side curation steps a pretraining pipeline runs between "raw
+corpus" and "tokenized shards". All three are designed so that document
+BODIES never shuffle — shuffles carry (id, int64) tuples only — and all
+outputs are exact integers/strings so every operator oracle-compares
+exactly against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2- and Java-regex-compatible PII patterns (no backrefs, no lookaround)
+# so the same pattern string runs in Spark (Java util.regex) and in the
+# DuckDB (RE2) oracle.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Segment-level (paragraph) dedup, CCNet-style: split every document
+    into consecutive ``seg_words``-word segments, find segments that occur
+    in >= ``min_docs`` distinct documents (boilerplate: headers, footers,
+    license blocks, templated spam), and emit per-document stats plus the
+    text with boilerplate segments removed.
+
+    100 TB plan shape — document text NEVER shuffles:
+
+    1. map-only: re-derive segments per row, emit (doc_id, seg_idx,
+       xxhash64(segment)) — the explode carries 16-byte tuples;
+    2. hash-agg on segment hash (map-side partial) -> the boilerplate
+       hash set, typically tiny (only segments repeated across docs);
+    3. broadcast that set back onto the exploded tuples, aggregate the
+       *positions* of boilerplate segments per doc (an int array);
+    4. join the position arrays (not text) back to the corpus by doc_id
+       and drop those segments with a map-side array filter.
+
+    Equality classes are 64-bit hash classes — the same collision trade
+    decontaminate() makes (~2e-8 false merges at 1e9 distinct segments).
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("_ws"), i * seg_words + 1, seg_words), " "
+    )
+    segs = df.select(F.col(id_col), ws.alias("_ws")).select(
+        id_col,
+        "_ws",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))), seg_at
+        ).alias("_segs"),
+    )
+    exploded = segs.select(
+        id_col, F.posexplode("_segs").alias("seg_idx", "_seg")
+    ).select(id_col, "seg_idx", F.xxhash64("_seg").alias("_gh"))
+    boiler = (
+        exploded.groupBy("_gh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    bp_pos = (
+        exploded.join(F.broadcast(boiler), "_gh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("_bp_idx"))
+    )
+    out = segs.join(bp_pos, id_col, "left").select(
+        id_col,
+        F.size("_segs").cast("bigint").alias("n_segments"),
+        F.coalesce(F.size("_bp_idx"), F.lit(0)).cast("bigint").alias(
+            "n_boilerplate"
+        ),
+        F.array_join(
+            F.filter(
+                F.col("_segs"),
+                lambda s, i: ~F.coalesce(
+                    F.array_contains(
+                        F.coalesce(
+                            F.col("_bp_idx"), F.array().cast("array<int>")
+                        ),
+                        i,
+                    ),
+                    F.lit(False),
+                ),
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return out.withColumn(
+        "boilerplate_frac",
+        F.col("n_boilerplate") / F.col("n_segments").cast("double"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction: count and mask email addresses and IPv4
+    literals. Map-only JVM regex work — redacting 100 TB is scan-bound.
+
+    Emails are redacted before IPs so a dotted-quad inside a masked email
+    can't double-count. Patterns stick to the RE2-compatible subset so
+    Spark (Java regex) and the DuckDB (RE2) oracle see identical matches.
+    A real pipeline extends PATTERNS with phone/SSN/credit-card and a
+    NER model via mapInPandas behind this same column contract.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(red1, F.lit(IPV4_RE), 0))
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ips.cast("bigint").alias("n_ips"),
+        F.regexp_replace(red1, IPV4_RE, "<IP>").alias("redacted_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: lay all documents end-to-end in a deterministic
+    order and cut the token stream into fixed-``capacity`` training bins
+    (GPT-style packing — documents may straddle a bin boundary). Emits one
+    row per (bin, document) overlap:
+
+        bin_id | doc_id | tok_start | n_tokens
+
+    where ``tok_start`` is the offset *within the document* of the slice
+    that landed in ``bin_id``. Downstream, a writer groups by bin_id and
+    concatenates slices — every bin is exactly ``capacity`` tokens except
+    the last.
+
+    Scale shape: a single global running sum would serialize on one
+    window partition, so offsets are computed hierarchically — documents
+    are assigned to ``n_shards`` deterministic shards (packing order =
+    (shard, doc_id)), the running sum runs *within* each shard in
+    parallel, and the per-shard totals (``n_shards`` rows) cascade into
+    shard base offsets on a single tiny partition, then broadcast-join
+    back. Two narrow shuffles of (id, int) pairs; the token stream itself
+    is never materialized.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("_shard"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("bigint")
+        .alias("_n"),
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = toks.withColumn("_cum", F.sum("_n").over(w_in))
+    shard_tot = within.groupBy("_shard").agg(F.max("_cum").alias("_tot"))
+    w_sh = (
+        Window.orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard_base = shard_tot.withColumn(
+        "_base", F.sum("_tot").over(w_sh) - F.col("_tot")
+    ).select("_shard", "_base")
+    placed = within.join(F.broadcast(shard_base), "_shard").select(
+        id_col,
+        "_n",
+        (F.col("_base") + F.col("_cum") - F.col("_n")).alias("_off"),
+    )
+    cap = F.lit(capacity)
+    bins = placed.filter(F.col("_n") > 0).select(
+        id_col,
+        "_n",
+        "_off",
+        # integer `div`, not double `/`: token offsets at corpus scale
+        # exceed 2^53 and a double quotient would mis-bin the tail
+        F.explode(
+            F.sequence(
+                F.expr(f"_off div {capacity}"),
+                F.expr(f"(_off + _n - 1) div {capacity}"),
+            )
+        ).alias("bin_id"),
+    )
+    tok_start = F.greatest(F.col("bin_id") * cap - F.col("_off"), F.lit(0))
+    tok_end = F.least(
+        (F.col("bin_id") + 1) * cap - F.col("_off"), F.col("_n")
+    )
+    return bins.select(
+        "bin_id",
+        id_col,
+        tok_start.cast("bigint").alias("tok_start"),
+        (tok_end - tok_start).cast("bigint").alias("n_tokens"),
+    )

@@ -464,3 +464,38 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp"))
+
+
+def semantic_dedup_keepers(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup *selection*: embedding-cosine
+    near-dup pairs within blocks -> connected components -> one canonical
+    keeper (min id) per semantic cluster. Emits every row of the corpus:
+
+        id | cluster_id | is_keeper
+
+    so a curation pipeline drops ``NOT is_keeper`` rows to deduplicate
+    semantically. Builds on ``embedding_cosine_pairs`` (blocked equi-join
+    — linear in block size) and ``connected_components`` (min-label
+    propagation, O(cluster diameter) rounds); singleton documents keep
+    themselves via the left join, so the output is a total partition of
+    the corpus, not just the paired subset.
+    """
+    pairs = embedding_cosine_pairs(
+        df, block_col, threshold, id_col=id_col, vec_col=vec_col
+    )
+    comps = connected_components(pairs).withColumnRenamed("node", "_cc_id")
+    out = (
+        df.select(F.col(id_col))
+        .join(comps, F.col(id_col) == F.col("_cc_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))

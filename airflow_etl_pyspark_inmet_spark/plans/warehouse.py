@@ -46,19 +46,22 @@ def create_database(spark: SparkSession, db: str) -> None:
 
 
 def create_stage_tables(spark: SparkSession, db: str = "stage") -> None:
-    """Typed landing tables (S9)."""
+    """Typed landing tables (S9). Idempotent even against an orphaned
+    managed location (files on disk, table absent from the in-memory
+    catalog) — CREATE TABLE IF NOT EXISTS alone raises
+    LOCATION_ALREADY_EXISTS in that state."""
     create_database(spark, db)
-    for ddl in STAGE_DDL.values():
+    for name, ddl in STAGE_DDL.items():
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            _delete_orphan_location(spark, db, name)
         spark.sql(ddl.format(db=db))
 
 
-def _drop_table_and_location(spark: SparkSession, db: str, name: str) -> None:
-    """DROP TABLE IF EXISTS + remove any orphaned managed location. The
-    in-memory catalog forgets tables between sessions while their files
-    survive, and saveAsTable then fails with LOCATION_ALREADY_EXISTS;
-    with a persistent metastore this is a no-op. Uses the Hadoop
-    FileSystem API so it works on any storage, not just local disk."""
-    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+def _delete_orphan_location(spark: SparkSession, db: str, name: str) -> None:
+    """Remove a managed table location left behind by a previous session
+    (the in-memory catalog forgets tables while their files survive; with
+    a persistent metastore this is a no-op). Uses the Hadoop FileSystem
+    API so it works on any storage, not just local disk."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -66,6 +69,13 @@ def _drop_table_and_location(spark: SparkSession, db: str, name: str) -> None:
     fs = path.getFileSystem(jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
+
+
+def _drop_table_and_location(spark: SparkSession, db: str, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any orphaned managed location, so
+    saveAsTable/CTAS never fail with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    _delete_orphan_location(spark, db, name)
 
 
 def save_table(

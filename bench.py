@@ -6,7 +6,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced through the noop sink (full materialization, no
 driver collect) after a warm-up of the session. Timings are wall-clock
-per query, single run.
+per query: single run for the cheap relational set, median-of-3 for the
+doc/vector operators whose Python-worker + GC noise band (±1-3 s) would
+otherwise swamp round-over-round deltas.
 """
 
 from __future__ import annotations
@@ -55,6 +57,17 @@ HEADLINE = [
     "m1_decode_meta",
 ]
 
+# Doc/vector operators: single cold runs swing ±25% (Arrow worker spin-up,
+# GC); report the median of 3 so deltas between rounds are attributable.
+MEDIAN_OF_3 = {
+    "d3_dedup_minhash",
+    "d4_dedup_simhash",
+    "d5_dedup_clusters",
+    "d6_dedup_embedding",
+    "s2_lsh_topk",
+    "s3_ivf_topk",
+}
+
 
 def main() -> None:
     from airflow_etl_pyspark_inmet_spark.plans.registry import QUERIES
@@ -64,14 +77,19 @@ def main() -> None:
     # warm-up: JVM + codegen + parquet footer caches
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        return time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        reps = 3 if name in MEDIAN_OF_3 else 1
+        runs = sorted(run_once(name) for _ in range(reps))
+        timings[name] = round(runs[len(runs) // 2], 3)
+        print(f"# {name}: {timings[name]}s ({reps} run(s))", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

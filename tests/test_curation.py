@@ -1,0 +1,139 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py)
+and the SemDeDup keeper selection (operators/dedup.py).
+
+Beyond-reference scope: the reference ETL
+(/root/reference/pyspark-stack/spark-apps/script/job_parquet.py) has no
+document curation; these operators are the training-data-pipeline
+extension set mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.operators.curation import (
+    pack_sequences,
+    pii_scrub,
+    segment_dedup,
+)
+from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+    semantic_dedup_keepers,
+)
+
+
+def test_segment_dedup_flags_shared_segment(spark):
+    # 4-word segments; docs 1 and 2 share their first segment verbatim,
+    # doc 3 is unique -> only the shared segment is boilerplate.
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four"),
+            (2, shared + " five six seven eight"),
+            (3, "nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=4, min_docs=2).collect()
+    }
+    assert rows[1]["n_segments"] == 2
+    assert rows[1]["n_boilerplate"] == 1
+    assert rows[1]["kept_text"] == "one two three four"
+    assert rows[2]["kept_text"] == "five six seven eight"
+    assert rows[3]["n_boilerplate"] == 0
+    assert rows[3]["kept_text"] == "nine ten eleven twelve"
+    assert abs(rows[1]["boilerplate_frac"] - 0.5) < 1e-12
+
+
+def test_segment_dedup_within_doc_repeat_not_boilerplate(spark):
+    # the same segment repeated inside ONE doc is not cross-doc
+    # boilerplate (countDistinct(doc_id) == 1)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e f")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=2, min_docs=2).collect()
+    }
+    assert rows[1]["n_boilerplate"] == 0
+    assert rows[1]["kept_text"] == "a b a b"
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org, host 10.0.0.1 end"),
+            (2, "no pii here"),
+            (3, "ip only 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_ips"] == 1
+    assert (
+        rows[1]["redacted_text"]
+        == "mail <EMAIL> and <EMAIL>, host <IP> end"
+    )
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_ips"] == 0
+    assert rows[2]["redacted_text"] == "no pii here"
+    assert rows[3]["redacted_text"] == "ip only <IP>"
+
+
+def test_pack_sequences_exact_bins_and_conservation(spark):
+    # 1 shard -> packing order is doc_id; capacity 5 over docs of
+    # 3, 4, 6 tokens = stream of 13 tokens -> bins 0..2
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, "h i j k l m")],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, capacity=5, n_shards=1).collect()
+    got = {(r["bin_id"], r["doc_id"]): r for r in out}
+    # doc0 @ [0,3) -> bin0; doc1 @ [3,7) -> bins 0,1; doc2 @ [7,13) -> bins 1,2
+    assert got[(0, 0)]["tok_start"] == 0 and got[(0, 0)]["n_tokens"] == 3
+    assert got[(0, 1)]["tok_start"] == 0 and got[(0, 1)]["n_tokens"] == 2
+    assert got[(1, 1)]["tok_start"] == 2 and got[(1, 1)]["n_tokens"] == 2
+    assert got[(1, 2)]["tok_start"] == 0 and got[(1, 2)]["n_tokens"] == 3
+    assert got[(2, 2)]["tok_start"] == 3 and got[(2, 2)]["n_tokens"] == 3
+    assert len(got) == 5
+    # conservation: every token lands in exactly one bin slice
+    assert sum(r["n_tokens"] for r in out) == 13
+    # every bin except the last is exactly at capacity
+    per_bin = {}
+    for r in out:
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    assert per_bin[0] == 5 and per_bin[1] == 5 and per_bin[2] == 3
+
+
+def test_pack_sequences_sharded_total_conservation(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = pack_sequences(docs, capacity=256, n_shards=8)
+    total_slices = out.agg(F.sum("n_tokens")).first()[0]
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    assert total_slices == total_tokens
+    # no negative or zero-width slices
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_semantic_keepers_cluster_and_singletons(spark):
+    # one block; vecs 1,2 near-identical, 3 orthogonal -> cluster {1,2}
+    # keeps min id 1; 3 keeps itself
+    emb = spark.createDataFrame(
+        [
+            (1, "b", [1.0, 0.0]),
+            (2, "b", [0.999, 0.01]),
+            (3, "b", [0.0, 1.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup_keepers(
+            emb, block_col="label", threshold=0.9
+        ).collect()
+    }
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_keeper"]
+    assert rows[2]["cluster_id"] == 1 and not rows[2]["is_keeper"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["is_keeper"]
