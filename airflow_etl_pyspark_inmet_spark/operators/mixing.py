@@ -1,0 +1,126 @@
+"""Corpus mixing operators: domain-mixture resampling, per-domain caps,
+and shard assignment — the "decide what and how much of each source goes
+into the training run" steps of a pretraining pipeline (DoReMi-style
+mixture weights, RefinedWeb-style domain caps, deterministic sharding).
+
+Beyond-reference scope: the reference ETL
+(/root/reference/pyspark-stack/spark-apps/script/job_parquet.py) has no
+corpus curation; these extend the training-data toolbox mandated by the
+build brief.
+
+Determinism contract: selection priority is a Knuth multiplicative hash
+``(id * 2654435761) % 2**20`` computed with plain BIGINT arithmetic so
+the DuckDB oracle derives the identical priority. Production keys would
+use ``pmod(xxhash64(key), 2**20)`` behind the same contract (the t7
+train-split precedent); ids here stay below 2**43 so the multiply cannot
+overflow a signed 64-bit in either engine's ANSI mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # Knuth's 2^32 / phi multiplier
+BUCKETS = 1 << 20
+
+
+def _priority(id_col: str):
+    return (F.col(id_col) * F.lit(KNUTH)) % F.lit(BUCKETS)
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Exact mixture resampling: for each stratum (source/domain), emit
+    every row with an integer ``n_copies`` such that
+    ``sum(n_copies) == targets[stratum]`` EXACTLY — floor(target/n)
+    copies for everyone, plus one extra for the ``target % n`` rows with
+    the smallest hash priority. Handles both upsampling (target > n,
+    epochs > 1) and downsampling (target < n, some rows get 0 copies) in
+    one pass; downstream explodes ``n_copies`` into the training stream.
+
+    100 TB shape: per-stratum counts are one hash-agg; targets broadcast
+    (dozens-to-thousands of domains); the only heavy step is the
+    per-stratum ``row_number`` used to break the fractional remainder
+    tie EXACTLY — a per-stratum sort. At corpus scale swap that tier for
+    the O(1) approximation ``priority < rem/n * BUCKETS`` (off by at
+    most the hash-collision margin) — same contract, no sort; this
+    module keeps the exact tier as ground truth the oracle can verify.
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in targets.items()],
+        f"{strat_col} string, _target long",
+    )
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
+    quota = counts.join(F.broadcast(tgt), strat_col, "inner").select(
+        strat_col,
+        (F.col("_target") / F.col("_n")).cast("long").alias("_base"),
+        (F.col("_target") % F.col("_n")).alias("_rem"),
+    )
+    w = Window.partitionBy(strat_col).orderBy(_priority(id_col), F.col(id_col))
+    ranked = df.select(id_col, strat_col).withColumn(
+        "_rnk", F.row_number().over(w)
+    )
+    return ranked.join(F.broadcast(quota), strat_col).select(
+        id_col,
+        strat_col,
+        (
+            F.col("_base")
+            + F.when(F.col("_rnk") <= F.col("_rem"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Per-domain cap (RefinedWeb-style anti-spam): keep at most ``cap``
+    rows per stratum, chosen by hash priority so the survivors are a
+    deterministic uniform sample, not a head-of-file artifact. Emits the
+    kept rows with their selection rank.
+
+    Same scale note as mixture_sample: the exact tier ranks within each
+    stratum; at corpus scale a two-pass approximate threshold (count,
+    then ``priority < cap/n * BUCKETS``) avoids the per-stratum sort.
+    """
+    w = Window.partitionBy(strat_col).orderBy(_priority(id_col), F.col(id_col))
+    return (
+        df.select(id_col, strat_col)
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= cap)
+        .select(
+            id_col, strat_col, F.col("_rnk").cast("bigint").alias("sel_rank")
+        )
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding: every row gets a shard
+    (hash-uniform) and a position within its shard (hash order), so
+    training-data writers can stream each shard independently with no
+    global sort — the per-shard window runs in parallel across shards,
+    and the hash priority makes the within-shard order a pseudo-random
+    permutation of the corpus (what data loaders want) while staying
+    reproducible across runs.
+    """
+    pri = _priority(id_col)
+    w = Window.partitionBy("shard").orderBy(pri, F.col(id_col))
+    return (
+        df.select(id_col)
+        .withColumn("shard", (pri % F.lit(n_shards)).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
