@@ -59,7 +59,9 @@ def mixture_sample(
     counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
     quota = counts.join(F.broadcast(tgt), strat_col, "inner").select(
         strat_col,
-        (F.col("_target") / F.col("_n")).cast("long").alias("_base"),
+        # integer division, NOT double-divide-then-cast: double->long casts
+        # truncate in Spark but round in DuckDB, so the oracle would drift
+        F.expr("_target div _n").alias("_base"),
         (F.col("_target") % F.col("_n")).alias("_rem"),
     )
     w = Window.partitionBy(strat_col).orderBy(_priority(id_col), F.col(id_col))

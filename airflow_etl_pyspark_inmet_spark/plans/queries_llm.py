@@ -421,6 +421,37 @@ def t12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(docs)
 
 
+def x1_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (DoReMi-style): every doc gets an
+    integer n_copies such that each source's total equals its target
+    EXACTLY — floor share for all, hash-priority tie-break for the
+    remainder. Targets derive from the source index so the oracle can
+    rebuild them with range(20)."""
+    from ..operators.mixing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = {f"src{i}": 10 + (i * 17) % 40 for i in range(20)}
+    return mixture_sample(docs, targets)
+
+
+def x2_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (RefinedWeb-style anti-spam): keep at most 12 docs
+    per source, selected by deterministic hash priority."""
+    from ..operators.mixing import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(docs, cap=12)
+
+
+def x3_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding: hash-uniform shard id and
+    a within-shard pseudo-random position, reproducible across runs."""
+    from ..operators.mixing import shard_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_assign(docs, n_shards=8)
+
+
 def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: the corpus token stream cut into
     256-token bins in deterministic (shard, doc_id) order; one row per

@@ -1075,6 +1075,50 @@ SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
             - greatest(bin_id * 256 - off, 0) AS BIGINT) AS n_tokens
 FROM b
 """,
+    "x1_mixture_sample": """
+WITH tgt AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+         CAST(10 + (i * 17) % 40 AS BIGINT) AS _target
+  FROM range(20) r(i)
+),
+cnt AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source),
+quota AS (
+  SELECT c.source,
+         CAST(t._target // c._n AS BIGINT) AS _base,
+         CAST(t._target % c._n AS BIGINT) AS _rem
+  FROM cnt c JOIN tgt t USING (source)
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS _rnk
+  FROM documents
+)
+SELECT r.doc_id, r.source,
+       CAST(q._base + CASE WHEN r._rnk <= q._rem THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM ranked r JOIN quota q USING (source)
+""",
+    "x2_domain_cap": """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS _rnk
+  FROM documents
+)
+SELECT doc_id, source, CAST(_rnk AS BIGINT) AS sel_rank
+FROM ranked WHERE _rnk <= 12
+""",
+    "x3_shard_assign": """
+WITH t AS (
+  SELECT doc_id, (doc_id * 2654435761) % 1048576 AS pri
+  FROM documents
+)
+SELECT doc_id, CAST(pri % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY pri % 8 ORDER BY pri, doc_id)
+            AS BIGINT) AS pos
+FROM t
+""",
 }
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
@@ -1141,6 +1185,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_semantic_keeper": L.d8_semantic_keeper,
     "t12_pii_scrub": L.t12_pii_scrub,
     "t13_pack_sequences": L.t13_pack_sequences,
+    "x1_mixture_sample": L.x1_mixture_sample,
+    "x2_domain_cap": L.x2_domain_cap,
+    "x3_shard_assign": L.x3_shard_assign,
     "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
     "q04_minmax_bounds": R.q4_minmax_bounds,
     "q05_calendar_dim": R.q5_calendar_dim,
