@@ -20,6 +20,7 @@ from ..functions.cleaning import (
     decimal_comma_to_double,
     surrogate_key,
 )
+from ..functions.timeutil import utc_timestamps
 from ..operators.relational import (
     calendar_dim,
     exact_avg,
@@ -38,19 +39,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return utc_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects. Read nanos as long and truncate to micros (integer
-    `div`, never `/` — double division loses precision on int64 nanos),
-    matching DuckDB's ns->us truncation."""
+    """events.parquet has stored ts as TIMESTAMP(NANOS) (rejected by Spark's
+    parquet reader) in some rounds and TIMESTAMP(MICROS, no UTC adjustment)
+    (read as TIMESTAMP_NTZ) in others. Handle both: read nanos as long and
+    truncate to micros (integer `div`, never `/` — double division loses
+    precision on int64 nanos, matching DuckDB's ns->us truncation), then
+    normalize any NTZ column to naive-as-UTC TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return utc_timestamps(df)
 
 
 # --- A2/A1 family: aggregations ---------------------------------------------

@@ -15,6 +15,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import utc_timestamps
+
 
 def _read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """readStream over the events parquet; the file stores ts as
@@ -32,7 +34,7 @@ def _read_stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
         stream = spark.readStream.schema(schema).parquet(events_dir)
     if dict(stream.dtypes).get("ts") in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return utc_timestamps(stream)
 
 
 def streaming_tumbling_counts(
