@@ -102,29 +102,51 @@ def q2_daily_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cidade_kpis_mensal analog (J2+A3+P10, create_analitic_cidade_kpis_
     mensal.sql:5-18): daily aggregate re-joined with two broadcast dims,
-    monthly rollup with AVG-of-daily-averages and COUNT_IF."""
-    daily = q2_daily_supplier_agg(spark, sf_dir)
+    monthly rollup with AVG-of-daily-averages and COUNT_IF.
+
+    Determinism: round 1 (double->DECIMAL(18,8) round-trip) and round 2
+    (floor-to-1e8 grid, still finishing with float division) both
+    hash-mismatched at the driver despite passing every local replica. This
+    version removes ALL floating-point and decimal-rounding steps from the
+    aggregate chain: daily quantity sums become exact BIGINT cents, the
+    daily average becomes BIGINT micro-units via integer `div`, and the
+    monthly outputs are BIGINT (`_e6` micro-units / cents). The only double
+    column left is `mensal_qty_max`, which is a raw parquet value (never
+    computed), so both engines hash identical bits by construction.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("ship_date")
+    ).agg(
+        # integer-valued by construction: DECIMAL(18,2) sum * 100 has a
+        # zero fractional part, so the BIGINT cast is exact on both engines
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("qty_cents"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.max("l_quantity").alias("qty_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn(
+        # daily mean quantity in micro-units: cents*10^4/rows, floored by
+        # integer division — exact, order-free, engine-neutral
+        "qty_avg_e6", F.expr("qty_cents * 10000 div n_rows")
+    )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = daily.join(F.broadcast(sup), "s_suppkey").join(
-        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
-    )
-    # Monthly mean of daily averages. qty_avg is an IEEE double; casting it
-    # to DECIMAL(18,8) ties at half-ulp for dyadic rationals (1/512 =
-    # 0.001953125 is exactly halfway at scale 8) and engines break ties
-    # differently. floor(x*1e8) is exact/unambiguous on any double, the
-    # BIGINT sum is order-insensitive, and the final division is the same
-    # IEEE expression on both engines — bit-identical cross-engine.
-    qty_e8 = F.floor(F.col("qty_avg") * F.lit(1e8))
+    j = daily.join(
+        F.broadcast(sup), daily.l_suppkey == sup.s_suppkey
+    ).join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
     return j.groupBy(
         "n_name", F.year("ship_date").alias("ano"), F.month("ship_date").alias("mes")
     ).agg(
-        (
-            F.sum(qty_e8).cast("double") / F.count("qty_avg") / F.lit(1e8)
-        ).alias("mensal_qty_media"),
+        F.expr("sum(qty_avg_e6) div count(qty_avg_e6)").alias(
+            "mensal_qty_media_e6"
+        ),
         F.max("qty_max").alias("mensal_qty_max"),
-        exact_sum("price_total", 2).alias("mensal_price_total"),
-        F.count_if(F.col("price_total") > 50000).alias("dias_high_rev"),
+        F.sum("price_cents").alias("mensal_price_cents"),
+        F.count_if(F.col("price_cents") > 5_000_000).alias("dias_high_rev"),
     )
 
 

@@ -94,17 +94,28 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
     "q02_daily_supplier_agg": _Q2_DAILY_SQL,
-    "q03_monthly_kpis": f"""
-WITH daily AS ({_Q2_DAILY_SQL})
+    "q03_monthly_kpis": """
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+         max(l_quantity) AS qty_max,
+         COUNT(*) AS n_rows
+  FROM lineitem
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT *, qty_cents * 10000 // n_rows AS qty_avg_e6 FROM daily
+)
 SELECT n_name,
        CAST(EXTRACT(year FROM ship_date) AS INTEGER) AS ano,
        CAST(EXTRACT(month FROM ship_date) AS INTEGER) AS mes,
-       CAST(SUM(CAST(FLOOR(qty_avg * 1e8) AS BIGINT)) AS DOUBLE) / COUNT(qty_avg) / 1e8 AS mensal_qty_media,
+       CAST(SUM(qty_avg_e6) // COUNT(qty_avg_e6) AS BIGINT) AS mensal_qty_media_e6,
        max(qty_max) AS mensal_qty_max,
-       CAST(SUM(CAST(price_total AS DECIMAL(18,2))) AS DOUBLE) AS mensal_price_total,
-       count_if(price_total > 50000) AS dias_high_rev
-FROM daily
-JOIN supplier USING (s_suppkey)
+       CAST(SUM(price_cents) AS BIGINT) AS mensal_price_cents,
+       count_if(price_cents > 5000000) AS dias_high_rev
+FROM d2
+JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1, 2, 3
 """,
