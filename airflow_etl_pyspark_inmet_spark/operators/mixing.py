@@ -12,8 +12,10 @@ Determinism contract: selection priority is a Knuth multiplicative hash
 ``(id * 2654435761) % 2**20`` computed with plain BIGINT arithmetic so
 the DuckDB oracle derives the identical priority. Production keys would
 use ``pmod(xxhash64(key), 2**20)`` behind the same contract (the t7
-train-split precedent); ids here stay below 2**43 so the multiply cannot
-overflow a signed 64-bit in either engine's ANSI mode.
+train-split precedent); the plain multiply is safe only for ids below
+``floor((2**63 - 1) / 2654435761)`` ~= 3.47e9 ~= 2**31.7 — beyond that it
+overflows signed 64-bit (error under ANSI Spark/DuckDB, silent wrap
+otherwise), so a corpus with >2**31 ids must switch to the xxhash64 form.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def mixture_sample(
     targets: dict[str, int],
     id_col: str = "doc_id",
     strat_col: str = "source",
+    strict: bool = False,
 ) -> DataFrame:
     """Exact mixture resampling: for each stratum (source/domain), emit
     every row with an integer ``n_copies`` such that
@@ -42,6 +45,12 @@ def mixture_sample(
     the smallest hash priority. Handles both upsampling (target > n,
     epochs > 1) and downsampling (target < n, some rows get 0 copies) in
     one pass; downstream explodes ``n_copies`` into the training stream.
+
+    Target keys with no matching stratum in ``df`` are silently ignored
+    (inner join with the observed counts), so the emitted corpus can fall
+    short of ``sum(targets)``; pass ``strict=True`` to raise instead.
+    The reverse case — strata without a target — is dropped by the same
+    join and is the documented "not in the mixture" semantic.
 
     100 TB shape: per-stratum counts are one hash-agg; targets broadcast
     (dozens-to-thousands of domains); the only heavy step is the
@@ -57,6 +66,19 @@ def mixture_sample(
         f"{strat_col} string, _target long",
     )
     counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
+    if strict:
+        # counts is dozens-to-thousands of domains — a driver-side check
+        # on an already-aggregated frame, not a data-scale collect
+        missing = [
+            r[0]
+            for r in tgt.join(counts, strat_col, "left_anti")
+            .select(strat_col)
+            .collect()
+        ]
+        if missing:
+            raise ValueError(
+                f"mixture_sample: target strata absent from input: {missing}"
+            )
     quota = counts.join(F.broadcast(tgt), strat_col, "inner").select(
         strat_col,
         # integer division, NOT double-divide-then-cast: double->long casts

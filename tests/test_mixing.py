@@ -55,6 +55,17 @@ def test_mixture_sample_ignores_sources_without_target(spark):
     assert out.select("source").distinct().collect()[0]["source"] == "dom0"
 
 
+def test_mixture_sample_strict_raises_on_absent_stratum(spark):
+    import pytest
+
+    df = _corpus(spark, n_sources=2)
+    with pytest.raises(ValueError, match="domX"):
+        mixture_sample(df, {"dom0": 5, "domX": 3}, strat_col="source", strict=True)
+    # strict passes when every target stratum exists
+    out = mixture_sample(df, {"dom0": 5}, strat_col="source", strict=True)
+    assert out.count() > 0
+
+
 def test_mixture_sample_deterministic(spark):
     df = _corpus(spark)
     targets = {"dom0": 13, "dom1": 7, "dom2": 22}
