@@ -206,3 +206,42 @@ def pack_sequences(
         tok_start.cast("bigint").alias("tok_start"),
         (tok_end - tok_start).cast("bigint").alias("n_tokens"),
     )
+
+
+# URL pattern, RE2-compatible: scheme + non-space run.
+URL_RE = "https?://[^\\s]+"
+
+
+def strip_boilerplate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Web-text cleanup ahead of tokenization: drop URLs, squash
+    elongated punctuation runs (4+ of the same class collapse to one),
+    collapse whitespace. Emits per-doc removal counts so a quality gate
+    can threshold on "how boilerplate-heavy was this page".
+
+    Map-only JVM regexp work, same scan-bound profile as pii_scrub.
+    Order matters and is part of the contract: URLs are removed before
+    punctuation squashing so a protocol's `://` is not half-eaten first.
+    Runs are squashed per character (``!{4,}`` -> ``!`` etc.), NOT with a
+    backreference ``(.)\\1{3,}`` — RE2 (the DuckDB oracle engine) has no
+    backreferences, and the per-char chain is the same single fused scan
+    in the JVM anyway.
+    """
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
+    out = F.regexp_replace(t, URL_RE, " ")
+    n_runs = None
+    for ch in "!?.,;:*#=-":
+        esc = "\\" + ch if ch in ".*?" else ch
+        pat = f"{esc}{{4,}}"
+        n = F.size(F.regexp_extract_all(out, F.lit(pat), 0))
+        n_runs = n if n_runs is None else n_runs + n
+        out = F.regexp_replace(out, pat, ch)
+    cleaned = F.trim(F.regexp_replace(out, "\\s+", " "))
+    return df.select(
+        F.col(id_col),
+        n_urls.cast("bigint").alias("n_urls"),
+        n_runs.cast("bigint").alias("n_punct_runs"),
+        cleaned.alias("clean_text"),
+    )

@@ -386,3 +386,33 @@ def normalize_text(
         )
     )
     return df.select(F.col(id_col), cleaned.alias("norm_text"))
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide vocabulary: global token frequencies with a total-order
+    top-k cut — the "what does the tokenizer need to cover" census step of
+    a pretraining pipeline.
+
+    Plan shape: explode whitespace tokens -> two-level hash aggregate
+    (partial count per partition, then final — the map-side combine keeps
+    the shuffle at |vocab| rows, not |corpus tokens|) -> global
+    TakeOrderedAndProject for the k winners. Deterministic tie-break
+    (freq DESC, token ASC). At 100 TB the shuffle carries one row per
+    distinct token per partition — bounded by vocabulary, not corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("token", "freq", "rank")
+    )
