@@ -107,7 +107,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for salt k in 0..num_hashes-1,
     sig[k] = min over shingles of xxhash64(k, shingle). One groupBy,
-    num_hashes min-aggregates — all JVM-side."""
+    num_hashes min-aggregates — all JVM-side.
+
+    ``min`` is duplicate-insensitive, so the input does NOT need distinct
+    shingles — feeding the raw exploded gram stream here skips an entire
+    full-corpus distinct shuffle and lets the single groupBy do map-side
+    partial min combine (shuffle rows = one per doc per partition)."""
     aggs = [
         F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
         for k in range(num_hashes)
@@ -136,14 +141,22 @@ def minhash_lsh_pairs(
     on near-dup corpora) while letting a j=0.15 noise pair through only
     ~3% of the time — r=2 bands admit ~30% of noise pairs, which silently
     rebuilds the quadratic verify set that LSH exists to prune.
+
+    Shuffle budget (the 100 TB shape): signatures come straight off the
+    NON-distinct gram stream (min is duplicate-insensitive) — one groupBy
+    with map-side combine, no full-corpus distinct, no checkpoint of the
+    corpus-sized shingle set. The only materialized intermediate is
+    ``stacked`` (docs x bands fixed-width rows — tiny), checkpointed so
+    the band self-join doesn't recompute the signature pyramid for each
+    side. Distinct shingle sets are built only AFTER the candidate-doc
+    semi-join prune, inside the verify step.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    # shingles feed both the signatures and the verification scan; without
-    # a checkpoint the whole shingle pipeline (regex split, explode,
-    # distinct) runs twice
-    s = shingle_sets(df, id_col, text_col, ngram).localCheckpoint(eager=False)
-    sig = minhash_signatures(s, num_hashes)
+    grams = exploded_ngrams(df, id_col, text_col, ngram).select(
+        "_id", F.xxhash64("g").alias("shingle")
+    )
+    sig = minhash_signatures(grams, num_hashes)
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
@@ -152,28 +165,35 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select("_id", *band_cols)
-    stacked = banded.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("_id", "bh.band", "bh.h")
+    stacked = (
+        banded.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("_id", "bh.band", "bh.h")
+        .localCheckpoint(eager=False)
+    )
 
     l = stacked.toDF("id_a", "band", "h")
     r = stacked.toDF("id_b", "band", "h")
+    # no .distinct() here: verify's left-semi joins are set-semantics
+    # anyway, so deduping candidate pairs would only add a shuffle
     candidates = (
         l.join(r, ["band", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
-    return _jaccard_verify(s, candidates, threshold)
+    return _jaccard_verify(grams, candidates, threshold)
 
 
 def _jaccard_verify(
@@ -181,18 +201,20 @@ def _jaccard_verify(
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair set.
 
-    ``s`` is the (``_id``, ``shingle``) set, ``candidates`` is
-    (``id_a``, ``id_b``). The semi-join to candidate docs must happen
-    BEFORE the shingle self-join: joining the full inverted index first
-    would redo the quadratic co-occurrence work of exact jaccard_pairs,
-    which is exactly what candidate generation exists to avoid.
+    ``s`` is an (``_id``, ``shingle``) stream (duplicates allowed — the
+    distinct runs here, after the prune), ``candidates`` is
+    (``id_a``, ``id_b``), duplicates allowed. The semi-join to candidate
+    docs must happen BEFORE both the distinct and the shingle self-join:
+    deduping or inverted-index-joining the full corpus first would redo
+    the quadratic co-occurrence work of exact jaccard_pairs, which is
+    exactly what candidate generation exists to avoid.
     """
     cand_docs = (
         candidates.select(F.col("id_a").alias("_id"))
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    s_c = s.join(F.broadcast(cand_docs), "_id", "left_semi")
+    s_c = s.join(F.broadcast(cand_docs), "_id", "left_semi").distinct()
     sizes = s_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = s_c.toDF("id_a", "shingle")
     b = s_c.toDF("id_b", "shingle")

@@ -110,9 +110,10 @@ def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     version removes ALL floating-point and decimal-rounding steps from the
     aggregate chain: daily quantity sums become exact BIGINT cents, the
     daily average becomes BIGINT micro-units via integer `div`, and the
-    monthly outputs are BIGINT (`_e6` micro-units / cents). The only double
-    column left is `mensal_qty_max`, which is a raw parquet value (never
-    computed), so both engines hash identical bits by construction.
+    monthly outputs are BIGINT (`_e6` micro-units / cents). Round 4: the
+    last double (`mensal_qty_max`) is integerized too — l_quantity is
+    DECIMAL(18,2)-exact, so max over BIGINT cents is lossless and every
+    output column is now integer/string.
     """
     li = _t(spark, sf_dir, "lineitem")
     daily = li.groupBy(
@@ -126,7 +127,9 @@ def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
         .cast("bigint")
         .alias("price_cents"),
-        F.max("l_quantity").alias("qty_max"),
+        F.max((F.col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint")).alias(
+            "qty_max_cents"
+        ),
         F.count(F.lit(1)).alias("n_rows"),
     ).withColumn(
         # daily mean quantity in micro-units: cents*10^4/rows, floored by
@@ -144,7 +147,7 @@ def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(qty_avg_e6) div count(qty_avg_e6)").alias(
             "mensal_qty_media_e6"
         ),
-        F.max("qty_max").alias("mensal_qty_max"),
+        F.max("qty_max_cents").alias("mensal_qty_max_cents"),
         F.sum("price_cents").alias("mensal_price_cents"),
         F.count_if(F.col("price_cents") > 5_000_000).alias("dias_high_rev"),
     )

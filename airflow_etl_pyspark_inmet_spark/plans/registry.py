@@ -99,7 +99,7 @@ WITH daily AS (
   SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
-         max(l_quantity) AS qty_max,
+         max(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_max_cents,
          COUNT(*) AS n_rows
   FROM lineitem
   GROUP BY 1, 2
@@ -111,7 +111,7 @@ SELECT n_name,
        CAST(EXTRACT(year FROM ship_date) AS INTEGER) AS ano,
        CAST(EXTRACT(month FROM ship_date) AS INTEGER) AS mes,
        CAST(SUM(qty_avg_e6) // COUNT(qty_avg_e6) AS BIGINT) AS mensal_qty_media_e6,
-       max(qty_max) AS mensal_qty_max,
+       max(qty_max_cents) AS mensal_qty_max_cents,
        CAST(SUM(price_cents) AS BIGINT) AS mensal_price_cents,
        count_if(price_cents > 5000000) AS dias_high_rev
 FROM d2
@@ -1133,65 +1133,16 @@ FROM t
 }
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
-# entries of queries(). Round 1 covered q01-q51 (the then-first 50); the
-# first 50 slots below now hold everything that round left unchecked —
-# the full LLM-pipeline set (d*/t*/s*/m*/st*), q37, q53-q66 — plus the
-# round-1 red/err rows (q03, q34, q51) to prove their fixes, and the
-# flagship q01. The round-1-green relational block follows.
+# entries of queries(). Rounds 1-3 all sampled the same 50-key window, so
+# 53 queries (d7/d8, t12/t13, x1-x3, q02, q04-q33, q35-q50) have never had
+# a driver row despite passing the local strict replica
+# (scripts/oracle_check.py). Round 4 rotates: q03 stays first to prove the
+# all-integer fix of its 3-round hash mismatch, the never-checked backlog
+# fills the rest of the window, and the driver-green block from r3 moves to
+# the back (still covered locally). The last few backlog entries that
+# overflow slot 50 rotate in next round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "d1_dedup_exact": L.d1_dedup_exact,
-    "d2_dedup_jaccard": L.d2_dedup_jaccard,
-    "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
-    "d5_dedup_clusters": L.d5_dedup_clusters,
-    "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t1_token_stats": L.t1_token_stats,
-    "t2_quality": L.t2_quality,
-    "t3_lang_id": L.t3_lang_id,
-    "t4_fingerprint": L.t4_fingerprint,
-    "t5_chunk_docs": L.t5_chunk_docs,
-    "t6_normalize": L.t6_normalize,
-    "t7_train_split": L.t7_train_split,
-    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
-    "t9_decontaminate": L.t9_decontaminate,
-    "t10_repetition_stats": L.t10_repetition_stats,
-    "t11_stratified_sample": L.t11_stratified_sample,
-    "s1_cosine_topk": L.s1_cosine_topk,
-    "s2_lsh_topk": L.s2_lsh_topk,
-    "s3_ivf_topk": L.s3_ivf_topk,
-    "m1_decode_meta": L.m1_decode_meta,
-    "m2_frame_sample": L.m2_frame_sample,
-    "m3_embed_norm": L.m3_embed_norm,
-    "m4_byte_histogram": L.m4_byte_histogram,
-    "m5_resize": L.m5_resize,
-    "st1_stream_tumbling": L.st1_stream_tumbling,
-    "st2_stream_sessions": L.st2_stream_sessions,
-    "st3_stream_stateful": L.st3_stream_stateful,
-    "st4_stream_static_join": L.st4_stream_static_join,
-    "st5_stream_dedup": L.st5_stream_dedup,
-    "st6_stream_stream_join": L.st6_stream_stream_join,
-    "q37_quality_gate": R.q37_quality_gate,
-    "q53_sketch_rollup": R.q53_sketch_rollup,
-    "q54_left_outer_enrich": R.q54_left_outer_enrich,
-    "q55_variant_json": R.q55_variant_json,
-    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
-    "q57_group_rank_pandas": R.q57_group_rank_pandas,
-    "q58_cohort_retention": R.q58_cohort_retention,
-    "q59_session_funnel": R.q59_session_funnel,
-    "q60_percentile_disc": R.q60_percentile_disc,
-    "q61_listagg": R.q61_listagg,
-    "q62_try_arithmetic": R.q62_try_arithmetic,
-    "q63_bitmap_distinct": R.q63_bitmap_distinct,
-    "q64_recursive_cte": R.q64_recursive_cte,
-    "q65_map_type": R.q65_map_type,
-    "q66_array_analytics": R.q66_array_analytics,
-    "q01_pricing_summary": R.q1_pricing_summary,
     "q03_monthly_kpis": R.q3_monthly_kpis,
-    "q34_approx_distinct": R.q34_approx_distinct,
-    "q51_approx_quantiles": R.q51_approx_quantiles,
-    # --- end of the driver's 50-entry correctness window -------------
-    # New this round; rotate into the window once the backlog above is
-    # driver-green (local strict oracle_check covers them meanwhile).
     "d7_segment_dedup": L.d7_segment_dedup,
     "d8_semantic_keeper": L.d8_semantic_keeper,
     "t12_pii_scrub": L.t12_pii_scrub,
@@ -1241,8 +1192,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
+    # --- end of the driver's 50-entry correctness window -------------
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,
     "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
+    # Driver-green in CORRECTNESS_r03 (all hash_match:true); rotated out of
+    # the window to make room for the never-checked backlog above.
+    "d1_dedup_exact": L.d1_dedup_exact,
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    "d5_dedup_clusters": L.d5_dedup_clusters,
+    "d6_dedup_embedding": L.d6_dedup_embedding,
+    "t1_token_stats": L.t1_token_stats,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
+    "t6_normalize": L.t6_normalize,
+    "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "s3_ivf_topk": L.s3_ivf_topk,
+    "m1_decode_meta": L.m1_decode_meta,
+    "m2_frame_sample": L.m2_frame_sample,
+    "m3_embed_norm": L.m3_embed_norm,
+    "m4_byte_histogram": L.m4_byte_histogram,
+    "m5_resize": L.m5_resize,
+    "st1_stream_tumbling": L.st1_stream_tumbling,
+    "st2_stream_sessions": L.st2_stream_sessions,
+    "st3_stream_stateful": L.st3_stream_stateful,
+    "st4_stream_static_join": L.st4_stream_static_join,
+    "st5_stream_dedup": L.st5_stream_dedup,
+    "st6_stream_stream_join": L.st6_stream_stream_join,
+    "q37_quality_gate": R.q37_quality_gate,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
+    "q61_listagg": R.q61_listagg,
+    "q62_try_arithmetic": R.q62_try_arithmetic,
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
+    "q64_recursive_cte": R.q64_recursive_cte,
+    "q65_map_type": R.q65_map_type,
+    "q66_array_analytics": R.q66_array_analytics,
+    "q01_pricing_summary": R.q1_pricing_summary,
+    "q34_approx_distinct": R.q34_approx_distinct,
+    "q51_approx_quantiles": R.q51_approx_quantiles,
 }
