@@ -67,6 +67,10 @@ def mixture_sample(
     )
     counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
     if strict:
+        # the strict probe and the quota join below both consume counts;
+        # checkpoint the (tiny, already-aggregated) frame so the
+        # full-corpus groupBy runs once, not once per consumer
+        counts = counts.localCheckpoint(eager=False)
         # counts is dozens-to-thousands of domains — a driver-side check
         # on an already-aggregated frame, not a data-scale collect
         missing = [

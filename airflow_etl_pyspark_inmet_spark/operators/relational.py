@@ -244,6 +244,90 @@ def salted_join(
     return lb.join(rb, [on, "_salt"]).drop("_salt")
 
 
+def global_rank(
+    df: DataFrame, order_exprs: list[Column], rank_col: str = "_grank"
+) -> DataFrame:
+    """Exact global rank (1..N) over a total order, WITHOUT the
+    single-partition sort of ``Window.orderBy`` with no partitioning (the
+    `WindowExec: No Partition Defined` straggler at scale).
+
+    Distributed plan:
+      1. ``repartitionByRange`` on the order expressions (sampled bounds)
+         + ``sortWithinPartitions`` — a total order across ascending
+         partition ids, every task sorting only its slice;
+      2. ``monotonically_increasing_id`` (= pid<<33 | local offset in
+         iteration order, i.e. sorted order) captured under a lazy
+         ``localCheckpoint`` so the nondeterministic id is computed once;
+      3. per-partition row counts — ONE ROW PER PARTITION — collected,
+         turned into cumulative offsets, broadcast-joined back;
+      4. rank = partition offset + local offset + 1.
+
+    Requirement: ``order_exprs`` must define a total order (include a
+    unique tiebreak column); rows equal on all order columns may straddle
+    a range boundary and would rank nondeterministically.
+    """
+    sorted_df = df.repartitionByRange(*order_exprs).sortWithinPartitions(
+        *order_exprs
+    )
+    # checkpoint: the id is nondeterministic (depends on sampled range
+    # bounds), and it feeds two jobs (counts collect + final output)
+    with_id = sorted_df.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+    pid = F.shiftright(F.col("_mid"), 33)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        with_id.groupBy(pid.alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid long, _off long"
+    )
+    return (
+        with_id.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + local + 1).cast("bigint"))
+        .drop("_mid", "_pid", "_off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_exprs: list[Column],
+    n: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a global order, scale-safely (via
+    :func:`global_rank` — no single-partition WindowExec anywhere).
+
+    SQL ntile fill rule: with N rows, the first ``N mod n`` buckets hold
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)`` — reproduced here as a
+    closed-form expression of (rank, N), so the result is bit-identical
+    to the window form and to the DuckDB oracle.
+    """
+    ranked = global_rank(df, order_exprs, rank_col="_grank")
+    total = ranked.count()  # counts job reuses the checkpointed blocks
+    q, rem = divmod(total, n)
+    r = F.col("_grank")
+    if q == 0:
+        bucket = r
+    else:
+        head = rem * (q + 1)
+        # integer `div` — exact at any N (double division would round past
+        # 2^53 rows)
+        bucket = F.when(
+            r <= F.lit(head), F.expr(f"(_grank + {q}) div {q + 1}")
+        ).otherwise(F.expr(f"{rem} + (_grank - {head} + {q - 1}) div {q}"))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_grank")
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """SCD1 upsert (the batch MERGE INTO): update rows replace base rows on
     the key; unmatched base rows pass through; unmatched update rows insert.

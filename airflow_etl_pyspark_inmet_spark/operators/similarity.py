@@ -202,10 +202,13 @@ def ann_with_recall_check(
     Production calls the ANN operator alone; this tier pins its recall
     contract to ground truth in the driver gate.
     """
+    # The exact frame feeds BOTH the recall aggregate and the output join;
+    # without a checkpoint the brute-force corpus scan + window would run
+    # twice in the physical plan. The checkpointed frame is Q x k rows.
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
-    )
+    ).localCheckpoint(eager=False)
     hits = exact.select(query_id_col, "item_id").join(
         ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
         [query_id_col, "item_id"],

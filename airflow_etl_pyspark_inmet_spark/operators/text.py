@@ -399,10 +399,13 @@ def vocab_top_terms(
 
     Plan shape: explode whitespace tokens -> two-level hash aggregate
     (partial count per partition, then final — the map-side combine keeps
-    the shuffle at |vocab| rows, not |corpus tokens|) -> global
-    TakeOrderedAndProject for the k winners. Deterministic tie-break
-    (freq DESC, token ASC). At 100 TB the shuffle carries one row per
-    distinct token per partition — bounded by vocabulary, not corpus.
+    the shuffle at |vocab| rows, not |corpus tokens|) -> orderBy().limit(k),
+    which Spark executes as a true global TakeOrderedAndProject (per-
+    partition heap of k, merged on the driver — never a full vocab sort on
+    one task). Rank is then a window over only the k surviving rows.
+    Deterministic tie-break (freq DESC, token ASC). At 100 TB the shuffle
+    carries one row per distinct token per partition — bounded by
+    vocabulary, not corpus.
     """
     from pyspark.sql import Window
 
@@ -410,9 +413,8 @@ def vocab_top_terms(
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("token", "freq", "rank")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "token", "freq", "rank"
     )

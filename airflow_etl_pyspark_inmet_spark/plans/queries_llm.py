@@ -460,3 +460,36 @@ def t13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(docs, capacity=256, n_shards=32)
+
+
+def t14_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text cleanup: URL removal + elongated-punctuation squashing
+    with per-doc removal counts — map-only JVM regexes, RE2-compatible so
+    the DuckDB oracle runs the identical pattern chain."""
+    from ..operators.curation import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("see https://ex.example/"),
+                F.col("doc_id"),
+                F.lit("/page now!!!!! "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_boilerplate(docs)
+
+
+def t15_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary census: global token frequencies, top-50 by
+    (freq DESC, token ASC) via a true TakeOrderedAndProject — the shuffle
+    is bounded by |vocab|, the global sort by k."""
+    from ..operators.text import vocab_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_top_terms(docs, k=50)

@@ -723,15 +723,23 @@ def q37_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q38_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing: customers ranked into spend quartiles (exact
-    decimal totals, deterministic tiebreak)."""
+    decimal totals, deterministic tiebreak).
+
+    Uses global_ntile (range-partition + partition-offset ranks) instead
+    of an unpartitioned ntile window — same result bit-for-bit, but no
+    single-task `WindowExec: No Partition Defined` straggler at scale."""
+    from ..operators.relational import global_ntile
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         exact_sum("o_totalprice", 2).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
-    return spend.select(
-        "o_custkey", "spend", F.ntile(4).over(w).cast("int").alias("quartile")
-    )
+    return global_ntile(
+        spend,
+        [F.col("spend").desc(), F.col("o_custkey").asc()],
+        4,
+        out_col="quartile",
+    ).select("o_custkey", "spend", "quartile")
 
 
 def q39_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:

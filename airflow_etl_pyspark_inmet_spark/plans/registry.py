@@ -1130,7 +1130,63 @@ SELECT doc_id, CAST(pri % 8 AS BIGINT) AS shard,
             AS BIGINT) AS pos
 FROM t
 """,
+    "t15_vocab_top_terms": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS freq FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS rank
+FROM counts
+ORDER BY freq DESC, token ASC
+LIMIT 50
+""",
 }
+
+
+def _t14_strip_boilerplate_sql() -> str:
+    """Oracle for strip_boilerplate: the same ordered regex chain (URLs
+    first, then one squash pass per punctuation char), mirrored stage by
+    stage as CTEs. DuckDB's regexp_replace needs the explicit 'g' flag
+    (Spark's replaces all matches by default)."""
+    url = "https?://[^\\s]+"
+    stages = [
+        "docs14 AS (\n"
+        "  SELECT doc_id,\n"
+        "         CASE WHEN doc_id % 4 = 0 THEN\n"
+        "           concat('see https://ex.example/', doc_id, '/page now!!!!! ', text)\n"
+        "         ELSE text END AS text\n"
+        "  FROM documents)",
+        "s0 AS (\n"
+        "  SELECT doc_id,\n"
+        "         len(regexp_extract_all(text, '" + url + "')) AS n_urls,\n"
+        "         CAST(0 AS BIGINT) AS n_runs,\n"
+        "         regexp_replace(text, '" + url + "', ' ', 'g') AS t\n"
+        "  FROM docs14)",
+    ]
+    for i, ch in enumerate("!?.,;:*#=-", 1):
+        esc = ("\\" + ch) if ch in ".*?" else ch
+        pat = esc + "{4,}"
+        stages.append(
+            f"s{i} AS (\n"
+            f"  SELECT doc_id, n_urls,\n"
+            f"         n_runs + len(regexp_extract_all(t, '{pat}')) AS n_runs,\n"
+            f"         regexp_replace(t, '{pat}', '{ch}', 'g') AS t\n"
+            f"  FROM s{i - 1})"
+        )
+    return (
+        "WITH " + ",\n".join(stages) + "\n"
+        "SELECT doc_id,\n"
+        "       CAST(n_urls AS BIGINT) AS n_urls,\n"
+        "       CAST(n_runs AS BIGINT) AS n_punct_runs,\n"
+        "       trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text\n"
+        "FROM s10\n"
+    )
+
+
+ORACLES["t14_strip_boilerplate"] = _t14_strip_boilerplate_sql()
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(). Rounds 1-3 all sampled the same 50-key window, so
@@ -1193,6 +1249,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
     # --- end of the driver's 50-entry correctness window -------------
+    # New this round (locally oracle-checked); rotate into the window
+    # next round together with the four backlog overflows below.
+    "t14_strip_boilerplate": L.t14_strip_boilerplate,
+    "t15_vocab_top_terms": L.t15_vocab_top_terms,
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,

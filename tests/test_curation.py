@@ -137,3 +137,28 @@ def test_semantic_keepers_cluster_and_singletons(spark):
     assert rows[1]["cluster_id"] == 1 and rows[1]["is_keeper"]
     assert rows[2]["cluster_id"] == 1 and not rows[2]["is_keeper"]
     assert rows[3]["cluster_id"] == 3 and rows[3]["is_keeper"]
+
+
+def test_strip_boilerplate_counts_and_text(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "go to https://a.example/x?q=1 now!!!!! please...... ok"),
+            (2, "no markup here"),
+            (3, "=====header===== http://b.example body-----tail"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+    # doc 1: one URL, two runs (!!!!! and ......) squashed to one char each
+    assert rows[1]["n_urls"] == 1 and rows[1]["n_punct_runs"] == 2
+    assert rows[1]["clean_text"] == "go to now! please. ok"
+    # doc 2: untouched
+    assert rows[2]["n_urls"] == 0 and rows[2]["n_punct_runs"] == 0
+    assert rows[2]["clean_text"] == "no markup here"
+    # doc 3: URL gone before punctuation squash; = and - runs squashed
+    assert rows[3]["n_urls"] == 1 and rows[3]["n_punct_runs"] == 3
+    assert rows[3]["clean_text"] == "=header= body-tail"

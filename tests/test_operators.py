@@ -492,3 +492,48 @@ def test_byte_histogram_matches_python(spark):
         for b, n in Counter(x % 16 for x in t.encode("utf-8")).items():
             expected[(i, b)] = n
     assert got == expected
+
+
+def test_vocab_top_terms_take_ordered(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import vocab_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b d  d"), (3, "  a ")],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_terms(docs, k=3).orderBy("rank").collect()
+    # freqs: a=4, b=3, d=2, c=1; ties broken token ASC
+    assert [(r["token"], r["freq"], r["rank"]) for r in rows] == [
+        ("a", 4, 1),
+        ("b", 3, 2),
+        ("d", 2, 3),
+    ]
+    # plan is a TakeOrderedAndProject over the counts, not a global window
+    plan = vocab_top_terms(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        global_ntile,
+    )
+
+    # 103 rows (not divisible by 4) with duplicate values -> exercises the
+    # ceil/floor bucket-fill rule and the unique-tiebreak requirement
+    df = spark.range(103).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(df, order, 4).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(4).over(w).alias("nt")).collect()
+    }
+    assert got == want
