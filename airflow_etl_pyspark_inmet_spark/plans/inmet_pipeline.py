@@ -177,12 +177,25 @@ def cidade_kpis_mensal(
 
 
 def run_pipeline(
-    spark: SparkSession, input_glob: str, out_dir: str | None = None
+    spark: SparkSession,
+    input_glob: str,
+    out_dir: str | None = None,
+    retries: int = 1,
 ) -> dict[str, DataFrame]:
     """Full pipeline with the same dependency shape as the reference DAG
     (dag_inmet.py:209-220): ingest -> dims || fact -> daily agg -> monthly
     KPIs. Returns all six tables; optionally persists them as parquet
-    (fact partitioned by year for downstream partition pruning)."""
+    (fact partitioned by year for downstream partition pruning).
+
+    Task-level resilience, mirroring the DAG's per-task retry semantics
+    (dag_inmet.py default_args) without Airflow: each persisting stage is
+    an IDEMPOTENT overwrite (mode=overwrite, fixed paths), so a stage
+    that dies mid-write can be re-run — here, up to ``retries`` times —
+    without duplicating or corrupting output; a re-run of the whole
+    pipeline is likewise a no-op-shaped overwrite, the same contract the
+    reference gets from `CREATE OR REPLACE` + write_pandas(overwrite).
+    Table *builds* are lazy plan constructions (no retry needed — they
+    execute inside the write actions)."""
     cidades = build_cidades(spark, input_glob)
     previsoes = build_previsoes(spark, input_glob, cidades)
     datas = build_datas(previsoes)
@@ -205,5 +218,17 @@ def run_pipeline(
                 w = df.withColumn("ano", F.year("data_medicao")).write.mode(
                     "overwrite"
                 ).partitionBy("ano")
-            w.parquet(f"{out_dir}/{name}")
+            last: Exception | None = None
+            for _attempt in range(retries + 1):
+                try:
+                    w.parquet(f"{out_dir}/{name}")
+                    last = None
+                    break
+                except Exception as e:  # transient executor/FS failure
+                    last = e
+            if last is not None:
+                raise RuntimeError(
+                    f"pipeline stage write:{name} failed after "
+                    f"{retries + 1} attempts"
+                ) from last
     return tables

@@ -95,6 +95,38 @@ def save_table(
     w.saveAsTable(f"{db}.{name}")
 
 
+def save_table_jdbc(
+    df: DataFrame,
+    name: str,
+    url: str,
+    db: str | None = None,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """S8's external-warehouse load to the letter (dag_inmet.py:28-41,
+    91-96 loads HDFS parquet into Snowflake via write_pandas): the same
+    bulk overwrite, expressed as Spark's JDBC sink so the transfer runs
+    FROM THE EXECUTORS in parallel — the reference's path serializes the
+    whole table through a single pandas process on the Airflow worker.
+
+    ``url`` is any JDBC URL (``jdbc:postgresql://...``,
+    ``jdbc:snowflake://...``); pass credentials/driver via ``options``
+    (e.g. ``{"user": ..., "password": ..., "driver": ...,
+    "numPartitions": "8", "batchsize": "10000"}``). The matching driver
+    jar must be on the Spark classpath (``spark.jars``) — none ships in
+    this environment, so this writer is exercised by the default
+    catalog-backed :func:`save_table` everywhere in tests; the signature
+    and semantics (idempotent overwrite per table, uppercase warehouse
+    column names) mirror the in-engine path one-for-one.
+    """
+    target = f"{db}.{name}" if db else name
+    out = df.toDF(*[c.upper() for c in df.columns])  # F10 warehouse contract
+    w = out.write.format("jdbc").option("url", url).option("dbtable", target)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
 def ctas(spark: SparkSession, name: str, sql: str, db: str = "analitic") -> DataFrame:
     """S10's `CREATE OR REPLACE TABLE ... AS SELECT` (the v1 parquet
     catalog has no atomic REPLACE, so drop-then-create)."""

