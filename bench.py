@@ -6,9 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced through the noop sink (full materialization, no
 driver collect) after a warm-up of the session. Timings are wall-clock
-per query: single run for the cheap relational set, median-of-3 for the
-doc/vector operators whose Python-worker + GC noise band (±1-3 s) would
-otherwise swamp round-over-round deltas.
+MEDIAN OF 3 runs per query: single-run timings on this shared host swing
+2-5x with neighbor load (measured: the same unchanged map-only query at
+0.6 s and 3.0 s minutes apart), which would swamp round-over-round
+deltas. The median rejects those spikes while staying honest about
+steady-state cost.
 """
 
 from __future__ import annotations
@@ -57,18 +59,6 @@ HEADLINE = [
     "m1_decode_meta",
 ]
 
-# Doc/vector operators: single cold runs swing ±25% (Arrow worker spin-up,
-# GC); report the median of 3 so deltas between rounds are attributable.
-MEDIAN_OF_3 = {
-    "d3_dedup_minhash",
-    "d4_dedup_simhash",
-    "d5_dedup_clusters",
-    "d6_dedup_embedding",
-    "s2_lsh_topk",
-    "s3_ivf_topk",
-}
-
-
 def main() -> None:
     from airflow_etl_pyspark_inmet_spark.plans.registry import QUERIES
     from airflow_etl_pyspark_inmet_spark.session import get_spark
@@ -86,10 +76,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        reps = 3 if name in MEDIAN_OF_3 else 1
-        runs = sorted(run_once(name) for _ in range(reps))
-        timings[name] = round(runs[len(runs) // 2], 3)
-        print(f"# {name}: {timings[name]}s ({reps} run(s))", file=sys.stderr)
+        runs = sorted(run_once(name) for _ in range(3))
+        timings[name] = round(runs[1], 3)
+        print(f"# {name}: {timings[name]}s (median of {[round(r, 3) for r in runs]})",
+              file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
