@@ -244,6 +244,47 @@ def salted_join(
     return lb.join(rb, [on, "_salt"]).drop("_salt")
 
 
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling summary (the warehouse ANALYZE/quality-report
+    surface): one output row per profiled column with row count, null
+    count, exact distinct count, and min/max rendered as strings (uniform
+    schema across types).
+
+    ONE scan, one aggregate: all per-column stats compute in a single
+    groupBy-less agg (count_distinct adds its Expand internally — still
+    one pass over the data), then the 1-row result unpivots to one row
+    per column via inline(). At 100 TB this is scan-bound; swap
+    count_distinct for approx_count_distinct when exactness isn't worth
+    the distinct-expand shuffle.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"_n_{c}").alias("n_rows"),
+                    (F.col(f"_n_{c}") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                    F.col(f"_nd_{c}").alias("n_distinct"),
+                    F.col(f"_min_{c}").alias("min_value"),
+                    F.col(f"_max_{c}").alias("max_value"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return one.select(rows)
+
+
 def global_rank(
     df: DataFrame, order_exprs: list[Column], rank_col: str = "_grank"
 ) -> DataFrame:

@@ -388,6 +388,106 @@ def normalize_text(
     return df.select(F.col(id_col), cleaned.alias("norm_text"))
 
 
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-coverage stats: per document, how many whitespace tokens
+    fall outside ``vocab`` (a (token) frame, e.g. ``vocab_top_terms``
+    output) — the "will the tokenizer fragment this corpus" census before
+    committing to a vocab.
+
+    Scale shape: the vocabulary is bounded (thousands-to-100k rows) so it
+    BROADCASTS; the corpus explodes to (doc_id, token) pairs probed
+    map-side, and the only shuffle is the per-doc count aggregate carrying
+    (id, int) rows. Documents whose text has no tokens after trim/split
+    fall out of the explode — guaranteed non-empty here by the corpus
+    contract (filter upstream if not).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    v = vocab.select("token").withColumn("_in", F.lit(1))
+    out = (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_in").alias("n_covered"),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.col("n_covered")).alias("n_oov"),
+        (
+            (F.col("n_tokens") - F.col("n_covered"))
+            / F.col("n_tokens").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM document scoring (the cheap "perplexity" quality signal
+    of a pretraining pipeline): mean negative log-probability of a doc's
+    tokens under the corpus's own unigram distribution. Low = templated/
+    repetitive, high = rare-token soup; both tails get filtered.
+
+    Plan: tf per (doc, token) — map-side combined — joined to the
+    vocab-bounded token frequency table, per-doc weighted sum. Exactness
+    contract: ln() differs in the last ulp across engines, so each token's
+    -ln p is quantized to integer micro-nats (BIGINT) BEFORE the per-doc
+    sum — integer addition is order-free, so the result hash-matches the
+    oracle at any parallelism (same trade as t8's rounded tf-idf).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    # tf feeds both the frequency table and the scoring join; the
+    # checkpoint keeps the corpus token explode+aggregate to one pass.
+    # freq (vocab-bounded) likewise feeds the join and the total.
+    tf = (
+        toks.groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    freq = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_neglogp_u",
+            F.round(
+                -F.log(F.col("cnt") / F.col("n_total").cast("double")) * 1e6
+            ).cast("bigint"),
+        )
+    )
+    out = scored.groupBy("_id").agg(
+        F.sum(F.col("tf")).alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("_neglogp_u")).alias("_sum_u"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("_sum_u") / (F.col("n_tokens") * F.lit(1e6))).alias(
+            "mean_neglogp"
+        ),
+    )
+
+
 def vocab_top_terms(
     df: DataFrame,
     k: int = 100,

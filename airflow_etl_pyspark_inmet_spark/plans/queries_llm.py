@@ -493,3 +493,23 @@ def t15_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return vocab_top_terms(docs, k=50)
+
+
+def t16_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage census: per-doc OOV counts against the corpus's
+    own top-40 vocabulary (broadcast probe, one narrow count shuffle)."""
+    from ..operators.text import oov_stats, vocab_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_top_terms(docs, k=40)
+    return oov_stats(docs, vocab)
+
+
+def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: mean -ln p(token) per doc under the
+    corpus unigram distribution, quantized to micro-nats before the
+    per-doc sum so integer addition keeps the result order-free."""
+    from ..operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

@@ -1395,3 +1395,18 @@ def q66_array_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("max_gap"),
     )
+
+
+def q67_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (ANALYZE-style quality report): null/
+    distinct/min/max per profiled column in one scan, unpivoted to a row
+    per column. Types normalized first (date, exact decimal) so min/max
+    strings render identically across engines."""
+    from ..operators.relational import column_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.to_date("l_shipdate").alias("l_shipdate"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+    )
+    return column_profile(li, ["l_returnflag", "l_shipdate", "l_quantity"])

@@ -1143,6 +1143,71 @@ FROM counts
 ORDER BY freq DESC, token ASC
 LIMIT 50
 """,
+    "t16_oov_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+  ) ORDER BY freq DESC, token ASC LIMIT 40
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS _in
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) - SUM(_in) AS n_oov,
+       CAST(COUNT(*) - SUM(_in) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM j GROUP BY doc_id
+""",
+    "t17_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+freq AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+total AS (SELECT SUM(cnt) AS n_total FROM freq),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(-ln(freq.cnt / CAST(t.n_total AS DOUBLE)) * 1e6)
+              AS BIGINT) AS nl_u
+  FROM tf JOIN freq USING (token) CROSS JOIN total t
+)
+SELECT doc_id,
+       SUM(tf) AS n_tokens,
+       CAST(SUM(tf * nl_u) AS DOUBLE) / (SUM(tf) * 1e6) AS mean_neglogp
+FROM scored GROUP BY doc_id
+""",
+    "q67_column_profile": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(l_shipdate AS DATE) AS l_shipdate,
+         CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity
+  FROM lineitem
+)
+SELECT 'l_returnflag' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_returnflag) AS n_nulls,
+       COUNT(DISTINCT l_returnflag) AS n_distinct,
+       CAST(MIN(l_returnflag) AS VARCHAR) AS min_value,
+       CAST(MAX(l_returnflag) AS VARCHAR) AS max_value
+FROM li
+UNION ALL
+SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+       COUNT(DISTINCT l_shipdate),
+       CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+FROM li
+UNION ALL
+SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+       COUNT(DISTINCT l_quantity),
+       CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM li
+""",
 }
 
 
@@ -1253,6 +1318,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # next round together with the four backlog overflows below.
     "t14_strip_boilerplate": L.t14_strip_boilerplate,
     "t15_vocab_top_terms": L.t15_vocab_top_terms,
+    "t16_oov_stats": L.t16_oov_stats,
+    "t17_unigram_logprob": L.t17_unigram_logprob,
+    "q67_column_profile": R.q67_column_profile,
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,

@@ -537,3 +537,49 @@ def test_global_ntile_matches_window_ntile(spark):
         for r in df.select("id", F.ntile(4).over(w).alias("nt")).collect()
     }
     assert got == want
+
+
+def test_oov_stats_counts(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b zz"), (2, "zz yy"), (3, "a")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    rows = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1
+    assert rows[2]["n_tokens"] == 2 and rows[2]["n_oov"] == 2
+    assert rows[2]["oov_rate"] == 1.0
+    assert rows[3]["n_oov"] == 0 and rows[3]["oov_rate"] == 0.0
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import unigram_logprob
+
+    # 4 tokens, each with corpus frequency 1/4 -> every doc scores ln(4)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    rows = unigram_logprob(docs).collect()
+    for r in rows:
+        assert abs(r["mean_neglogp"] - math.log(4)) < 1e-5
+        assert r["n_tokens"] == 2
+
+
+def test_column_profile_stats(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, s string"
+    )
+    rows = {r["column"]: r for r in column_profile(df, ["k", "s"]).collect()}
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "2"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_value"] == "x" and rows["s"]["max_value"] == "y"
