@@ -420,3 +420,15 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ntile_has_no_single_partition_window(spark, sf_small):
+    """q38's global quartiles must not contain ANY window operator: the
+    global_ntile formulation (range partition + offset ranks) replaces
+    the `WindowExec: No Partition Defined` single-task plan entirely."""
+    plan = _explain(R.q38_ntile_quartiles(spark, sf_small))
+    assert "Window" not in plan
+    # downstream of the checkpointed range-sorted frame: a broadcast join
+    # of the tiny per-partition offset table, nothing else
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
