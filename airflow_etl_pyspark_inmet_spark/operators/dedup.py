@@ -271,18 +271,26 @@ def simhash64(
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), 16)
 
+    # Bit-spread multiply: nibble y = (h >> 4g) & 15 holds the 4 hash
+    # bits of group g; y * (1 + 2^15 + 2^30 + 2^45) shifts y by
+    # {0,15,30,45}, landing bit l at position 16l (l + 15l), and the lane
+    # mask kills every cross term (reachable positions are {0..3, 15..18,
+    # 30..33, 45..48}; 0/16/32/48 are each produced by exactly one
+    # (bit, shift) pair). One multiply replaces four shift-and-or chains
+    # — 4 ops per group per token instead of ~12.
+    spread = F.lit(0x0000200040008001)
+    lane_mask = F.lit(0x0001000100010001)
+
     def step(acc: Column, h: Column) -> Column:
-        groups = []
-        for g in range(16):
-            term = None
-            for lane in range(4):
-                b = g * 4 + lane
-                x = F.shiftleft(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)), 16 * lane
-                )
-                term = x if term is None else term + x
-            groups.append(acc[g] + term)
-        return F.array(*groups)
+        return F.array(
+            *[
+                acc[g]
+                + (
+                    F.shiftright(h, 4 * g).bitwiseAND(F.lit(15)) * spread
+                ).bitwiseAND(lane_mask)
+                for g in range(16)
+            ]
+        )
 
     n = F.size(toks).cast("long")
     lanes = F.when(n < F.lit(1 << 15), F.aggregate(hashes, zero, step))
