@@ -244,6 +244,59 @@ def salted_join(
     return lb.join(rb, [on, "_salt"]).drop("_salt")
 
 
+def merge_partial_aggs(
+    parts: DataFrame, keys: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh): merge
+    pre-aggregated partials — a base aggregate table plus one or more
+    delta-partition aggregates — into the refreshed aggregate by summing
+    the mergeable measures per key.
+
+    This is THE incremental-ETL primitive at 100 TB: a new ingest
+    partition is aggregated alone (touching only its own data) and folded
+    into the standing aggregate, instead of rescanning the full history.
+    Works for any decomposable measure carried as (sum, count) partials —
+    avg/stddev derive downstream. The merge groups by the keys over
+    |keys|-cardinality rows, not raw data.
+    """
+    return parts.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostics: the ``top_k`` hottest keys by row count
+    with each key's share of the table — the "which key melts a reducer"
+    report run before picking join/agg strategies (broadcast vs salting
+    vs AQE skew-join) on a new dataset.
+
+    Plan: one map-side-combined count aggregate (shuffle = one row per
+    key per partition), a broadcast total, and a TakeOrderedAndProject
+    for the top-k — no global sort, no full-table second pass.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            (F.col("n_rows") / F.col("_total").cast("double")).alias("share"),
+        )
+    )
+
+
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-profiling summary (the warehouse ANALYZE/quality-report
     surface): one output row per profiled column with row count, null

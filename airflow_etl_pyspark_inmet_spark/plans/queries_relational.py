@@ -1410,3 +1410,43 @@ def q67_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
     )
     return column_profile(li, ["l_returnflag", "l_shipdate", "l_quantity"])
+
+
+def q68_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: top-10 hottest users in the event stream with
+    per-key share — one map-combined count shuffle + TakeOrderedAndProject,
+    the pre-flight check before choosing a join/agg strategy."""
+    from ..operators.relational import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10)
+
+
+def q69_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh via mergeable partials: the monthly
+    revenue aggregate maintained as base (orders < 1997) + delta
+    (orders >= 1997), each pre-aggregated independently, merged by
+    summing partials — bit-identical to the full-history aggregate the
+    oracle computes, without rescanning the base period. Measures carried
+    as exact BIGINT cents + counts (decomposable; avg derives)."""
+    from ..operators.relational import merge_partial_aggs
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+
+    def part_agg(part):
+        return part.groupBy("ano", "mes").agg(
+            F.sum(cents).alias("price_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = part_agg(o.filter(F.col("o_orderdate") < F.lit("1997-01-01")))
+    delta = part_agg(o.filter(F.col("o_orderdate") >= F.lit("1997-01-01")))
+    return merge_partial_aggs(
+        base.unionByName(delta), ["ano", "mes"], ["price_cents", "n_orders"]
+    )

@@ -1184,6 +1184,31 @@ SELECT doc_id,
        CAST(SUM(tf * nl_u) AS DOUBLE) / (SUM(tf) * 1e6) AS mean_neglogp
 FROM scored GROUP BY doc_id
 """,
+    "q68_skew_report": """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+total AS (SELECT SUM(n_rows) AS _total FROM counts),
+top AS (
+  SELECT key, n_rows FROM counts
+  ORDER BY n_rows DESC, key ASC LIMIT 10
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS INTEGER)
+         AS rank,
+       CAST(key AS VARCHAR) AS key,
+       n_rows,
+       CAST(n_rows AS DOUBLE) / t._total AS share
+FROM top CROSS JOIN total t
+""",
+    "q69_incremental_agg": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS ano,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mes,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS price_cents,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""",
     "q67_column_profile": """
 WITH li AS (
   SELECT l_returnflag,
@@ -1321,6 +1346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t16_oov_stats": L.t16_oov_stats,
     "t17_unigram_logprob": L.t17_unigram_logprob,
     "q67_column_profile": R.q67_column_profile,
+    "q68_skew_report": R.q68_skew_report,
+    "q69_incremental_agg": R.q69_incremental_agg,
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,

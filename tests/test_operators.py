@@ -583,3 +583,52 @@ def test_column_profile_stats(spark):
     assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "2"
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["s"]["min_value"] == "x" and rows["s"]["max_value"] == "y"
+
+
+def test_merge_partial_aggs_equals_full_agg(spark):
+    import pyspark.sql.functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        merge_partial_aggs,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    full = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def part(lo, hi):
+        return (
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    parts = part(0, 30).unionByName(part(30, 77)).unionByName(part(77, 100))
+    merged = {
+        r["k"]: (r["s"], r["n"])
+        for r in merge_partial_aggs(parts, ["k"], ["s", "n"]).collect()
+    }
+    assert merged == full
+
+
+def test_skew_report_shares(spark):
+    import pyspark.sql.functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import skew_report
+
+    # key 0 appears 7x, key 1 appears 2x, key 2 appears 1x
+    df = spark.createDataFrame(
+        [(0,)] * 7 + [(1,)] * 2 + [(2,)], "k long"
+    )
+    rows = skew_report(df, "k", top_k=2).orderBy("rank").collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in rows] == [
+        (1, "0", 7),
+        (2, "1", 2),
+    ]
+    assert abs(rows[0]["share"] - 0.7) < 1e-12
