@@ -295,8 +295,9 @@ def simhash64(
     n = F.size(toks).cast("long")
     lanes = F.when(n < F.lit(1 << 15), F.aggregate(hashes, zero, step))
     # materialize the fold ONCE; the signature assembly below references
-    # the lane array 64 times
-    staged = df.select(
+    # the lane array 64 times. NULL-text docs are dropped (parity with
+    # the explode formulation, where they produced no token rows).
+    staged = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), n.alias("_n"), lanes.alias("_lanes")
     )
     sig = None

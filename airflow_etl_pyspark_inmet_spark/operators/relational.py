@@ -274,18 +274,24 @@ def skew_report(
 
     Plan: one map-side-combined count aggregate (shuffle = one row per
     key per partition), a broadcast total, and a TakeOrderedAndProject
-    for the top-k — no global sort, no full-table second pass.
+    for the top-k — no global sort, no full-table second pass (the
+    per-key counts are checkpointed: both the total and the top-k read
+    the aggregated frame, not the raw table). NULL keys form their own
+    group and tie-break LAST (explicit nulls-last — Spark's ASC default
+    is nulls-first, DuckDB's is nulls-last).
     """
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n_rows").alias("_total"))
     top = (
-        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(top_k)
         .crossJoin(F.broadcast(total))
     )
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
     return (
         top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
@@ -338,28 +344,12 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(rows)
 
 
-def global_rank(
-    df: DataFrame, order_exprs: list[Column], rank_col: str = "_grank"
-) -> DataFrame:
-    """Exact global rank (1..N) over a total order, WITHOUT the
-    single-partition sort of ``Window.orderBy`` with no partitioning (the
-    `WindowExec: No Partition Defined` straggler at scale).
-
-    Distributed plan:
-      1. ``repartitionByRange`` on the order expressions (sampled bounds)
-         + ``sortWithinPartitions`` — a total order across ascending
-         partition ids, every task sorting only its slice;
-      2. ``monotonically_increasing_id`` (= pid<<33 | local offset in
-         iteration order, i.e. sorted order) captured under a lazy
-         ``localCheckpoint`` so the nondeterministic id is computed once;
-      3. per-partition row counts — ONE ROW PER PARTITION — collected,
-         turned into cumulative offsets, broadcast-joined back;
-      4. rank = partition offset + local offset + 1.
-
-    Requirement: ``order_exprs`` must define a total order (include a
-    unique tiebreak column); rows equal on all order columns may straddle
-    a range boundary and would rank nondeterministically.
-    """
+def _global_rank_with_total(
+    df: DataFrame, order_exprs: list[Column], rank_col: str
+) -> tuple[DataFrame, int]:
+    """(ranked frame, total row count) — the count is a free by-product of
+    the per-partition offset computation, so callers (global_ntile) never
+    need a second counting job."""
     sorted_df = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
@@ -384,12 +374,39 @@ def global_rank(
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid long, _off long"
     )
-    return (
+    ranked = (
         with_id.withColumn("_pid", pid)
         .join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, (F.col("_off") + local + 1).cast("bigint"))
         .drop("_mid", "_pid", "_off")
     )
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame, order_exprs: list[Column], rank_col: str = "_grank"
+) -> DataFrame:
+    """Exact global rank (1..N) over a total order, WITHOUT the
+    single-partition sort of ``Window.orderBy`` with no partitioning (the
+    `WindowExec: No Partition Defined` straggler at scale).
+
+    Distributed plan:
+      1. ``repartitionByRange`` on the order expressions (sampled bounds)
+         + ``sortWithinPartitions`` — a total order across ascending
+         partition ids, every task sorting only its slice;
+      2. ``monotonically_increasing_id`` (= pid<<33 | local offset in
+         iteration order, i.e. sorted order) captured under a lazy
+         ``localCheckpoint`` so the nondeterministic id is computed once;
+      3. per-partition row counts — ONE ROW PER PARTITION — collected,
+         turned into cumulative offsets, broadcast-joined back;
+      4. rank = partition offset + local offset + 1.
+
+    Requirement: ``order_exprs`` must define a total order (include a
+    unique tiebreak column); rows equal on all order columns may straddle
+    a range boundary and would rank nondeterministically.
+    """
+    ranked, _ = _global_rank_with_total(df, order_exprs, rank_col)
+    return ranked
 
 
 def global_ntile(
@@ -406,8 +423,8 @@ def global_ntile(
     closed-form expression of (rank, N), so the result is bit-identical
     to the window form and to the DuckDB oracle.
     """
-    ranked = global_rank(df, order_exprs, rank_col="_grank")
-    total = ranked.count()  # counts job reuses the checkpointed blocks
+    # the total falls out of global_rank's offset pass — no extra job
+    ranked, total = _global_rank_with_total(df, order_exprs, "_grank")
     q, rem = divmod(total, n)
     r = F.col("_grank")
     if q == 0:

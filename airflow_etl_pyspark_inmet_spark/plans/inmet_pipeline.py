@@ -218,12 +218,19 @@ def run_pipeline(
                 w = df.withColumn("ano", F.year("data_medicao")).write.mode(
                     "overwrite"
                 ).partitionBy("ano")
+            from pyspark.errors import AnalysisException, IllegalArgumentException
+
             last: Exception | None = None
             for _attempt in range(retries + 1):
                 try:
                     w.parquet(f"{out_dir}/{name}")
                     last = None
                     break
+                except (AnalysisException, IllegalArgumentException):
+                    # deterministic (plan/config) failure: retrying would
+                    # recompute the whole upstream plan just to hit the
+                    # same error — surface immediately
+                    raise
                 except Exception as e:  # transient executor/FS failure
                     last = e
             if last is not None:

@@ -1336,9 +1336,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_histogram": R.q42_histogram,
     "q43_full_outer_join": R.q43_full_outer_join,
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
+    # d3/d4 were REWRITTEN this round (non-distinct minhash signatures,
+    # map-only simhash fold) — their r3 driver green validated the old
+    # code, so they stay inside the window to re-verify the new paths.
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    # --- end of the driver's 50-entry correctness window -------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
-    # --- end of the driver's 50-entry correctness window -------------
     # New this round (locally oracle-checked); rotate into the window
     # next round together with the four backlog overflows below.
     "t14_strip_boilerplate": L.t14_strip_boilerplate,
@@ -1356,8 +1361,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the window to make room for the never-checked backlog above.
     "d1_dedup_exact": L.d1_dedup_exact,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
-    "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
     "d5_dedup_clusters": L.d5_dedup_clusters,
     "d6_dedup_embedding": L.d6_dedup_embedding,
     "t1_token_stats": L.t1_token_stats,
