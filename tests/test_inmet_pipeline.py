@@ -237,3 +237,50 @@ def test_decimal_parity_round_trips_reference_ddl(spark, inmet_glob, tmp_path):
     rows = {r["wmo"]: r for r in back.collect()}
     assert rows["A507"]["latitude"] == Decimal("-18.91694443")
     assert back.count() == 3
+
+
+def test_pipeline_scales_to_many_files(spark, tmp_path):
+    """Fan-in scaling smoke: 40 synthetic stations in one glob — the
+    pattern-classified reader must pivot 40 metadata blocks, attach the
+    right station to every body row, and keep counts exact (no
+    positional/per-file assumptions)."""
+    hdr = (
+        "Data;Hora UTC;PRECIPITAÇÃO TOTAL, HORÁRIO (mm);"
+        "PRESSÃO ATMOSFERICA MAX.NA HORA ANT. (AUT) (mB);"
+        "TEMPERATURA DO AR - BULBO SECO, HORARIA (°C);"
+        "UMIDADE RELATIVA DO AR, HORARIA (%);"
+        "VENTO, VELOCIDADE HORARIA (m/s);"
+    )
+    n_files, n_hours = 40, 48
+    for i in range(n_files):
+        wmo = f"A{600 + i}"
+        lines = [
+            "REGIAO:;SE",
+            "UF:;MG",
+            f"ESTACAO:;CIDADE{i}",
+            f"CODIGO (WMO):;{wmo}",
+            f"LATITUDE:;-{10 + i},5",
+            f"LONGITUDE:;-{40 + i},25",
+            "ALTITUDE:;100,5",
+            "DATA DE FUNDACAO:;19/12/2004",
+            hdr,
+        ]
+        for h in range(n_hours):
+            day, hour = 1 + h // 24, h % 24
+            lines.append(
+                f"2025/01/0{day};{hour:02d}00 UTC;0;915,{i % 10};"
+                f"2{i % 10},5;8{h % 10};{1 + i % 4},2;"
+            )
+        (tmp_path / f"INMET_SE_MG_{wmo}_CIDADE{i}.csv").write_text(
+            "\n".join(lines), encoding="utf-8"
+        )
+    tables = run_pipeline(spark, f"{tmp_path}/*.csv")
+    assert tables["cidades"].count() == n_files
+    assert tables["previsoes"].count() == n_files * n_hours
+    assert tables["dim_cidade_atributos"].count() == n_files
+    assert tables["datas"].count() == 2  # two distinct days
+    # station attach is per-file correct: every wmo has exactly n_hours rows
+    per = tables["previsoes"].groupBy("wmo").count().collect()
+    assert len(per) == n_files and all(r["count"] == n_hours for r in per)
+    # daily agg: one row per (station, day)
+    assert tables["fato_agg_previsoes_dia"].count() == n_files * 2
