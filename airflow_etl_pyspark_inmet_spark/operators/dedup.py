@@ -490,10 +490,17 @@ def connected_components(
     step: near-dup pairs (from jaccard/minhash/simhash) become groups with
     one canonical keeper per group.
 
-    Distributed min-label propagation: every iteration joins current
-    labels to the symmetrized edge list and takes the min neighbor label
-    (one shuffle per iteration); converges in O(graph diameter) rounds —
-    near-dup clusters are near-cliques, so 2-3 rounds in practice. The
+    Distributed min-label propagation with pointer jumping: every
+    iteration (a) takes the min neighbor label through the symmetrized
+    edge list, then (b) replaces each label with the label's OWN current
+    label (``comp <- comp[comp]``), which halves the depth of any label
+    chain — so convergence is O(log diameter) rounds, not O(diameter).
+    Near-dup clusters are near-cliques (2-3 rounds); the pointer jump is
+    what keeps a pathological PATH-shaped dup chain (each doc near-dup of
+    the next) from needing diameter rounds. ``max_iter`` is a hard bound:
+    if labels still change at the cap the function RAISES rather than
+    returning silently-wrong partial labels (2^max_iter reach covers any
+    realistic graph: the default 20 handles chains of ~10^6 hops). The
     driver loop only checks a scalar convergence count per round;
     ``localCheckpoint`` truncates lineage so plans don't grow by round.
     """
@@ -516,12 +523,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp <- comp's own label. Labels are node ids, so
+        # every comp value has a row in `propagated`; the self-join is on
+        # the same (node, comp)-sized frame — bounded by the candidate
+        # set, never the corpus.
+        ptr = propagated.select(
+            F.col("node").alias("_pnode"), F.col("comp").alias("_pcomp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(ptr, propagated.comp == ptr._pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
@@ -536,6 +558,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} iterations — graph diameter exceeds 2^{max_iter} "
+            f"reach. Raise max_iter; returning partial labels would "
+            f"silently merge/split dedup clusters."
+        )
     return labels.select(F.col("node"), F.col("comp"))
 
 

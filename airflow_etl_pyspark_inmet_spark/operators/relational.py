@@ -349,7 +349,15 @@ def _global_rank_with_total(
 ) -> tuple[DataFrame, int]:
     """(ranked frame, total row count) — the count is a free by-product of
     the per-partition offset computation, so callers (global_ntile) never
-    need a second counting job."""
+    need a second counting job.
+
+    Bound: ``monotonically_increasing_id`` packs (partition id << 33 |
+    local row number), so a partition holding >= 2^33 (~8.6e9) rows would
+    silently bleed its local offset into the partition bits and corrupt
+    every downstream rank/bucket. The per-partition counts are already on
+    the driver here, so the bound is CHECKED — violations raise instead of
+    corrupting. At 2^33 rows a range partition is badly undersized anyway
+    (tune ``spark.sql.shuffle.partitions`` up long before this trips)."""
     sorted_df = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
@@ -368,6 +376,14 @@ def _global_rank_with_total(
     offsets = {}
     acc = 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
+        if r["_n"] >= (1 << 33):
+            raise ValueError(
+                f"global_rank: range partition {r['_pid']} holds "
+                f"{r['_n']} rows >= 2^33; monotonically_increasing_id's "
+                f"local-offset field would overflow into the partition "
+                f"bits. Repartition finer (raise "
+                f"spark.sql.shuffle.partitions) before ranking."
+            )
         offsets[r["_pid"]] = acc
         acc += r["_n"]
     spark = df.sparkSession

@@ -404,13 +404,15 @@ def oov_stats(
     map-side, and the only shuffle is the per-doc count aggregate carrying
     (id, int) rows. Documents whose text has no tokens after trim/split
     fall out of the explode — guaranteed non-empty here by the corpus
-    contract (filter upstream if not).
+    contract (filter upstream if not). The vocab is a SET: duplicates are
+    dropped before the probe join, so a vocab frame with repeated tokens
+    can't multiply matched rows and inflate n_tokens/n_covered.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    v = vocab.select("token").withColumn("_in", F.lit(1))
+    v = vocab.select("token").distinct().withColumn("_in", F.lit(1))
     out = (
         toks.join(F.broadcast(v), "token", "left")
         .groupBy("_id")
@@ -442,10 +444,15 @@ def unigram_logprob(
 
     Plan: tf per (doc, token) — map-side combined — joined to the
     vocab-bounded token frequency table, per-doc weighted sum. Exactness
-    contract: ln() differs in the last ulp across engines, so each token's
-    -ln p is quantized to integer micro-nats (BIGINT) BEFORE the per-doc
-    sum — integer addition is order-free, so the result hash-matches the
-    oracle at any parallelism (same trade as t8's rounded tf-idf).
+    contract: each token's -ln p is quantized to integer micro-nats
+    (BIGINT) BEFORE the per-doc sum, so WITHIN one engine the result is
+    order-free (integer addition) and stable at any parallelism — the same
+    trade as t8's rounded tf-idf. Across engines the match is very likely
+    but not guaranteed by construction: ln() is computed in doubles first,
+    and a value within an ulp of a .5 rounding boundary could quantize
+    differently in Spark vs DuckDB. Guaranteeing bit-exactness would need
+    a shared fixed-point ln derived from integer (cnt, n_total); not done
+    because no boundary case has been observed on this corpus.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),

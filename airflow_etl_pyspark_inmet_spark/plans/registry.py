@@ -113,7 +113,7 @@ SELECT n_name,
        CAST(SUM(qty_avg_e6) // COUNT(qty_avg_e6) AS BIGINT) AS mensal_qty_media_e6,
        max(qty_max_cents) AS mensal_qty_max_cents,
        CAST(SUM(price_cents) AS BIGINT) AS mensal_price_cents,
-       count_if(price_cents > 5000000) AS dias_high_rev
+       CAST(count_if(price_cents > 5000000) AS BIGINT) AS dias_high_rev
 FROM d2
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -1160,7 +1160,7 @@ j AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       COUNT(*) - SUM(_in) AS n_oov,
+       CAST(COUNT(*) - SUM(_in) AS BIGINT) AS n_oov,
        CAST(COUNT(*) - SUM(_in) AS DOUBLE) / COUNT(*) AS oov_rate
 FROM j GROUP BY doc_id
 """,
@@ -1180,7 +1180,7 @@ scored AS (
   FROM tf JOIN freq USING (token) CROSS JOIN total t
 )
 SELECT doc_id,
-       SUM(tf) AS n_tokens,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
        CAST(SUM(tf * nl_u) AS DOUBLE) / (SUM(tf) * 1e6) AS mean_neglogp
 FROM scored GROUP BY doc_id
 """,
@@ -1279,16 +1279,90 @@ def _t14_strip_boilerplate_sql() -> str:
 ORACLES["t14_strip_boilerplate"] = _t14_strip_boilerplate_sql()
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
-# entries of queries(). Rounds 1-3 all sampled the same 50-key window, so
-# 53 queries (d7/d8, t12/t13, x1-x3, q02, q04-q33, q35-q50) have never had
-# a driver row despite passing the local strict replica
-# (scripts/oracle_check.py). Round 4 rotates: q03 stays first to prove the
-# all-integer fix of its 3-round hash mismatch, the never-checked backlog
-# fills the rest of the window, and the driver-green block from r3 moves to
-# the back (still covered locally). The last few backlog entries that
-# overflow slot 50 rotate in next round.
+# entries of queries(); it rotates a 50-query window each round. Union of
+# CORRECTNESS_r01-r04 covers 103/110. Round-5 window, front to back:
+#   1. the 7 never-driver-checked queries (t14-t17, q67-q69) — completes
+#      110/110 driver-verified coverage;
+#   2. q03 — proves the round-5 oracle fix (CAST(count_if AS BIGINT); the
+#      4-round hash mismatch was DuckDB HUGEINT vs Spark BIGINT, not math);
+#   3. the 6 queries whose only driver row is r1 (q45-q50);
+#   4. d5/q36/q38 — code touched this round (d5 iteration cap, rank-id
+#      guard), so their old green rows are stale;
+#   5. 33 stalest r3-checked entries. The r4-green block and the
+#      rows-only-checkable streaming/multimodal ops move to the back.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-checked (r1-r4): close the evidence gap -----------
+    "t14_strip_boilerplate": L.t14_strip_boilerplate,
+    "t15_vocab_top_terms": L.t15_vocab_top_terms,
+    "t16_oov_stats": L.t16_oov_stats,
+    "t17_unigram_logprob": L.t17_unigram_logprob,
+    "q67_column_profile": R.q67_column_profile,
+    "q68_skew_report": R.q68_skew_report,
+    "q69_incremental_agg": R.q69_incremental_agg,
+    # -- oracle re-typed this round (HUGEINT -> BIGINT cast) ------------
     "q03_monthly_kpis": R.q3_monthly_kpis,
+    # -- last driver row was round 1 ------------------------------------
+    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
+    "q46_scd2_intervals": R.q46_scd2_intervals,
+    "q47_upsert_merge": R.q47_upsert_merge,
+    "q48_rank_suite": R.q48_rank_suite,
+    "q49_forward_fill": R.q49_forward_fill,
+    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
+    # -- code touched in round 5: re-verify -----------------------------
+    "d5_dedup_clusters": L.d5_dedup_clusters,
+    "q36_global_topk": R.q36_global_topk,
+    "q38_ntile_quartiles": R.q38_ntile_quartiles,
+    # -- stalest driver evidence (round 3) ------------------------------
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d6_dedup_embedding": L.d6_dedup_embedding,
+    "t1_token_stats": L.t1_token_stats,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
+    "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "s3_ivf_topk": L.s3_ivf_topk,
+    "q37_quality_gate": R.q37_quality_gate,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
+    "q61_listagg": R.q61_listagg,
+    "q62_try_arithmetic": R.q62_try_arithmetic,
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
+    "q64_recursive_cte": R.q64_recursive_cte,
+    "q65_map_type": R.q65_map_type,
+    "q66_array_analytics": R.q66_array_analytics,
+    "q01_pricing_summary": R.q1_pricing_summary,
+    "q34_approx_distinct": R.q34_approx_distinct,
+    "q51_approx_quantiles": R.q51_approx_quantiles,
+    # --- end of the driver's 50-entry correctness window -------------
+    # r3-green leftovers (d1/t6 map-only, multimodal + streaming whose
+    # driver check is rows-only) and the full r4-green block — all still
+    # covered by the local strict replica (scripts/oracle_check.py).
+    "d1_dedup_exact": L.d1_dedup_exact,
+    "t6_normalize": L.t6_normalize,
+    "m1_decode_meta": L.m1_decode_meta,
+    "m2_frame_sample": L.m2_frame_sample,
+    "m3_embed_norm": L.m3_embed_norm,
+    "m4_byte_histogram": L.m4_byte_histogram,
+    "m5_resize": L.m5_resize,
+    "st1_stream_tumbling": L.st1_stream_tumbling,
+    "st2_stream_sessions": L.st2_stream_sessions,
+    "st3_stream_stateful": L.st3_stream_stateful,
+    "st4_stream_static_join": L.st4_stream_static_join,
+    "st5_stream_dedup": L.st5_stream_dedup,
+    "st6_stream_stream_join": L.st6_stream_stream_join,
     "d7_segment_dedup": L.d7_segment_dedup,
     "d8_semantic_keeper": L.d8_semantic_keeper,
     "t12_pii_scrub": L.t12_pii_scrub,
@@ -1328,82 +1402,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_rolling_range_window": R.q32_rolling_range_window,
     "q33_correlated_subquery": R.q33_correlated_subquery,
     "q35_regression_per_group": R.q35_regression_per_group,
-    "q36_global_topk": R.q36_global_topk,
-    "q38_ntile_quartiles": R.q38_ntile_quartiles,
     "q39_tpch_q5": R.q39_tpch_q5,
     "q40_argmax_per_key": R.q40_argmax_per_key,
     "q41_unpivot": R.q41_unpivot,
     "q42_histogram": R.q42_histogram,
     "q43_full_outer_join": R.q43_full_outer_join,
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
-    # d3/d4 were REWRITTEN this round (non-distinct minhash signatures,
-    # map-only simhash fold) — their r3 driver green validated the old
-    # code, so they stay inside the window to re-verify the new paths.
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
-    # --- end of the driver's 50-entry correctness window -------------
-    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
-    "q46_scd2_intervals": R.q46_scd2_intervals,
-    # New this round (locally oracle-checked); rotate into the window
-    # next round together with the four backlog overflows below.
-    "t14_strip_boilerplate": L.t14_strip_boilerplate,
-    "t15_vocab_top_terms": L.t15_vocab_top_terms,
-    "t16_oov_stats": L.t16_oov_stats,
-    "t17_unigram_logprob": L.t17_unigram_logprob,
-    "q67_column_profile": R.q67_column_profile,
-    "q68_skew_report": R.q68_skew_report,
-    "q69_incremental_agg": R.q69_incremental_agg,
-    "q47_upsert_merge": R.q47_upsert_merge,
-    "q48_rank_suite": R.q48_rank_suite,
-    "q49_forward_fill": R.q49_forward_fill,
-    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
-    # Driver-green in CORRECTNESS_r03 (all hash_match:true); rotated out of
-    # the window to make room for the never-checked backlog above.
-    "d1_dedup_exact": L.d1_dedup_exact,
-    "d2_dedup_jaccard": L.d2_dedup_jaccard,
-    "d5_dedup_clusters": L.d5_dedup_clusters,
-    "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t1_token_stats": L.t1_token_stats,
-    "t2_quality": L.t2_quality,
-    "t3_lang_id": L.t3_lang_id,
-    "t4_fingerprint": L.t4_fingerprint,
-    "t5_chunk_docs": L.t5_chunk_docs,
-    "t6_normalize": L.t6_normalize,
-    "t7_train_split": L.t7_train_split,
-    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
-    "t9_decontaminate": L.t9_decontaminate,
-    "t10_repetition_stats": L.t10_repetition_stats,
-    "t11_stratified_sample": L.t11_stratified_sample,
-    "s1_cosine_topk": L.s1_cosine_topk,
-    "s2_lsh_topk": L.s2_lsh_topk,
-    "s3_ivf_topk": L.s3_ivf_topk,
-    "m1_decode_meta": L.m1_decode_meta,
-    "m2_frame_sample": L.m2_frame_sample,
-    "m3_embed_norm": L.m3_embed_norm,
-    "m4_byte_histogram": L.m4_byte_histogram,
-    "m5_resize": L.m5_resize,
-    "st1_stream_tumbling": L.st1_stream_tumbling,
-    "st2_stream_sessions": L.st2_stream_sessions,
-    "st3_stream_stateful": L.st3_stream_stateful,
-    "st4_stream_static_join": L.st4_stream_static_join,
-    "st5_stream_dedup": L.st5_stream_dedup,
-    "st6_stream_stream_join": L.st6_stream_stream_join,
-    "q37_quality_gate": R.q37_quality_gate,
-    "q53_sketch_rollup": R.q53_sketch_rollup,
-    "q54_left_outer_enrich": R.q54_left_outer_enrich,
-    "q55_variant_json": R.q55_variant_json,
-    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
-    "q57_group_rank_pandas": R.q57_group_rank_pandas,
-    "q58_cohort_retention": R.q58_cohort_retention,
-    "q59_session_funnel": R.q59_session_funnel,
-    "q60_percentile_disc": R.q60_percentile_disc,
-    "q61_listagg": R.q61_listagg,
-    "q62_try_arithmetic": R.q62_try_arithmetic,
-    "q63_bitmap_distinct": R.q63_bitmap_distinct,
-    "q64_recursive_cte": R.q64_recursive_cte,
-    "q65_map_type": R.q65_map_type,
-    "q66_array_analytics": R.q66_array_analytics,
-    "q01_pricing_summary": R.q1_pricing_summary,
-    "q34_approx_distinct": R.q34_approx_distinct,
-    "q51_approx_quantiles": R.q51_approx_quantiles,
 }

@@ -216,6 +216,40 @@ def test_connected_components_chain_and_island(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A path-shaped dup chain far longer than max_iter: pointer jumping
+    must converge in O(log diameter) rounds where pure min-label
+    propagation (one hop per round) would blow the iteration cap."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200  # diameter 199 >> default max_iter=20; log2(199) ~ 7.6
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a int, id_b int"
+    )
+    out = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_at_iteration_cap(spark):
+    """Non-convergence at the cap must raise, not return partial labels."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_ivf_topk_recall_vs_exact(emb):
     from airflow_etl_pyspark_inmet_spark.operators.similarity import (
         cosine_topk,
