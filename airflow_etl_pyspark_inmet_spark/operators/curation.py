@@ -102,6 +102,48 @@ def segment_dedup(
     )
 
 
+def intra_doc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Intra-document repeated-segment removal (the within-doc half of
+    CCNet-style dedup, vs :func:`segment_dedup`'s cross-doc half):
+    templated pages repeat their own nav blocks / footers many times
+    inside ONE document; keep each distinct segment's FIRST occurrence,
+    drop the repeats.
+
+    100 TB plan shape: strictly MAP-ONLY — zero shuffles. Each row is
+    processed independently with array built-ins (`array_position` gives
+    the first index of a segment, so "is this the first occurrence" is a
+    per-element predicate); nothing leaves the task, so throughput is
+    scan bandwidth. Exact outputs (counts + deduped text) so the oracle
+    compares bit-for-bit.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size("_ws") / F.lit(seg_words)).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("_ws"), i * seg_words + 1, seg_words), " "
+    )
+    segs = df.select(F.col(id_col), ws.alias("_ws")).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))), seg_at
+        ).alias("_segs"),
+    )
+    # first occurrence <=> 1-based array_position == own index
+    kept = F.filter(
+        F.col("_segs"), lambda s, i: F.array_position(F.col("_segs"), s) == i + 1
+    )
+    return segs.select(
+        id_col,
+        F.size("_segs").cast("bigint").alias("n_segments"),
+        (F.size("_segs") - F.size(kept)).cast("bigint").alias("n_repeats"),
+        F.array_join(kept, " ").alias("dedup_text"),
+    )
+
+
 def pii_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -132,6 +132,51 @@ def domain_cap(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    strat_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-sampling rule
+    popularized by multilingual LM training: sample domain i with
+    probability proportional to ``n_i^alpha``, alpha=0.5, so low-resource
+    domains are boosted and head domains damped relative to raw share).
+
+    Fixed-point determinism contract: alpha is pinned to 0.5 because
+    ``sqrt`` of an exact integer is a single correctly-rounded IEEE op —
+    identical on every engine — whereas ``pow(n, alpha)`` for arbitrary
+    alpha is not guaranteed correctly rounded. The rounded
+    ``sqrt_e6 = floor(sqrt(n_i) * 1e6)`` values are summed as BIGINTs
+    (order-free), and each weight is an integer division — so the output
+    hash-matches the oracle by construction. 100 TB shape: one hash-agg
+    to per-domain counts (map-side combined), then arithmetic on a
+    domains-sized frame; a broadcast join attaches weights back to rows
+    when the caller samples with them.
+
+    Output per domain: ``n_docs``, ``raw_share_e6`` (n_i / N, in
+    millionths, floored) and ``temp_share_e6`` (sqrt-damped share in
+    millionths, floored).
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = counts.withColumn(
+        "_sqrt_e6", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6)).cast("bigint")
+    )
+    totals = scaled.agg(
+        F.sum("n_docs").alias("_n_total"),
+        F.sum("_sqrt_e6").alias("_sqrt_total"),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(totals))
+        .select(
+            strat_col,
+            "n_docs",
+            F.expr("n_docs * 1000000 div _n_total").alias("raw_share_e6"),
+            F.expr("_sqrt_e6 * 1000000 div _sqrt_total").alias(
+                "temp_share_e6"
+            ),
+        )
+    )
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int,

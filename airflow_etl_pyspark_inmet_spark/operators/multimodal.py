@@ -2,11 +2,17 @@
 ``binary`` columns with typed metadata, processed in Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode kernel is a
-deterministic STUB (clearly marked) — but everything Spark-side is real:
-schema contract, batch iteration, partition parallelism, and the pattern a
-real decoder drops into (swap `_fake_decode` for PIL/libav and nothing
-else changes).
+Kernel tiers, chosen per payload at runtime:
+
+1. REAL PNG path — payloads carrying the PNG magic are decoded with PIL
+   when importable, else the pure stdlib+numpy codec in
+   :mod:`.png` (8-bit gray/RGB/RGBA, the normalized-corpus subset).
+   Exercised end-to-end in tests on generated PNGs.
+2. STUB path — non-image payloads (e.g. the testdata's UTF-8 text blobs)
+   get deterministic pseudo-metadata/pseudo-resize so the Spark plumbing
+   (schema contract, Arrow batch iteration, binary round-trip, partition
+   parallelism) is still fully testable and oracle-checkable. Audio/video
+   (soundfile/pyav) remain stub-only in this sandbox.
 """
 
 from __future__ import annotations
@@ -16,6 +22,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import png as _png
+
+try:  # preferred real codec when the environment provides it
+    from PIL import Image as _PILImage  # noqa: N812
+except ImportError:  # pure-numpy fallback (this sandbox)
+    _PILImage = None
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, format string"
@@ -31,10 +44,22 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     """STUB decode: deterministic pseudo-metadata from the byte length.
-    A real pipeline replaces this with PIL.Image.open / soundfile /
-    pyav frame extraction — per-batch, inside the same mapInPandas."""
+    Used for non-image payloads; PNG payloads take the real header
+    parse in :func:`_decode_one`."""
     n = len(payload)
     return n, (n % 640) + 1, (n % 480) + 1, "fake"
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
+    """Per-blob metadata: REAL for PNG (O(1) IHDR parse — width/height
+    without touching pixel data), stub pseudo-metadata otherwise."""
+    if _png.is_png(payload):
+        try:
+            w, h, _, _ = _png.png_header(payload)
+            return len(payload), w, h, "png"
+        except ValueError:
+            return len(payload), 0, 0, "corrupt-png"
+    return _fake_decode(payload)
 
 
 def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -50,7 +75,7 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_fake_decode)
+            meta = pdf["payload"].map(_decode_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -115,15 +140,142 @@ def extract_byte_histogram(
     return src.mapInPandas(kernel, "doc_id bigint, bucket int, n bigint")
 
 
+def _resize_png(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize kernel for one PNG blob: decode -> nearest-neighbor
+    resample -> re-encode. PIL when importable (NEAREST, to match the
+    fallback's pixel-center math); else the pure-numpy codec. Raises
+    ValueError on PNGs outside the supported subset — the caller decides
+    the fallback policy."""
+    if _PILImage is not None:
+        import io
+
+        import numpy as np
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB" if im.mode == "RGB" else im.mode))
+        out = _png.resize_nearest(arr, target_w, target_h)
+        return _png.png_encode(out)
+    arr = _png.png_decode(payload)
+    return _png.png_encode(_png.resize_nearest(arr, target_w, target_h))
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image resize over a binary column: PNG payloads take the REAL
+    decode->resample->encode kernel (:func:`_resize_png`); anything else
+    falls back to the deterministic stub payload so mixed-modality
+    corpora don't fail the batch. Output schema is identical to
+    :func:`resize_stub` plus a ``kernel`` column recording which path
+    each row took ('png' | 'stub') — the honest-labeling contract for a
+    corpus where only some blobs are decodable images."""
+    stub_len = target_w * target_h // 8
+
+    def one(payload: bytes) -> tuple[bytes, str]:
+        if _png.is_png(payload):
+            try:
+                return _resize_png(payload, target_w, target_h), "png"
+            except ValueError:
+                pass  # unsupported subset -> stub fallback
+        return (
+            bytes((payload * (stub_len // max(len(payload), 1) + 1))[:stub_len]),
+            "stub",
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized": [p[0] for p in pairs],
+                    "kernel": [p[1] for p in pairs],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id bigint, width int, height int, resized binary, kernel string",
+    )
+
+
+def text_to_png_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side: int = 8,
+) -> DataFrame:
+    """Deterministic grayscale PNG per row: pixel (y, x) = codepoint of
+    the text's character ``y*side + x`` masked to a byte, zero-padded
+    past the end. This manufactures REAL image payloads from the text
+    testdata so the real codec path is exercisable (and, because the
+    pixel rule is pure character arithmetic, an SQL oracle can predict
+    pixel-level results of downstream image ops without being able to
+    produce PNG bytes)."""
+    import numpy as np
+
+    from .util import ensure_parallelism
+
+    n = side * side
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["_t"]:
+                vals = [ord(c) & 0xFF for c in (t or "")[:n]]
+                vals += [0] * (n - len(vals))
+                arr = np.array(vals, dtype=np.uint8).reshape(side, side)
+                payloads.append(_png.png_encode(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(kernel, "doc_id bigint, payload binary")
+
+
+def png_pixel_stats(
+    df: DataFrame, payload_col: str = "resized"
+) -> DataFrame:
+    """Decode PNG payloads and emit exact pixel statistics — the
+    verification tail of the real-codec chain (encode -> resize ->
+    decode must reproduce the pixels the resample math predicts)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for p in pdf[payload_col]:
+                arr = _png.png_decode(bytes(p))
+                h, w = arr.shape[:2]
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, "doc_id bigint, width int, height int, pixel_sum bigint"
+    )
+
+
 def resize_stub(
     df: DataFrame, target_w: int = 32, target_h: int = 32
 ) -> DataFrame:
     """STUB image resize: binary in -> binary out through mapInPandas,
-    emitting a deterministic payload of target_w*target_h//8 bytes (a
-    real pipeline swaps the kernel body for PIL thumbnail/resample and
-    keeps the identical schema contract). Proves the binary-column
-    round-trip: Arrow handles bytes in both directions, and the resized
-    blob column is writable/joinable like any other."""
+    emitting a deterministic payload of target_w*target_h//8 bytes (the
+    real-codec variant is :func:`resize_images`; this one keeps a fully
+    payload-independent contract for the m5 oracle). Proves the
+    binary-column round-trip: Arrow handles bytes in both directions, and
+    the resized blob column is writable/joinable like any other."""
     out_len = target_w * target_h // 8
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

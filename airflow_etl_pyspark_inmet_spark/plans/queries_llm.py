@@ -513,3 +513,61 @@ def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+def t18_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-segment removal (map-only, zero shuffles).
+    The synthetic corpus has no natural intra-doc repeats, so every fifth
+    document is rebuilt as (first 20 words + first 10 words again) —
+    segment 3 then exactly repeats segment 1 and must be dropped; the
+    oracle mirrors the construction with list_slice."""
+    from ..operators.curation import intra_doc_dedup
+
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.array_join(F.slice(ws, 1, 20), " "),
+                F.lit(" "),
+                F.array_join(F.slice(ws, 1, 10), " "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return intra_doc_dedup(docs, seg_words=10)
+
+
+def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-damped (alpha=0.5) mixture weights per source:
+    sqrt-of-count sampling shares in exact integer millionths."""
+    from ..operators.mixing import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, strat_col="source")
+
+
+def m6_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec chain, end to end through three Arrow-batched
+    stages: build an 8x8 grayscale PNG per doc from its first 64
+    codepoints (text_to_png_payload) -> decode/nearest-resize/re-encode
+    to 4x4 (resize_images, real PNG kernel) -> decode the resized PNG
+    and emit exact pixel stats (png_pixel_stats). The oracle predicts
+    pixel_sum from pure character arithmetic (the 16 surviving pixel
+    positions of an 8x8 -> 4x4 pixel-center resample are fixed), so a
+    hash match proves the codec round-trip bit-exactly — no stub
+    anywhere in this path."""
+    from ..operators.multimodal import (
+        png_pixel_stats,
+        resize_images,
+        text_to_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = text_to_png_payload(docs, side=8)
+    resized = resize_images(payloads, target_w=4, target_h=4)
+    return png_pixel_stats(resized).select(
+        "doc_id", "width", "height", "pixel_sum"
+    )

@@ -153,6 +153,27 @@ def q3_monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_monthly_kpis_dbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03 with the natural double-typed presentation a KPI consumer
+    wants (quantities/prices in units, not micro-units/cents). The
+    aggregate chain is IDENTICAL to q03 — all-integer, order-free — and
+    only the final projection divides each BIGINT by a power-of-ten
+    literal. One IEEE division of an exactly-representable integer is
+    correctly rounded on every engine, so the doubles hash-match the
+    oracle by construction (unlike doubles summed in the aggregate,
+    which 3 rounds of q03 history showed to be hash-unstable)."""
+    kpis = q3_monthly_kpis(spark, sf_dir)
+    return kpis.select(
+        "n_name",
+        "ano",
+        "mes",
+        (F.col("mensal_qty_media_e6") / F.lit(1e6)).alias("mensal_qty_media"),
+        (F.col("mensal_qty_max_cents") / F.lit(100.0)).alias("mensal_qty_max"),
+        (F.col("mensal_price_cents") / F.lit(100.0)).alias("mensal_price"),
+        "dias_high_rev",
+    )
+
+
 def q4_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: one-job scalar min/max/count (the reference runs two separate
     collect()s at job_parquet.py:265-266)."""

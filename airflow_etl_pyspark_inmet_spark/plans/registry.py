@@ -1278,6 +1278,106 @@ def _t14_strip_boilerplate_sql() -> str:
 
 ORACLES["t14_strip_boilerplate"] = _t14_strip_boilerplate_sql()
 
+# t18: intra-document repeated-segment removal. Mirrors the Spark plant
+# (every 5th doc = first 20 words + first 10 again) and the map-only
+# first-occurrence filter with DuckDB list arithmetic (list_position =
+# Spark array_position; indexed lambdas avoided for portability).
+ORACLES["t18_intra_doc_dedup"] = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 20), ' ')
+           || ' ' ||
+           array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 10), ' ')
+         ELSE text END AS text
+  FROM documents
+),
+segged AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+           i -> array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')
+         ) AS segs
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM base)
+),
+kept AS (
+  SELECT doc_id, segs,
+         list_filter(
+           list_transform(
+             range(1, len(segs) + 1),
+             i -> CASE WHEN list_position(segs, segs[i]) = i THEN segs[i] END
+           ),
+           x -> x IS NOT NULL
+         ) AS ks
+  FROM segged
+)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(segs) - len(ks) AS BIGINT) AS n_repeats,
+       array_to_string(ks, ' ') AS dedup_text
+FROM kept
+"""
+
+# x4: sqrt-temperature mixture weights — all-integer after the one
+# correctly-rounded sqrt (see operators.mixing.temperature_weights).
+ORACLES["x4_temperature_weights"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS _sqrt_e6
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS _n_total,
+         CAST(SUM(_sqrt_e6) AS BIGINT) AS _sqrt_total
+  FROM scaled
+)
+SELECT source, n_docs,
+       n_docs * 1000000 // _n_total AS raw_share_e6,
+       _sqrt_e6 * 1000000 // _sqrt_total AS temp_share_e6
+FROM scaled CROSS JOIN tot
+"""
+
+
+def _m6_resize_png_sql() -> str:
+    """Oracle for the real PNG codec chain: an 8x8 image built from the
+    first 64 codepoints (& 0xFF), pixel-center nearest-resampled to 4x4,
+    keeps exactly the pixels at (y, x) in {1,3,5,7}^2 — so pixel_sum is
+    a fixed 16-term character expression, computable without any codec.
+    A hash match therefore certifies Spark's encode->resize->decode
+    round-trip bit-exactly."""
+    idx = [1, 3, 5, 7]
+    terms = [
+        f"(CASE WHEN length(text) >= {y * 8 + x + 1} "
+        f"THEN ord(substr(text, {y * 8 + x + 1}, 1)) % 256 ELSE 0 END)"
+        for y in idx
+        for x in idx
+    ]
+    return (
+        "SELECT doc_id,\n"
+        "       CAST(4 AS INTEGER) AS width,\n"
+        "       CAST(4 AS INTEGER) AS height,\n"
+        "       CAST(" + "\n          + ".join(terms) + " AS BIGINT) AS pixel_sum\n"
+        "FROM documents\n"
+    )
+
+
+ORACLES["m6_resize_png"] = _m6_resize_png_sql()
+
+# q70 = q03's all-integer aggregate chain + a final exact-int division to
+# the natural double presentation (one correctly-rounded IEEE op per
+# column — engine-neutral, unlike doubles inside the aggregate).
+ORACLES["q70_monthly_kpis_dbl"] = f"""
+SELECT n_name, ano, mes,
+       mensal_qty_media_e6 / 1e6 AS mensal_qty_media,
+       mensal_qty_max_cents / 100.0 AS mensal_qty_max,
+       mensal_price_cents / 100.0 AS mensal_price,
+       dias_high_rev
+FROM ({ORACLES["q03_monthly_kpis"]})
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r04 covers 103/110. Round-5 window, front to back:
@@ -1301,6 +1401,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_incremental_agg": R.q69_incremental_agg,
     # -- oracle re-typed this round (HUGEINT -> BIGINT cast) ------------
     "q03_monthly_kpis": R.q3_monthly_kpis,
+    # -- new in round 5 --------------------------------------------------
+    "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
+    "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
+    "x4_temperature_weights": L.x4_temperature_weights,
+    "m6_resize_png": L.m6_resize_png,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
@@ -1342,11 +1447,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
     "q65_map_type": R.q65_map_type,
+    # --- end of the driver's 50-entry correctness window -------------
     "q66_array_analytics": R.q66_array_analytics,
     "q01_pricing_summary": R.q1_pricing_summary,
     "q34_approx_distinct": R.q34_approx_distinct,
     "q51_approx_quantiles": R.q51_approx_quantiles,
-    # --- end of the driver's 50-entry correctness window -------------
     # r3-green leftovers (d1/t6 map-only, multimodal + streaming whose
     # driver check is rows-only) and the full r4-green block — all still
     # covered by the local strict replica (scripts/oracle_check.py).

@@ -74,6 +74,25 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        # Isolated measurement for A/B claims: median of 5 per named
+        # query, raw runs included so the artifact is auditable (this
+        # host's neighbor load swings single runs 2-5x). Paste the JSON
+        # line into BASELINE.md next to the claim it backs.
+        names = sys.argv[2:]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown or not names:
+            sys.exit(f"--ab: unknown or missing query names {unknown}")
+        result = {}
+        for name in names:
+            runs = sorted(run_once(name) for _ in range(5))
+            result[name] = {
+                "runs": [round(r, 3) for r in runs],
+                "median": round(runs[len(runs) // 2], 3),
+            }
+        print(json.dumps({"mode": "ab", "sf_dir": SF_DIR, "queries": result}))
+        return
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = sorted(run_once(name) for _ in range(3))

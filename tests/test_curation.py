@@ -60,6 +60,46 @@ def test_segment_dedup_within_doc_repeat_not_boilerplate(spark):
     assert rows[1]["kept_text"] == "a b a b"
 
 
+def test_intra_doc_dedup_drops_repeats_keeps_first(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        intra_doc_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # segments (2 words): [a b] [c d] [a b] [e f] -> drop 3rd
+            (1, "a b c d a b e f"),
+            # no repeats
+            (2, "g h i j"),
+            # triple repeat: [x y] [x y] [x y] -> keep first only
+            (3, "x y x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in intra_doc_dedup(docs, seg_words=2).collect()
+    }
+    assert rows[1]["n_segments"] == 4 and rows[1]["n_repeats"] == 1
+    assert rows[1]["dedup_text"] == "a b c d e f"
+    assert rows[2]["n_repeats"] == 0 and rows[2]["dedup_text"] == "g h i j"
+    assert rows[3]["n_segments"] == 3 and rows[3]["n_repeats"] == 2
+    assert rows[3]["dedup_text"] == "x y"
+
+
+def test_intra_doc_dedup_is_map_only(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        intra_doc_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    plan = (
+        intra_doc_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles: pure scan throughput
+
+
 def test_pii_scrub_masks_and_counts(spark):
     docs = spark.createDataFrame(
         [

@@ -106,3 +106,32 @@ def test_shard_assign_is_permutation(spark):
     # reproducible across runs
     again = shard_assign(df, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_temperature_weights_sqrt_damping(spark):
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        temperature_weights,
+    )
+
+    # 100 / 25 / 1 docs: raw shares 79%/19%/0.8%; sqrt damping pulls the
+    # head down (10/5/1 -> 62.5%/31.2%/6.2%)
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(200 + i, "mid") for i in range(25)]
+        + [(300, "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in temperature_weights(df).collect()}
+
+    sqrt_e6 = {s: math.floor(math.sqrt(n) * 1e6) for s, n in
+               [("big", 100), ("mid", 25), ("tiny", 1)]}
+    s_total = sum(sqrt_e6.values())
+    for s, n in [("big", 100), ("mid", 25), ("tiny", 1)]:
+        assert got[s]["n_docs"] == n
+        assert got[s]["raw_share_e6"] == n * 1_000_000 // 126
+        assert got[s]["temp_share_e6"] == sqrt_e6[s] * 1_000_000 // s_total
+    # damping direction: head loses share, tail gains
+    assert got["big"]["temp_share_e6"] < got["big"]["raw_share_e6"]
+    assert got["tiny"]["temp_share_e6"] > got["tiny"]["raw_share_e6"]
