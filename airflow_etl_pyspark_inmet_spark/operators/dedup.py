@@ -601,3 +601,103 @@ def semantic_dedup_keepers(
         )
     )
     return out.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-span detection (the
+    span-level half of training-data dedup: instead of dropping whole
+    near-dup documents, find the exact repeated passages — licenses,
+    boilerplate, quoted chunks — so curation can excise the SPAN).
+
+    A word ``n``-gram occurring in >= ``min_docs`` distinct documents
+    marks its token range [pos, pos+n-1] as duplicated; overlapping or
+    adjacent duplicated ranges within a doc merge into maximal spans
+    (positions p1 < p2 share a span iff p2 - p1 <= n). Output per doc:
+
+        n_grams | n_dup_grams | n_spans | n_dup_tokens
+
+    100 TB plan shape:
+      1. positional gram stream (doc_id, pos, xxhash64(gram)) — explode
+         carries 20-byte tuples, never text; equality classes are 64-bit
+         hash classes (same collision trade as decontaminate/segment_dedup);
+      2. hash-agg count-distinct-docs per gram hash -> the duplicated-gram
+         set (usually small: only cross-doc repeats survive);
+      3. join back on the 8-byte hash (AQE broadcasts when small), keeping
+         (doc_id, pos) only;
+      4. per-doc interval merge: one window over (doc_id, pos) — bounded
+         by the doc's own gram count, never corpus-wide;
+      5. map-only total-gram recount from the raw table for the zero-fill
+         left join (a 2-column re-scan beats checkpointing the corpus-
+         sized gram stream, which is the documented anti-pattern).
+    The gram stream is deliberately recomputed for steps 2 and 3 rather
+    than checkpointed — at scale the re-scan is cheaper than spilling a
+    corpus-sized intermediate.
+    """
+    from pyspark.sql import Window
+
+    from .text import _gram_at
+    from .util import ensure_parallelism
+
+    def gram_stream() -> DataFrame:
+        d = ensure_parallelism(
+            df.select(F.col(id_col).alias("_id"), text_col)
+        ).select("_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
+        ws = F.col("_ws")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+        grams = F.when(
+            F.size(ws) >= n, F.transform(idx, lambda i: _gram_at(ws, i, n))
+        ).otherwise(F.array().cast("array<string>"))
+        return d.select("_id", F.posexplode(grams).alias("pos", "_g")).select(
+            "_id", "pos", F.xxhash64("_g").alias("_gh")
+        )
+
+    dup = (
+        gram_stream()
+        .groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    hits = gram_stream().join(dup, "_gh").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    isl = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    spans = isl.groupBy("_id", "_isl").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + n - 1).alias("_e"),
+        F.count(F.lit(1)).alias("_ng"),
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.sum("_ng").alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("n_dup_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.greatest(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - n + 1, F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return totals.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+    )

@@ -157,9 +157,12 @@ def temperature_weights(
     millionths, floored).
     """
     counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # the per-domain frame feeds both the totals aggregate and the final
+    # join; checkpoint the (domains-sized, already-aggregated) frame so
+    # the corpus groupBy scans the input once, not once per consumer
     scaled = counts.withColumn(
         "_sqrt_e6", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6)).cast("bigint")
-    )
+    ).localCheckpoint(eager=False)
     totals = scaled.agg(
         F.sum("n_docs").alias("_n_total"),
         F.sum("_sqrt_e6").alias("_sqrt_total"),

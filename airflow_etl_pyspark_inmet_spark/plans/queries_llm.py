@@ -549,6 +549,17 @@ def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(docs, strat_col="source")
 
 
+def d9_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span detection: 8-grams shared by >=2
+    docs, merged into maximal per-doc spans. The corpus's planted
+    near-dup pairs supply the repeats; output is exact span/token
+    counts per document (zero-filled for clean docs)."""
+    from ..operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(docs, n=8, min_docs=2)
+
+
 def m6_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec chain, end to end through three Arrow-batched
     stages: build an 8x8 grayscale PNG per doc from its first 64

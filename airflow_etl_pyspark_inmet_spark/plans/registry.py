@@ -1318,6 +1318,59 @@ SELECT doc_id,
 FROM kept
 """
 
+# d9: ExactSubstr-style repeated spans. The Spark side groups by
+# xxhash64(gram) for 8-byte shuffle keys; the oracle groups by the gram
+# string — identical up to 64-bit hash collisions (the documented trade
+# of decontaminate/segment_dedup). Island merge: positions p1 < p2 share
+# a span iff p2 - p1 <= n (token ranges [p, p+n-1] overlap/touch).
+ORACLES["d9_repeated_spans"] = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS g
+  FROM d, LATERAL (
+    SELECT unnest(range(greatest(len(ws) - 7, 0))) AS i
+  ) u
+),
+dupg AS (
+  SELECT g FROM (
+    SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g
+  ) WHERE nd >= 2
+),
+hits AS (SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM dupg)),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+  )
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e,
+         COUNT(*) AS ng
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(ng) AS BIGINT) AS n_dup_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens
+FROM (
+  SELECT doc_id, CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams FROM d
+) t LEFT JOIN per_doc p USING (doc_id)
+"""
+
 # x4: sqrt-temperature mixture weights — all-integer after the one
 # correctly-rounded sqrt (see operators.mixing.temperature_weights).
 ORACLES["x4_temperature_weights"] = """
@@ -1406,6 +1459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
     "x4_temperature_weights": L.x4_temperature_weights,
     "m6_resize_png": L.m6_resize_png,
+    "d9_repeated_spans": L.d9_repeated_spans,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
@@ -1446,8 +1500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
-    "q65_map_type": R.q65_map_type,
     # --- end of the driver's 50-entry correctness window -------------
+    "q65_map_type": R.q65_map_type,
     "q66_array_analytics": R.q66_array_analytics,
     "q01_pricing_summary": R.q1_pricing_summary,
     "q34_approx_distinct": R.q34_approx_distinct,

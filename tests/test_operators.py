@@ -666,3 +666,60 @@ def test_skew_report_shares(spark):
         (2, "1", 2),
     ]
     assert abs(rows[0]["share"] - 0.7) < 1e-12
+
+
+def test_repeated_spans_merges_overlaps(spark):
+    """Two docs share one 6-token passage (plus a second, disjoint
+    3-gram repeat in one of them); n=3 grams must merge into maximal
+    spans and clean docs must zero-fill."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    shared = "p q r s t u"  # 6 tokens -> 4 overlapping 3-grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),
+            (2, f"x y {shared} z w v"),
+            (3, "k l m n o k2 l2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repeated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc 1: 12 tokens -> 10 grams; shared starts at pos 3: dup grams at
+    # pos 3..6 -> one island, span tokens [3, 6+2] = 6 tokens
+    assert rows[1]["n_grams"] == 10
+    assert rows[1]["n_dup_grams"] == 4
+    assert rows[1]["n_spans"] == 1
+    assert rows[1]["n_dup_tokens"] == 6
+    # doc 2: shared at pos 2 -> grams 2..5, same span size
+    assert rows[2]["n_spans"] == 1 and rows[2]["n_dup_tokens"] == 6
+    # doc 3: clean -> zero-fill
+    assert rows[3]["n_dup_grams"] == 0
+    assert rows[3]["n_spans"] == 0 and rows[3]["n_dup_tokens"] == 0
+
+
+def test_repeated_spans_disjoint_islands(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    # the 2-gram "a b" repeats across both docs at positions 0 and 6
+    # of doc 1 (gap 6 > n=2 -> two islands)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f a b h"),
+            (2, "a b q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repeated_spans(docs, n=2, min_docs=2).collect()
+    }
+    assert rows[1]["n_spans"] == 2
+    assert rows[1]["n_dup_grams"] == 2
+    assert rows[1]["n_dup_tokens"] == 4  # two disjoint [p, p+1] ranges
