@@ -495,6 +495,51 @@ def unigram_logprob(
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear text-classifier scoring — the fastText-style quality filter
+    of a pretraining pipeline (score every doc with a bag-of-words linear
+    model, threshold into keep/drop). ``weights`` is a (token, weight)
+    frame with INTEGER weights; duplicate tokens SUM (linear-model
+    semantics: w = sum of contributions), unmatched tokens score 0.
+
+    100 TB shape: the weight table is vocabulary-bounded so it
+    BROADCASTS; tokens are probed map-side and the only shuffle is the
+    per-doc (id, int) aggregate. Integer weights keep every output exact:
+    ``logit_e6 = score_num * 1e6 div n_tokens`` — both Spark ``div`` and
+    DuckDB ``//`` truncate toward zero (verified, incl. negatives), so
+    the oracle matches bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    w = weights.groupBy("token").agg(
+        F.sum("weight").cast("bigint").alias("_w")
+    )
+    out = (
+        toks.join(F.broadcast(w), "token", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_w"), F.lit(0))).alias("score_num"),
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.col("score_num").cast("bigint").alias("score_num"),
+        F.expr("score_num * 1000000 div n_tokens").alias("logit_e6"),
+        (F.expr("score_num * 1000000 div n_tokens") >= 0).alias(
+            "is_quality"
+        ),
+    )
+
+
 def vocab_top_terms(
     df: DataFrame,
     k: int = 100,

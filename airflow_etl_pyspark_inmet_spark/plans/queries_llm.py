@@ -549,6 +549,26 @@ def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(docs, strat_col="source")
 
 
+def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality scoring: integer weights derived
+    from the corpus's own top-40 vocabulary (every third rank negative,
+    magnitude 41-rank), broadcast-probed; exact integer logit per doc."""
+    from ..operators.text import classifier_score, vocab_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_top_terms(docs, k=40)
+    weights = vocab.select(
+        "token",
+        F.when(
+            F.col("rank") % 3 == 0, -(F.lit(41) - F.col("rank"))
+        )
+        .otherwise(F.lit(41) - F.col("rank"))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    return classifier_score(docs, weights)
+
+
 def d9_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style repeated-span detection: 8-grams shared by >=2
     docs, merged into maximal per-doc spans. The corpus's planted

@@ -1318,6 +1318,41 @@ SELECT doc_id,
 FROM kept
 """
 
+# t19: linear quality classifier — weights from the corpus top-40 vocab
+# (t15/t16's vocab CTE shape), every third rank negative. Both engines
+# truncate integer division toward zero (verified for negatives), so
+# logit_e6 is exact.
+ORACLES["t19_quality_classifier"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INTEGER)
+           AS rank
+  FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+  ORDER BY freq DESC, token ASC LIMIT 40
+),
+w AS (
+  SELECT token,
+         CAST(CASE WHEN rank % 3 = 0 THEN -(41 - rank) ELSE 41 - rank END
+              AS BIGINT) AS weight
+  FROM vocab
+),
+j AS (
+  SELECT t.doc_id, COALESCE(w.weight, 0) AS wt
+  FROM tok t LEFT JOIN w USING (token)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wt) AS BIGINT) AS score_num,
+       CAST(SUM(wt) * 1000000 // COUNT(*) AS BIGINT) AS logit_e6,
+       CAST(SUM(wt) * 1000000 // COUNT(*) AS BIGINT) >= 0 AS is_quality
+FROM j GROUP BY doc_id
+"""
+
 # d9: ExactSubstr-style repeated spans. The Spark side groups by
 # xxhash64(gram) for 8-byte shuffle keys; the oracle groups by the gram
 # string — identical up to 64-bit hash collisions (the documented trade
@@ -1460,6 +1495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x4_temperature_weights": L.x4_temperature_weights,
     "m6_resize_png": L.m6_resize_png,
     "d9_repeated_spans": L.d9_repeated_spans,
+    "t19_quality_classifier": L.t19_quality_classifier,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
@@ -1499,8 +1535,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_listagg": R.q61_listagg,
     "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
-    "q64_recursive_cte": R.q64_recursive_cte,
     # --- end of the driver's 50-entry correctness window -------------
+    "q64_recursive_cte": R.q64_recursive_cte,
     "q65_map_type": R.q65_map_type,
     "q66_array_analytics": R.q66_array_analytics,
     "q01_pricing_summary": R.q1_pricing_summary,

@@ -723,3 +723,32 @@ def test_repeated_spans_disjoint_islands(spark):
     assert rows[1]["n_spans"] == 2
     assert rows[1]["n_dup_grams"] == 2
     assert rows[1]["n_dup_tokens"] == 4  # two disjoint [p, p+1] ranges
+
+
+def test_classifier_score_weights_and_threshold(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good bad"),   # 2*5 + 1*(-3) = 7, n=3
+            (2, "bad bad neutral"), # -6, n=3
+            (3, "unseen words only"),
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        # 'good' appears twice in the table -> weights SUM (3 + 2 = 5)
+        [("good", 3), ("good", 2), ("bad", -3)],
+        "token string, weight long",
+    )
+    rows = {r["doc_id"]: r for r in classifier_score(docs, weights).collect()}
+    assert rows[1]["score_num"] == 7 and rows[1]["n_tokens"] == 3
+    assert rows[1]["logit_e6"] == 7 * 1_000_000 // 3
+    assert rows[1]["is_quality"] is True
+    assert rows[2]["score_num"] == -6
+    # Spark div truncates toward zero: -6e6/3 = -2e6 exactly here
+    assert rows[2]["logit_e6"] == -2_000_000
+    assert rows[2]["is_quality"] is False
+    assert rows[3]["score_num"] == 0 and rows[3]["is_quality"] is True
