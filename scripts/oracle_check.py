@@ -32,6 +32,36 @@ def canon(v):
     return (type(v).__name__, repr(v))
 
 
+# Spark simpleString dtype -> the DuckDB type the oracle must emit.
+# A value-equal result in a different serialized width (the q03
+# HUGEINT-vs-BIGINT bug, or INT-vs-BIGINT) still hash-mismatches at the
+# driver, so the type SHAPES must agree, not just the column names.
+SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+
+
+def type_mismatches(sdf, con, sql) -> list[str]:
+    duck = {
+        c: str(t) for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+    }
+    out = []
+    for name, dtype in sdf.dtypes:
+        want = SPARK_TO_DUCK.get(dtype)
+        got = duck.get(name)
+        if want is None:
+            out.append(f"{name}: unmapped spark type {dtype}")
+        elif got != want:
+            out.append(f"{name}: spark {dtype} vs duckdb {got}")
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as E
     from airflow_etl_pyspark_inmet_spark.session import get_spark
@@ -71,6 +101,10 @@ def main() -> int:
         msgs = []
         if sorted(scols) != sorted(ocols):
             msgs.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            tmis = type_mismatches(sdf, con, oracles[name])
+            if tmis:
+                msgs.append("type skew: " + "; ".join(tmis))
         if len(srows) != len(orows):
             msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not msgs:
