@@ -144,3 +144,101 @@ def test_max_run_equals_mode_count_property(spark, docs):
     for i, words in enumerate(docs):
         expected = max(Counter(words).values()) if words else 0
         assert got[i] == expected, (i, words)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_repeated_spans_matches_bruteforce_property(spark, docs, n):
+    """repeated_spans == a pure-Python reference (gram counting +
+    interval union) on small random corpora over a tiny alphabet (which
+    forces plenty of cross-doc collisions)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    grams = {}  # gram -> set of doc ids
+    for i, ws in enumerate(docs):
+        for p in range(max(len(ws) - n + 1, 0)):
+            grams.setdefault(tuple(ws[p : p + n]), set()).add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    expected = {}
+    for i, ws in enumerate(docs):
+        pos = [
+            p
+            for p in range(max(len(ws) - n + 1, 0))
+            if tuple(ws[p : p + n]) in dup
+        ]
+        covered = set()
+        spans = 0
+        prev = None
+        for p in pos:
+            covered.update(range(p, p + n))
+            if prev is None or p - prev > n:
+                spans += 1
+            prev = p
+        expected[i] = (
+            max(len(ws) - n + 1, 0),
+            len(pos),
+            spans,
+            len(covered),
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_dup_grams"],
+            r["n_spans"],
+            r["n_dup_tokens"],
+        )
+        for r in repeated_spans(df, n=n, min_docs=2).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_intra_doc_dedup_matches_bruteforce_property(spark, docs, seg_words):
+    """intra_doc_dedup == a pure-Python first-occurrence filter over the
+    same fixed-width segmentation."""
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        intra_doc_dedup,
+    )
+
+    expected = {}
+    for i, ws in enumerate(docs):
+        segs = [
+            " ".join(ws[p : p + seg_words])
+            for p in range(0, len(ws), seg_words)
+        ]
+        kept = [s for j, s in enumerate(segs) if segs.index(s) == j]
+        expected[i] = (len(segs), len(segs) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_repeats"], r["dedup_text"])
+        for r in intra_doc_dedup(df, seg_words=seg_words).collect()
+    }
+    assert got == expected
