@@ -580,6 +580,54 @@ def d9_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, n=8, min_docs=2)
 
 
+def c1_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation COMPOSITION: plant PII (t12's construction) ->
+    intra-doc segment dedup (t18) -> PII scrub (t12) -> linear quality
+    scoring on the cleaned text (t19, vocab recomputed post-cleanup).
+    One query proving the operators chain through their column contracts;
+    the oracle nests the same stages as CTEs. Every intermediate stays
+    map-only until the vocab/classifier aggregates, and the chain
+    deliberately re-derives its map-only stages per consumer rather than
+    checkpointing a corpus-sized text frame (the documented scale
+    trade)."""
+    from ..operators.curation import intra_doc_dedup, pii_scrub
+    from ..operators.text import classifier_score, vocab_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@mail.example.com from 10."),
+                F.col("doc_id") % 256,
+                F.lit(".0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    dd = intra_doc_dedup(docs, seg_words=10)
+    sc = pii_scrub(dd.select("doc_id", F.col("dedup_text").alias("text")))
+    cleaned = sc.select("doc_id", F.col("redacted_text").alias("text"))
+    vocab = vocab_top_terms(cleaned, k=40)
+    weights = vocab.select(
+        "token",
+        F.when(F.col("rank") % 3 == 0, -(F.lit(41) - F.col("rank")))
+        .otherwise(F.lit(41) - F.col("rank"))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    scored = classifier_score(cleaned, weights)
+    return (
+        dd.select("doc_id", "n_repeats")
+        .join(sc.select("doc_id", "n_emails", "n_ips"), "doc_id")
+        .join(scored, "doc_id")
+    )
+
+
 def m6_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-codec chain, end to end through three Arrow-batched
     stages: build an 8x8 grayscale PNG per doc from its first 64

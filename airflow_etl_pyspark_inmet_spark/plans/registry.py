@@ -1318,6 +1318,93 @@ SELECT doc_id,
 FROM kept
 """
 
+# c1: the curation COMPOSITION — t12's PII plant, t18's intra-doc
+# dedup, t12's scrub, then t19's classifier on the cleaned text (vocab
+# recomputed post-cleanup), all nested as CTE stages mirroring the
+# operator chain stage for stage.
+ORACLES["c1_curation_chain"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE text END AS text
+  FROM documents
+),
+segged AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+           i -> array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')
+         ) AS segs
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM aug)
+),
+dd AS (
+  SELECT doc_id, segs,
+         list_filter(
+           list_transform(
+             range(1, len(segs) + 1),
+             i -> CASE WHEN list_position(segs, segs[i]) = i THEN segs[i] END
+           ),
+           x -> x IS NOT NULL
+         ) AS ks
+  FROM segged
+),
+deduped AS (
+  SELECT doc_id, CAST(len(segs) - len(ks) AS BIGINT) AS n_repeats,
+         array_to_string(ks, ' ') AS text
+  FROM dd
+),
+r1 AS (
+  SELECT doc_id, n_repeats,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM deduped
+),
+scrubbed AS (
+  SELECT doc_id, n_repeats, n_emails,
+         CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g') AS text
+  FROM r1
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM scrubbed
+),
+tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INTEGER)
+           AS rank
+  FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+  ORDER BY freq DESC, token ASC LIMIT 40
+),
+w AS (
+  SELECT token,
+         CAST(CASE WHEN rank % 3 = 0 THEN -(41 - rank) ELSE 41 - rank END
+              AS BIGINT) AS weight
+  FROM vocab
+),
+j AS (
+  SELECT t.doc_id, COALESCE(w.weight, 0) AS wt
+  FROM tok t LEFT JOIN w USING (token)
+),
+q AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS score_num,
+         CAST(SUM(wt) * 1000000 // COUNT(*) AS BIGINT) AS logit_e6,
+         CAST(SUM(wt) * 1000000 // COUNT(*) AS BIGINT) >= 0 AS is_quality
+  FROM j GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_repeats, s.n_emails, s.n_ips,
+       q.n_tokens, q.score_num, q.logit_e6, q.is_quality
+FROM scrubbed s JOIN q USING (doc_id)
+"""
+
 # t19: linear quality classifier — weights from the corpus top-40 vocab
 # (t15/t16's vocab CTE shape), every third rank negative. Both engines
 # truncate integer division toward zero (verified for negatives), so
@@ -1496,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m6_resize_png": L.m6_resize_png,
     "d9_repeated_spans": L.d9_repeated_spans,
     "t19_quality_classifier": L.t19_quality_classifier,
+    "c1_curation_chain": L.c1_curation_chain,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
@@ -1534,8 +1622,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_percentile_disc": R.q60_percentile_disc,
     "q61_listagg": R.q61_listagg,
     "q62_try_arithmetic": R.q62_try_arithmetic,
-    "q63_bitmap_distinct": R.q63_bitmap_distinct,
     # --- end of the driver's 50-entry correctness window -------------
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
     "q65_map_type": R.q65_map_type,
     "q66_array_analytics": R.q66_array_analytics,
