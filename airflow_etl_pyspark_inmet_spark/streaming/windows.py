@@ -196,6 +196,113 @@ def streaming_stateful_counts(
     )
 
 
+def streaming_tws_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`streaming_stateful_counts`: the same per-user running
+    (count, first-seen, last-seen), but held in the new StatefulProcessor
+    API's typed ValueState instead of GroupState. This is the
+    forward-looking arbitrary-state surface (composable named states,
+    timers, TTL); it REQUIRES the RocksDB state store provider, which is
+    also the right provider at scale (state spills to disk instead of
+    executor heap). Same finite-input contract as st3: running outputs
+    fold to the batch group-by, so the oracle is identical.
+
+    Gated dependency: the transformWithState worker protocol serializes
+    state through protobuf, which this sandbox does not ship — the guard
+    below fails fast with guidance instead of a mid-query worker crash.
+    The applyInPandasWithState twin (st3) covers the same semantics
+    everywhere.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:
+        raise RuntimeError(
+            "streaming_tws_counts requires the protobuf Python package on "
+            "workers (transformWithState state serialization); it is not "
+            "installed here. Use streaming_stateful_counts "
+            "(applyInPandasWithState) for identical semantics."
+        ) from ex
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = _read_stream_events(spark, events_dir).select("user_id", "ts")
+    out_schema = (
+        "user_id bigint, n_events bigint, first_us bigint, last_us bigint"
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n bigint, lo bigint, hi bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._agg.exists():
+                n, lo, hi = self._agg.get()
+            else:
+                n, lo, hi = 0, None, None
+            for pdf in rows:
+                us = (
+                    pd.to_datetime(pdf["ts"])
+                    .values.astype("datetime64[us]")
+                    .astype("int64")
+                )
+                if len(us):
+                    n += len(us)
+                    b_lo, b_hi = int(us.min()), int(us.max())
+                    lo = b_lo if lo is None else min(lo, b_lo)
+                    hi = b_hi if hi is None else max(hi, b_hi)
+            self._agg.update((n, lo, hi))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "first_us": [lo],
+                    "last_us": [hi],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    running = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        running.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_us").alias("first_us"),
+            F.max("last_us").alias("last_us"),
+        )
+    )
+
+
 def streaming_static_join_counts(
     spark: SparkSession, events_dir: str, profiles: DataFrame
 ) -> DataFrame:

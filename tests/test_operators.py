@@ -752,3 +752,39 @@ def test_classifier_score_weights_and_threshold(spark):
     assert rows[2]["logit_e6"] == -2_000_000
     assert rows[2]["is_quality"] is False
     assert rows[3]["score_num"] == 0 and rows[3]["is_quality"] is True
+
+
+def test_streaming_tws_guard_or_matches_batch(spark):
+    """Spark 4 transformWithStateInPandas twin of st3: where protobuf is
+    available it must equal the batch group-by; in this sandbox (no
+    protobuf) the guard must fail fast with guidance."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_tws_counts,
+    )
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_tws_counts(spark, events)
+        return
+    got = sorted(
+        map(tuple, streaming_tws_counts(spark, events).collect())
+    )
+    exp = sorted(
+        map(
+            tuple,
+            spark.read.parquet(events)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.unix_micros(F.min("ts")).alias("first_us"),
+                F.unix_micros(F.max("ts")).alias("last_us"),
+            )
+            .collect(),
+        )
+    )
+    assert got == exp
