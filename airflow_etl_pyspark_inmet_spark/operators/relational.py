@@ -499,3 +499,52 @@ def stratified_sample(
     ).withColumn("strata_n", F.count(F.lit(1)).over(w).cast("bigint"))
     quota = F.floor((F.col("strata_n") * percent + 99) / 100)
     return ranked.filter(F.col("pick") <= quota)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Left-Riemann time-weighted average over an irregular series — the
+    correct mean for sensor/meter data where observations arrive at
+    uneven intervals (a plain AVG over-weights bursts; the INMET hourly
+    tables dodge this only because their grid is regular). Each
+    observation holds its value until the next one; its weight is that
+    gap. Keys with a single observation have no interval and are
+    excluded (documented contract).
+
+    Exactness: values quantize to BIGINT cents BEFORE weighting, gaps
+    are integer microseconds, and the final division is a single integer
+    `div` — order-free and engine-neutral end to end. Magnitude check:
+    cents (~1e4) x gap_us (~1e9) x rows/key stays far under 2^63 for
+    any realistic sensor cadence; a corpus with multi-year gaps AND
+    1e6-cent values should pre-scale to milli-units.
+
+    Plan shape: ONE shuffle — the lead() window partitions by key, and
+    the following groupBy reuses the same hash partitioning (Catalyst
+    elides the second exchange), so the whole operator is
+    window + partial/final agg over co-partitioned data.
+    """
+    d = df.select(
+        key_col,
+        tiebreak_col,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("_v_cents"),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_us").asc(), F.col(tiebreak_col).asc()
+    )
+    d = d.withColumn("_gap_us", F.lead("_us").over(w) - F.col("_us"))
+    g = d.filter(F.col("_gap_us").isNotNull())
+    return g.groupBy(key_col).agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_obs"),
+        F.sum("_gap_us").alias("span_us"),
+        F.expr("sum(_v_cents * _gap_us) div sum(_gap_us)").alias(
+            "twa_cents"
+        ),
+    )

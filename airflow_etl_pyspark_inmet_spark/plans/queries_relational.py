@@ -174,6 +174,20 @@ def q70_monthly_kpis_dbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-Riemann time-weighted mean of `value` per user over the
+    irregular events series — the correct mean for uneven sensor
+    cadences (plain AVG over-weights bursts). Exact integer math
+    end-to-end: cents x microsecond gaps, one integer div."""
+    from ..operators.relational import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
 def q4_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: one-job scalar min/max/count (the reference runs two separate
     collect()s at job_parquet.py:265-266)."""

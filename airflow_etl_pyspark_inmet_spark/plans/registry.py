@@ -1318,6 +1318,30 @@ SELECT doc_id,
 FROM kept
 """
 
+# q71: left-Riemann time-weighted average per key — lead() gaps in
+# integer microseconds, values in BIGINT cents, single integer division
+# (both engines truncate toward zero). Single-observation keys have no
+# interval and are excluded by contract.
+ORACLES["q71_time_weighted_avg"] = """
+WITH d AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+  FROM events
+),
+g AS (
+  SELECT user_id, v_cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS gap_us
+  FROM d
+)
+SELECT user_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_obs,
+       CAST(SUM(gap_us) AS BIGINT) AS span_us,
+       CAST(SUM(v_cents * gap_us) // SUM(gap_us) AS BIGINT) AS twa_cents
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
 # c1: the curation COMPOSITION — t12's PII plant, t18's intra-doc
 # dedup, t12's scrub, then t19's classifier on the cleaned text (vocab
 # recomputed post-cleanup), all nested as CTE stages mirroring the
@@ -1584,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d9_repeated_spans": L.d9_repeated_spans,
     "t19_quality_classifier": L.t19_quality_classifier,
     "c1_curation_chain": L.c1_curation_chain,
+    "q71_time_weighted_avg": R.q71_time_weighted_avg,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
@@ -1621,8 +1646,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_session_funnel": R.q59_session_funnel,
     "q60_percentile_disc": R.q60_percentile_disc,
     "q61_listagg": R.q61_listagg,
-    "q62_try_arithmetic": R.q62_try_arithmetic,
     # --- end of the driver's 50-entry correctness window -------------
+    "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
     "q65_map_type": R.q65_map_type,

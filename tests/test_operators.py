@@ -788,3 +788,30 @@ def test_streaming_tws_guard_or_matches_batch(spark):
         )
     )
     assert got == exp
+
+
+def test_time_weighted_avg_exact(spark):
+    import datetime as dt
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        time_weighted_avg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 10.00 held 10s, then 20.00 held 30s -> twa
+        # = (1000*10e6 + 2000*30e6) / 40e6 = 1750 cents
+        (1, t0, 1, 10.0),
+        (2, t0 + dt.timedelta(seconds=10), 1, 20.0),
+        (3, t0 + dt.timedelta(seconds=40), 1, 99.0),  # last obs: no gap
+        # user 2: single observation -> excluded
+        (4, t0, 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_obs"] == 3
+    assert got[1]["span_us"] == 40_000_000
+    assert got[1]["twa_cents"] == 1750
