@@ -11,7 +11,7 @@ the catalog with full pushdown.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 # Typed stage DDL mirroring sql/create_dim_cidades.sql:4-13,
 # create_dim_datas.sql:5-12, create_fato_previsoes.sql:4-12 (Snowflake
@@ -387,3 +387,30 @@ def save_zorder_table(
         .write.mode("overwrite")
         .saveAsTable(f"{db}.{name}")
     )
+
+
+def save_table_observed(
+    df: DataFrame,
+    name: str,
+    metrics: dict[str, Column],
+    db: str = "analitic",
+    partition_by: list[str] | None = None,
+) -> dict[str, object]:
+    """S8 warehouse load with FREE data-quality metrics: attach a Spark
+    ``Observation`` to the frame so the requested aggregate metrics
+    (row counts, null counts, bounds violations, ...) are computed by
+    the SAME job that writes the table — at 100 TB this saves the
+    second full scan a separate quality query would cost, because the
+    observation accumulates per-task during the write and only merges
+    small partial states on the driver.
+
+    ``metrics`` maps metric name -> aggregate Column (e.g.
+    ``{"n": F.count(F.lit(1)), "null_keys": F.count_if(F.col("k").isNull())}``).
+    Returns the observed values after the write completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(f"save_{name}")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    save_table(observed, name, db=db, partition_by=partition_by)
+    return dict(obs.get)

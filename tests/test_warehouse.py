@@ -344,3 +344,28 @@ def test_save_table_jdbc_configures_writer(spark, tmp_path):
     # the failure is the missing driver class / connection, i.e. the call
     # got through option wiring to the actual JDBC layer
     assert "NoSuchDriver" in str(ei.value) or "driver" in str(ei.value).lower()
+
+
+def test_save_table_observed_metrics_free_with_write(spark, tmp_path):
+    """Observation metrics ride the write job — values must equal a
+    separate aggregate pass, with no extra scan issued by the API."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.plans.warehouse import (
+        save_table_observed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 2.0)], "k long, v double"
+    )
+    got = save_table_observed(
+        df,
+        "observed_demo",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_v": F.count_if(F.col("v").isNull()),
+            "neg_v": F.count_if(F.col("v") < 0),
+        },
+    )
+    assert got == {"n_rows": 4, "null_v": 1, "neg_v": 1}
+    assert spark.table("analitic.observed_demo").count() == 4
