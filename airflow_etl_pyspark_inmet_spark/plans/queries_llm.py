@@ -580,6 +580,64 @@ def d9_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, n=8, min_docs=2)
 
 
+def c2_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup FUNNEL as one query: plant exact duplicates (every
+    7th doc takes the raw text of doc_id-1 via a donor self-join; the
+    donor is never itself planted since doc_id-1 % 7 != 0, so every
+    plant forms a clean exact-dup pair) ->
+    exact dedup keeps min-id per identical text -> exact 3-gram Jaccard
+    near-dup pairs among the keepers -> connected components -> one
+    canonical doc per near-dup cluster. Output: every KEEPER with its
+    exact-copy count, cluster id, and canonical flag — the row set a
+    curation pipeline feeds to training. Oracle nests the same four
+    stages (recursive CTE for the closure, d5's pattern)."""
+    from ..operators.dedup import (
+        connected_components,
+        dedup_exact,
+        jaccard_pairs,
+    )
+
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    donor = raw.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("_donor_text"),
+    )
+    base = (
+        raw.join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 7 == 0),
+                F.coalesce(F.col("_donor_text"), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    groups = dedup_exact(base)  # (text_hash, keep_id, n_copies)
+    keepers = base.join(
+        groups.select(
+            F.col("keep_id").alias("doc_id"),
+            F.col("n_copies").alias("exact_copies"),
+        ),
+        "doc_id",
+    )
+    pairs = jaccard_pairs(keepers, ngram=3, threshold=0.5)
+    comps = connected_components(pairs)
+    return (
+        keepers.select("doc_id", "exact_copies")
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.col("exact_copies").cast("bigint").alias("exact_copies"),
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def c1_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation COMPOSITION: plant PII (t12's construction) ->
     intra-doc segment dedup (t18) -> PII scrub (t12) -> linear quality

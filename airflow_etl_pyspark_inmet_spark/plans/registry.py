@@ -1318,6 +1318,63 @@ SELECT doc_id,
 FROM kept
 """
 
+# c2: the dedup FUNNEL — planted exact dups (donor self-join), d1's
+# min-id exact dedup (by text; engine groups by xxhash64 — the
+# hash-class trade), d2's Jaccard pairs among keepers, d5's recursive
+# closure, canonical = min reachable id. Keepers with no near-dup
+# cluster themselves.
+ORACLES["c2_dedup_funnel"] = """
+WITH RECURSIVE base AS (
+  SELECT r.doc_id,
+         CASE WHEN r.doc_id % 7 = 0
+              THEN COALESCE(d.text, r.text) ELSE r.text END AS text
+  FROM documents r
+  LEFT JOIN (SELECT doc_id + 1 AS doc_id, text FROM documents) d
+    USING (doc_id)
+),
+kg AS (
+  SELECT min(doc_id) AS doc_id, COUNT(*) AS exact_copies
+  FROM base GROUP BY text
+),
+kdocs AS (
+  SELECT kg.doc_id, kg.exact_copies, b.text
+  FROM kg JOIN base b USING (doc_id)
+),
+grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM kdocs) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) u
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT kd.doc_id,
+       CAST(kd.exact_copies AS BIGINT) AS exact_copies,
+       CAST(COALESCE(c.comp, kd.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.comp, kd.doc_id) = kd.doc_id AS is_canonical
+FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
+"""
+
 # q71: left-Riemann time-weighted average per key — lead() gaps in
 # integer microseconds, values in BIGINT cents, single integer division
 # (both engines truncate toward zero). Single-observation keys have no
@@ -1608,6 +1665,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d9_repeated_spans": L.d9_repeated_spans,
     "t19_quality_classifier": L.t19_quality_classifier,
     "c1_curation_chain": L.c1_curation_chain,
+    "c2_dedup_funnel": L.c2_dedup_funnel,
     "q71_time_weighted_avg": R.q71_time_weighted_avg,
     # -- last driver row was round 1 ------------------------------------
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
@@ -1645,8 +1703,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_cohort_retention": R.q58_cohort_retention,
     "q59_session_funnel": R.q59_session_funnel,
     "q60_percentile_disc": R.q60_percentile_disc,
-    "q61_listagg": R.q61_listagg,
     # --- end of the driver's 50-entry correctness window -------------
+    "q61_listagg": R.q61_listagg,
     "q62_try_arithmetic": R.q62_try_arithmetic,
     "q63_bitmap_distinct": R.q63_bitmap_distinct,
     "q64_recursive_cte": R.q64_recursive_cte,
