@@ -815,3 +815,42 @@ def test_time_weighted_avg_exact(spark):
     assert got[1]["n_obs"] == 3
     assert got[1]["span_us"] == 40_000_000
     assert got[1]["twa_cents"] == 1750
+
+
+def test_dedup_funnel_composition_toy(spark):
+    """Exact dedup -> jaccard pairs among keepers -> components ->
+    canonical: doc 2 is an exact copy of doc 1 (absorbed, keeper=1),
+    docs 1 and 3 are near-dups (same cluster, canonical=1), doc 4 is
+    unrelated (own cluster)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    near_a = "the quick brown fox jumps over the lazy dog today"
+    near_b = "the quick brown fox jumps over the lazy dog tomorrow"
+    docs = spark.createDataFrame(
+        [
+            (1, near_a),
+            (2, near_a),          # exact copy of 1
+            (3, near_b),          # near-dup of 1
+            (4, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = dedup_exact(docs)
+    keepers = docs.join(
+        groups.select(
+            F.col("keep_id").alias("doc_id"),
+            F.col("n_copies").alias("exact_copies"),
+        ),
+        "doc_id",
+    )
+    assert {r["doc_id"] for r in keepers.collect()} == {1, 3, 4}
+    pairs = jaccard_pairs(keepers, ngram=3, threshold=0.5)
+    comps = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 3: 1}  # 4 is a singleton (no pair row)
