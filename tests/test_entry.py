@@ -23,7 +23,17 @@ def test_query_and_oracle_keys_consistent():
     assert set(qs) == set(oracles)
 
 
-@pytest.mark.parametrize("name", ["q01_pricing_summary", "d1_dedup_exact", "s1_cosine_topk"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "d1_dedup_exact",
+        "s1_cosine_topk",
+        "t18_intra_doc_dedup",
+        "m6_resize_png",
+        "q71_time_weighted_avg",
+    ],
+)
 def test_sample_queries_run_at_sf0001(spark, sf_small, name):
     df = E.queries()[name](spark, sf_small)
     assert df.count() >= 0
