@@ -247,10 +247,14 @@ def ivf_topk(
     distributed Lloyd iteration (assign + per-cell mean) — deterministic,
     no RNG, and the only driver materialization is the (n_cells x dim)
     centroid matrix, which then ships broadcast inside the assignment UDF.
-    At 100 TB the corpus is scanned once to build cell assignments (an
-    Arrow-batched matmul per batch), and each query touches
-    ~n_probe/n_cells of the data — the same recall/cost dial as FAISS
-    IVF-Flat, expressed as one equi-join on cell id.
+    At 100 TB the corpus is scanned from storage ONCE (the base frame is
+    locally checkpointed, so the Lloyd pass and the final assignment read
+    the same materialization), and the Lloyd statistics are per-batch
+    partial sums computed inside a single ``mapInPandas`` pass — each
+    task emits at most ``n_cells`` (cell, sum-vector, count) rows, so
+    nothing corpus-sized ever shuffles or reaches the driver. Each query
+    then touches ~n_probe/n_cells of the data — the same recall/cost dial
+    as FAISS IVF-Flat, expressed as one equi-join on cell id.
     """
     from .util import ensure_parallelism
 
@@ -258,6 +262,7 @@ def ivf_topk(
         items.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     )
     C0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (cells, dim)
+    dim = C0.shape[1]
 
     def assign_udf(centroids: np.ndarray, n: int):
         @F.pandas_udf("array<int>")
@@ -274,26 +279,49 @@ def ivf_topk(
 
         return udf
 
+    # Materialize the projected corpus once: the Lloyd pass and the final
+    # assignment both read this checkpoint instead of re-scanning parquet
+    # and re-paying the small-file repartition (previously the corpus went
+    # through the Arrow boundary twice FROM STORAGE, tripling the
+    # Python-worker spin-up rounds that dominate latency variance).
     base = ensure_parallelism(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
-    )
-    # one Lloyd step: assign to seed centroid, recompute cell means
-    assigned = base.withColumn(
-        "_cell", assign_udf(C0, 1)(F.col("_ivec"))[0]
-    )
-    # per-cell mean vector via posexplode + one narrow hash aggregate on
-    # (cell, pos): n_cells x dim result rows. A dim-wide list of avg()
-    # expressions computes the same thing but costs ~3x in codegen/plan
-    # time (64 agg buffers) — measured, not guessed.
-    means = (
-        assigned.select("_cell", F.posexplode("_ivec").alias("_pos", "_x"))
-        .groupBy("_cell", "_pos")
-        .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
-        .collect()
-    )
-    C1 = C0.copy()
-    for r in means:
-        C1[r["_cell"], r["_pos"]] = r["_m"]
+    ).localCheckpoint(eager=False)
+
+    # One Lloyd step: per-batch partial sums inside the same Arrow pass
+    # that assigns to the seed centroids. Output is <= n_cells rows per
+    # task; the driver merges a (cells x dim) matrix. The previous shape
+    # (posexplode to N x dim rows + hash aggregate) shuffled a frame the
+    # size of the corpus times the dimension.
+    def lloyd_partials(batches):
+        C0n = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+        S = np.zeros((n_cells, dim), dtype=np.float64)
+        N = np.zeros(n_cells, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_ivec"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = np.argsort(-(Vn @ C0n.T), axis=1)[:, 0]
+            np.add.at(S, cell, V)
+            np.add.at(N, cell, 1)
+        hit = np.nonzero(N)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {"_cell": hit.astype("int32"),
+                 "_s": list(S[hit]),
+                 "_n": N[hit]}
+            )
+
+    partials = base.select("_ivec").mapInPandas(
+        lloyd_partials, "_cell int, _s array<double>, _n bigint"
+    ).collect()
+    S = np.zeros((n_cells, dim), dtype=np.float64)
+    N = np.zeros(n_cells, dtype=np.int64)
+    for r in partials:
+        S[r["_cell"]] += np.asarray(r["_s"], dtype=np.float64)
+        N[r["_cell"]] += r["_n"]
+    C1 = np.where((N > 0)[:, None], S / np.maximum(N, 1)[:, None], C0)
 
     it = base.withColumn("_cell", assign_udf(C1, 1)(F.col("_ivec"))[0])
     q = queries.select(
