@@ -17,6 +17,8 @@ Kernel tiers, chosen per payload at runtime:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -145,14 +147,19 @@ def _resize_png(payload: bytes, target_w: int, target_h: int) -> bytes:
     resample -> re-encode. PIL when importable (NEAREST, to match the
     fallback's pixel-center math); else the pure-numpy codec. Raises
     ValueError on PNGs outside the supported subset — the caller decides
-    the fallback policy."""
+    the fallback policy. The supported-mode set is pinned to the 8-bit
+    gray/LA/RGB/RGBA subset of the numpy codec so PIL and fallback
+    environments classify every payload identically (a palette or 16-bit
+    PNG stubs in BOTH, instead of silently decoding under PIL only)."""
     if _PILImage is not None:
         import io
 
         import numpy as np
 
         with _PILImage.open(io.BytesIO(payload)) as im:
-            arr = np.asarray(im.convert("RGB" if im.mode == "RGB" else im.mode))
+            if im.mode not in ("L", "LA", "RGB", "RGBA"):
+                raise ValueError(f"unsupported PNG mode {im.mode}")
+            arr = np.asarray(im)
         out = _png.resize_nearest(arr, target_w, target_h)
         return _png.png_encode(out)
     arr = _png.png_decode(payload)
@@ -175,8 +182,12 @@ def resize_images(
         if _png.is_png(payload):
             try:
                 return _resize_png(payload, target_w, target_h), "png"
-            except ValueError:
-                pass  # unsupported subset -> stub fallback
+            # ValueError: outside the supported subset; zlib/struct
+            # errors: magic-valid but malformed stream (corrupt IDAT /
+            # truncated chunk) — all stub, per the mixed-modality
+            # "don't fail the batch" contract.
+            except (ValueError, zlib.error, struct.error):
+                pass
         return (
             bytes((payload * (stub_len // max(len(payload), 1) + 1))[:stub_len]),
             "stub",

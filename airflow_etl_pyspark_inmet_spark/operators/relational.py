@@ -514,7 +514,11 @@ def time_weighted_avg(
     tables dodge this only because their grid is regular). Each
     observation holds its value until the next one; its weight is that
     gap. Keys with a single observation have no interval and are
-    excluded (documented contract).
+    excluded (documented contract), as are degenerate keys whose
+    observations all share one timestamp (span 0): under ANSI mode an
+    integer `div` by zero would throw at runtime while DuckDB's `//`
+    returns NULL, so the zero-span group is filtered out BEFORE the
+    division is projected — same contract in both engines.
 
     Exactness: values quantize to BIGINT cents BEFORE weighting, gaps
     are integer microseconds, and the final division is a single integer
@@ -541,10 +545,16 @@ def time_weighted_avg(
     )
     d = d.withColumn("_gap_us", F.lead("_us").over(w) - F.col("_us"))
     g = d.filter(F.col("_gap_us").isNotNull())
-    return g.groupBy(key_col).agg(
+    # Sums first, filter zero spans, divide in a post-filter projection:
+    # the div expression is never evaluated for a span_us = 0 group.
+    agg = g.groupBy(key_col).agg(
         (F.count(F.lit(1)) + 1).cast("bigint").alias("n_obs"),
         F.sum("_gap_us").alias("span_us"),
-        F.expr("sum(_v_cents * _gap_us) div sum(_gap_us)").alias(
-            "twa_cents"
-        ),
+        F.sum(F.expr("_v_cents * _gap_us")).alias("_wsum"),
+    ).filter(F.col("span_us") > 0)
+    return agg.select(
+        key_col,
+        "n_obs",
+        "span_us",
+        F.expr("_wsum div span_us").alias("twa_cents"),
     )

@@ -1378,7 +1378,9 @@ FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 # q71: left-Riemann time-weighted average per key — lead() gaps in
 # integer microseconds, values in BIGINT cents, single integer division
 # (both engines truncate toward zero). Single-observation keys have no
-# interval and are excluded by contract.
+# interval and are excluded by contract; so are zero-span keys (all
+# observations at one timestamp) — Spark ANSI `div` would throw where
+# DuckDB `//` returns NULL, so BOTH engines drop the group pre-division.
 ORACLES["q71_time_weighted_avg"] = """
 WITH d AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -1397,6 +1399,7 @@ SELECT user_id,
        CAST(SUM(v_cents * gap_us) // SUM(gap_us) AS BIGINT) AS twa_cents
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id
+HAVING SUM(gap_us) > 0
 """
 
 # c1: the curation COMPOSITION — t12's PII plant, t18's intra-doc

@@ -230,11 +230,6 @@ def streaming_tws_counts(spark: SparkSession, events_dir: str) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     stream = _read_stream_events(spark, events_dir).select("user_id", "ts")
     out_schema = (
         "user_id bigint, n_events bigint, first_us bigint, last_us bigint"
@@ -282,16 +277,33 @@ def streaming_tws_counts(spark: SparkSession, events_dir: str) -> DataFrame:
         timeMode="None",
     )
     name = f"stream_tws_{uuid.uuid4().hex[:8]}"
-    q = (
-        running.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    # The RocksDB provider is required by transformWithState (and the
+    # right provider at scale), but it is a SESSION conf — set it only
+    # around this query's start and restore the prior value so later
+    # streaming queries on the shared session keep their own provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
+        q = (
+            running.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     return (
         spark.table(name)
         .groupBy("user_id")
