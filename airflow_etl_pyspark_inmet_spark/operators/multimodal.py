@@ -11,8 +11,11 @@ Kernel tiers, chosen per payload at runtime:
 2. STUB path — non-image payloads (e.g. the testdata's UTF-8 text blobs)
    get deterministic pseudo-metadata/pseudo-resize so the Spark plumbing
    (schema contract, Arrow batch iteration, binary round-trip, partition
-   parallelism) is still fully testable and oracle-checkable. Audio/video
-   (soundfile/pyav) remain stub-only in this sandbox.
+   parallelism) is still fully testable and oracle-checkable.
+
+Audio is REAL via the stdlib WAV/RIFF codec in :mod:`.audio` (header
+parse, PCM decode, frame sampling — the m7/m8 chain). Video (pyav)
+remains the one stub-only modality in this sandbox.
 """
 
 from __future__ import annotations
@@ -94,8 +97,9 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """STUB frame sampler: emits one row per sampled "frame" offset —
     the explode-shaped plumbing of video frame extraction (1 input row ->
-    n output rows) without a codec. Real version: pyav keyframe iteration
-    inside mapInPandas with the same output contract."""
+    n output rows) without a codec. Real versions of this contract:
+    :func:`.audio.wav_frame_sample` (decoded PCM frames, shipped — m8),
+    and pyav keyframe iteration inside mapInPandas for video."""
     return df.select(
         "doc_id",
         F.explode(

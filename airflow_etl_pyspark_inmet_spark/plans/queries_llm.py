@@ -708,3 +708,36 @@ def m6_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_pixel_stats(resized).select(
         "doc_id", "width", "height", "pixel_sum"
     )
+
+
+def m7_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec chain, end to end: build a 16-bit PCM mono
+    RIFF/WAVE per doc from its first 64 codepoints at a doc-dependent
+    sample rate (text_to_wav_payload) -> stdlib wave parse of the header
+    fields + exact PCM sum of the decoded int16 stream
+    (wav_audio_stats). The oracle predicts frame count, sample rate,
+    integer-microsecond duration, and pcm_sum from pure character/id
+    arithmetic, so a hash match certifies the encode -> RIFF parse ->
+    PCM decode round-trip bit-exactly — no stub anywhere in this path
+    (the audio twin of m6)."""
+    from ..operators.audio import text_to_wav_payload, wav_audio_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_audio_stats(text_to_wav_payload(docs)).select(
+        "doc_id", "n_frames", "sample_rate", "duration_us", "pcm_sum"
+    )
+
+
+def m8_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over decoded audio (the explode-shaped
+    contract frame_sample_stub only mimicked): decode each WAV's PCM
+    stream and emit every 16th frame as (doc_id, frame_idx, sample).
+    Sampled values are individual decoded int16 samples, each predicted
+    by the oracle from one character — per-sample-accurate decoding, not
+    just aggregate sums."""
+    from ..operators.audio import text_to_wav_payload, wav_frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_frame_sample(text_to_wav_payload(docs), every_n=16).select(
+        "doc_id", "frame_idx", "sample"
+    )

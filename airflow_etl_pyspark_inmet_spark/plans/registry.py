@@ -1625,6 +1625,46 @@ def _m6_resize_png_sql() -> str:
 
 ORACLES["m6_resize_png"] = _m6_resize_png_sql()
 
+
+def _m7_wav_stats_sql() -> str:
+    """Oracle for the real WAV codec chain: frame i of each payload is
+    ((codepoint_i & 0xFF) - 128) * 256 over the first 64 characters, the
+    frame count is min(len(text), 64) (no padding), and the sample rate
+    is 8000 + (doc_id % 4) * 4000 Hz — all pure character/id arithmetic,
+    so a hash match certifies the stdlib encode -> RIFF header parse ->
+    int16 PCM decode round-trip bit-exactly, including the
+    data-dependent header fields."""
+    terms = [
+        f"(CASE WHEN length(text) >= {i} "
+        f"THEN (ord(substr(text, {i}, 1)) % 256 - 128) * 256 ELSE 0 END)"
+        for i in range(1, 65)
+    ]
+    rate = "(8000 + (doc_id % 4) * 4000)"
+    return (
+        "SELECT doc_id,\n"
+        "       CAST(LEAST(length(text), 64) AS BIGINT) AS n_frames,\n"
+        f"       CAST({rate} AS INTEGER) AS sample_rate,\n"
+        f"       CAST(LEAST(length(text), 64) * 1000000 // {rate} AS BIGINT)"
+        " AS duration_us,\n"
+        "       CAST(" + "\n          + ".join(terms) + " AS BIGINT) AS pcm_sum\n"
+        "FROM documents\n"
+    )
+
+
+ORACLES["m7_wav_stats"] = _m7_wav_stats_sql()
+
+# m8: every 16th decoded PCM frame — each output sample is ONE decoded
+# int16 predicted from one character, so the match is per-sample exact
+# (a branch per sampled position; positions past the text end emit no
+# row, mirroring the unpadded encoder).
+ORACLES["m8_wav_frames"] = "\nUNION ALL\n".join(
+    f"SELECT doc_id, CAST({k} AS INTEGER) AS frame_idx,\n"
+    f"       CAST((ord(substr(text, {k + 1}, 1)) % 256 - 128) * 256"
+    " AS INTEGER) AS sample\n"
+    f"FROM documents WHERE length(text) >= {k + 1}"
+    for k in (0, 16, 32, 48)
+)
+
 # q70 = q03's all-integer aggregate chain + a final exact-int division to
 # the natural double presentation (one correctly-rounded IEEE op per
 # column — engine-neutral, unlike doubles inside the aggregate).
@@ -1650,6 +1690,9 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 #   5. 33 stalest r3-checked entries. The r4-green block and the
 #      rows-only-checkable streaming/multimodal ops move to the back.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new in round 6 --------------------------------------------------
+    "m7_wav_stats": L.m7_wav_stats,
+    "m8_wav_frames": L.m8_wav_frames,
     # -- never driver-checked (r1-r4): close the evidence gap -----------
     "t14_strip_boilerplate": L.t14_strip_boilerplate,
     "t15_vocab_top_terms": L.t15_vocab_top_terms,
