@@ -1375,6 +1375,12 @@ SELECT kd.doc_id,
 FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 """
 
+# c3: the SAME funnel with the production pair stage (MinHash+LSH
+# candidates, exact-Jaccard verify) — same oracle as c2 by the d3
+# recall argument: r=3/b=10 misses a true j>=0.85 pair with p<1e-4, so
+# the verified LSH pair set equals the exact pair set on this corpus.
+ORACLES["c3_dedup_funnel_lsh"] = ORACLES["c2_dedup_funnel"]
+
 # q71: left-Riemann time-weighted average per key — lead() gaps in
 # integer microseconds, values in BIGINT cents, single integer division
 # (both engines truncate toward zero). Single-observation keys have no
@@ -1693,6 +1699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 6 --------------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
+    "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     # -- never driver-checked (r1-r4): close the evidence gap -----------
     "t14_strip_boilerplate": L.t14_strip_boilerplate,
     "t15_vocab_top_terms": L.t15_vocab_top_terms,
