@@ -102,6 +102,84 @@ def sessionize(
     ).drop("_new_session")
 
 
+def sessionize_salted(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    chunk_seconds: int = 21600,
+) -> DataFrame:
+    """Skew-hardened :func:`sessionize`: identical output, but the
+    event-frame window partitions by the SALTED key (user, time-chunk)
+    instead of user alone, so a power user's events spread across
+    ``span / chunk_seconds`` tasks instead of landing in one — per-task
+    state is bounded by events-per-chunk, never events-per-user.
+
+    Three-step chunk-merge (the salted_join trick applied to a window):
+
+    1. Within each (user, chunk): in-chunk gaps + in-chunk break flags
+       over the salted window — the only corpus-sized shuffle.
+    2. Per (user, chunk) aggregate (min/max ts, break count) — tiny
+       frame, one row per user-chunk. A per-USER window over THAT frame
+       decides whether each chunk's first event continues the previous
+       chunk's last session (boundary gap <= threshold, correctly
+       spanning empty chunks because lag skips to the previous chunk
+       PRESENT) and computes each chunk's running session-count offset.
+    3. Join the (first_new, offset) pair back on (user, chunk) — the
+       same salted key the window already hash-partitioned, so no new
+       corpus-sized exchange shape — and emit
+       session_seq = offset + in-chunk cumulative breaks.
+
+    The per-user window in step 2 runs over one row per user-chunk —
+    state bounded by chunks-per-user, which is ~span/chunk_seconds
+    regardless of how hot the user is.
+    """
+    g_us = gap_seconds * 1_000_000
+    c_us = chunk_seconds * 1_000_000
+    ev = df.withColumn("_us", F.unix_micros(F.col(ts_col))).withColumn(
+        "_chunk", F.floor(F.col("_us") / c_us)
+    )
+    wc = Window.partitionBy(user_col, "_chunk").orderBy(ts_col)
+    ev = ev.withColumn("_gap", F.col("_us") - F.lag("_us").over(wc))
+
+    stats = ev.groupBy(user_col, "_chunk").agg(
+        F.min("_us").alias("_lo"),
+        F.max("_us").alias("_hi"),
+        F.sum(F.when(F.col("_gap") > g_us, 1).otherwise(0)).alias("_n_breaks"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("_chunk")
+    prev_hi = F.lag("_hi").over(wu)
+    stats = stats.withColumn(
+        "_first_new", prev_hi.isNull() | (F.col("_lo") - prev_hi > g_us)
+    )
+    chunk_total = F.col("_n_breaks") + F.when(F.col("_first_new"), 1).otherwise(0)
+    stats = stats.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum(chunk_total).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+
+    joined = ev.join(
+        stats.select(user_col, "_chunk", "_first_new", "_offset"),
+        [user_col, "_chunk"],
+    )
+    is_new = F.when(
+        F.col("_gap").isNull(),
+        F.when(F.col("_first_new"), 1).otherwise(0),
+    ).otherwise(F.when(F.col("_gap") > g_us, 1).otherwise(0))
+    return (
+        joined.withColumn(
+            "session_seq",
+            (F.col("_offset") + F.sum(is_new).over(wc)).cast("bigint"),
+        )
+        .drop("_us", "_chunk", "_gap", "_first_new", "_offset")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

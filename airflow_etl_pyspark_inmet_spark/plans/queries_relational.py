@@ -364,6 +364,34 @@ def q18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18's sessionization under a PLANTED hot key (every 5th event is
+    remapped to one power user, ~20% of the corpus) through the
+    skew-hardened operator: the event window partitions by
+    (user, 6-hour chunk), so the hot user's events spread across chunks
+    instead of serializing one task, and chunk boundaries are merged via
+    a per-user window over the tiny chunk-stats frame. The oracle runs
+    the plain per-user session SQL on the same remapped events — a hash
+    match proves the salted decomposition is exactly session-equivalent,
+    not an approximation."""
+    from ..operators.relational import sessionize_salted
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(999999))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("user_id"),
+        "ts",
+    )
+    s = sessionize_salted(e, "user_id", "ts", gap_seconds=1800,
+                          chunk_seconds=21600)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
 # --- grouping sets / distinct / pivot -------------------------------------------
 
 

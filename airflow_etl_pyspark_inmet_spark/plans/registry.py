@@ -226,6 +226,34 @@ SELECT user_id, sid AS session_seq, COUNT(*) AS n_events,
        epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
 FROM y GROUP BY 1, 2
 """,
+    # q72: q18's sessions under a planted hot key (every 5th event ->
+    # user 999999) — the oracle is the PLAIN per-user session SQL on the
+    # remapped events; the engine side runs the salted (user, time-chunk)
+    # decomposition, so a hash match proves exact session equivalence.
+    "q72_sessionize_salted": """
+WITH e AS (
+  SELECT CAST(CASE WHEN event_id % 5 = 0 THEN 999999 ELSE user_id END
+              AS BIGINT) AS user_id, ts
+  FROM events
+),
+x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+y AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM x
+)
+SELECT user_id, sid AS session_seq, COUNT(*) AS n_events,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM y GROUP BY 1, 2
+""",
     "q19_tumbling_batch": _TUMBLING_SQL,
     "q20_json_extract": """
 SELECT event_type,
@@ -1700,6 +1728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
+    "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- never driver-checked (r1-r4): close the evidence gap -----------
     "t14_strip_boilerplate": L.t14_strip_boilerplate,
     "t15_vocab_top_terms": L.t15_vocab_top_terms,

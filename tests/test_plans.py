@@ -432,3 +432,45 @@ def test_ntile_has_no_single_partition_window(spark, sf_small):
     # of the tiny per-partition offset table, nothing else
     assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_sessionize_salted_plan_and_equivalence(spark, sf_small):
+    """The skew-hardened sessionize must (a) window the EVENT frame on
+    the salted (user, chunk) key — never on user alone — and (b) produce
+    exactly the plain sessionize result on a frame with a planted hot
+    key spanning many chunks."""
+    import datetime as dt
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    # Hot key 1: 500 events over ~14 days (alternating 10-min and 40-min
+    # gaps -> many sessions, many 6-hour chunks, chunk-boundary
+    # continuations). Cold keys: a few events each.
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows, t = [], t0
+    for i in range(500):
+        t += dt.timedelta(minutes=10 if i % 3 else 40)
+        rows.append((1, t))
+    for u in (2, 3):
+        for i in range(5):
+            rows.append((u, t0 + dt.timedelta(hours=u, minutes=31 * i)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    salted = sessionize_salted(df, "user_id", "ts", gap_seconds=1800,
+                               chunk_seconds=21600)
+    plan = _explain(salted)
+    assert "hashpartitioning(user_id" in plan
+    assert "_chunk" in plan  # the event window runs on the salted key
+
+    expect = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"] for r in salted.collect()
+    }
+    assert got == expect
+    assert max(s for (u, _), s in got.items() if u == 1) > 100
