@@ -1713,91 +1713,30 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union of
-# CORRECTNESS_r01-r04 covers 103/110. Round-5 window, front to back:
-#   1. the 7 never-driver-checked queries (t14-t17, q67-q69) — completes
-#      110/110 driver-verified coverage;
-#   2. q03 — proves the round-5 oracle fix (CAST(count_if AS BIGINT); the
-#      4-round hash mismatch was DuckDB HUGEINT vs Spark BIGINT, not math);
-#   3. the 6 queries whose only driver row is r1 (q45-q50);
-#   4. d5/q36/q38 — code touched this round (d5 iteration cap, rank-id
-#      guard), so their old green rows are stale;
-#   5. 33 stalest r3-checked entries. The r4-green block and the
-#      rows-only-checkable streaming/multimodal ops move to the back.
+# CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
+# Round-6 window, front to back:
+#   1. the 4 queries NEW this round (m7/m8 real WAV kernels, c3 LSH
+#      funnel, q72 salted sessionize) — never driver-checked;
+#   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
+#      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
+#      fallback + PIL-mode changes) — their old green rows are stale;
+#   3. the 22 queries whose last driver row is round 3 (the stalest
+#      evidence in the union);
+#   4. 21 of the round-4-checked block (core reference-parity star
+#      queries + the dedup/segment family). The remaining 26 r4-checked
+#      and the r5-green block sit behind the window (staleness <= 2
+#      rounds for every query) and lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- new in round 6 --------------------------------------------------
+    # -- 1. new in round 6 ----------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
-    # -- never driver-checked (r1-r4): close the evidence gap -----------
-    "t14_strip_boilerplate": L.t14_strip_boilerplate,
-    "t15_vocab_top_terms": L.t15_vocab_top_terms,
-    "t16_oov_stats": L.t16_oov_stats,
-    "t17_unigram_logprob": L.t17_unigram_logprob,
-    "q67_column_profile": R.q67_column_profile,
-    "q68_skew_report": R.q68_skew_report,
-    "q69_incremental_agg": R.q69_incremental_agg,
-    # -- oracle re-typed this round (HUGEINT -> BIGINT cast) ------------
-    "q03_monthly_kpis": R.q3_monthly_kpis,
-    # -- new in round 5 --------------------------------------------------
-    "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
-    "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
-    "x4_temperature_weights": L.x4_temperature_weights,
-    "m6_resize_png": L.m6_resize_png,
-    "d9_repeated_spans": L.d9_repeated_spans,
-    "t19_quality_classifier": L.t19_quality_classifier,
-    "c1_curation_chain": L.c1_curation_chain,
-    "c2_dedup_funnel": L.c2_dedup_funnel,
-    "q71_time_weighted_avg": R.q71_time_weighted_avg,
-    # -- last driver row was round 1 ------------------------------------
-    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
-    "q46_scd2_intervals": R.q46_scd2_intervals,
-    "q47_upsert_merge": R.q47_upsert_merge,
-    "q48_rank_suite": R.q48_rank_suite,
-    "q49_forward_fill": R.q49_forward_fill,
-    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
-    # -- code touched in round 5: re-verify -----------------------------
-    "d5_dedup_clusters": L.d5_dedup_clusters,
-    "q36_global_topk": R.q36_global_topk,
-    "q38_ntile_quartiles": R.q38_ntile_quartiles,
-    # -- stalest driver evidence (round 3) ------------------------------
-    "d2_dedup_jaccard": L.d2_dedup_jaccard,
-    "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t1_token_stats": L.t1_token_stats,
-    "t2_quality": L.t2_quality,
-    "t3_lang_id": L.t3_lang_id,
-    "t4_fingerprint": L.t4_fingerprint,
-    "t5_chunk_docs": L.t5_chunk_docs,
-    "t7_train_split": L.t7_train_split,
-    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
-    "t9_decontaminate": L.t9_decontaminate,
-    "t10_repetition_stats": L.t10_repetition_stats,
-    "t11_stratified_sample": L.t11_stratified_sample,
-    "s1_cosine_topk": L.s1_cosine_topk,
-    "s2_lsh_topk": L.s2_lsh_topk,
+    # -- 2. code touched in round 6: re-verify --------------------------
     "s3_ivf_topk": L.s3_ivf_topk,
-    "q37_quality_gate": R.q37_quality_gate,
-    "q53_sketch_rollup": R.q53_sketch_rollup,
-    "q54_left_outer_enrich": R.q54_left_outer_enrich,
-    "q55_variant_json": R.q55_variant_json,
-    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
-    "q57_group_rank_pandas": R.q57_group_rank_pandas,
-    "q58_cohort_retention": R.q58_cohort_retention,
-    "q59_session_funnel": R.q59_session_funnel,
-    "q60_percentile_disc": R.q60_percentile_disc,
-    # --- end of the driver's 50-entry correctness window -------------
-    "q61_listagg": R.q61_listagg,
-    "q62_try_arithmetic": R.q62_try_arithmetic,
-    "q63_bitmap_distinct": R.q63_bitmap_distinct,
-    "q64_recursive_cte": R.q64_recursive_cte,
-    "q65_map_type": R.q65_map_type,
-    "q66_array_analytics": R.q66_array_analytics,
-    "q01_pricing_summary": R.q1_pricing_summary,
-    "q34_approx_distinct": R.q34_approx_distinct,
-    "q51_approx_quantiles": R.q51_approx_quantiles,
-    # r3-green leftovers (d1/t6 map-only, multimodal + streaming whose
-    # driver check is rows-only) and the full r4-green block — all still
-    # covered by the local strict replica (scripts/oracle_check.py).
+    "q71_time_weighted_avg": R.q71_time_weighted_avg,
+    "m6_resize_png": L.m6_resize_png,
+    # -- 3. stalest driver evidence (round 3) ---------------------------
     "d1_dedup_exact": L.d1_dedup_exact,
     "t6_normalize": L.t6_normalize,
     "m1_decode_meta": L.m1_decode_meta,
@@ -1805,19 +1744,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m3_embed_norm": L.m3_embed_norm,
     "m4_byte_histogram": L.m4_byte_histogram,
     "m5_resize": L.m5_resize,
+    "q01_pricing_summary": R.q1_pricing_summary,
+    "q34_approx_distinct": R.q34_approx_distinct,
+    "q51_approx_quantiles": R.q51_approx_quantiles,
+    "q61_listagg": R.q61_listagg,
+    "q62_try_arithmetic": R.q62_try_arithmetic,
+    "q63_bitmap_distinct": R.q63_bitmap_distinct,
+    "q64_recursive_cte": R.q64_recursive_cte,
+    "q65_map_type": R.q65_map_type,
+    "q66_array_analytics": R.q66_array_analytics,
     "st1_stream_tumbling": L.st1_stream_tumbling,
     "st2_stream_sessions": L.st2_stream_sessions,
     "st3_stream_stateful": L.st3_stream_stateful,
     "st4_stream_static_join": L.st4_stream_static_join,
     "st5_stream_dedup": L.st5_stream_dedup,
     "st6_stream_stream_join": L.st6_stream_stream_join,
-    "d7_segment_dedup": L.d7_segment_dedup,
-    "d8_semantic_keeper": L.d8_semantic_keeper,
-    "t12_pii_scrub": L.t12_pii_scrub,
-    "t13_pack_sequences": L.t13_pack_sequences,
-    "x1_mixture_sample": L.x1_mixture_sample,
-    "x2_domain_cap": L.x2_domain_cap,
-    "x3_shard_assign": L.x3_shard_assign,
+    # -- 4. round-4-checked block (part 1 of 2) -------------------------
     "q02_daily_supplier_agg": R.q2_daily_supplier_agg,
     "q04_minmax_bounds": R.q4_minmax_bounds,
     "q05_calendar_dim": R.q5_calendar_dim,
@@ -1834,6 +1776,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_distinct_agg": R.q16_distinct_agg,
     "q17_pivot": R.q17_pivot,
     "q18_sessionize": R.q18_sessionize,
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    "d7_segment_dedup": L.d7_segment_dedup,
+    "d8_semantic_keeper": L.d8_semantic_keeper,
+    "t12_pii_scrub": L.t12_pii_scrub,
+    # --- end of the driver's 50-entry correctness window -------------
+    # round-4-checked leftovers (lead the r7 window)
+    "t13_pack_sequences": L.t13_pack_sequences,
+    "x1_mixture_sample": L.x1_mixture_sample,
+    "x2_domain_cap": L.x2_domain_cap,
+    "x3_shard_assign": L.x3_shard_assign,
     "q19_tumbling_batch": R.q19_tumbling_batch,
     "q20_json_extract": R.q20_json_extract,
     "q21_three_way_join": R.q21_three_way_join,
@@ -1856,6 +1809,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_histogram": R.q42_histogram,
     "q43_full_outer_join": R.q43_full_outer_join,
     "q44_array_agg_sorted": R.q44_array_agg_sorted,
-    "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
+    # round-5-green block
+    "t14_strip_boilerplate": L.t14_strip_boilerplate,
+    "t15_vocab_top_terms": L.t15_vocab_top_terms,
+    "t16_oov_stats": L.t16_oov_stats,
+    "t17_unigram_logprob": L.t17_unigram_logprob,
+    "q67_column_profile": R.q67_column_profile,
+    "q68_skew_report": R.q68_skew_report,
+    "q69_incremental_agg": R.q69_incremental_agg,
+    "q03_monthly_kpis": R.q3_monthly_kpis,
+    "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
+    "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
+    "x4_temperature_weights": L.x4_temperature_weights,
+    "d9_repeated_spans": L.d9_repeated_spans,
+    "t19_quality_classifier": L.t19_quality_classifier,
+    "c1_curation_chain": L.c1_curation_chain,
+    "c2_dedup_funnel": L.c2_dedup_funnel,
+    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
+    "q46_scd2_intervals": R.q46_scd2_intervals,
+    "q47_upsert_merge": R.q47_upsert_merge,
+    "q48_rank_suite": R.q48_rank_suite,
+    "q49_forward_fill": R.q49_forward_fill,
+    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
+    "d5_dedup_clusters": L.d5_dedup_clusters,
+    "q36_global_topk": R.q36_global_topk,
+    "q38_ntile_quartiles": R.q38_ntile_quartiles,
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d6_dedup_embedding": L.d6_dedup_embedding,
+    "t1_token_stats": L.t1_token_stats,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
+    "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "q37_quality_gate": R.q37_quality_gate,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
 }
