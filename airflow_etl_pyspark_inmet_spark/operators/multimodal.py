@@ -14,8 +14,11 @@ Kernel tiers, chosen per payload at runtime:
    parallelism) is still fully testable and oracle-checkable.
 
 Audio is REAL via the stdlib WAV/RIFF codec in :mod:`.audio` (header
-parse, PCM decode, frame sampling — the m7/m8 chain). Video (pyav)
-remains the one stub-only modality in this sandbox.
+parse, PCM decode, frame sampling — the m7/m8 chain), and video is REAL
+via the uncompressed-AVI codec in :mod:`.avi` (RIFF chunk walk, DIB
+frame decode — the m9/m10 chain). Every modality now has a real
+end-to-end path; the stubs here remain only as the documented
+mixed-corpus fallback for undecodable payloads.
 """
 
 from __future__ import annotations
@@ -96,10 +99,11 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def frame_sample_stub(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """STUB frame sampler: emits one row per sampled "frame" offset —
-    the explode-shaped plumbing of video frame extraction (1 input row ->
-    n output rows) without a codec. Real versions of this contract:
-    :func:`.audio.wav_frame_sample` (decoded PCM frames, shipped — m8),
-    and pyav keyframe iteration inside mapInPandas for video."""
+    the explode-shaped plumbing of frame extraction (1 input row ->
+    n output rows) without a codec. Real versions of this contract are
+    shipped: :func:`.audio.wav_frame_sample` (decoded PCM frames, m8)
+    and :func:`.avi.avi_frame_sums` (decoded video frames, m10); this
+    stub stays as the payload-agnostic fallback the m2 oracle checks."""
     return df.select(
         "doc_id",
         F.explode(

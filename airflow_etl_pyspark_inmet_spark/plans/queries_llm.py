@@ -799,3 +799,35 @@ def c3_dedup_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def m9_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-codec chain, end to end: build an uncompressed AVI per
+    doc — up to four 8x8 gray frames from the first 256 codepoints at a
+    doc-dependent frame rate (text_to_avi_payload) -> full RIFF chunk
+    walk, avih/strf header parse, 24-bit bottom-up DIB frame decode
+    (avi_stats). The oracle predicts frame count, per-frame
+    microseconds, dimensions, and total pixel sum from pure character/id
+    arithmetic, so a hash match certifies the container round-trip
+    bit-exactly — video joins PNG and WAV as a real modality (no stub
+    anywhere in this path)."""
+    from ..operators.avi import avi_stats, text_to_avi_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return avi_stats(text_to_avi_payload(docs)).select(
+        "doc_id", "width", "height", "usec_per_frame", "n_frames", "pixel_sum"
+    )
+
+
+def m10_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame video feature extraction (the keyframe-iteration
+    shape frame_sample_stub only mimicked): decode every movi '00db'
+    chunk and emit (doc_id, frame_idx, frame_sum) — one row per decoded
+    frame, each sum predicted by the oracle from that frame's 64-char
+    slice, proving the chunk segmentation frame for frame."""
+    from ..operators.avi import avi_frame_sums, text_to_avi_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return avi_frame_sums(text_to_avi_payload(docs)).select(
+        "doc_id", "frame_idx", "frame_sum"
+    )

@@ -1687,6 +1687,35 @@ def _m7_wav_stats_sql() -> str:
 
 ORACLES["m7_wav_stats"] = _m7_wav_stats_sql()
 
+# m9: the real AVI chain — frame f holds codepoints [f*64, (f+1)*64) of
+# the first 256 chars as an 8x8 raster (zero-padded only in the last
+# partial frame), frame rate 5 + doc_id % 4 fps. Every parsed quantity
+# is character/id arithmetic: n_frames = ceil(min(len,256)/64),
+# usec_per_frame = 10^6 // fps, pixel_sum = sum of codepoints % 256.
+ORACLES["m9_avi_stats"] = """
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(1000000 // (5 + doc_id % 4) AS BIGINT) AS usec_per_frame,
+       CAST((LEAST(length(text), 256) + 63) // 64 AS INTEGER) AS n_frames,
+       CAST(COALESCE((
+         SELECT SUM(ord(substr(d.text, CAST(i + 1 AS INTEGER), 1)) % 256)
+         FROM unnest(range(LEAST(length(d.text), 256))) AS u(i)
+       ), 0) AS BIGINT) AS pixel_sum
+FROM documents d
+"""
+
+# m10: per-frame pixel sums — frame_idx = char_pos // 64 over the first
+# 256 chars; a doc with no text emits no rows (no frames).
+ORACLES["m10_avi_frames"] = """
+SELECT doc_id, CAST(i // 64 AS INTEGER) AS frame_idx,
+       CAST(SUM(ord(substr(text, CAST(i + 1 AS INTEGER), 1)) % 256)
+            AS BIGINT) AS frame_sum
+FROM (SELECT doc_id, text, unnest(range(LEAST(length(text), 256))) AS i
+      FROM documents)
+GROUP BY 1, 2
+"""
+
 # m8: every 16th decoded PCM frame — each output sample is ONE decoded
 # int16 predicted from one character, so the match is per-sample exact
 # (a branch per sampled position; positions past the text end emit no
@@ -1715,21 +1744,24 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 4 queries NEW this round (m7/m8 real WAV kernels, c3 LSH
-#      funnel, q72 salted sessionize) — never driver-checked;
+#   1. the 6 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#      real AVI kernels, c3 LSH funnel, q72 salted sessionize) — never
+#      driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 21 of the round-4-checked block (core reference-parity star
-#      queries + the dedup/segment family). The remaining 26 r4-checked
+#   4. 19 of the round-4-checked block (core reference-parity star
+#      queries + the dedup/segment family). The remaining 28 r4-checked
 #      and the r5-green block sit behind the window (staleness <= 2
 #      rounds for every query) and lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 6 ----------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
+    "m9_avi_stats": L.m9_avi_stats,
+    "m10_avi_frames": L.m10_avi_frames,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1779,10 +1811,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
     "d7_segment_dedup": L.d7_segment_dedup,
-    "d8_semantic_keeper": L.d8_semantic_keeper,
-    "t12_pii_scrub": L.t12_pii_scrub,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "d8_semantic_keeper": L.d8_semantic_keeper,
+    "t12_pii_scrub": L.t12_pii_scrub,
     "t13_pack_sequences": L.t13_pack_sequences,
     "x1_mixture_sample": L.x1_mixture_sample,
     "x2_domain_cap": L.x2_domain_cap,
