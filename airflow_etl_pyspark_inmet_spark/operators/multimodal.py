@@ -315,3 +315,117 @@ def resize_stub(
     return df.select("doc_id", "payload").mapInPandas(
         kernel, "doc_id bigint, width int, height int, resized binary"
     )
+
+
+def mixed_modality_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Manufacture a MIXED-modality corpus: one binary column whose rows
+    are real PNG (doc_id % 3 == 0), real WAV (== 1), or real AVI (== 2)
+    payloads, each generated from the row's text by the same character
+    arithmetic as the single-modality builders (m6/m7/m9) — the input
+    shape of a production multimodal table, where one column carries
+    whatever bytes arrived."""
+    import numpy as np
+
+    from .audio import MAX_FRAMES as _WAV_MAX
+    from .audio import _encode_wav, _rate_for
+    from .avi import FRAME_CHARS, MAX_FRAMES, SIDE, _fps_for, avi_encode
+    from .util import ensure_parallelism
+
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["_t"]):
+                s = t or ""
+                mod = doc_id % 3
+                if mod == 0:  # PNG: first 64 codepoints as 8x8 gray
+                    vals = [ord(c) & 0xFF for c in s[:64]]
+                    vals += [0] * (64 - len(vals))
+                    arr = np.array(vals, dtype=np.uint8).reshape(8, 8)
+                    payloads.append(_png.png_encode(arr))
+                elif mod == 1:  # WAV: m7's encoder rule
+                    vals = [
+                        ((ord(c) & 0xFF) - 128) * 256 for c in s[:_WAV_MAX]
+                    ]
+                    payloads.append(
+                        _encode_wav(
+                            np.array(vals, dtype=np.int16), _rate_for(doc_id)
+                        )
+                    )
+                else:  # AVI: m9's encoder rule
+                    cut = s[: FRAME_CHARS * MAX_FRAMES]
+                    n_frames = (len(cut) + FRAME_CHARS - 1) // FRAME_CHARS
+                    vals = [ord(c) & 0xFF for c in cut]
+                    vals += [0] * (n_frames * FRAME_CHARS - len(vals))
+                    frames = np.array(vals, dtype=np.uint8).reshape(
+                        n_frames, SIDE, SIDE
+                    )
+                    payloads.append(avi_encode(frames, _fps_for(doc_id)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return src.mapInPandas(kernel, "doc_id bigint, payload binary")
+
+
+def decode_any_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-number DISPATCH over a mixed binary column — the operator a
+    real multimodal pipeline runs first: classify each payload (PNG /
+    WAV / AVI / unknown) and run the matching REAL decoder. Output is a
+    unified schema: (modality, dim_a, dim_b, content_sum) where the
+    dims/sum are format-specific but all fully decoded —
+
+      png: width, height, pixel sum of the decoded raster
+      wav: frame count, sample rate (header), PCM sample sum
+      avi: frame count, usec-per-frame (header), all-frame pixel sum
+      unknown payloads pass through as ('unknown', 0, byte length, 0)
+      instead of failing the batch (the mixed-corpus contract)."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from .audio import is_wav
+    from .avi import avi_decode, is_avi
+
+    def one(p: bytes) -> tuple[str, int, int, int]:
+        if _png.is_png(p):
+            arr = _png.png_decode(p)
+            h, w = arr.shape[:2]
+            return "png", w, h, int(arr.sum())
+        if is_wav(p):
+            with _wave.open(_io.BytesIO(p), "rb") as wv:
+                n = wv.getnframes()
+                rate = wv.getframerate()
+                raw = wv.readframes(n)
+            return "wav", n, rate, int(
+                np.frombuffer(raw, dtype="<i2").sum()
+            )
+        if is_avi(p):
+            _, _, usec, frames = avi_decode(p)
+            return "avi", len(frames), usec, int(
+                sum(int(f.sum()) for f in frames)
+            )
+        return "unknown", 0, len(p), 0
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m[0] for m in metas],
+                    "dim_a": [m[1] for m in metas],
+                    "dim_b": [m[2] for m in metas],
+                    "content_sum": [m[3] for m in metas],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel,
+        "doc_id bigint, modality string, dim_a bigint, dim_b bigint, "
+        "content_sum bigint",
+    )

@@ -831,3 +831,23 @@ def m10_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avi_frame_sums(text_to_avi_payload(docs)).select(
         "doc_id", "frame_idx", "frame_sum"
     )
+
+
+def m11_mixed_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-modality corpus end to end: one binary column whose rows
+    are real PNG / WAV / AVI payloads (by doc_id % 3), dispatched by
+    magic number to the matching REAL decoder and emitted in one unified
+    metadata schema. Every dim and content sum is fully decoded (pixels,
+    PCM samples, frames) and predicted by the oracle from character/id
+    arithmetic — the first-operator-of-a-multimodal-pipeline contract
+    (classify then decode, never fail the batch) proven hash-exact
+    across all three codecs at once."""
+    from ..operators.multimodal import (
+        decode_any_metadata,
+        mixed_modality_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_any_metadata(mixed_modality_payload(docs)).select(
+        "doc_id", "modality", "dim_a", "dim_b", "content_sum"
+    )

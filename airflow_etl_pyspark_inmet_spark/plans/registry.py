@@ -1705,6 +1705,39 @@ SELECT doc_id,
 FROM documents d
 """
 
+# m11: mixed-modality dispatch — payload type by doc_id % 3 (png / wav /
+# avi), every branch fully decoded. dim_a/dim_b/content_sum per modality:
+#   png: width=8, height=8, pixel sum = sum of first-64 codepoints % 256
+#   wav: n_frames = min(len,64), rate = 8000 + (doc_id%4)*4000,
+#        pcm_sum = (sum64 - n_frames*128) * 256
+#   avi: n_frames = ceil(min(len,256)/64), usec = 10^6 // (5 + doc_id%4),
+#        pixel_sum = sum of first-256 codepoints % 256
+ORACLES["m11_mixed_modality"] = """
+WITH s AS (
+  SELECT doc_id, length(text) AS n,
+         COALESCE((SELECT SUM(ord(substr(d.text, CAST(i + 1 AS INTEGER), 1)) % 256)
+                   FROM unnest(range(LEAST(length(d.text), 64))) AS u(i)), 0)
+           AS sum64,
+         COALESCE((SELECT SUM(ord(substr(d.text, CAST(i + 1 AS INTEGER), 1)) % 256)
+                   FROM unnest(range(LEAST(length(d.text), 256))) AS u(i)), 0)
+           AS sum256
+  FROM documents d
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END
+         AS modality,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8
+            WHEN 1 THEN LEAST(n, 64)
+            ELSE (LEAST(n, 256) + 63) // 64 END AS BIGINT) AS dim_a,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8
+            WHEN 1 THEN 8000 + (doc_id % 4) * 4000
+            ELSE 1000000 // (5 + doc_id % 4) END AS BIGINT) AS dim_b,
+       CAST(CASE doc_id % 3 WHEN 0 THEN sum64
+            WHEN 1 THEN (sum64 - LEAST(n, 64) * 128) * 256
+            ELSE sum256 END AS BIGINT) AS content_sum
+FROM s
+"""
+
 # m10: per-frame pixel sums — frame_idx = char_pos // 64 over the first
 # 256 chars; a doc with no text emits no rows (no frames).
 ORACLES["m10_avi_frames"] = """
@@ -1744,24 +1777,25 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 6 queries NEW this round (m7/m8 real WAV kernels, m9/m10
-#      real AVI kernels, c3 LSH funnel, q72 salted sessionize) — never
-#      driver-checked;
+#   1. the 7 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
+#      q72 salted sessionize) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 19 of the round-4-checked block (core reference-parity star
-#      queries + the dedup/segment family). The remaining 28 r4-checked
-#      and the r5-green block sit behind the window (staleness <= 2
-#      rounds for every query) and lead the r7 rotation.
+#   4. 18 of the round-4-checked block (core reference-parity star
+#      queries + the dedup family). The remaining 29 r4-checked and the
+#      r5-green block sit behind the window (staleness <= 2 rounds for
+#      every query) and lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 6 ----------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
     "m9_avi_stats": L.m9_avi_stats,
     "m10_avi_frames": L.m10_avi_frames,
+    "m11_mixed_modality": L.m11_mixed_modality,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1810,9 +1844,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_sessionize": R.q18_sessionize,
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
-    "d7_segment_dedup": L.d7_segment_dedup,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "d7_segment_dedup": L.d7_segment_dedup,
     "d8_semantic_keeper": L.d8_semantic_keeper,
     "t12_pii_scrub": L.t12_pii_scrub,
     "t13_pack_sequences": L.t13_pack_sequences,

@@ -32,6 +32,14 @@ def test_query_and_oracle_keys_consistent():
         "t18_intra_doc_dedup",
         "m6_resize_png",
         "q71_time_weighted_avg",
+        # round-6 additions
+        "m7_wav_stats",
+        "m8_wav_frames",
+        "m9_avi_stats",
+        "m10_avi_frames",
+        "m11_mixed_modality",
+        "c3_dedup_funnel_lsh",
+        "q72_sessionize_salted",
     ],
 )
 def test_sample_queries_run_at_sf0001(spark, sf_small, name):

@@ -144,3 +144,36 @@ def test_resize_images_partition_invariance(spark):
         for r in resize_images(df.repartition(5), 3, 3).collect()
     )
     assert a == b
+
+
+def test_mixed_modality_dispatch(spark):
+    """The magic-number dispatcher must route each payload to its real
+    decoder and pass unknown payloads through instead of failing."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.multimodal import (
+        decode_any_metadata,
+        mixed_modality_payload,
+    )
+
+    rows = [(0, "AB"), (1, "AB"), (2, "AB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in decode_any_metadata(mixed_modality_payload(df)).collect()
+    }
+    s2 = 65 + 66
+    assert (got[0]["modality"], got[0]["dim_a"], got[0]["dim_b"]) == ("png", 8, 8)
+    assert got[0]["content_sum"] == s2  # zero-padded 8x8 raster
+    assert (got[1]["modality"], got[1]["dim_a"], got[1]["dim_b"]) == (
+        "wav", 2, 12000)
+    assert got[1]["content_sum"] == (s2 - 2 * 128) * 256
+    assert (got[2]["modality"], got[2]["dim_a"], got[2]["dim_b"]) == (
+        "avi", 1, 1_000_000 // 7)
+    assert got[2]["content_sum"] == s2
+
+    # unknown payloads: ('unknown', 0, byte length, 0), batch survives
+    junk = df.select("doc_id", F.encode(F.lit("junkdata"), "UTF-8").alias("payload"))
+    u = decode_any_metadata(junk).collect()[0]
+    assert (u["modality"], u["dim_a"], u["dim_b"], u["content_sum"]) == (
+        "unknown", 0, 8, 0)
