@@ -701,3 +701,143 @@ def repeated_spans(
         .cast("bigint")
         .alias("n_dup_tokens"),
     )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 30,
+    bands: int = 10,
+) -> DataFrame:
+    """(_id, band, h) banded MinHash signature rows for a document set —
+    the MATERIALIZABLE index of the LSH dedup family. At scale this is
+    written once per corpus (bands x 16 bytes per doc) and appended per
+    ingest batch; :func:`incremental_lsh_pairs` then dedups a new batch
+    against the corpus by joining band tables, never re-reading corpus
+    text for candidate generation. Same hash/band construction as
+    :func:`minhash_lsh_pairs`, so tables built by either are compatible."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    grams = exploded_ngrams(df, id_col, text_col, ngram).select(
+        "_id", F.xxhash64("g").alias("shingle")
+    )
+    sig = minhash_signatures(grams, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.select("_id", *band_cols)
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("_id", "bh.band", "bh.h")
+    )
+
+
+def incremental_lsh_pairs(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 30,
+    bands: int = 10,
+    threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: (delta doc, corpus doc, jaccard)
+    pairs at ``threshold``, without re-signing or re-scanning the corpus.
+
+    The daily-ingest shape at 100 TB: ``corpus_bands`` is the
+    materialized :func:`minhash_band_table` of the existing corpus (if
+    not supplied it is computed here, which is the small-scale/test
+    path). Candidate generation is a band-table equi-join — the delta's
+    bands (tiny) against the corpus band table, no corpus text read.
+    Only the candidate corpus docs (semi-join pruned, typically a
+    vanishing fraction) have their text re-shingled for the exact
+    Jaccard verification, so the corpus-side IO is proportional to the
+    near-dup rate, not the corpus size. Recall argument identical to
+    :func:`minhash_lsh_pairs` (r=3/b=10 S-curve).
+    """
+    if corpus_bands is None:
+        corpus_bands = minhash_band_table(
+            corpus, id_col, text_col, ngram, num_hashes, bands
+        )
+    delta_bands = minhash_band_table(
+        delta, id_col, text_col, ngram, num_hashes, bands
+    )
+    candidates = (
+        delta_bands.toDF("id_a", "band", "h")
+        .join(corpus_bands.toDF("id_b", "band", "h"), ["band", "h"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    # Exact verify, cross-set: shingle only the candidate docs on each
+    # side (the corpus semi-join is the pruned read), sizes per side,
+    # intersection via one shingle equi-join restricted to candidates.
+    cand_a = candidates.select(F.col("id_a").alias("_id")).distinct()
+    cand_b = candidates.select(F.col("id_b").alias("_id")).distinct()
+    s_a = (
+        exploded_ngrams(
+            delta.join(
+                F.broadcast(cand_a.withColumnRenamed("_id", id_col)),
+                id_col,
+                "left_semi",
+            ),
+            id_col,
+            text_col,
+            ngram,
+        )
+        .select("_id", F.xxhash64("g").alias("shingle"))
+        .distinct()
+    )
+    s_b = (
+        exploded_ngrams(
+            corpus.join(
+                F.broadcast(cand_b.withColumnRenamed("_id", id_col)),
+                id_col,
+                "left_semi",
+            ),
+            id_col,
+            text_col,
+            ngram,
+        )
+        .select("_id", F.xxhash64("g").alias("shingle"))
+        .distinct()
+    )
+    sizes_a = s_a.groupBy("_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = s_b.groupBy("_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        s_a.toDF("id_a", "shingle")
+        .join(s_b.toDF("id_b", "shingle"), "shingle")
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_a.toDF("id_a", "n_a")), "id_a")
+        .join(F.broadcast(sizes_b.toDF("id_b", "n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

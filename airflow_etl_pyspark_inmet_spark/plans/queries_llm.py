@@ -851,3 +851,21 @@ def m11_mixed_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_any_metadata(mixed_modality_payload(docs)).select(
         "doc_id", "modality", "dim_a", "dim_b", "content_sum"
     )
+
+
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup detection: every 10th doc
+    is the newly-ingested batch, the rest is the existing corpus. The
+    batch is deduped against the corpus by joining MinHash band tables —
+    the corpus band table is the materialized index a production
+    pipeline maintains, so candidate generation reads NO corpus text and
+    the verify stage re-shingles only candidate corpus docs. Oracle:
+    exact cross-set 3-gram Jaccard at the same threshold — equality by
+    the d3 recall argument (true pairs at j>=0.85; r=3/b=10 misses with
+    p<1e-4)."""
+    from ..operators.dedup import incremental_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_lsh_pairs(delta, corpus, ngram=3, threshold=0.5)

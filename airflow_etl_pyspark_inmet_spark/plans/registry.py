@@ -1409,6 +1409,25 @@ FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 # the verified LSH pair set equals the exact pair set on this corpus.
 ORACLES["c3_dedup_funnel_lsh"] = ORACLES["c2_dedup_funnel"]
 
+# d10: incremental delta-vs-corpus dedup — exact cross-set Jaccard
+# between the delta (doc_id % 10 = 0) and the corpus (the rest); the
+# engine's banded-LSH candidate path equals it by the d3 recall argument.
+ORACLES["d10_incremental_dedup"] = f"""
+WITH {_GRAMS_DISTINCT},
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM grams a JOIN grams b ON a.g = b.g
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+"""
+
 # q71: left-Riemann time-weighted average per key — lead() gaps in
 # integer microseconds, values in BIGINT cents, single integer division
 # (both engines truncate toward zero). Single-observation keys have no
@@ -1777,18 +1796,19 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 7 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 8 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
-#      q72 salted sessionize) — never driver-checked;
+#      q72 salted sessionize, d10 incremental dedup) — never
+#      driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 18 of the round-4-checked block (core reference-parity star
-#      queries + the dedup family). The remaining 29 r4-checked and the
-#      r5-green block sit behind the window (staleness <= 2 rounds for
-#      every query) and lead the r7 rotation.
+#   4. 17 of the round-4-checked block (core reference-parity star
+#      queries + d3). The remaining 30 r4-checked and the r5-green
+#      block sit behind the window (staleness <= 2 rounds for every
+#      query) and lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 6 ----------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
@@ -1796,6 +1816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m9_avi_stats": L.m9_avi_stats,
     "m10_avi_frames": L.m10_avi_frames,
     "m11_mixed_modality": L.m11_mixed_modality,
+    "d10_incremental_dedup": L.d10_incremental_dedup,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1843,9 +1864,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_pivot": R.q17_pivot,
     "q18_sessionize": R.q18_sessionize,
     "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "d4_dedup_simhash": L.d4_dedup_simhash,
     "d7_segment_dedup": L.d7_segment_dedup,
     "d8_semantic_keeper": L.d8_semantic_keeper,
     "t12_pii_scrub": L.t12_pii_scrub,

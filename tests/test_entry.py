@@ -38,6 +38,7 @@ def test_query_and_oracle_keys_consistent():
         "m9_avi_stats",
         "m10_avi_frames",
         "m11_mixed_modality",
+        "d10_incremental_dedup",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],

@@ -854,3 +854,43 @@ def test_dedup_funnel_composition_toy(spark):
         r["node"]: r["comp"] for r in connected_components(pairs).collect()
     }
     assert comps == {1: 1, 3: 1}  # 4 is a singleton (no pair row)
+
+
+def test_incremental_lsh_pairs_equals_exact_cross_set(docs):
+    """Delta-vs-corpus incremental dedup must equal the exact cross-set
+    Jaccard result, both when it builds the corpus band table itself and
+    when fed a precomputed (materialized) one."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        jaccard_pairs,
+        minhash_band_table,
+    )
+
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+        if (r["id_a"] % 10 == 0) != (r["id_b"] % 10 == 0)
+    }
+    # jaccard_pairs orders id_a < id_b; normalize to (delta, corpus)
+    exact = {
+        ((a, b) if a % 10 == 0 else (b, a)): j for (a, b), j in exact.items()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(delta, corpus, threshold=0.5).collect()
+    }
+    assert got == exact
+    assert len(got) > 0  # testdata plants near-dups across the split
+
+    pre = minhash_band_table(corpus).localCheckpoint()  # "materialized"
+    got2 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(
+            delta, corpus, threshold=0.5, corpus_bands=pre
+        ).collect()
+    }
+    assert got2 == exact
