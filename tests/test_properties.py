@@ -242,3 +242,59 @@ def test_intra_doc_dedup_matches_bruteforce_property(spark, docs, seg_words):
         for r in intra_doc_dedup(df, seg_words=seg_words).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=st.lists(
+        st.integers(min_value=-32768, max_value=32767), max_size=200
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+)
+def test_wav_roundtrip_property(arr, rate):
+    """Any int16 sample sequence at any rate survives the stdlib
+    encode -> RIFF parse -> PCM decode round-trip bit-exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.audio import _encode_wav
+
+    samples = np.array(arr, dtype=np.int16)
+    data = _encode_wav(samples, rate)
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getframerate() == rate
+        assert w.getnframes() == len(samples)
+        out = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    np.testing.assert_array_equal(out, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=5),
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    fps=st.integers(min_value=1, max_value=120),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_roundtrip_property(n, h, w, fps, seed):
+    """Any frame stack (any dims, incl. stride-padded widths) survives
+    the AVI container encode -> chunk-walk parse -> DIB decode
+    round-trip bit-exactly, with the header fields recovered."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.avi import (
+        avi_decode,
+        avi_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    got_w, got_h, usec, out = avi_decode(avi_encode(frames, fps))
+    assert usec == 1_000_000 // fps
+    assert len(out) == n
+    if n:
+        assert (got_w, got_h) == (w, h)
+        for a, b in zip(out, frames):
+            np.testing.assert_array_equal(a, b)
