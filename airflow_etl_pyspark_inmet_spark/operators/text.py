@@ -570,3 +570,59 @@ def vocab_top_terms(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "token", "freq", "rank"
     )
+
+
+def bigram_condprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM document scoring, the second-order companion of
+    :func:`unigram_logprob`: for every bigram occurrence in a doc, the
+    corpus MLE conditional probability P(w2 | w1) = cnt(w1 w2) /
+    cnt(w1 ·) (prefix count, so probabilities per w1 sum to 1), and per
+    doc the bigram count, probability sum, and mean. High mean =
+    strongly templated/repetitive continuations; low = incoherent token
+    soup — a standard cheap fluency signal between unigram stats and a
+    real LM.
+
+    Exactness contract (stronger than t17): probabilities are EXACT
+    integer micro-units end to end — p_micro = cnt2 * 10^6 div cnt1, a
+    single integer division of exact counts, then integer sums — no
+    float ever enters, so the cross-engine match is guaranteed by
+    construction, not probabilistic. (Magnitude: cnt2 * 10^6 needs
+    cnt2 < 9.2e12 — any real vocabulary is orders of magnitude below a
+    single bigram repeating nine trillion times.)
+
+    Plan shape: one bigram explode feeds (via localCheckpoint) the
+    bigram-count aggregate, the prefix-count aggregate, and the scoring
+    join; counts join back on 8-byte hashed keys (the t9/d3 trade —
+    grams never shuffle as strings). Docs with fewer than two tokens
+    have no bigrams and emit no row (documented contract).
+    """
+    grams = exploded_ngrams(df, id_col, text_col, 2)
+    big = grams.select(
+        "_id",
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
+    ).localCheckpoint(eager=False)
+    cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(cnt2, "gh")
+        .join(cnt1, "w1h")
+        .select("_id", F.expr("c2 * 1000000L div c1").alias("p_micro"))
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_micro").alias("p_sum_micro"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "p_sum_micro",
+            F.expr("p_sum_micro div n_bigrams").alias("p_avg_micro"),
+        )
+    )

@@ -869,3 +869,16 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return incremental_lsh_pairs(delta, corpus, ngram=3, threshold=0.5)
+
+
+def t20_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring over the corpus's own bigram
+    distribution — exact integer micro-units end to end (single integer
+    division of exact counts), so unlike t17's micro-nat ln the
+    cross-engine match is guaranteed by construction."""
+    from ..operators.text import bigram_condprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_condprob(docs).select(
+        "doc_id", "n_bigrams", "p_sum_micro", "p_avg_micro"
+    )

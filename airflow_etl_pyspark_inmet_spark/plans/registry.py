@@ -1409,6 +1409,29 @@ FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 # the verified LSH pair set equals the exact pair set on this corpus.
 ORACLES["c3_dedup_funnel_lsh"] = ORACLES["c2_dedup_funnel"]
 
+# t20: bigram-LM conditional probabilities — P(w2|w1) as EXACT integer
+# micro-units (cnt2 * 10^6 // prefix-cnt1, integer division of exact
+# counts; no float anywhere), per-doc count/sum/mean. Docs with < 2
+# tokens have no bigrams and emit no row.
+ORACLES["t20_bigram_condprob"] = """
+WITH b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-1, 0)))
+                AS i) u
+),
+c2 AS (SELECT g, COUNT(*) AS c2 FROM b GROUP BY 1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c2.c2 * 1000000 // c1.c1) AS BIGINT) AS p_sum_micro,
+       CAST(SUM(c2.c2 * 1000000 // c1.c1) // COUNT(*) AS BIGINT)
+         AS p_avg_micro
+FROM b JOIN c2 USING (g) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
 # d10: incremental delta-vs-corpus dedup — exact cross-set Jaccard
 # between the delta (doc_id % 10 = 0) and the corpus (the rest); the
 # engine's banded-LSH candidate path equals it by the d3 recall argument.
@@ -1796,19 +1819,19 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 8 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 9 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
-#      q72 salted sessionize, d10 incremental dedup) — never
-#      driver-checked;
+#      q72 salted sessionize, d10 incremental dedup, t20 bigram LM) —
+#      never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 17 of the round-4-checked block (core reference-parity star
-#      queries + d3). The remaining 30 r4-checked and the r5-green
-#      block sit behind the window (staleness <= 2 rounds for every
-#      query) and lead the r7 rotation.
+#   4. 16 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 31 r4-checked and the r5-green block sit
+#      behind the window (staleness <= 2 rounds for every query) and
+#      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 6 ----------------------------------------------
     "m7_wav_stats": L.m7_wav_stats,
@@ -1817,6 +1840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m10_avi_frames": L.m10_avi_frames,
     "m11_mixed_modality": L.m11_mixed_modality,
     "d10_incremental_dedup": L.d10_incremental_dedup,
+    "t20_bigram_condprob": L.t20_bigram_condprob,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1863,9 +1887,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_distinct_agg": R.q16_distinct_agg,
     "q17_pivot": R.q17_pivot,
     "q18_sessionize": R.q18_sessionize,
-    "d3_dedup_minhash": L.d3_dedup_minhash,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
     "d7_segment_dedup": L.d7_segment_dedup,
     "d8_semantic_keeper": L.d8_semantic_keeper,

@@ -39,6 +39,7 @@ def test_query_and_oracle_keys_consistent():
         "m10_avi_frames",
         "m11_mixed_modality",
         "d10_incremental_dedup",
+        "t20_bigram_condprob",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],

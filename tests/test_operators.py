@@ -894,3 +894,21 @@ def test_incremental_lsh_pairs_equals_exact_cross_set(docs):
         ).collect()
     }
     assert got2 == exact
+
+
+def test_bigram_condprob_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'a c': P(b|a)=2/3, P(c|a)=1/3 in exact
+    micro-units; single-token and empty docs emit no row."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import bigram_condprob
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_condprob(df).collect()}
+    assert set(got) == {1, 2, 3}
+    p_ab = 2 * 1_000_000 // 3
+    p_ac = 1 * 1_000_000 // 3
+    for d in (1, 2):
+        assert (got[d]["n_bigrams"], got[d]["p_sum_micro"],
+                got[d]["p_avg_micro"]) == (1, p_ab, p_ab)
+    assert (got[3]["n_bigrams"], got[3]["p_sum_micro"],
+            got[3]["p_avg_micro"]) == (1, p_ac, p_ac)
