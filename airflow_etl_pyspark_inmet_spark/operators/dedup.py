@@ -781,11 +781,17 @@ def incremental_lsh_pairs(
     delta_bands = minhash_band_table(
         delta, id_col, text_col, ngram, num_hashes, bands
     )
+    # The candidate frame is referenced three times downstream (two
+    # side prunes + the intersection semi-join); without a checkpoint
+    # the band-table join — including BOTH signature pyramids — would
+    # re-execute for each reference. Candidates are (8B, 8B) rows and
+    # near-dup-rate-sized, so the materialization is tiny.
     candidates = (
         delta_bands.toDF("id_a", "band", "h")
         .join(corpus_bands.toDF("id_b", "band", "h"), ["band", "h"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
 
     # Exact verify, cross-set: shingle only the candidate docs on each
