@@ -347,3 +347,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "item_id", "rank", "score")
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label element-wise centroid of an embedding column — the
+    training step of every coarse quantizer in this module (IVF cell
+    means, SemDeDup cluster centers), exposed as its own operator.
+
+    Exactness contract: each element is floor-quantized to integer
+    micro-units BEFORE any cross-row sum (float -> double cast, one
+    double multiply, one floor — identical IEEE ops in any engine), so
+    sums and the final truncating integer division are order-free and
+    engine-neutral at any parallelism.
+
+    Plan shape: posexplode + one hash aggregate on (label, pos) — with
+    map-side partial combine the shuffle carries labels x dim rows per
+    partition, not corpus x dim.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    micro = F.floor(F.col("_v").cast("double") * 1_000_000).cast("bigint")
+    return (
+        e.select("label", "pos", micro.alias("_m"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("_m").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            "sum_micro",
+            "n",
+            F.expr("sum_micro div n").alias("centroid_micro"),
+        )
+    )

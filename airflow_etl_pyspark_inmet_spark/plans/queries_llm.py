@@ -882,3 +882,17 @@ def t20_bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_condprob(docs).select(
         "doc_id", "n_bigrams", "p_sum_micro", "p_avg_micro"
     )
+
+
+def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact integer micro-units — the
+    coarse-quantizer training step (IVF cell means, SemDeDup centers)
+    as a standalone oracle-checked operator. floor-quantize per element
+    before any cross-row sum, so the result is order-free and
+    engine-neutral by construction."""
+    from ..operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        "label", "pos", "sum_micro", "n", "centroid_micro"
+    )

@@ -1409,6 +1409,24 @@ FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 # the verified LSH pair set equals the exact pair set on this corpus.
 ORACLES["c3_dedup_funnel_lsh"] = ORACLES["c2_dedup_funnel"]
 
+# s4: per-label embedding centroids — elements floor-quantized to
+# integer micro-units BEFORE any cross-row sum (float->double cast, one
+# double multiply, one floor: identical IEEE ops in both engines), then
+# exact integer sums and a truncating division (Spark `div` and DuckDB
+# `//` both truncate toward zero, verified on negatives).
+ORACLES["s4_label_centroids"] = """
+SELECT label, CAST(i AS INTEGER) AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                           * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS centroid_micro
+FROM (SELECT label, embedding, unnest(range(len(embedding))) AS i
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
 # t20: bigram-LM conditional probabilities — P(w2|w1) as EXACT integer
 # micro-units (cnt2 * 10^6 // prefix-cnt1, integer division of exact
 # counts; no float anywhere), per-doc count/sum/mean. Docs with < 2
@@ -1819,17 +1837,17 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 9 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 10 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
-#      q72 salted sessionize, d10 incremental dedup, t20 bigram LM) —
-#      never driver-checked;
+#      q72 salted sessionize, d10 incremental dedup, t20 bigram LM,
+#      s4 label centroids) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 16 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 31 r4-checked and the r5-green block sit
+#   4. 15 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 32 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1841,6 +1859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m11_mixed_modality": L.m11_mixed_modality,
     "d10_incremental_dedup": L.d10_incremental_dedup,
     "t20_bigram_condprob": L.t20_bigram_condprob,
+    "s4_label_centroids": L.s4_label_centroids,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1886,9 +1905,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_cube": R.q15_cube,
     "q16_distinct_agg": R.q16_distinct_agg,
     "q17_pivot": R.q17_pivot,
-    "q18_sessionize": R.q18_sessionize,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "q18_sessionize": R.q18_sessionize,
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
     "d7_segment_dedup": L.d7_segment_dedup,

@@ -40,6 +40,7 @@ def test_query_and_oracle_keys_consistent():
         "m11_mixed_modality",
         "d10_incremental_dedup",
         "t20_bigram_condprob",
+        "s4_label_centroids",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],

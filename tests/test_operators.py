@@ -912,3 +912,25 @@ def test_bigram_condprob_hand_computed(spark):
                 got[d]["p_avg_micro"]) == (1, p_ab, p_ab)
     assert (got[3]["n_bigrams"], got[3]["p_sum_micro"],
             got[3]["p_avg_micro"]) == (1, p_ac, p_ac)
+
+
+def test_label_centroids_negative_division(spark):
+    """Truncating division semantics on a negative sum (the Spark `div`
+    vs DuckDB `//` parity case), plus floor quantization."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    rows = [(0, 1, [-3.5]), (1, 1, [0.0001])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["label"], r["pos"]): r for r in label_centroids(df).collect()}
+    r = got[(1, 0)]
+    # floor(-3.5e6) + floor(100) = -3500000 + 100 = -3499900
+    assert r["sum_micro"] == -3_499_900
+    assert r["n"] == 2
+    assert r["centroid_micro"] == -1_749_950  # exact; trunc == floor here
+    rows2 = [(0, 2, [-0.0000015]), (1, 2, [0.0]), (2, 2, [0.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, label int, embedding array<double>")
+    r2 = label_centroids(df2).collect()[0]
+    # sum = floor(-1.5) = -2; -2 div 3 truncates toward zero -> 0
+    assert (r2["sum_micro"], r2["centroid_micro"]) == (-2, 0)
