@@ -538,6 +538,10 @@ def connected_components(
         ptr = propagated.select(
             F.col("node").alias("_pnode"), F.col("comp").alias("_pcomp")
         )
+        # lazy checkpoint: the changed-count below is the first action
+        # over new_labels, so it materializes the checkpoint as a side
+        # effect — one job per iteration instead of two (an eager
+        # checkpoint would run its own materialization job first).
         new_labels = (
             propagated.join(ptr, propagated.comp == ptr._pnode, "left")
             .select(
@@ -546,7 +550,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
