@@ -626,3 +626,55 @@ def bigram_condprob(
             F.expr("p_sum_micro div n_bigrams").alias("p_avg_micro"),
         )
     )
+
+
+def token_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation detection: the corpus's top-k adjacent token pairs by
+    LIFT — observed bigram rate over the rate expected if first and
+    second positions were independent: c12 * N / (c1 * c2), where c1/c2
+    are positional (first/second-slot) marginals and N the total bigram
+    count. High lift = fixed phrases and boilerplate collocations; the
+    standard cheap phrase-mining signal.
+
+    Exactness: lift is emitted in EXACT integer milli-units — one
+    expression, c12 * N * 1000 div (c1 * c2), over exact counts, so the
+    cross-engine match is guaranteed. (Magnitude: needs c12 * N * 1000
+    < 2^63, i.e. corpora under ~3e9 bigrams per the worst case c12 = N;
+    bigger corpora pre-filter by support first, which production does
+    anyway.) ``min_count`` keeps 1-occurrence noise pairs out of the
+    ranking; the top-k is a TakeOrderedAndProject with full tiebreak.
+
+    Plan: one bigram explode, three hash aggregates over
+    vocabulary-bounded keys, two broadcast marginal joins, global top-k.
+    """
+    grams = exploded_ngrams(df, id_col, text_col, 2)
+    b = grams.select(
+        F.split(F.col("g"), " ")[0].alias("w1"),
+        F.split(F.col("g"), " ")[1].alias("w2"),
+    ).localCheckpoint(eager=False)
+    c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = b.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n_total = b.count()
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(f"c12 * {n_total}L * 1000L div (c1 * c2)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_milli").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

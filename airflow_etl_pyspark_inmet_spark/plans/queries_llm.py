@@ -896,3 +896,16 @@ def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb).select(
         "label", "pos", "sum_micro", "n", "centroid_micro"
     )
+
+
+def t21_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by lift (observed bigram rate over the
+    independence expectation), exact integer milli-units — phrase/
+    boilerplate mining over the corpus with a guaranteed cross-engine
+    contract."""
+    from ..operators.text import token_lift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_lift(docs, min_count=5, k=50).select(
+        "w1", "w2", "c12", "lift_milli"
+    )

@@ -1513,3 +1513,80 @@ def q69_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_partial_aggs(
         base.unionByName(delta), ["ano", "mes"], ["price_cents", "n_orders"]
     )
+
+
+def q73_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): segment-filtered customers
+    broadcast into the orders ⋈ lineitem shuffle join, revenue per
+    not-yet-shipped order, deterministic top-10 (revenue desc with full
+    tiebreak). Revenue uses the q39 exactness idiom: one double product
+    quantized to DECIMAL(18,6) per row, decimal sum, one final double
+    cast."""
+    cutoff = "1998-01-01"
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff)
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), F.col("o_custkey") == c.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        agg.orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q74_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): per-part average
+    quantity as a correlated threshold, revenue of lineitems below 20%
+    of their part's average. The threshold compare is EXACT integers —
+    qty < 0.2*avg(qty) rewritten as qty_e2 * 5 * cnt < sum_e2 (positive
+    counts), so no float average can flip a boundary row between
+    engines. Brand filter broadcast; one shuffle for the per-part
+    stats, broadcast back (brand subsets are tiny)."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("qty_e2"),
+        "l_extendedprice",
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum("qty_e2").alias("sum_e2"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    filtered = li_b.join(F.broadcast(stats), "l_partkey").filter(
+        F.col("qty_e2") * 5 * F.col("cnt") < F.col("sum_e2")
+    )
+    return filtered.agg(
+        (exact_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1409,6 +1409,67 @@ FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
 # the verified LSH pair set equals the exact pair set on this corpus.
 ORACLES["c3_dedup_funnel_lsh"] = ORACLES["c2_dedup_funnel"]
 
+# q73: TPC-H Q3 shape — revenue per unshipped BUILDING-segment order,
+# deterministic top-10 (revenue desc, full tiebreak). Same DECIMAL(18,6)
+# per-row quantization idiom as q39.
+ORACLES["q73_tpch_q3"] = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+# q74: TPC-H Q17 shape — the correlated 0.2*avg(qty) threshold rewritten
+# as exact integers (qty_e2 * 5 * cnt < sum_e2) so no float average can
+# flip a boundary row between engines.
+ORACLES["q74_tpch_q17"] = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_e2,
+         l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'
+),
+stats AS (SELECT l_partkey, SUM(qty_e2) AS s, COUNT(*) AS c
+          FROM li GROUP BY 1)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM li JOIN stats USING (l_partkey)
+WHERE qty_e2 * 5 * c < s
+"""
+
+# t21: top-50 collocations by lift — exact integer milli-units
+# (c12 * N * 1000 // (c1 * c2) over exact positional-marginal counts).
+ORACLES["t21_token_lift"] = """
+WITH b AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM (SELECT string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-1, 0)))
+                AS i) u
+),
+cc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+cc1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+cc2 AS (SELECT w2, COUNT(*) AS c2 FROM b GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM b)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(c12 * nn.n * 1000 // (cc1.c1 * cc2.c2) AS BIGINT) AS lift_milli
+FROM cc12 JOIN cc1 USING (w1) JOIN cc2 USING (w2) CROSS JOIN nn
+WHERE c12 >= 5
+ORDER BY lift_milli DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
 # s4: per-label embedding centroids — elements floor-quantized to
 # integer micro-units BEFORE any cross-row sum (float->double cast, one
 # double multiply, one floor: identical IEEE ops in both engines), then
@@ -1837,17 +1898,18 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 10 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 13 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
 #      q72 salted sessionize, d10 incremental dedup, t20 bigram LM,
-#      s4 label centroids) — never driver-checked;
+#      s4 label centroids, q73/q74 TPC-H Q3/Q17 shapes, t21
+#      collocation lift) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 15 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 32 r4-checked and the r5-green block sit
+#   4. 12 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 35 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1860,6 +1922,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_incremental_dedup": L.d10_incremental_dedup,
     "t20_bigram_condprob": L.t20_bigram_condprob,
     "s4_label_centroids": L.s4_label_centroids,
+    "q73_tpch_q3": R.q73_tpch_q3,
+    "q74_tpch_q17": R.q74_tpch_q17,
+    "t21_token_lift": L.t21_token_lift,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1902,11 +1967,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,
     "q14_rollup": R.q14_rollup,
+    # --- end of the driver's 50-entry correctness window -------------
+    # round-4-checked leftovers (lead the r7 window)
     "q15_cube": R.q15_cube,
     "q16_distinct_agg": R.q16_distinct_agg,
     "q17_pivot": R.q17_pivot,
-    # --- end of the driver's 50-entry correctness window -------------
-    # round-4-checked leftovers (lead the r7 window)
     "q18_sessionize": R.q18_sessionize,
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

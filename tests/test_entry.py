@@ -41,6 +41,9 @@ def test_query_and_oracle_keys_consistent():
         "d10_incremental_dedup",
         "t20_bigram_condprob",
         "s4_label_centroids",
+        "q73_tpch_q3",
+        "q74_tpch_q17",
+        "t21_token_lift",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
