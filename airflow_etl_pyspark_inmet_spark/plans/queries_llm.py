@@ -909,3 +909,19 @@ def t21_token_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_lift(docs, min_count=5, k=50).select(
         "w1", "w2", "c12", "lift_milli"
     )
+
+
+def m12_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual hashing end to end: generate the 8x8 PNG per doc
+    (m6's builder), decode it, and compute the 64-bit average-hash —
+    pixel > image-mean per position, packed row-major, shipped as two
+    non-negative 32-bit halves. The oracle reproduces every bit from
+    character arithmetic (v_i * 64 > sum of codepoints — exact integer
+    compare, no float mean), so a hash-green run certifies the standard
+    image-dedup signal is computed correctly from real decoded pixels."""
+    from ..operators.multimodal import image_ahash, text_to_png_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_ahash(text_to_png_payload(docs, side=8)).select(
+        "doc_id", "ahash_lo", "ahash_hi"
+    )

@@ -1808,6 +1808,36 @@ def _m7_wav_stats_sql() -> str:
 
 ORACLES["m7_wav_stats"] = _m7_wav_stats_sql()
 
+
+def _m12_image_ahash_sql() -> str:
+    """Oracle for the real aHash chain: pixel (y, x) of the 8x8 PNG is
+    codepoint y*8+x (& 0xFF, zero-padded), so bit i of the average-hash
+    is the exact integer compare v_i * 64 > sum(v_0..v_63) — no float
+    mean anywhere — packed row-major into two 32-bit halves."""
+    v = [
+        f"(CASE WHEN length(text) >= {i + 1} "
+        f"THEN ord(substr(text, {i + 1}, 1)) % 256 ELSE 0 END)"
+        for i in range(64)
+    ]
+    s = "(" + " + ".join(v) + ")"
+    lo = " + ".join(
+        f"(CASE WHEN {v[i]} * 64 > {s} THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN {v[i]} * 64 > {s} THEN {1 << (i - 32)} ELSE 0 END)"
+        for i in range(32, 64)
+    )
+    return (
+        "SELECT doc_id,\n"
+        f"       CAST({lo} AS BIGINT) AS ahash_lo,\n"
+        f"       CAST({hi} AS BIGINT) AS ahash_hi\n"
+        "FROM documents\n"
+    )
+
+
+ORACLES["m12_image_ahash"] = _m12_image_ahash_sql()
+
 # m9: the real AVI chain — frame f holds codepoints [f*64, (f+1)*64) of
 # the first 256 chars as an 8x8 raster (zero-padded only in the last
 # partial frame), frame rate 5 + doc_id % 4 fps. Every parsed quantity
@@ -1898,18 +1928,18 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 13 queries NEW this round (m7/m8 real WAV kernels, m9/m10
-#      real AVI kernels, m11 mixed-modality dispatch, c3 LSH funnel,
-#      q72 salted sessionize, d10 incremental dedup, t20 bigram LM,
-#      s4 label centroids, q73/q74 TPC-H Q3/Q17 shapes, t21
-#      collocation lift) — never driver-checked;
+#   1. the 14 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#      real AVI kernels, m11 mixed-modality dispatch, m12 image aHash,
+#      c3 LSH funnel, q72 salted sessionize, d10 incremental dedup,
+#      t20 bigram LM, s4 label centroids, q73/q74 TPC-H Q3/Q17 shapes,
+#      t21 collocation lift) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 12 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 35 r4-checked and the r5-green block sit
+#   4. 11 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 36 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1925,6 +1955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_tpch_q3": R.q73_tpch_q3,
     "q74_tpch_q17": R.q74_tpch_q17,
     "t21_token_lift": L.t21_token_lift,
+    "m12_image_ahash": L.m12_image_ahash,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1966,9 +1997,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_anti_join": R.q11_anti_join,
     "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,
-    "q14_rollup": R.q14_rollup,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "q14_rollup": R.q14_rollup,
     "q15_cube": R.q15_cube,
     "q16_distinct_agg": R.q16_distinct_agg,
     "q17_pivot": R.q17_pivot,

@@ -44,6 +44,7 @@ def test_query_and_oracle_keys_consistent():
         "q73_tpch_q3",
         "q74_tpch_q17",
         "t21_token_lift",
+        "m12_image_ahash",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],

@@ -177,3 +177,16 @@ def test_mixed_modality_dispatch(spark):
     u = decode_any_metadata(junk).collect()[0]
     assert (u["modality"], u["dim_a"], u["dim_b"], u["content_sum"]) == (
         "unknown", 0, 8, 0)
+
+
+def test_image_ahash_hand_computed(spark):
+    """aHash bits from a known raster: text 'AB' -> pixels [65, 66, 0...],
+    sum 131; bit i set iff v_i * 64 > 131 -> bits 0 and 1 only."""
+    from airflow_etl_pyspark_inmet_spark.operators.multimodal import (
+        image_ahash,
+        text_to_png_payload,
+    )
+
+    df = spark.createDataFrame([(5, "AB")], "doc_id long, text string")
+    r = image_ahash(text_to_png_payload(df, side=8)).collect()[0]
+    assert (r["ahash_lo"], r["ahash_hi"]) == (0b11, 0)
