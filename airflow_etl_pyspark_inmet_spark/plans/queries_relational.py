@@ -1590,3 +1590,51 @@ def q74_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def q75_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-qualified key
+    set (orders whose exact-decimal quantity total exceeds the
+    threshold) joined back to the detail rows and enriched with
+    customer attributes — the aggregate-then-rejoin pattern missing
+    from the q-inventory until now. The qualifying-keys frame is tiny
+    (HAVING-selective) and broadcasts into the detail join; quantity
+    totals compare as exact decimals so no float sum can flip a
+    boundary order between engines. Deterministic top-20 by
+    (o_totalprice desc, full tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .filter(F.col("_tq") > 300)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+    )
+    agg = j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.sum(qty).cast("double").alias("total_qty"))
+    return (
+        agg.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )

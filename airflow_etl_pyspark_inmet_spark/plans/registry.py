@@ -1470,6 +1470,28 @@ ORDER BY lift_milli DESC, w1 ASC, w2 ASC
 LIMIT 50
 """
 
+# q75: TPC-H Q18 shape — HAVING-qualified order keys (exact-decimal
+# quantity totals) joined back to detail, enriched with customer attrs,
+# deterministic top-20.
+ORACLES["q75_tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN big USING (l_orderkey)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 20
+"""
+
 # s4: per-label embedding centroids — elements floor-quantized to
 # integer micro-units BEFORE any cross-row sum (float->double cast, one
 # double multiply, one floor: identical IEEE ops in both engines), then
@@ -1928,18 +1950,18 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 14 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 15 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, m12 image aHash,
 #      c3 LSH funnel, q72 salted sessionize, d10 incremental dedup,
-#      t20 bigram LM, s4 label centroids, q73/q74 TPC-H Q3/Q17 shapes,
-#      t21 collocation lift) — never driver-checked;
+#      t20 bigram LM, s4 label centroids, q73-q75 TPC-H Q3/Q17/Q18
+#      shapes, t21 collocation lift) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 11 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 36 r4-checked and the r5-green block sit
+#   4. 10 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 37 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1956,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_tpch_q17": R.q74_tpch_q17,
     "t21_token_lift": L.t21_token_lift,
     "m12_image_ahash": L.m12_image_ahash,
+    "q75_tpch_q18": R.q75_tpch_q18,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -1996,9 +2019,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_semi_join": R.q10_semi_join,
     "q11_anti_join": R.q11_anti_join,
     "q12_topk_per_group": R.q12_topk_per_group,
-    "q13_running_window": R.q13_running_window,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "q13_running_window": R.q13_running_window,
     "q14_rollup": R.q14_rollup,
     "q15_cube": R.q15_cube,
     "q16_distinct_agg": R.q16_distinct_agg,

@@ -45,6 +45,7 @@ def test_query_and_oracle_keys_consistent():
         "q74_tpch_q17",
         "t21_token_lift",
         "m12_image_ahash",
+        "q75_tpch_q18",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
