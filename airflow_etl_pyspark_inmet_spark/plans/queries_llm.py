@@ -925,3 +925,23 @@ def m12_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(text_to_png_payload(docs, side=8)).select(
         "doc_id", "ahash_lo", "ahash_hi"
     )
+
+
+def d11_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup via the real perceptual hash: group documents
+    whose generated PNGs share an identical 64-bit aHash (m12's kernel),
+    keep the min doc id per group — the image twin of d1's exact text
+    dedup, computed from real decoded pixels. Only collision groups
+    (n >= 2) are emitted; the corpus genuinely contains them."""
+    from ..operators.multimodal import image_ahash, text_to_png_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = image_ahash(text_to_png_payload(docs, side=8))
+    return (
+        h.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )

@@ -1638,3 +1638,51 @@ def q75_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff / regression detection — the publish-gate operator a
+    production pipeline runs between two versions of a table: full-outer
+    join on the key, per-column compare, one status per key (added /
+    removed / changed / unchanged). The 'new' version is derived
+    deterministically from orders (every 13th key dropped, every 7th
+    repriced, a synthetic key range added) so the oracle reproduces the
+    exact status partition. Null-safe equality (<=>) keeps NULL columns
+    from misclassifying as changed."""
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderdate",
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            )
+        )
+    )
+    o = old.toDF("k", "st_o", "tp_o", "od_o")
+    n = new.toDF("k", "st_n", "tp_n", "od_n")
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("st_o").isNull() & F.col("tp_o").isNull(), "added")
+        .when(F.col("st_n").isNull() & F.col("tp_n").isNull(), "removed")
+        .when(
+            F.col("st_o").eqNullSafe(F.col("st_n"))
+            & F.col("tp_o").eqNullSafe(F.col("tp_n"))
+            & F.col("od_o").eqNullSafe(F.col("od_n")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return j.select(F.col("k").alias("o_orderkey"), status.alias("status"))

@@ -1492,6 +1492,32 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+# q76: dataset diff — full-outer join of two table versions, per-column
+# null-safe compare, one status per key. The 'new' version is derived
+# deterministically (drop %13, reprice %7, add a +10M key range).
+ORACLES["q76_table_diff"] = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
+         o_orderdate AS od
+  FROM orders
+),
+new AS (
+  SELECT k, st,
+         CASE WHEN k % 7 = 0 THEN tp + 1 ELSE tp END AS tp, od
+  FROM old WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, st, tp, od FROM old WHERE k % 11 = 0
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.st IS NOT DISTINCT FROM n.st
+             AND o.tp IS NOT DISTINCT FROM n.tp
+             AND o.od IS NOT DISTINCT FROM n.od THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+"""
+
 # s4: per-label embedding centroids — elements floor-quantized to
 # integer micro-units BEFORE any cross-row sum (float->double cast, one
 # double multiply, one floor: identical IEEE ops in both engines), then
@@ -1860,6 +1886,18 @@ def _m12_image_ahash_sql() -> str:
 
 ORACLES["m12_image_ahash"] = _m12_image_ahash_sql()
 
+# d11: image-level exact dedup via the m12 aHash — collision groups
+# (n >= 2) with min-id keeper; the oracle recomputes every hash from
+# character arithmetic and groups identically.
+ORACLES["d11_image_dup_groups"] = f"""
+SELECT ahash_hi, ahash_lo,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM ({ORACLES["m12_image_ahash"]})
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
 # m9: the real AVI chain — frame f holds codepoints [f*64, (f+1)*64) of
 # the first 256 chars as an 8x8 raster (zero-padded only in the last
 # partial frame), frame rate 5 + doc_id % 4 fps. Every parsed quantity
@@ -1950,18 +1988,19 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 15 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 17 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, m12 image aHash,
 #      c3 LSH funnel, q72 salted sessionize, d10 incremental dedup,
 #      t20 bigram LM, s4 label centroids, q73-q75 TPC-H Q3/Q17/Q18
-#      shapes, t21 collocation lift) — never driver-checked;
+#      shapes, t21 collocation lift, q76 table diff, d11 image dup
+#      groups) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 10 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 37 r4-checked and the r5-green block sit
+#   4. 8 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 39 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1979,6 +2018,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t21_token_lift": L.t21_token_lift,
     "m12_image_ahash": L.m12_image_ahash,
     "q75_tpch_q18": R.q75_tpch_q18,
+    "q76_table_diff": R.q76_table_diff,
+    "d11_image_dup_groups": L.d11_image_dup_groups,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -2017,10 +2058,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08_dayfirst_dates": R.q8_dayfirst_dates,
     "q09_union_by_name": R.q9_union_by_name,
     "q10_semi_join": R.q10_semi_join,
-    "q11_anti_join": R.q11_anti_join,
-    "q12_topk_per_group": R.q12_topk_per_group,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "q11_anti_join": R.q11_anti_join,
+    "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,
     "q14_rollup": R.q14_rollup,
     "q15_cube": R.q15_cube,

@@ -46,6 +46,8 @@ def test_query_and_oracle_keys_consistent():
         "t21_token_lift",
         "m12_image_ahash",
         "q75_tpch_q18",
+        "q76_table_diff",
+        "d11_image_dup_groups",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
