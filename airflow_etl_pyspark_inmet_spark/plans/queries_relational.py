@@ -1671,12 +1671,15 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    o = old.toDF("k", "st_o", "tp_o", "od_o")
-    n = new.toDF("k", "st_n", "tp_n", "od_n")
+    # explicit presence markers: a side is absent iff its marker is NULL
+    # after the full-outer join — never inferred from data columns, which
+    # could legitimately be all-NULL in a row that EXISTS.
+    o = old.toDF("k", "st_o", "tp_o", "od_o").withColumn("_po", F.lit(1))
+    n = new.toDF("k", "st_n", "tp_n", "od_n").withColumn("_pn", F.lit(1))
     j = o.join(n, "k", "full_outer")
     status = (
-        F.when(F.col("st_o").isNull() & F.col("tp_o").isNull(), "added")
-        .when(F.col("st_n").isNull() & F.col("tp_n").isNull(), "removed")
+        F.when(F.col("_po").isNull(), "added")
+        .when(F.col("_pn").isNull(), "removed")
         .when(
             F.col("st_o").eqNullSafe(F.col("st_n"))
             & F.col("tp_o").eqNullSafe(F.col("tp_n"))
