@@ -1689,3 +1689,57 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
     )
     return j.select(F.col("k").alias("o_orderkey"), status.alias("status"))
+
+
+def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per group: median + median-absolute-deviation
+    (the outlier-resistant spread measure a data-quality gate should use
+    on skewed money/sensor columns instead of stddev) and the count of
+    robust outliers (|v - median| > 3 * MAD). Exact end to end: values
+    quantize to BIGINT cents, both medians are percentile_disc (an
+    actual data value, q60's proven cross-engine contract), and the
+    outlier test is an integer compare — no float mean/stddev anywhere.
+    Three passes over the (type, cents) projection with the tiny
+    per-group stats broadcast back; production would materialize the
+    projection once."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    # Spark's percentile_disc returns DOUBLE even over integer input
+    # (DuckDB's quantile_disc preserves the type); the value is always
+    # an actual BIGINT data point, so the cast back is exact.
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("med_cents")
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med_cents"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.min("med_cents").alias("med_cents"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("bigint")
+        .alias("mad_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    outliers = (
+        d.join(
+            F.broadcast(mad.select("event_type", "mad_cents")), "event_type"
+        )
+        .filter(F.col("dev") > 3 * F.col("mad_cents"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_n_out"))
+    )
+    return mad.join(outliers, "event_type", "left").select(
+        "event_type",
+        "med_cents",
+        "mad_cents",
+        "n",
+        F.coalesce(F.col("_n_out"), F.lit(0)).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )

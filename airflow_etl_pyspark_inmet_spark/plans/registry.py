@@ -1492,6 +1492,39 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+# q77: robust stats per group — percentile_disc median + MAD in exact
+# BIGINT cents, integer-compare outlier count (|v - med| > 3 * MAD).
+ORACLES["q77_mad_outliers"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med_cents
+  FROM e GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, v, med_cents, abs(v - med_cents) AS dev
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, MIN(med_cents) AS med_cents,
+         CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1
+)
+SELECT m.event_type, m.med_cents, m.mad_cents, m.n,
+       CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_outliers
+FROM mad m
+LEFT JOIN (
+  SELECT d.event_type, COUNT(*) AS n_out
+  FROM d JOIN mad USING (event_type)
+  WHERE dev > 3 * mad_cents
+  GROUP BY 1
+) o USING (event_type)
+"""
+
 # q76: dataset diff — full-outer join of two table versions, per-column
 # null-safe compare, one status per key. The 'new' version is derived
 # deterministically (drop %13, reprice %7, add a +10M key range).
@@ -1988,19 +2021,19 @@ FROM ({ORACLES["q03_monthly_kpis"]})
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
 # Round-6 window, front to back:
-#   1. the 17 queries NEW this round (m7/m8 real WAV kernels, m9/m10
+#   1. the 18 queries NEW this round (m7/m8 real WAV kernels, m9/m10
 #      real AVI kernels, m11 mixed-modality dispatch, m12 image aHash,
 #      c3 LSH funnel, q72 salted sessionize, d10 incremental dedup,
 #      t20 bigram LM, s4 label centroids, q73-q75 TPC-H Q3/Q17/Q18
 #      shapes, t21 collocation lift, q76 table diff, d11 image dup
-#      groups) — never driver-checked;
+#      groups, q77 robust MAD stats) — never driver-checked;
 #   2. the 3 queries whose CODE changed this round (s3 single-scan IVF
 #      rewrite, q71 zero-span guard, m6 via the resize_images/_resize_png
 #      fallback + PIL-mode changes) — their old green rows are stale;
 #   3. the 22 queries whose last driver row is round 3 (the stalest
 #      evidence in the union);
-#   4. 8 of the round-4-checked block (core reference-parity star
-#      queries). The remaining 39 r4-checked and the r5-green block sit
+#   4. 7 of the round-4-checked block (core reference-parity star
+#      queries). The remaining 40 r4-checked and the r5-green block sit
 #      behind the window (staleness <= 2 rounds for every query) and
 #      lead the r7 rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2020,6 +2053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_tpch_q18": R.q75_tpch_q18,
     "q76_table_diff": R.q76_table_diff,
     "d11_image_dup_groups": L.d11_image_dup_groups,
+    "q77_mad_outliers": R.q77_mad_outliers,
     "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     # -- 2. code touched in round 6: re-verify --------------------------
@@ -2057,9 +2091,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_decimal_comma_roundtrip": R.q7_decimal_comma_roundtrip,
     "q08_dayfirst_dates": R.q8_dayfirst_dates,
     "q09_union_by_name": R.q9_union_by_name,
-    "q10_semi_join": R.q10_semi_join,
     # --- end of the driver's 50-entry correctness window -------------
     # round-4-checked leftovers (lead the r7 window)
+    "q10_semi_join": R.q10_semi_join,
     "q11_anti_join": R.q11_anti_join,
     "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,

@@ -48,6 +48,7 @@ def test_query_and_oracle_keys_consistent():
         "q75_tpch_q18",
         "q76_table_diff",
         "d11_image_dup_groups",
+        "q77_mad_outliers",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
