@@ -1711,11 +1711,14 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's percentile_disc returns DOUBLE even over integer input
     # (DuckDB's quantile_disc preserves the type); the value is always
     # an actual BIGINT data point, so the cast back is exact.
+    # the tiny per-group frames are each consumed twice downstream —
+    # checkpoint them so the corpus-side percentile aggregates run once
+    # per pass (3 scans total, not one per consumer)
     med = e.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
         .cast("bigint")
         .alias("med_cents")
-    )
+    ).localCheckpoint(eager=False)
     d = e.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("v") - F.col("med_cents"))
     )
@@ -1725,7 +1728,7 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mad_cents"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     outliers = (
         d.join(
             F.broadcast(mad.select("event_type", "mad_cents")), "event_type"
