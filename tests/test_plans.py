@@ -474,3 +474,51 @@ def test_sessionize_salted_plan_and_equivalence(spark, sf_small):
     }
     assert got == expect
     assert max(s for (u, _), s in got.items() if u == 1) > 100
+
+
+def test_sessionize_salted_chunk_smaller_than_gap(spark):
+    """chunk_seconds < gap_seconds: a session can span many chunks and a
+    boundary continuation can skip over EMPTY chunks — the per-user lag
+    over present chunks must bridge both. Equivalence vs plain
+    sessionize on a frame built to hit those cases."""
+    import datetime as dt
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    # user 1: events every 9 min for 3 hours (one long session spanning
+    # many 10-min chunks), then a 40-min gap, then more events
+    t = t0
+    for i in range(20):
+        t += dt.timedelta(minutes=9)
+        rows.append((1, t))
+    t += dt.timedelta(minutes=40)
+    for i in range(5):
+        rows.append((1, t))
+        t += dt.timedelta(minutes=9)
+    # user 2: pairs of events 25 min apart (continuation across 2 empty
+    # 10-min chunks, still within the 30-min gap)
+    t = t0
+    for i in range(6):
+        rows.append((2, t))
+        t += dt.timedelta(minutes=25)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    expect = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize_salted(
+            df, "user_id", "ts", gap_seconds=1800, chunk_seconds=600
+        ).collect()
+    }
+    assert got == expect
+    # sanity: user 1 really has 2 sessions, user 2 one
+    assert max(s for (u, _), s in got.items() if u == 1) == 2
+    assert max(s for (u, _), s in got.items() if u == 2) == 1
