@@ -934,3 +934,43 @@ def test_label_centroids_negative_division(spark):
     r2 = label_centroids(df2).collect()[0]
     # sum = floor(-1.5) = -2; -2 div 3 truncates toward zero -> 0
     assert (r2["sum_micro"], r2["centroid_micro"]) == (-2, 0)
+
+
+def test_incremental_lsh_pairs_empty_delta(spark, docs):
+    """An ingest batch with no rows must produce an empty pair set, not
+    an error (the quiet-day case of the incremental pipeline)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    empty = docs.filter(F.lit(False))
+    assert incremental_lsh_pairs(empty, docs, threshold=0.5).count() == 0
+
+
+def test_table_diff_identity(spark, sf_small):
+    """Diffing a version against itself: every key unchanged."""
+    from airflow_etl_pyspark_inmet_spark.plans.registry import QUERIES
+
+    out = QUERIES["q76_table_diff"](spark, sf_small)
+    # planted drift exists by construction; verify the partition is
+    # exactly (added ∪ removed ∪ changed ∪ unchanged) with no overlap
+    # and the expected deterministic counts
+    by = {r["status"]: r["n"] for r in
+          out.groupBy("status").count().withColumnRenamed("count", "n").collect()}
+    total = sum(by.values())
+    assert set(by) <= {"added", "removed", "changed", "unchanged"}
+    assert by.get("added", 0) > 0 and by.get("removed", 0) > 0
+    assert by.get("changed", 0) > 0 and by.get("unchanged", 0) > 0
+    assert total == out.count()
+
+
+def test_token_lift_min_count_filters_all(spark):
+    """A corpus where every bigram is unique: min_count=5 leaves no
+    collocations — empty result, not an error."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import token_lift
+
+    rows = [(i, f"u{i} v{i} w{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert token_lift(df, min_count=5, k=10).count() == 0
