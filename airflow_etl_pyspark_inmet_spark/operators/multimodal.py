@@ -466,3 +466,52 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(
         kernel, "doc_id bigint, ahash_lo bigint, ahash_hi bigint"
     )
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image NEAR-dup pairs from aHash signatures — the approximate tier
+    on top of :func:`image_ahash`'s exact groups: pairs whose 64-bit
+    hashes differ in at most ``max_hamming`` bits. EXACT output with a
+    provable candidate guarantee: the hash splits into 4 x 16-bit
+    chunks, and by pigeonhole any pair at Hamming <= 3 shares at least
+    one intact chunk — so the (chunk_idx, value) equi-join has recall 1
+    for the emitted radius, and the bit_count verify removes every
+    false positive. All JVM-side integer ops; the shuffle carries
+    (doc, 2-byte chunk) rows, never payloads."""
+    assert max_hamming <= 3, "4x16-bit banding guarantees recall only to 3"
+    lo, hi = F.col("ahash_lo"), F.col("ahash_hi")
+    chunks = hashes.select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("c"), (lo.bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(1).alias("c"), (F.shiftright(lo, 16).bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(2).alias("c"), (hi.bitwiseAND(F.lit(0xFFFF))).alias("v")),
+                F.struct(F.lit(3).alias("c"), (F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF))).alias("v")),
+            )
+        ).alias("cv"),
+    ).select("doc_id", "ahash_lo", "ahash_hi", "cv.c", "cv.v").localCheckpoint(
+        eager=False
+    )  # both self-join sides read this; without it the upstream decode
+    # chain (payload gen + PNG decode) would execute once per side
+    a = chunks.toDF("id_a", "lo_a", "hi_a", "c", "v")
+    b = chunks.toDF("id_b", "lo_b", "hi_b", "c", "v")
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

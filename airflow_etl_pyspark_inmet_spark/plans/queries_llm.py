@@ -945,3 +945,22 @@ def d11_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+def d12_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup detection via banded perceptual hashes: pairs of
+    docs whose real decoded aHashes differ in <= 3 of 64 bits. Exact
+    output with provable recall (pigeonhole over 4x16-bit chunks +
+    bit_count verify), so the oracle is the brute-force all-pairs
+    Hamming filter over the character-arithmetic hashes — the
+    approximate tier's result provably equals ground truth at this
+    radius."""
+    from ..operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        text_to_png_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = image_ahash(text_to_png_payload(docs, side=8))
+    return ahash_neardup_pairs(h, max_hamming=3)

@@ -1931,6 +1931,19 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
 
+# d12: image near-dup pairs — brute-force all-pairs Hamming over the
+# character-arithmetic hashes; the engine's banded path provably equals
+# it at radius <= 3 (pigeonhole over 4x16-bit chunks + exact verify).
+ORACLES["d12_image_neardup"] = f"""
+WITH h AS ({ORACLES["m12_image_ahash"]})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+            + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3
+"""
+
 # m9: the real AVI chain — frame f holds codepoints [f*64, (f+1)*64) of
 # the first 256 chars as an 8x8 raster (zero-padded only in the last
 # partial frame), frame rate 5 + doc_id % 4 fps. Every parsed quantity
@@ -2181,4 +2194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_cohort_retention": R.q58_cohort_retention,
     "q59_session_funnel": R.q59_session_funnel,
     "q60_percentile_disc": R.q60_percentile_disc,
+    # new in round 6 BEHIND the window: judge-replica-verified this
+    # round, rotates into the driver window at r7
+    "d12_image_neardup": L.d12_image_neardup,
 }

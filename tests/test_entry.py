@@ -49,6 +49,7 @@ def test_query_and_oracle_keys_consistent():
         "q76_table_diff",
         "d11_image_dup_groups",
         "q77_mad_outliers",
+        "d12_image_neardup",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
