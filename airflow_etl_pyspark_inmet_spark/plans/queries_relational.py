@@ -1746,3 +1746,88 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+def q78_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the production MERGE shape with DELETE
+    handling that q47's insert/update upsert lacks: one full-outer join
+    between the base table and a keyed changelog of I/U/D operations,
+    op-driven CASE per key (delete drops the row, update takes the
+    changelog values, insert lands new keys, untouched keys pass
+    through). The changelog derives deterministically from orders
+    (delete %17, update %5 with +10 reprice, insert a +20M key range
+    for %9), with delete taking precedence so ops are disjoint."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    deletes = base.filter(k % 17 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_status"),
+        F.lit(None).cast("double").alias("c_price"),
+        F.lit(None).cast("timestamp").alias("c_date"),
+    )
+    updates = base.filter((k % 17 != 0) & (k % 5 == 0)).select(
+        "o_orderkey", F.lit("U").alias("op"),
+        F.col("o_orderstatus").alias("c_status"),
+        (F.col("o_totalprice") + 10).alias("c_price"),
+        F.col("o_orderdate").alias("c_date"),
+    )
+    inserts = base.filter(k % 9 == 0).select(
+        (k + 20_000_000).alias("o_orderkey"), F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+        F.col("o_orderdate").alias("c_date"),
+    )
+    changelog = deletes.unionByName(updates).unionByName(inserts)
+    merged = base.withColumn("_pb", F.lit(1)).join(
+        changelog, "o_orderkey", "full_outer"
+    )
+    applied = merged.filter(
+        # drop deletes; keep base rows (changed or not) and inserts
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("op").isin("U", "I"), F.col("c_status"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("op").isin("U", "I"), F.col("c_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.to_date(
+            F.when(F.col("op").isin("U", "I"), F.col("c_date")).otherwise(
+                F.col("o_orderdate")
+            )
+        ).alias("order_date"),
+    )
+    return applied
+
+
+def q79_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's revenue share within its nation
+    — the percent-of-total reporting primitive, in exact integer parts
+    per million (cents summed exactly, one integer division against the
+    nation total from a window over the ALREADY-AGGREGATED frame, so
+    the window state is suppliers-per-nation, not fact rows)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    agg = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name")
+    return agg.select(
+        "n_name",
+        "s_suppkey",
+        "rev_cents",
+        F.expr("rev_cents * 1000000L").alias("_num"),
+    ).withColumn(
+        "share_ppm",
+        F.expr("_num div sum(rev_cents) over (partition by n_name)"),
+    ).select("n_name", "s_suppkey", "rev_cents", "share_ppm")

@@ -1492,6 +1492,56 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+# q79: ratio-to-report — supplier revenue share within nation in exact
+# integer ppm (cents * 10^6 // nation total; needs rev < 9.2e12 cents
+# per supplier — pre-scale to dollars beyond that).
+ORACLES["q79_ratio_to_report"] = """
+WITH agg AS (
+  SELECT n_name, s_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, s_suppkey, rev_cents,
+       CAST(rev_cents * 1000000 // SUM(rev_cents)
+            OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+# q78: CDC changelog apply — full-outer MERGE with op-driven CASE
+# (D drops, U/I take changelog values, untouched passes through);
+# changelog derives deterministically from orders with disjoint ops.
+ORACLES["q78_cdc_apply"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+changelog AS (
+  SELECT o_orderkey, 'D' AS op, NULL AS c_status,
+         CAST(NULL AS DOUBLE) AS c_price,
+         CAST(NULL AS TIMESTAMP) AS c_date
+  FROM base WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_orderstatus, o_totalprice + 10, o_orderdate
+  FROM base WHERE o_orderkey % 17 <> 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, 'I', o_orderstatus, o_totalprice,
+         o_orderdate
+  FROM base WHERE o_orderkey % 9 = 0
+)
+SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IN ('U', 'I') THEN c.c_status
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op IN ('U', 'I') THEN c.c_price
+            ELSE b.o_totalprice END AS o_totalprice,
+       CAST(CASE WHEN c.op IN ('U', 'I') THEN c.c_date
+            ELSE b.o_orderdate END AS DATE) AS order_date
+FROM base b FULL OUTER JOIN changelog c USING (o_orderkey)
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
 # q77: robust stats per group — percentile_disc median + MAD in exact
 # BIGINT cents, integer-compare outlier count (|v - med| > 3 * MAD).
 ORACLES["q77_mad_outliers"] = """
@@ -2197,4 +2247,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in round 6 BEHIND the window: judge-replica-verified this
     # round, rotates into the driver window at r7
     "d12_image_neardup": L.d12_image_neardup,
+    "q78_cdc_apply": R.q78_cdc_apply,
+    "q79_ratio_to_report": R.q79_ratio_to_report,
 }

@@ -50,6 +50,8 @@ def test_query_and_oracle_keys_consistent():
         "d11_image_dup_groups",
         "q77_mad_outliers",
         "d12_image_neardup",
+        "q78_cdc_apply",
+        "q79_ratio_to_report",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
