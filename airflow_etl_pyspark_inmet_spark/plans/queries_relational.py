@@ -1831,3 +1831,32 @@ def q79_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_ppm",
         F.expr("_num div sum(rev_cents) over (partition by n_name)"),
     ).select("n_name", "s_suppkey", "rev_cents", "share_ppm")
+
+
+def q80_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars — the classic time-series downsample: per (user,
+    hour) the opening value (first by time), high, low, and closing
+    value (last by time), as one hash aggregate with min_by/max_by (no
+    window, no sort of the fact stream). Determinism under timestamp
+    ties: the ordering key is a fixed-width zero-padded
+    (epoch-micros, event_id) string, so lexicographic order equals
+    numeric order and is total — the same min_by row in any engine.
+    Values in exact BIGINT cents."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("k"),
+    )
+    return e.groupBy("user_id", "hour_us").agg(
+        F.expr("min_by(v, k)").alias("open_cents"),
+        F.max("v").alias("high_cents"),
+        F.min("v").alias("low_cents"),
+        F.expr("max_by(v, k)").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1492,6 +1492,27 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+# q80: OHLC bars — one hash aggregate with arg_min/arg_max on a
+# fixed-width zero-padded (epoch_us, event_id) string key, so the
+# open/close row is total-ordered and identical in both engines.
+ORACLES["q80_ohlc_bars"] = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS k
+  FROM events
+)
+SELECT user_id, hour_us,
+       arg_min(v, k) AS open_cents,
+       MAX(v) AS high_cents,
+       MIN(v) AS low_cents,
+       arg_max(v, k) AS close_cents,
+       COUNT(*) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
 # q79: ratio-to-report — supplier revenue share within nation in exact
 # integer ppm (cents * 10^6 // nation total; needs rev < 9.2e12 cents
 # per supplier — pre-scale to dollars beyond that).
@@ -2249,4 +2270,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d12_image_neardup": L.d12_image_neardup,
     "q78_cdc_apply": R.q78_cdc_apply,
     "q79_ratio_to_report": R.q79_ratio_to_report,
+    "q80_ohlc_bars": R.q80_ohlc_bars,
 }

@@ -52,6 +52,7 @@ def test_query_and_oracle_keys_consistent():
         "d12_image_neardup",
         "q78_cdc_apply",
         "q79_ratio_to_report",
+        "q80_ohlc_bars",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],
