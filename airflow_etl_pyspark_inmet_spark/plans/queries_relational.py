@@ -1860,3 +1860,59 @@ def q80_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(v, k)").alias("close_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def q81_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together
+    — distinct parts per order, self-join on the order key (shuffle is
+    co-partitioned on the transactional key; pair cardinality is
+    sum-of-squares of basket sizes, bounded by the ~7-line TPC-H
+    baskets), deterministic top-25 with full tiebreak."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.toDF("o", "p1")
+    b = d.toDF("o", "p2")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+    ).limit(25)
+
+
+def q82_running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance — the inventory/credit recurrence
+    b_i = max(0, b_{i-1} + delta_i), which LOOKS non-associative (and is
+    usually mis-implemented with a per-key Python loop) but has the
+    closed form b_i = s_i - min(0, running_min(s)) over plain prefix
+    sums — so it runs as two stacked windows on one shuffle, exact
+    BIGINT cents end to end, at any scale. Deterministic ordering by
+    (ts, event_id)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("delta_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two stacked windows over the SAME partitioning/order (one shuffle,
+    # Catalyst fuses them into a single Window operator chain)
+    staged = e.withColumn("_s", F.sum("delta_cents").over(run))
+    return staged.select(
+        "user_id",
+        "event_id",
+        "us",
+        "delta_cents",
+        (F.col("_s") - F.least(F.lit(0), F.min("_s").over(run)))
+        .cast("bigint")
+        .alias("balance_cents"),
+    )

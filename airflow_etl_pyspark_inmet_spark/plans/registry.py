@@ -1492,6 +1492,39 @@ ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT 20
 """
 
+# q81: market-basket co-occurrence — distinct parts per order,
+# self-join on the transactional key, deterministic top-25.
+ORACLES["q81_basket_pairs"] = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1 ASC, p2 ASC
+LIMIT 25
+"""
+
+# q82: floor-at-zero running balance via the closed form
+# b = s - min(0, running_min(s)) over exact prefix sums in cents.
+ORACLES["q82_running_balance_floor"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta_cents
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, us, delta_cents,
+         SUM(delta_cents) OVER w AS s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, us, delta_cents,
+       CAST(s - LEAST(0, MIN(s) OVER w) AS BIGINT) AS balance_cents
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 # q80: OHLC bars — one hash aggregate with arg_min/arg_max on a
 # fixed-width zero-padded (epoch_us, event_id) string key, so the
 # open/close row is total-ordered and identical in both engines.
@@ -2271,4 +2304,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_cdc_apply": R.q78_cdc_apply,
     "q79_ratio_to_report": R.q79_ratio_to_report,
     "q80_ohlc_bars": R.q80_ohlc_bars,
+    "q81_basket_pairs": R.q81_basket_pairs,
+    "q82_running_balance_floor": R.q82_running_balance_floor,
 }

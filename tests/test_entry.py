@@ -53,6 +53,8 @@ def test_query_and_oracle_keys_consistent():
         "q78_cdc_apply",
         "q79_ratio_to_report",
         "q80_ohlc_bars",
+        "q81_basket_pairs",
+        "q82_running_balance_floor",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
     ],

@@ -974,3 +974,48 @@ def test_token_lift_min_count_filters_all(spark):
     rows = [(i, f"u{i} v{i} w{i}") for i in range(10)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert token_lift(df, min_count=5, k=10).count() == 0
+
+
+def test_running_balance_floor_matches_loop(spark):
+    """The closed form b = s - min(0, running_min(s)) must equal the
+    direct recurrence b_i = max(0, b_{i-1} + d_i) on a sequence that
+    dips below zero repeatedly."""
+    import datetime as dt
+
+    from airflow_etl_pyspark_inmet_spark.plans.registry import QUERIES
+
+    # hand-roll the recurrence over the same construction the query uses
+    deltas = [200, -500, 100, -400, 300, -50, -600, 700]
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), deltas[i] / 100.0)
+        for i in range(len(deltas))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    df.createOrReplaceTempView("_rb_events")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    e = df.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("delta_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = e.withColumn("_s", F.sum("delta_cents").over(run))
+    got = [
+        r["balance_cents"]
+        for r in staged.select(
+            "event_id",
+            (F.col("_s") - F.least(F.lit(0), F.min("_s").over(run)))
+            .cast("bigint")
+            .alias("balance_cents"),
+        ).orderBy("event_id").collect()
+    ]
+    b, expect = 0, []
+    for d in deltas:
+        b = max(0, b + d)
+        expect.append(b)
+    assert got == expect
