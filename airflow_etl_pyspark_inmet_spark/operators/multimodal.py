@@ -392,23 +392,29 @@ def decode_any_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
     from .avi import avi_decode, is_avi
 
     def one(p: bytes) -> tuple[str, int, int, int]:
-        if _png.is_png(p):
-            arr = _png.png_decode(p)
-            h, w = arr.shape[:2]
-            return "png", w, h, int(arr.sum())
-        if is_wav(p):
-            with _wave.open(_io.BytesIO(p), "rb") as wv:
-                n = wv.getnframes()
-                rate = wv.getframerate()
-                raw = wv.readframes(n)
-            return "wav", n, rate, int(
-                np.frombuffer(raw, dtype="<i2").sum()
-            )
-        if is_avi(p):
-            _, _, usec, frames = avi_decode(p)
-            return "avi", len(frames), usec, int(
-                sum(int(f.sum()) for f in frames)
-            )
+        # Per-payload guard: a recognized magic with a malformed body must
+        # degrade to the 'unknown' row, not fail the whole Arrow batch —
+        # the mixed-corpus contract promised in the docstring.
+        try:
+            if _png.is_png(p):
+                arr = _png.png_decode(p)
+                h, w = arr.shape[:2]
+                return "png", w, h, int(arr.sum())
+            if is_wav(p):
+                with _wave.open(_io.BytesIO(p), "rb") as wv:
+                    n = wv.getnframes()
+                    rate = wv.getframerate()
+                    raw = wv.readframes(n)
+                return "wav", n, rate, int(
+                    np.frombuffer(raw, dtype="<i2").sum()
+                )
+            if is_avi(p):
+                _, _, usec, frames = avi_decode(p)
+                return "avi", len(frames), usec, int(
+                    sum(int(f.sum()) for f in frames)
+                )
+        except Exception:
+            pass
         return "unknown", 0, len(p), 0
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,7 +445,8 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     > pixel_sum — no float division), and the hash ships as two 32-bit
     halves (ahash_lo = bits 0-31, ahash_hi = bits 32-63, both
     non-negative) so no engine's signed-64 edge can bite. Raises on
-    non-PNG payloads (strict verification tail, like png_pixel_stats)."""
+    non-PNG payloads and on rasters that are not exactly 8x8 = 64 px
+    (strict verification tail, like png_pixel_stats)."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -449,14 +456,16 @@ def image_ahash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 arr = _png.png_decode(bytes(p))
                 flat = arr.astype(np.int64).flatten()
                 n = flat.size
+                if n != 64:  # the documented 8x8 contract — anything else
+                    # would silently hash a prefix of the raster
+                    raise ValueError(
+                        f"image_ahash requires an 8x8 raster (64 px), got {n}"
+                    )
                 s = int(flat.sum())
                 bits = (flat * n > s).astype(np.uint64)
-                lo = int((bits[:32] << np.arange(32, dtype=np.uint64)).sum())
-                hi = int(
-                    (bits[32:64] << np.arange(
-                        min(32, max(n - 32, 0)), dtype=np.uint64
-                    )).sum()
-                ) if n > 32 else 0
+                shifts = np.arange(32, dtype=np.uint64)
+                lo = int((bits[:32] << shifts).sum())
+                hi = int((bits[32:64] << shifts).sum())
                 los.append(lo)
                 his.append(hi)
             yield pd.DataFrame(

@@ -1648,10 +1648,15 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from orders (every 13th key dropped, every 7th
     repriced, a synthetic key range added) so the oracle reproduces the
     exact status partition. Null-safe equality (<=>) keeps NULL columns
-    from misclassifying as changed."""
+    from misclassifying as changed. The added-key offset is max(
+    o_orderkey) from the table itself (broadcast 1-row aggregate), so
+    the synthetic range k + max is > max — provably disjoint from real
+    keys at ANY scale factor, where a fixed 10M literal would collide
+    past SF ~1.6 (TPC-H max orderkey is 6M x SF)."""
     old = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+    mx = old.agg(F.max("o_orderkey").alias("_mx"))
     new = (
         old.filter(F.col("o_orderkey") % 13 != 0)
         .select(
@@ -1663,8 +1668,10 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
         .unionByName(
-            old.filter(F.col("o_orderkey") % 11 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            old.filter(F.col("o_orderkey") % 11 == 0)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("o_orderkey") + F.col("_mx")).alias("o_orderkey"),
                 "o_orderstatus",
                 "o_totalprice",
                 "o_orderdate",
@@ -1755,11 +1762,14 @@ def q78_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     op-driven CASE per key (delete drops the row, update takes the
     changelog values, insert lands new keys, untouched keys pass
     through). The changelog derives deterministically from orders
-    (delete %17, update %5 with +10 reprice, insert a +20M key range
-    for %9), with delete taking precedence so ops are disjoint."""
+    (delete %17, update %5 with +10 reprice, insert a key range for %9
+    offset by max(o_orderkey) — broadcast 1-row aggregate, so inserted
+    keys are provably disjoint from real keys at any scale factor),
+    with delete taking precedence so ops are disjoint."""
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+    mx = base.agg(F.max("o_orderkey").alias("_mx"))
     k = F.col("o_orderkey")
     deletes = base.filter(k % 17 == 0).select(
         "o_orderkey", F.lit("D").alias("op"),
@@ -1773,8 +1783,8 @@ def q78_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 10).alias("c_price"),
         F.col("o_orderdate").alias("c_date"),
     )
-    inserts = base.filter(k % 9 == 0).select(
-        (k + 20_000_000).alias("o_orderkey"), F.lit("I").alias("op"),
+    inserts = base.filter(k % 9 == 0).crossJoin(F.broadcast(mx)).select(
+        (k + F.col("_mx")).alias("o_orderkey"), F.lit("I").alias("op"),
         F.col("o_orderstatus").alias("c_status"),
         F.col("o_totalprice").alias("c_price"),
         F.col("o_orderdate").alias("c_date"),

@@ -1581,8 +1581,8 @@ changelog AS (
   SELECT o_orderkey, 'U', o_orderstatus, o_totalprice + 10, o_orderdate
   FROM base WHERE o_orderkey % 17 <> 0 AND o_orderkey % 5 = 0
   UNION ALL
-  SELECT o_orderkey + 20000000, 'I', o_orderstatus, o_totalprice,
-         o_orderdate
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base), 'I',
+         o_orderstatus, o_totalprice, o_orderdate
   FROM base WHERE o_orderkey % 9 = 0
 )
 SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
@@ -1631,7 +1631,8 @@ LEFT JOIN (
 
 # q76: dataset diff — full-outer join of two table versions, per-column
 # null-safe compare, one status per key. The 'new' version is derived
-# deterministically (drop %13, reprice %7, add a +10M key range).
+# deterministically (drop %13, reprice %7, add a key range offset by
+# max(k) so it is disjoint from real keys at any scale factor).
 ORACLES["q76_table_diff"] = """
 WITH old AS (
   SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp,
@@ -1643,7 +1644,8 @@ new AS (
          CASE WHEN k % 7 = 0 THEN tp + 1 ELSE tp END AS tp, od
   FROM old WHERE k % 13 <> 0
   UNION ALL
-  SELECT k + 10000000 AS k, st, tp, od FROM old WHERE k % 11 = 0
+  SELECT k + (SELECT MAX(k) FROM old) AS k, st, tp, od
+  FROM old WHERE k % 11 = 0
 )
 SELECT COALESCE(o.k, n.k) AS o_orderkey,
        CASE WHEN o.k IS NULL THEN 'added'

@@ -17,10 +17,17 @@ median-of-5 (round 5 recorded a 43% total regression with zero code
 changes on the headline path). So any query whose median lands above
 1.3x its best previously-recorded value (min across BENCH_r*.json in the
 repo root) is automatically re-probed — a second median-of-5 later in
-the wall-clock window — and the better median is recorded. Both probes
-and all raw runs are carried in the output JSON ("runs", "reprobed"), so
-the artifact is auditable: a genuine regression reproduces across both
-probes; a load burst doesn't.
+the wall-clock window — and the MEDIAN OF ALL 10 runs is recorded (not
+the min of the two medians, which would one-sidedly bias recorded
+timings downward and let one lucky probe mask a real regression: a
+genuine slowdown keeps the combined median high because both probes
+reproduce it, while a one-probe load burst is outvoted by the quiet
+probe's runs). Both probes and all raw runs are carried in the output
+JSON ("runs", "reprobed"), so the artifact is auditable.
+
+Output: the full result object (with run arrays) prints first; the LAST
+stdout line is a compact summary (metric/value/unit/queries/sf only) so
+a bounded stdout-tail capture always contains one complete JSON object.
 """
 
 from __future__ import annotations
@@ -137,15 +144,20 @@ def main() -> None:
         best = prior.get(name)
         if best is not None and med > 1.3 * best:
             # Suspect a neighbor-load burst: re-probe later in the window
-            # and keep the better median. Both probes stay in the record.
+            # and record the median of ALL 10 runs — symmetric, so one
+            # lucky quiet probe can't discard a genuine regression (it
+            # reproduces in both probes and keeps the combined median
+            # high). Both probes stay in the record.
             med2, runs2 = median5(name)
+            combined = sorted(runs + runs2)
+            med_all = (combined[4] + combined[5]) / 2
             reprobed[name] = {
                 "prior_best": best,
                 "first": {"median": round(med, 3), "runs": runs},
                 "second": {"median": round(med2, 3), "runs": runs2},
+                "recorded": round(med_all, 3),
             }
-            if med2 < med:
-                med, runs = med2, runs2
+            med, runs = med_all, combined
         timings[name] = round(med, 3)
         runs_log[name] = runs
         flag = " [reprobed]" if name in reprobed else ""
@@ -154,16 +166,19 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
+    summary = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs": runs_log,
-        "reprobed": reprobed,
     }
-    print(json.dumps(out))
+    print(json.dumps({**summary, "runs": runs_log, "reprobed": reprobed}))
+    # LAST line is compact and complete: a bounded stdout-tail capture
+    # (which truncated the front of the long full line in round 6 and
+    # left the driver's "parsed" field null) always gets one whole
+    # parseable JSON object.
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
