@@ -964,3 +964,170 @@ def d12_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     h = image_ahash(text_to_png_payload(docs, side=8))
     return ahash_neardup_pairs(h, max_hamming=3)
+
+
+def c4_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-data pipeline as ONE oracle-checked query —
+    every stage of the production path composed end to end through the
+    operators' column contracts:
+
+      normalize (t6) -> exact dedup on normalized text (d1) -> MinHash+
+      LSH near-dedup among keepers, canonical doc per cluster (d3/c3
+      path) -> benchmark decontamination against the %23 eval split
+      (t9) -> PII scrub (t12's planted construction, so the scrub stage
+      provably fires) -> linear quality filter with the corpus's own
+      vocabulary (t19, keep logit >= 0) -> temperature mixture weights
+      per source (x4) -> 256-token sequence packing (t13) -> determin-
+      istic 8-way sharding (x3).
+
+    Output: the training-data MANIFEST — one row per (bin, doc) slice
+    carrying every stage's evidence (exact_copies, cluster_id, PII
+    counts, quality logit, mixture share, shard/pos). The oracle nests
+    the same stages as CTEs (c1/c2/c3's proven pattern; near-dup stage
+    equals exact Jaccard by the d3 recall argument).
+
+    Scale shape: every stage keeps its individual operator's 100 TB
+    profile (banded LSH, broadcast eval grams / vocab / weights /
+    mixture table, hierarchical pack offsets, per-shard windows). The
+    survivor frame is localCheckpointed once — the point a production
+    run would write intermediate parquet — so the funnel above it runs
+    once, not once per downstream consumer (4 consume it)."""
+    from ..operators.curation import pack_sequences, pii_scrub
+    from ..operators.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_lsh_pairs,
+    )
+    from ..operators.mixing import shard_assign, temperature_weights
+    from ..operators.text import (
+        classifier_score,
+        decontaminate,
+        normalize_text,
+        vocab_top_terms,
+    )
+
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    # 1. normalize
+    base = normalize_text(raw).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    # 2. exact dedup -> keepers with copy counts
+    groups = dedup_exact(base)
+    keepers = base.join(
+        groups.select(
+            F.col("keep_id").alias("doc_id"),
+            F.col("n_copies").alias("exact_copies"),
+        ),
+        "doc_id",
+    )
+    # 3. near-dedup (production LSH path) -> canonical doc per cluster
+    pairs = minhash_lsh_pairs(keepers, ngram=3, threshold=0.5)
+    comps = connected_components(pairs)
+    canon = (
+        keepers.join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "text",
+            "exact_copies",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+    )
+    # 4. decontaminate: %23 docs are the eval benchmark; canonical
+    # training docs overlapping them >= 5% are dropped. Docs too short
+    # to have 8-grams produce no decon row -> non-contaminated.
+    train = canon.filter(F.col("doc_id") % 23 != 0)
+    eval_df = base.filter(F.col("doc_id") % 23 == 0)
+    dec = decontaminate(
+        train.select("doc_id", "text"), eval_df, ngram=8, threshold=0.05
+    )
+    clean = (
+        train.join(dec.select("doc_id", "is_contaminated"), "doc_id", "left")
+        .filter(~F.coalesce(F.col("is_contaminated"), F.lit(False)))
+        .drop("is_contaminated")
+    )
+    # 5. PII scrub (plant deterministic PII post-normalization — the
+    # normalizer would strip '@'/'.' — so the stage provably fires)
+    planted = clean.select(
+        "doc_id",
+        "exact_copies",
+        "cluster_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@mail.example.com from 10."),
+                F.col("doc_id") % 256,
+                F.lit(".0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sc = pii_scrub(planted)
+    scrubbed = planted.drop("text").join(
+        sc.select(
+            "doc_id", "n_emails", "n_ips",
+            F.col("redacted_text").alias("text"),
+        ),
+        "doc_id",
+    )
+    # 6. quality filter: corpus-derived vocab -> integer linear model
+    vocab = vocab_top_terms(scrubbed, k=40)
+    weights = vocab.select(
+        "token",
+        F.when(F.col("rank") % 3 == 0, -(F.lit(41) - F.col("rank")))
+        .otherwise(F.lit(41) - F.col("rank"))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    scored = classifier_score(scrubbed, weights)
+    survivors = (
+        scrubbed.join(
+            scored.filter(F.col("is_quality")).select("doc_id", "logit_e6"),
+            "doc_id",
+        )
+        .join(raw.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)  # the materialize-once point: 4
+        # downstream consumers (mixture, pack, shard, final join); a
+        # production run writes intermediate parquet here instead
+    )
+    # 7. temperature mixture weights per source (broadcast back)
+    tw = temperature_weights(survivors, strat_col="source")
+    # 8. sequence packing + 9. shard assignment over the final corpus
+    packed = pack_sequences(survivors, capacity=256, n_shards=32)
+    shards = shard_assign(survivors, n_shards=8)
+    return (
+        packed.join(
+            survivors.select(
+                "doc_id",
+                F.col("exact_copies").cast("bigint").alias("exact_copies"),
+                F.col("cluster_id").cast("bigint").alias("cluster_id"),
+                "n_emails",
+                "n_ips",
+                "logit_e6",
+                "source",
+            ),
+            "doc_id",
+        )
+        .join(shards.select("doc_id", "shard", "pos"), "doc_id")
+        .join(F.broadcast(tw.select("source", "temp_share_e6")), "source")
+        .select(
+            "bin_id",
+            "doc_id",
+            "tok_start",
+            "n_tokens",
+            "exact_copies",
+            "cluster_id",
+            "n_emails",
+            "n_ips",
+            "logit_e6",
+            "source",
+            "temp_share_e6",
+            "shard",
+            "pos",
+        )
+    )

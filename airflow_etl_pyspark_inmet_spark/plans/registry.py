@@ -2136,6 +2136,200 @@ SELECT n_name, ano, mes,
 FROM ({ORACLES["q03_monthly_kpis"]})
 """
 
+# c4: the FULL pretraining pipeline — nine stages nested as CTEs
+# (normalize -> exact dedup -> near-dedup canonical -> decontaminate ->
+# PII scrub -> quality filter -> temperature mixture -> pack -> shard).
+# Each stage's SQL is its standalone oracle's proven pattern (t6 / d1 /
+# c2-recursive-closure / t9 / t12 / t19 / x4 / t13 / x3); the near-dup
+# stage equals exact Jaccard by the d3 recall argument. Casts pin every
+# numeric to BIGINT (DuckDB SUM(BIGINT) -> HUGEINT otherwise).
+ORACLES["c4_pretraining_pipeline"] = """
+WITH RECURSIVE
+nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS text
+  FROM documents
+),
+kg AS (
+  SELECT min(doc_id) AS doc_id, COUNT(*) AS exact_copies
+  FROM nrm GROUP BY text
+),
+kdocs AS (
+  SELECT kg.doc_id, kg.exact_copies, n.text FROM kg JOIN nrm n USING (doc_id)
+),
+grams3 AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM kdocs) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) u
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams3 GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM grams3 a JOIN grams3 b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+canon AS (
+  SELECT kd.doc_id, kd.exact_copies, kd.text,
+         COALESCE(c.comp, kd.doc_id) AS cluster_id
+  FROM kdocs kd LEFT JOIN comp c ON c.node = kd.doc_id
+  WHERE COALESCE(c.comp, kd.doc_id) = kd.doc_id
+),
+train AS (SELECT * FROM canon WHERE doc_id % 23 <> 0),
+tg AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM train) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-7, 0))) AS i) u
+),
+eg AS (
+  SELECT DISTINCT
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS g
+  FROM (SELECT string_split_regex(trim(text), '\\s+') ws
+        FROM nrm WHERE doc_id % 23 = 0) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-7, 0))) AS i) u
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM tg
+  WHERE g IN (SELECT g FROM eg) GROUP BY 1
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY 1),
+clean AS (
+  SELECT tr.* FROM train tr
+  LEFT JOIN tot USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+  WHERE NOT COALESCE(
+    COALESCE(hits.n_shared, 0) / CAST(tot.n_grams AS DOUBLE) >= 0.05, FALSE)
+),
+planted AS (
+  SELECT doc_id, exact_copies, cluster_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE text END AS text
+  FROM clean
+),
+r1 AS (
+  SELECT doc_id, exact_copies, cluster_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+scrub AS (
+  SELECT doc_id, exact_copies, cluster_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b'))
+              AS BIGINT) AS n_ips,
+         regexp_replace(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g')
+           AS text
+  FROM r1
+),
+tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM scrub
+  ) WHERE token <> ''
+),
+vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS INTEGER)
+           AS rank
+  FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+  ORDER BY freq DESC, token ASC LIMIT 40
+),
+w AS (
+  SELECT token,
+         CAST(CASE WHEN rank % 3 = 0 THEN -(41 - rank) ELSE 41 - rank END
+              AS BIGINT) AS weight
+  FROM vocab
+),
+score AS (
+  SELECT j.doc_id,
+         CAST(CAST(SUM(j.wt) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT)
+           AS logit_e6
+  FROM (SELECT t.doc_id, COALESCE(w.weight, 0) AS wt
+        FROM tok t LEFT JOIN w USING (token)) j
+  GROUP BY 1
+),
+survivors AS (
+  SELECT s.doc_id, s.exact_copies, s.cluster_id, s.n_emails, s.n_ips,
+         s.text, sc.logit_e6, d.source
+  FROM scrub s JOIN score sc USING (doc_id) JOIN documents d USING (doc_id)
+  WHERE sc.logit_e6 >= 0
+),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM survivors GROUP BY source),
+scaled AS (
+  SELECT source, n_docs, CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT) AS _s
+  FROM counts
+),
+twtot AS (SELECT CAST(SUM(_s) AS BIGINT) AS st FROM scaled),
+tw AS (
+  SELECT source, _s * 1000000 // st AS temp_share_e6
+  FROM scaled CROSS JOIN twtot
+),
+pk AS (
+  SELECT doc_id, doc_id % 32 AS shard32,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM survivors
+),
+o AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY shard32, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS off
+  FROM pk
+),
+b AS (
+  SELECT doc_id, n, off,
+         unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS bin_id
+  FROM o WHERE n > 0
+),
+pack AS (
+  SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+         CAST(greatest(bin_id * 256 - off, 0) AS BIGINT) AS tok_start,
+         CAST(least((bin_id + 1) * 256 - off, n)
+              - greatest(bin_id * 256 - off, 0) AS BIGINT) AS n_tokens
+  FROM b
+),
+shards AS (
+  SELECT doc_id, CAST(pri % 8 AS BIGINT) AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY pri % 8 ORDER BY pri, doc_id)
+              AS BIGINT) AS pos
+  FROM (SELECT doc_id, (doc_id * 2654435761) % 1048576 AS pri FROM survivors)
+)
+SELECT p.bin_id, p.doc_id, p.tok_start, p.n_tokens,
+       CAST(s.exact_copies AS BIGINT) AS exact_copies,
+       CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       s.n_emails, s.n_ips, s.logit_e6, s.source,
+       t.temp_share_e6, sh.shard, sh.pos
+FROM pack p
+JOIN survivors s USING (doc_id)
+JOIN shards sh USING (doc_id)
+JOIN tw t USING (source)
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
@@ -2308,4 +2502,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ohlc_bars": R.q80_ohlc_bars,
     "q81_basket_pairs": R.q81_basket_pairs,
     "q82_running_balance_floor": R.q82_running_balance_floor,
+    "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
 }

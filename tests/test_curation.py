@@ -202,3 +202,49 @@ def test_strip_boilerplate_counts_and_text(spark):
     # doc 3: URL gone before punctuation squash; = and - runs squashed
     assert rows[3]["n_urls"] == 1 and rows[3]["n_punct_runs"] == 3
     assert rows[3]["clean_text"] == "=header= body-tail"
+
+
+def test_c4_pretraining_pipeline_invariants(spark, sf_small):
+    """The flagship composition holds every stage's contract at once:
+    eval docs excluded, survivors canonical and quality-positive, PII
+    counts fire exactly on the planted docs, pack slices are contiguous
+    per doc and bins are exactly capacity-sized except the last, shard
+    ids in range."""
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        c4_pretraining_pipeline,
+    )
+
+    rows = c4_pretraining_pipeline(spark, sf_small).collect()
+    assert rows, "pipeline produced no manifest rows"
+
+    # stage gates
+    for r in rows:
+        assert r.doc_id % 23 != 0          # decontaminate: eval split out
+        assert r.doc_id == r.cluster_id    # near-dedup: canonical only
+        assert r.logit_e6 >= 0             # quality filter
+        assert 0 <= r.shard < 8 and r.pos >= 1
+        assert r.exact_copies >= 1 and r.temp_share_e6 > 0
+        if r.doc_id % 3 == 0:              # planted PII found and only it
+            assert r.n_emails >= 1 and r.n_ips >= 1
+        else:
+            assert r.n_emails == 0 and r.n_ips == 0
+
+    # pack: bins are exactly 256 tokens except the single last bin
+    bin_tot = {}
+    for r in rows:
+        bin_tot[r.bin_id] = bin_tot.get(r.bin_id, 0) + r.n_tokens
+    last = max(bin_tot)
+    for b, tot in bin_tot.items():
+        assert tot == 256 or (b == last and tot <= 256), (b, tot)
+
+    # pack: per-doc slices are contiguous from offset 0 across adjacent bins
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append((r.bin_id, r.tok_start, r.n_tokens))
+    for doc, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][1] == 0, doc
+        for (b0, s0, n0), (b1, s1, _) in zip(slices, slices[1:]):
+            assert b1 == b0 + 1 and s1 == s0 + n0, doc

@@ -57,6 +57,8 @@ def test_query_and_oracle_keys_consistent():
         "q82_running_balance_floor",
         "c3_dedup_funnel_lsh",
         "q72_sessionize_salted",
+        # round-7 additions
+        "c4_pretraining_pipeline",
     ],
 )
 def test_sample_queries_run_at_sf0001(spark, sf_small, name):
