@@ -678,3 +678,105 @@ def token_lift(
     return scored.orderBy(
         F.col("lift_milli").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def _apply_bpe_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol array, greedy
+    left-to-right, as a pure JVM fold (map-only, no shuffle, no UDF).
+
+    The fold (compare the last emitted symbol with the incoming one) is
+    EXACTLY the canonical left-to-right scan: a merged symbol is a+b,
+    which is strictly longer than a, so it can never re-trigger as the
+    left side within the same pass — including the a == b run case
+    ("aaa" -> ["aa", "a"]), where the merged "aa" != "a" blocks the
+    chained re-merge just like the scan's index skip does."""
+    merged = F.lit(a + b)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BPE tokenizer TRAINING — the step that builds the vocabulary the
+    rest of the text family consumes (t16 OOV, t17/t20 LM scoring, t13
+    packing all presuppose a tokenizer): ``n_merges`` rounds of
+
+      count adjacent symbol pairs over the word-frequency dict (weighted
+      by corpus occurrences) -> pick the argmax pair, tie-broken
+      (count DESC, left ASC, right ASC) -> merge it everywhere.
+
+    Returns the learned merge table — one row per round: (rank,
+    merge_left, merge_right, pair_count) — which IS the trained
+    tokenizer. Exact integer counts and a total-order tie-break make
+    the table deterministic and engine-replayable.
+
+    100 TB shape: one corpus-wide hash-agg builds the word-frequency
+    dict (vocabulary-bounded, like vocab_top_terms); every round after
+    that touches ONLY the dict — pair counting is a hash-agg over
+    symbol positions of distinct words, the argmax is a 1-row bounded
+    driver collect (the Lloyd-step precedent of similarity.ivf_topk),
+    and the merge application is a map-only fold. Per-round lineage is
+    truncated with a lazy localCheckpoint so round k does not replay
+    rounds 1..k-1."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "w", "cnt", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.col("syms")[i.cast("int")].alias("l"),
+                            F.col("syms")[(i + 1).cast("int")].alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not best:
+            break
+        a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+        cur = cur.select(
+            "w", "cnt", _apply_bpe_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        schema="rank int, merge_left string, merge_right string, "
+        "pair_count bigint",
+    )

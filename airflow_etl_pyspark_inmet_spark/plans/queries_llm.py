@@ -1131,3 +1131,16 @@ def c4_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
     )
+
+
+def t22_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus word-frequency dict: 8
+    rounds of count-adjacent-pairs -> argmax -> merge (operators.text
+    .bpe_train). The output merge table IS the trained tokenizer —
+    closing the loop on the text family, which consumes vocabularies
+    (t16 OOV, t17/t20 LM scoring) this operator can now produce. The
+    oracle replays the same 8 rounds as unrolled SQL stages."""
+    from ..operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_train(docs, n_merges=8)

@@ -2330,6 +2330,83 @@ JOIN shards sh USING (doc_id)
 JOIN tw t USING (source)
 """
 
+def _t22_bpe_train_sql(k: int = 8) -> str:
+    """Oracle for BPE training: replay the k merge rounds as UNROLLED
+    CTE stages (no recursion needed — k is a fixed hyperparameter).
+    Each round: pair counts from adjacent positions -> argmax with the
+    (count DESC, left, right) tie-break -> apply the merge. The greedy
+    left-to-right application is closed-form per position: for l <> r
+    occurrences can never overlap, so every (l, r) adjacency merges;
+    for l == r the scan merges pairs at even offsets within each
+    maximal equal-symbol run (gaps-and-islands parity). A row is
+    dropped when its predecessor was a merge start; positions are then
+    renumbered. Exact integer counts end to end."""
+    parts = [
+        """
+dict AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+pos0 AS MATERIALIZED (
+  SELECT w, cnt, CAST(p AS BIGINT) AS p,
+         substr(w, CAST(p AS INTEGER), 1) AS s
+  FROM dict, LATERAL (SELECT unnest(generate_series(1, length(w))) AS p) u
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""
+pairs{i} AS MATERIALIZED (
+  SELECT a.s AS l, b.s AS r, CAST(SUM(a.cnt) AS BIGINT) AS c
+  FROM pos{i} a JOIN pos{i} b ON a.w = b.w AND b.p = a.p + 1
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT l, r, c FROM pairs{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+run{i} AS MATERIALIZED (
+  SELECT w, cnt, p, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w, s, p - rn ORDER BY p) - 1
+              AS BIGINT) AS off
+  FROM (
+    SELECT w, cnt, p, s,
+           ROW_NUMBER() OVER (PARTITION BY w, s ORDER BY p) AS rn
+    FROM pos{i}
+  )
+),
+mark{i} AS MATERIALIZED (
+  SELECT r1.w, r1.cnt, r1.p, r1.s, r2.s AS ns,
+         COALESCE(r1.s = b.l AND r2.s = b.r
+                  AND (b.l <> b.r OR r1.off % 2 = 0), FALSE) AS ms
+  FROM run{i} r1
+  LEFT JOIN run{i} r2 ON r1.w = r2.w AND r2.p = r1.p + 1
+  CROSS JOIN best{i} b
+),
+pos{i + 1} AS MATERIALIZED (
+  SELECT w, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS BIGINT) AS p,
+         CASE WHEN ms THEN s || ns ELSE s END AS s
+  FROM (
+    SELECT w, cnt, p, s, ns, ms,
+           COALESCE(LAG(ms) OVER (PARTITION BY w ORDER BY p), FALSE)
+             AS consumed
+    FROM mark{i}
+  )
+  WHERE NOT consumed
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, l AS merge_left, "
+        f"r AS merge_right, c AS pair_count FROM best{i}"
+        for i in range(k)
+    )
+    return "WITH " + ",".join(parts) + "\n" + final
+
+
+ORACLES["t22_bpe_train"] = _t22_bpe_train_sql(8)
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
@@ -2503,4 +2580,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_basket_pairs": R.q81_basket_pairs,
     "q82_running_balance_floor": R.q82_running_balance_floor,
     "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
+    "t22_bpe_train": L.t22_bpe_train,
 }

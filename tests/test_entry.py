@@ -59,6 +59,7 @@ def test_query_and_oracle_keys_consistent():
         "q72_sessionize_salted",
         # round-7 additions
         "c4_pretraining_pipeline",
+        "t22_bpe_train",
     ],
 )
 def test_sample_queries_run_at_sf0001(spark, sf_small, name):

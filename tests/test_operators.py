@@ -1019,3 +1019,45 @@ def test_running_balance_floor_matches_loop(spark):
         b = max(0, b + d)
         expect.append(b)
     assert got == expect
+
+
+def test_bpe_train_hand_computed(spark):
+    """Classic BPE toy corpus (hug x5, pug x2, pun x2, bun x1): the merge
+    sequence is hand-derivable, including the round-4 tie between
+    (p, ug) and (p, un) at count 2 broken by right-symbol order."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "hug hug hug pug pun bun hug"), (2, "hug pug pun")],
+        ["doc_id", "text"],
+    )
+    got = [tuple(r) for r in bpe_train(df, n_merges=5).collect()]
+    assert got == [
+        (1, "u", "g", 7),
+        (2, "h", "ug", 5),
+        (3, "u", "n", 3),
+        (4, "p", "ug", 2),
+        (5, "p", "un", 2),
+    ]
+
+
+def test_bpe_merge_equal_pair_run_parity(spark):
+    """a == b merges pair off even-offset runs exactly like the greedy
+    scan: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a] (no chained re-merge)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        _apply_bpe_merge,
+    )
+
+    rows = (
+        spark.createDataFrame([("aaaa",), ("aaa",), ("baab",)], ["w"])
+        .select("w", _apply_bpe_merge(F.split("w", ""), "a", "a").alias("m"))
+        .collect()
+    )
+    got = {r["w"]: r["m"] for r in rows}
+    assert got == {
+        "aaaa": ["aa", "aa"],
+        "aaa": ["aa", "a"],
+        "baab": ["b", "aa", "b"],
+    }
