@@ -196,14 +196,39 @@ def pack_sequences(
     back. Two narrow shuffles of (id, int) pairs; the token stream itself
     is never materialized.
     """
+    counts = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("bigint")
+        .alias("_n_tok"),
+    )
+    return pack_counts(
+        counts,
+        id_col=id_col,
+        count_col="_n_tok",
+        capacity=capacity,
+        n_shards=n_shards,
+    )
+
+
+def pack_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    capacity: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """The packing core behind :func:`pack_sequences`, over an EXPLICIT
+    per-document token count instead of a whitespace split — so callers
+    can pack mixed-modality sequences whose length comes from decoded
+    media (image patches, audio frames), not just text. Same output
+    contract and the same hierarchical-offset scale shape."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col),
         (F.col(id_col) % n_shards).alias("_shard"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .cast("bigint")
-        .alias("_n"),
+        F.col(count_col).cast("bigint").alias("_n"),
     )
     w_in = (
         Window.partitionBy("_shard")

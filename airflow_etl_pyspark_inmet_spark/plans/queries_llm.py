@@ -1144,3 +1144,65 @@ def t22_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_train(docs, n_merges=8)
+
+
+def m13_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL sequence packing: the t13 packing core over sequence
+    lengths measured from REAL decoded media. Each doc's payload (PNG /
+    WAV / AVI by doc_id % 3, m11's mixed corpus) is decoded by the real
+    codec dispatch; its media token count derives from the DECODED
+    dims — image: ceil(w/2) * ceil(h/2) patches, audio: one token per
+    16 decoded PCM frames, video: 16 patches per decoded frame — and
+    adds to the whitespace text tokens. The combined counts feed
+    pack_counts (hierarchical offsets, 256-token bins). Oracle predicts
+    every media count from character/id arithmetic (m11's proven
+    contract) and replays the pack SQL — so a hash match proves the
+    decode-measure-pack chain end to end across all three codecs."""
+    from ..operators.curation import pack_counts
+    from ..operators.multimodal import (
+        decode_any_metadata,
+        mixed_modality_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = decode_any_metadata(mixed_modality_payload(docs))
+    media = meta.select(
+        "doc_id",
+        "modality",
+        F.when(
+            F.col("modality") == "png",
+            F.expr("((dim_a + 1) div 2) * ((dim_b + 1) div 2)"),
+        )
+        .when(F.col("modality") == "wav", F.expr("(dim_a + 15) div 16"))
+        .otherwise(F.expr("dim_a * 16"))  # avi: 16 patches / 8x8 frame
+        .cast("bigint")
+        .alias("media_tokens"),
+    )
+    text_toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("text_tokens"),
+    )
+    tot = media.join(text_toks, "doc_id").select(
+        "doc_id",
+        "modality",
+        "text_tokens",
+        "media_tokens",
+        (F.col("text_tokens") + F.col("media_tokens")).alias("_total"),
+    )
+    packed = pack_counts(
+        tot, count_col="_total", capacity=256, n_shards=32
+    )
+    return packed.join(
+        tot.select("doc_id", "modality", "text_tokens", "media_tokens"),
+        "doc_id",
+    ).select(
+        "bin_id",
+        "doc_id",
+        "tok_start",
+        "n_tokens",
+        "modality",
+        "text_tokens",
+        "media_tokens",
+    )

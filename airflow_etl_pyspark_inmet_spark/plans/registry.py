@@ -2407,6 +2407,51 @@ pos{i + 1} AS MATERIALIZED (
 
 ORACLES["t22_bpe_train"] = _t22_bpe_train_sql(8)
 
+# m13: multimodal packing — media token counts predicted from the same
+# character/id arithmetic as m11 (png 8x8 -> 16 patches at patch=2; wav
+# 1 token per 16 frames of min(len,64); avi 16 patches per frame of
+# ceil(min(len,256)/64) frames), plus whitespace text tokens, then the
+# t13 pack replay over the combined counts.
+ORACLES["m13_multimodal_pack"] = """
+WITH meta AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END
+           AS modality,
+         CAST(CASE doc_id % 3
+              WHEN 0 THEN 16
+              WHEN 1 THEN (LEAST(length(text), 64) + 15) // 16
+              ELSE ((LEAST(length(text), 256) + 63) // 64) * 16 END
+              AS BIGINT) AS media_tokens,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS text_tokens
+  FROM documents
+),
+t AS (
+  SELECT doc_id, modality, text_tokens, media_tokens,
+         doc_id % 32 AS shard32,
+         text_tokens + media_tokens AS n
+  FROM meta
+),
+o AS (
+  SELECT doc_id, modality, text_tokens, media_tokens, n,
+         CAST(SUM(n) OVER (ORDER BY shard32, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS off
+  FROM t
+),
+b AS (
+  SELECT doc_id, modality, text_tokens, media_tokens, n, off,
+         unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS bin_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       CAST(greatest(bin_id * 256 - off, 0) AS BIGINT) AS tok_start,
+       CAST(least((bin_id + 1) * 256 - off, n)
+            - greatest(bin_id * 256 - off, 0) AS BIGINT) AS n_tokens,
+       modality, text_tokens, media_tokens
+FROM b
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union of
 # CORRECTNESS_r01-r05 covers 119/119 (all green at latest check).
@@ -2581,4 +2626,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_running_balance_floor": R.q82_running_balance_floor,
     "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
     "t22_bpe_train": L.t22_bpe_train,
+    "m13_multimodal_pack": L.m13_multimodal_pack,
 }

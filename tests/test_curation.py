@@ -248,3 +248,31 @@ def test_c4_pretraining_pipeline_invariants(spark, sf_small):
         assert slices[0][1] == 0, doc
         for (b0, s0, n0), (b1, s1, _) in zip(slices, slices[1:]):
             assert b1 == b0 + 1 and s1 == s0 + n0, doc
+
+
+def test_m13_multimodal_pack_token_conservation(spark, sf_small):
+    """Every doc's packed slices sum to exactly text_tokens +
+    media_tokens (media measured from the real decoded payload), for
+    all three modalities; bins are capacity-sized except the last."""
+    from collections import defaultdict
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        m13_multimodal_pack,
+    )
+
+    rows = m13_multimodal_pack(spark, sf_small).collect()
+    assert {r.modality for r in rows} == {"png", "wav", "avi"}
+
+    per_doc = defaultdict(int)
+    expect = {}
+    bin_tot = defaultdict(int)
+    for r in rows:
+        per_doc[r.doc_id] += r.n_tokens
+        expect[r.doc_id] = r.text_tokens + r.media_tokens
+        bin_tot[r.bin_id] += r.n_tokens
+        if r.modality == "png":
+            assert r.media_tokens == 16  # ceil(8/2)^2 from decoded dims
+    assert per_doc == expect  # conservation across modalities
+    last = max(bin_tot)
+    for b, tot in bin_tot.items():
+        assert tot == 256 or (b == last and tot <= 256)

@@ -60,6 +60,7 @@ def test_query_and_oracle_keys_consistent():
         # round-7 additions
         "c4_pretraining_pipeline",
         "t22_bpe_train",
+        "m13_multimodal_pack",
     ],
 )
 def test_sample_queries_run_at_sf0001(spark, sf_small, name):
