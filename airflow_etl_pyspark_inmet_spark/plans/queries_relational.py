@@ -1926,3 +1926,42 @@ def q82_running_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("balance_cents"),
     )
+
+
+def q83_basket_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SAFE market-basket co-occurrence — q81 with the hot-basket
+    guard a production basket table needs: each basket is capped to its
+    top-5 items by global support (deterministic (support DESC, partkey)
+    rank) BEFORE the self-join, so per-basket pair fan-out is bounded by
+    25 regardless of basket size — a 1M-item spam basket contributes 10
+    pairs, not 5 * 10^11. The support table is one hash-agg; the rank
+    window and the pair self-join share the basket-key partitioning.
+    See SCALING.md (basket pairs)."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = d.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_support")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("_support").desc(), F.col("l_partkey").asc()
+    )
+    top = (
+        d.join(support, "l_partkey")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = top.toDF("o", "p1")
+    b = top.toDF("o", "p2")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+    ).limit(25)

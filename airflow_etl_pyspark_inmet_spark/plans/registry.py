@@ -1494,6 +1494,25 @@ LIMIT 20
 
 # q81: market-basket co-occurrence — distinct parts per order,
 # self-join on the transactional key, deterministic top-25.
+# q83: q81 with the hot-basket cap — top-5 items per basket by global
+# support before the self-join bounds per-basket fan-out at 25 pairs.
+ORACLES["q83_basket_pairs_capped"] = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5)
+SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_orders
+FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+GROUP BY 1, 2
+ORDER BY n_orders DESC, p1 ASC, p2 ASC
+LIMIT 25
+"""
+
 ORACLES["q81_basket_pairs"] = """
 WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
 SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_orders
@@ -2627,4 +2646,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
     "t22_bpe_train": L.t22_bpe_train,
     "m13_multimodal_pack": L.m13_multimodal_pack,
+    "q83_basket_pairs_capped": R.q83_basket_pairs_capped,
 }
