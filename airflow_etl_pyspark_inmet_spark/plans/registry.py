@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import queries_llm as L
 from . import queries_relational as R
+from . import queries_tpch as T
 
 # shared SQL fragments ---------------------------------------------------------
 
@@ -1544,6 +1545,204 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
+# --- q84-q93: extended TPC-H shapes (round 7, plans/queries_tpch.py) --------
+# House exactness idioms throughout: DECIMAL(18,6) per-row revenue
+# quantization with one final double cast; ratios as integer micro-units
+# via HUGEINT/DECIMAL(38,0)-widened floor division.
+
+ORACLES["q84_tpch_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q85_tpch_q7"] = """
+WITH j AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLES["q86_tpch_q8"] = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         ns.n_name AS supp_nation,
+         CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+              * 1000000 AS BIGINT) AS e
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  WHERE p_type LIKE 'ECONOMY%' AND r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN e ELSE 0 END)
+            AS BIGINT) AS nation_rev_e6,
+       CAST(SUM(e) AS BIGINT) AS total_rev_e6,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN e ELSE 0 END)
+                 AS HUGEINT) * 1000000
+            // CAST(SUM(e) AS HUGEINT) AS BIGINT) AS share_e6
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q87_tpch_q10"] = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM agg
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q88_tpch_q13"] = """
+WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM pc GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q89_tpch_q14"] = """
+WITH j AS (
+  SELECT CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+              * 1000000 AS BIGINT) AS e,
+         p_type LIKE 'PROMO%' AS isp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT CAST(SUM(CASE WHEN isp THEN e ELSE 0 END) AS BIGINT) AS promo_e6,
+       CAST(SUM(e) AS BIGINT) AS total_e6,
+       CAST(CAST(SUM(CASE WHEN isp THEN e ELSE 0 END) AS HUGEINT)
+            * 100000000 // CAST(SUM(e) AS HUGEINT) AS BIGINT)
+         AS promo_pct_e6
+FROM j
+"""
+
+ORACLES["q90_tpch_q15"] = """
+WITH ps AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+           AS total_rev_e6
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(total_rev_e6) AS m FROM ps)
+SELECT s_suppkey, s_name, total_rev_e6
+FROM ps JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+WHERE total_rev_e6 = mx.m
+ORDER BY s_suppkey
+"""
+
+ORACLES["q91_tpch_q19"] = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+# q92: adapted Q21 — the unique-latest-shipper-on-multi-supplier-order
+# definition (no l_commitdate in this schema); per-order stats via one
+# hash agg + an at-max second agg, never a lineitem self-join.
+ORACLES["q92_tpch_q21"] = """
+WITH lif AS (
+  SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) AS us
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+stats AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp, MAX(us) AS mx
+  FROM lif GROUP BY 1
+),
+atmax AS (
+  SELECT f.l_orderkey, COUNT(DISTINCT f.l_suppkey) AS n_at_max,
+         MAX(f.l_suppkey) AS the_supp
+  FROM lif f JOIN stats s ON f.l_orderkey = s.l_orderkey AND f.us = s.mx
+  GROUP BY 1
+),
+waited AS (
+  SELECT the_supp FROM stats JOIN atmax USING (l_orderkey)
+  WHERE n_supp > 1 AND n_at_max = 1
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM waited JOIN supplier ON the_supp = s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 100
+"""
+
+# q93: adapted Q22 — global positive-average acctbal threshold as exact
+# integer cents (bal_e2 * n > sum_e2, no float average), anti join on
+# orders, grouped by nation key (no c_phone in this schema).
+ORACLES["q93_tpch_q22"] = """
+WITH ce AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_e2
+  FROM customer
+),
+g AS (SELECT SUM(bal_e2) AS s, COUNT(*) AS n FROM ce WHERE bal_e2 > 0),
+rich AS (
+  SELECT ce.* FROM ce CROSS JOIN g WHERE bal_e2 * g.n > g.s
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = rich.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
 # q80: OHLC bars — one hash aggregate with arg_min/arg_max on a
 # fixed-width zero-padded (epoch_us, event_id) string key, so the
 # open/close row is total-ordered and identical in both engines.
@@ -2499,6 +2698,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_ohlc_bars": R.q80_ohlc_bars,
     "q81_basket_pairs": R.q81_basket_pairs,
     "q82_running_balance_floor": R.q82_running_balance_floor,
+    # -- 2b. extended TPC-H batch, new this round (queries_tpch.py) --
+    "q84_tpch_q6": T.q84_tpch_q6,
+    "q85_tpch_q7": T.q85_tpch_q7,
+    "q86_tpch_q8": T.q86_tpch_q8,
+    "q87_tpch_q10": T.q87_tpch_q10,
+    "q88_tpch_q13": T.q88_tpch_q13,
+    "q89_tpch_q14": T.q89_tpch_q14,
+    "q90_tpch_q15": T.q90_tpch_q15,
+    "q91_tpch_q19": T.q91_tpch_q19,
+    "q92_tpch_q21": T.q92_tpch_q21,
+    "q93_tpch_q22": T.q93_tpch_q22,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

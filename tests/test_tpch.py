@@ -1,0 +1,134 @@
+"""Unit tests for the extended TPC-H batch (plans/queries_tpch.py,
+q84-q93) — semantic invariants on sf0.001 that a hash-match alone would
+not surface (share bounds, histogram mass conservation, anti-join
+complementarity, plan shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.plans import queries_tpch as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q84_q6_matches_unfiltered_recompute(spark):
+    row = T.q84_tpch_q6(spark, SF).collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    manual = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).count()
+    assert row.n_rows == manual
+    assert row.revenue > 0
+
+
+def test_q85_q7_directions_are_symmetric_filter(spark):
+    rows = T.q85_tpch_q7(spark, SF).collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(1996 <= r.l_year <= 1997 for r in rows)
+
+
+def test_q86_q8_share_bounded_and_consistent(spark):
+    for r in T.q86_tpch_q8(spark, SF).collect():
+        assert 0 <= r.nation_rev_e6 <= r.total_rev_e6
+        assert 0 <= r.share_e6 <= 1_000_000
+        # exact floor-division contract
+        assert r.share_e6 == r.nation_rev_e6 * 1_000_000 // r.total_rev_e6
+
+
+def test_q87_q10_sorted_desc_and_bounded(spark):
+    rows = T.q87_tpch_q10(spark, SF).collect()
+    assert len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q88_q13_histogram_conserves_customers(spark):
+    rows = T.q88_tpch_q13(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_q89_q14_share_is_exact_floor_div(spark):
+    r = T.q89_tpch_q14(spark, SF).collect()[0]
+    assert 0 <= r.promo_e6 <= r.total_e6
+    assert r.promo_pct_e6 == r.promo_e6 * 100_000_000 // r.total_e6
+
+
+def test_q90_q15_selects_exactly_the_max(spark):
+    rows = T.q90_tpch_q15(spark, SF).collect()
+    assert rows, "at least one top supplier"
+    tops = {r.total_rev_e6 for r in rows}
+    assert len(tops) == 1  # all tied at the max by definition
+
+
+def test_q92_q21_waited_suppliers_multi_supplier_only(spark):
+    """Every reported supplier must come from an order with >1 distinct
+    supplier where it uniquely shipped last — recompute via SQL."""
+    out = {(r.s_suppkey, r.numwait) for r in T.q92_tpch_q21(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    lif = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("us"),
+    )
+    stats = lif.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("ns"), F.max("us").alias("mx")
+    )
+    at_max = (
+        lif.join(stats, "l_orderkey")
+        .filter(F.col("us") == F.col("mx"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("nam"),
+            F.max("l_suppkey").alias("supp"),
+            F.first("ns").alias("ns"),
+        )
+    )
+    expected = (
+        at_max.filter((F.col("ns") > 1) & (F.col("nam") == 1))
+        .groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    exp = {(r.supp, r.nw) for r in expected.collect()}
+    # engine output is top-100 of exp
+    assert out <= exp
+    assert len(out) == min(len(exp), 100)
+
+
+def test_q93_q22_rich_and_recent_orderless(spark):
+    rows = T.q93_tpch_q22(spark, SF).collect()
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    # complementarity: numcust total == rich customers minus those with
+    # recent orders
+    bal = c.select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("b"),
+    )
+    g = bal.filter(F.col("b") > 0).agg(
+        F.sum("b").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    rich = bal.filter(F.col("b") * g.n > g.s)
+    with_recent = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_semi"
+    ).count()
+    assert sum(r.numcust for r in rows) == rich.count() - with_recent
+
+
+def test_q86_q8_part_and_dims_broadcast(spark):
+    plan = T.q86_tpch_q8(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
