@@ -215,6 +215,25 @@ def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.5)
 
 
+def s5_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces x 16 codes = 8-byte codes,
+    32x vector compression) with ADC top-100 shortlist + exact cosine
+    refine — the memory-compression tier of the ANN family (Jegou et
+    al. 2011). Oracle-checkable tier like s2/s3: emits the exact top-k
+    plus a per-query recall envelope boolean on the PQ tier (measured
+    recall 0.9 at sf0.01 on near-random synthetic embeddings — the
+    quantization worst case; envelope 0.6). Production path =
+    pq_refine_topk alone (optionally composed with IVF routing)."""
+    from ..operators.similarity import ann_with_recall_check, pq_refine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = pq_refine_topk(emb, qs, k=10, shortlist=100, m=8, ks=16)
+    return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.6)
+
+
 def st3_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming (applyInPandasWithState): per-user
     running count/first/last across micro-batches; finite-input result

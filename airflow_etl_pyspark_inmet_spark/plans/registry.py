@@ -973,6 +973,28 @@ r AS (
 )
 SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
 """,
+    # s5 emits the exact top-k + PQ-tier recall envelope boolean, same
+    # contract as s2/s3 (see ann_with_recall_check).
+    "s5_pq_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+""",
     "m3_embed_norm": """
 SELECT vec_id,
        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
@@ -2709,6 +2731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_tpch_q19": T.q91_tpch_q19,
     "q92_tpch_q21": T.q92_tpch_q21,
     "q93_tpch_q22": T.q93_tpch_q22,
+    "s5_pq_topk": L.s5_pq_topk,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

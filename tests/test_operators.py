@@ -1061,3 +1061,68 @@ def test_bpe_merge_equal_pair_run_parity(spark):
         "aaa": ["aa", "a"],
         "baab": ["b", "aa", "b"],
     }
+
+
+# --- product quantization (s5 family) ----------------------------------------
+
+
+def test_pq_codes_are_compact_and_bounded(emb):
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import pq_topk
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(emb, qs, k=5, m=8, ks=16)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_pq_refine_recall_beats_raw_adc(emb):
+    """Exact-refined PQ must contain at least as many true top-k as the
+    raw ADC ranking (the shortlist is a superset filter)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        pq_refine_topk,
+        pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.item_id) for r in cosine_topk(emb, qs, 10).collect()}
+    raw = {(r.query_id, r.item_id) for r in pq_topk(emb, qs, 10).collect()}
+    refined = {
+        (r.query_id, r.item_id)
+        for r in pq_refine_topk(emb, qs, 10, shortlist=60).collect()
+    }
+    assert len(refined & exact) >= len(raw & exact)
+
+
+def test_pq_identical_vector_is_top_neighbor(spark):
+    """A planted duplicate vector must rank first for its twin's query
+    after refine (exact re-rank catches it even if quantized away)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        pq_refine_topk,
+    )
+
+    base = [float((5 * 37 + j * 11) % 17 - 8) for j in range(64)]
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(64)])
+            for i in range(40)]
+    rows[0] = (0, base)
+    rows[39] = (39, base)  # exact twin of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_refine_topk(df, qs, k=3, shortlist=20)
+    top = [r.item_id for r in out.collect() if r.rank == 1]
+    assert top == [39]
