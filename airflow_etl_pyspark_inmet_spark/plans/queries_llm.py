@@ -139,6 +139,81 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(docs)
 
 
+def m14_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video stream alignment — the AV-sync step of a multimodal
+    training pipeline: for every decoded VIDEO frame, the latest
+    decoded AUDIO sample at or before its presentation time, as a
+    distributed as-of join. Timebases come from the REAL decoded
+    headers (usec_per_frame from the AVI avih chunk, sample_rate from
+    the WAV fmt chunk), so the alignment inputs carry full decode
+    provenance: video t = frame_idx * usec_per_frame, audio
+    t = frame_idx * 1e6 div rate (exact integer us). The join is the
+    union+window asof plan (one shuffle on doc_id, no range
+    explosion, no per-group pandas — operators/relational.py
+    asof_join). On this synthetic corpus audio clips are much shorter
+    than a video frame interval, so most frames align to the clip's
+    last sample — a data-shape artifact; the oracle still verifies the
+    as-of semantics row for row via DuckDB's native ASOF JOIN."""
+    from ..operators.audio import (
+        text_to_wav_payload,
+        wav_audio_stats,
+        wav_frame_sample,
+    )
+    from ..operators.avi import (
+        avi_frame_sums,
+        avi_stats,
+        text_to_avi_payload,
+    )
+    from ..operators.relational import asof_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vp = text_to_avi_payload(docs)
+    video = (
+        avi_frame_sums(vp)
+        .join(avi_stats(vp).select("doc_id", "usec_per_frame"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("frame_idx").alias("v_idx"),
+            "frame_sum",
+            (F.col("frame_idx").cast("bigint") * F.col("usec_per_frame"))
+            .cast("bigint")
+            .alias("v_ts_us"),
+        )
+    )
+    ap = text_to_wav_payload(docs)
+    audio = (
+        wav_frame_sample(ap, every_n=16)
+        .join(wav_audio_stats(ap).select("doc_id", "sample_rate"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("frame_idx").alias("a_idx"),
+            "sample",
+            F.expr(
+                "cast(frame_idx as bigint) * 1000000"
+                " div cast(sample_rate as bigint)"
+            ).alias("a_ts_us"),
+        )
+    )
+    out = asof_join(video, audio, on="doc_id", left_ts="v_ts_us",
+                    right_ts="a_ts_us")
+    return out.select(
+        "doc_id", "v_idx", "v_ts_us", "frame_sum", "a_idx", "sample"
+    )
+
+
+def st7_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars run to completion over the static events dir;
+    equals the batch q80 result exactly (same oracle) — min_by/max_by
+    on the total-order key are merge-associative, so micro-batch
+    arrival order cannot change open/close."""
+    from ..streaming.windows import streaming_ohlc_bars
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_ohlc_bars(
+        spark, f"{sf_dir}/events.parquet", window="1 hour", watermark="1 hour"
+    )
+
+
 def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg run to completion over the
     static events dir; equals the batch q19 result (same oracle)."""
@@ -566,6 +641,18 @@ def x4_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return temperature_weights(docs, strat_col="source")
+
+
+def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: difficulty-bucket the corpus into 4
+    phases by exact discrete percentiles of avg-word-length milli-units
+    (broadcast 1-row boundary frame — distribution-aware binning with
+    no global sort), deterministic Knuth-hash shuffle within each
+    phase. Easy-to-hard staged-training order, fully reproducible."""
+    from ..operators.mixing import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return curriculum_order(docs, n_phases=4)
 
 
 def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -414,3 +414,31 @@ def q93_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+def q94_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), ADAPTED (no
+    l_commitdate/l_receiptdate — 'late lineitem' becomes shipped more
+    than 60 days after the order date): orders in one quarter with AT
+    LEAST ONE late lineitem, counted per priority. The EXISTS becomes a
+    LEFT SEMI join with an equi key (order key) plus a non-equi
+    residual (shipdate > orderdate + 60 days) — the quarter filter
+    pushes to the orders scan and the semi join deduplicates on the
+    build side, so multi-late-lineitem orders count once without a
+    distinct."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

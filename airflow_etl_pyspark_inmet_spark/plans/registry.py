@@ -1742,6 +1742,20 @@ ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 100
 """
 
+# q94: adapted Q4 — 'late lineitem' = shipped > 60 days after the order
+# date (no commitdate/receiptdate in this schema); EXISTS preserved as a
+# semi join with an equi key + non-equi residual.
+ORACLES["q94_tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
 # q93: adapted Q22 — global positive-average acctbal threshold as exact
 # integer cents (bal_e2 * n > sum_e2, no float average), anti join on
 # orders, grouped by nation key (no c_phone in this schema).
@@ -2692,21 +2706,97 @@ SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
 FROM b
 """
 
+# st7: streaming OHLC equals the batch q80 exactly — min_by/max_by on
+# the total-order key are merge-associative, so the micro-batch schedule
+# cannot change open/close; identical oracle.
+ORACLES["st7_stream_ohlc"] = ORACLES["q80_ohlc_bars"]
+
+# m14: AV alignment — video frames (m10's char-arithmetic CTE + the
+# decoded usec-per-frame timebase) ASOF-joined to audio samples (m8's
+# per-sample CTE + the decoded rate timebase) via DuckDB's native ASOF
+# LEFT JOIN, mirroring the engine's union+window asof plan.
+_M14_AUDIO = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, CAST({k} AS INTEGER) AS a_idx,\n"
+    f"           CAST((ord(substr(text, {k + 1}, 1)) % 256 - 128) * 256"
+    " AS INTEGER) AS sample,\n"
+    f"           CAST({k} * 1000000 // (8000 + (doc_id % 4) * 4000)"
+    " AS BIGINT) AS a_ts_us\n"
+    f"    FROM documents WHERE length(text) >= {k + 1}"
+    for k in (0, 16, 32, 48)
+)
+ORACLES["m14_av_alignment"] = f"""
+WITH vg AS (
+  SELECT doc_id, CAST(i // 64 AS INTEGER) AS v_idx,
+         CAST(SUM(ord(substr(text, CAST(i + 1 AS INTEGER), 1)) % 256)
+              AS BIGINT) AS frame_sum,
+         CAST(MIN(1000000 // (5 + doc_id % 4)) AS BIGINT) AS usec
+  FROM (SELECT doc_id, text, unnest(range(LEAST(length(text), 256))) AS i
+        FROM documents)
+  GROUP BY 1, 2
+),
+video AS (
+  SELECT doc_id, v_idx, frame_sum,
+         CAST(v_idx * usec AS BIGINT) AS v_ts_us
+  FROM vg
+),
+audio AS (
+{_M14_AUDIO}
+)
+SELECT v.doc_id, v.v_idx, v.v_ts_us, v.frame_sum, a.a_idx, a.sample
+FROM video v ASOF LEFT JOIN audio a
+  ON v.doc_id = a.doc_id AND a.a_ts_us <= v.v_ts_us
+"""
+
+# x5: curriculum scheduling — exact integer difficulty, quantile_disc
+# boundaries (DuckDB's discrete quantile == Spark's percentile_disc,
+# proven by q60), Knuth-hash within-phase order (the x3 idiom).
+ORACLES["x5_curriculum_order"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(trim(text)) AS BIGINT) * 1000
+           // CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS difficulty_milli
+  FROM documents
+),
+b AS (
+  SELECT quantile_disc(difficulty_milli, 0.25) AS b1,
+         quantile_disc(difficulty_milli, 0.5) AS b2,
+         quantile_disc(difficulty_milli, 0.75) AS b3
+  FROM d
+),
+p AS (
+  SELECT doc_id, difficulty_milli,
+         CAST(1 + CAST(difficulty_milli > b1 AS INTEGER)
+                + CAST(difficulty_milli > b2 AS INTEGER)
+                + CAST(difficulty_milli > b3 AS INTEGER) AS INTEGER)
+           AS phase
+  FROM d CROSS JOIN b
+)
+SELECT doc_id, difficulty_milli, phase,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY phase
+              ORDER BY (doc_id * 2654435761) % 1048576, doc_id)
+            AS BIGINT) AS pos
+FROM p
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union
-# of CORRECTNESS_r01-r06 covers 143/146 (all green at latest check; the
-# 3 round-7 additions and the 6 late-round-6 queries are replica-green).
-# Round-7 window, front to back:
-#   1. the 4 queries NEW this round (c4 full pretraining pipeline, t22
-#      BPE training, m13 multimodal packing, q83 capped basket pairs);
+# of CORRECTNESS_r01-r06 covers 143 of the 162 now registered (every
+# latest driver row green; everything else green in this round's full
+# local replica). Round-7 window, front to back:
+#   1. the 4 queries new this round's first batch (c4 full pretraining
+#      pipeline, t22 BPE training, m13 multimodal packing, q83 capped
+#      basket pairs);
 #   2. the 6 round-6 queries that landed BEHIND the r6 window and have
 #      never been driver-checked (d12, q78-q82);
-#   3. the 40 queries whose last driver row is round 4 — the stalest
-#      evidence in the union. After this round every query's driver
-#      staleness is <= 2 rounds.
-# Code touched this round outside the window (q76 max-offset keys, m11
-# decode guard, m12/d11 ahash contract): all re-verified green in this
-# round's full local replica; they rotate forward at r8.
+#   2b. the 15 mid-round-7 additions (extended TPC-H batch q84-q94, s5
+#      product-quantization ANN, st7 streaming OHLC, m14 AV alignment,
+#      x5 curriculum) — never-checked code outranks re-checking
+#      r4-stale code that already has two independent full-replica
+#      confirmations (r6 judge's + this round's);
+#   3. the stalest r4 evidence fills the remaining ~25 slots; the rest
+#      of the r4 block rotates forward at r8 (all replica-green now).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 7 ------------------------------------------
     "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
@@ -2732,6 +2822,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_tpch_q21": T.q92_tpch_q21,
     "q93_tpch_q22": T.q93_tpch_q22,
     "s5_pq_topk": L.s5_pq_topk,
+    "st7_stream_ohlc": L.st7_stream_ohlc,
+    "m14_av_alignment": L.m14_av_alignment,
+    "x5_curriculum_order": L.x5_curriculum_order,
+    "q94_tpch_q4": T.q94_tpch_q4,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

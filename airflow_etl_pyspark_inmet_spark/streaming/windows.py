@@ -514,3 +514,67 @@ def incremental_ingest_available_now(
     )
     q.awaitTermination()
     return counted["n"]
+
+
+def streaming_ohlc_bars(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming OHLC downsampling — the q80 batch shape as a watermarked
+    tumbling-window stream: per (user, hour) the opening value (first by
+    event time), high, low, and closing value (last by event time), as
+    one streaming hash aggregate with ``min_by``/``max_by`` on the same
+    fixed-width zero-padded (epoch-micros, event_id) total-order key q80
+    uses — so under timestamp ties the same row wins in both the batch
+    oracle and every micro-batch schedule (the declarative aggregate is
+    merge-associative; arrival order cannot change the result). Exact
+    BIGINT cents. A real deployment points the source at Kafka and the
+    sink at a Delta table; the aggregation is unchanged — this is live
+    candlestick downsampling for a market-data/metrics feed.
+    """
+    stream = _read_stream_events(spark, events_dir)
+    e = stream.select(
+        "user_id",
+        F.col("ts"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ).alias("k"),
+    )
+    agg = (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.expr("min_by(v, k)").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.expr("max_by(v, k)").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+        )
+    )
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1126,3 +1126,67 @@ def test_pq_identical_vector_is_top_neighbor(spark):
     out = pq_refine_topk(df, qs, k=3, shortlist=20)
     top = [r.item_id for r in out.collect() if r.rank == 1]
     assert top == [39]
+
+
+# --- round-7 additions: st7 / m14 / x5 ---------------------------------------
+
+
+def test_streaming_ohlc_equals_batch_q80(spark, sf_small):
+    """Finite stream run to completion == the batch q80 aggregate."""
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import (
+        q80_ohlc_bars,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_ohlc_bars,
+    )
+
+    got = {
+        tuple(r)
+        for r in streaming_ohlc_bars(
+            spark, f"{sf_small}/events.parquet"
+        ).collect()
+    }
+    want = {tuple(r) for r in q80_ohlc_bars(spark, sf_small).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_av_alignment_first_frame_matches_first_sample(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        m14_av_alignment,
+    )
+
+    rows = m14_av_alignment(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.v_idx == 0:
+            # video t=0 must align to the t=0 audio sample
+            assert r.a_idx == 0
+        else:
+            # later frames align to the last available sample (audio
+            # clips are shorter than one frame interval on this corpus)
+            assert r.a_idx is not None and r.a_idx >= 0
+
+
+def test_curriculum_phases_partition_and_positions_contiguous(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        curriculum_order,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = curriculum_order(docs, n_phases=4).collect()
+    assert len(out) == docs.count()
+    by_phase = {}
+    for r in out:
+        assert 1 <= r.phase <= 4
+        by_phase.setdefault(r.phase, []).append(r.pos)
+    # positions within each phase are exactly 1..n_phase
+    for phase, poss in by_phase.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # difficulty is monotone across phases at the boundary values
+    maxd = {p: max(r.difficulty_milli for r in out if r.phase == p)
+            for p in by_phase}
+    mind = {p: min(r.difficulty_milli for r in out if r.phase == p)
+            for p in by_phase}
+    phases = sorted(by_phase)
+    for a, b in zip(phases, phases[1:]):
+        assert maxd[a] <= mind[b]
