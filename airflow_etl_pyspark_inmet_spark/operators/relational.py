@@ -636,3 +636,77 @@ def time_weighted_avg(
         "span_us",
         F.expr("_wsum div span_us").alias("twa_cents"),
     )
+
+
+def bloom_prune_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi join with an explicit BLOOM-FILTER runtime prune — the
+    technique Spark's AQE applies internally (runtime row-group/shuffle
+    filters), surfaced as an operator so the plan works on engines/
+    situations where AQE cannot inject it (e.g. the key set is the
+    output of an earlier stage, or the probe side is a non-splittable
+    source).
+
+    Build: each key sets ``n_hashes`` seeded-xxhash64 bit positions;
+    positions fold into 64-bit words with a ``bit_or`` hash aggregate —
+    the filter is a (word_idx, bits) frame of at most ``n_bits/64``
+    rows (16 KiB of payload per MiB of bits), which BROADCASTS.
+    Probe: each fact row looks up its ``n_hashes`` words via broadcast
+    joins and survives only if every bit is set; survivors then run the
+    EXACT semi join (false positives removed), so the result equals the
+    plain semi join bit for bit — the bloom stage only reduces the rows
+    entering the (shuffled) exact join, exactly like a runtime filter.
+    At 100 TB with a selective key side this turns a full-fact shuffle
+    into a shuffle of the ~selectivity fraction (plus the bloom FP rate,
+    ~(1-e^{-kn/m})^k).
+    """
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits)).alias(
+            f"_p{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    bits = (
+        keys.select(*pos_cols)
+        .select(
+            F.explode(F.array(*[F.col(f"_p{i}") for i in range(n_hashes)]))
+            .alias("_pos")
+        )
+        .select(
+            F.expr("cast(_pos div 64 as int)").alias("_w"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+        .localCheckpoint(eager=False)
+    )
+    probe = fact
+    keep = F.lit(True)
+    for i in range(n_hashes):
+        b_i = bits.select(
+            F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_b{i}")
+        )
+        probe = probe.withColumn(
+            f"_h{i}",
+            F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(n_bits)),
+        ).join(
+            F.broadcast(b_i),
+            F.expr(f"cast(_h{i} div 64 as int)") == F.col(f"_w{i}"),
+            "left",
+        )
+        keep = keep & (
+            F.expr(f"_b{i} & shiftleft(1L, cast(_h{i} % 64 as int))") != 0
+        )
+    pruned = probe.filter(keep).select(fact.columns)
+    # exact verify: the real semi join runs on the pruned survivors only
+    return pruned.join(
+        keys.select(key_col),
+        F.col(fact_key) == F.col(key_col),
+        "left_semi",
+    )

@@ -442,3 +442,33 @@ def q94_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def q95_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter runtime prune ahead of a semi join
+    (operators.relational.bloom_prune_semi_join): lineitems of URGENT
+    orders, counted and revenue-summed per return flag. The bloom stage
+    broadcasts a <=16K-row (word, bits) frame and drops non-urgent
+    lineitems before the exact semi join, whose output is provably
+    identical to the plain semi join (false positives removed by the
+    verify join) — so the oracle is the unpruned EXISTS query."""
+    from ..operators.relational import bloom_prune_semi_join
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    j = bloom_prune_semi_join(li, o, fact_key="l_orderkey",
+                              key_col="o_orderkey")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1756,6 +1756,20 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q95: bloom-prune semi join — the bloom stage is exact-verified, so
+# the oracle is the plain EXISTS semi join.
+ORACLES["q95_bloom_semi"] = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
 # q93: adapted Q22 — global positive-average acctbal threshold as exact
 # integer cents (bal_e2 * n > sum_e2, no float average), anti join on
 # orders, grouped by nation key (no c_phone in this schema).
@@ -2826,6 +2840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m14_av_alignment": L.m14_av_alignment,
     "x5_curriculum_order": L.x5_curriculum_order,
     "q94_tpch_q4": T.q94_tpch_q4,
+    "q95_bloom_semi": T.q95_bloom_semi,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -132,3 +132,47 @@ def test_q86_q8_part_and_dims_broadcast(spark):
     plan = T.q86_tpch_q8(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_equals_plain_semi_join(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        bloom_prune_semi_join,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    keys = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom_prune_semi_join(
+            li, keys, fact_key="l_orderkey", key_col="o_orderkey"
+        ).collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.join(
+            keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_bloom_prune_tiny_filter_still_exact(spark):
+    """With a deliberately undersized filter (high FP rate) the verify
+    join must still remove every false positive."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        bloom_prune_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    keys = spark.range(0, 5000, 100).select(F.col("id").alias("kk"))  # 50 keys
+    out = bloom_prune_semi_join(
+        fact, keys, fact_key="k", key_col="kk", n_bits=256, n_hashes=2
+    )
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(0, 5000, 100))
