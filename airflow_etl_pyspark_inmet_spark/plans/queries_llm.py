@@ -201,6 +201,77 @@ def m14_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c5_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL flagship composition — c4's text-pipeline proof
+    repeated for the mixed-media path: real codec decode (m11's
+    magic-number dispatch over PNG/WAV/AVI payloads) → content-level
+    dedup on the DECODED fingerprint (modality, dims, content_sum —
+    min-id keeper, copies counted, the d1/d11 keeper contract) →
+    media+text token measurement from decoded dims (m13's rules) →
+    hierarchical-offset sequence packing of the survivors. A hash-green
+    run proves decode → dedup → measure → pack as ONE chain: the
+    oracle predicts every stage from character/id arithmetic and
+    replays the pack over the deduped survivor stream."""
+    from ..operators.curation import pack_counts
+    from ..operators.multimodal import (
+        decode_any_metadata,
+        mixed_modality_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = decode_any_metadata(mixed_modality_payload(docs))
+    survivors = meta.groupBy(
+        "modality", "dim_a", "dim_b", "content_sum"
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("exact_copies"),
+    )
+    media = survivors.select(
+        "doc_id",
+        "modality",
+        "exact_copies",
+        F.when(
+            F.col("modality") == "png",
+            F.expr("((dim_a + 1) div 2) * ((dim_b + 1) div 2)"),
+        )
+        .when(F.col("modality") == "wav", F.expr("(dim_a + 15) div 16"))
+        .otherwise(F.expr("dim_a * 16"))
+        .cast("bigint")
+        .alias("media_tokens"),
+    )
+    text_toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("text_tokens"),
+    )
+    tot = media.join(text_toks, "doc_id").select(
+        "doc_id",
+        "modality",
+        "exact_copies",
+        "text_tokens",
+        "media_tokens",
+        (F.col("text_tokens") + F.col("media_tokens")).alias("_total"),
+    )
+    packed = pack_counts(tot.select("doc_id", "_total"), count_col="_total")
+    return packed.join(
+        tot.select(
+            "doc_id", "modality", "exact_copies", "text_tokens",
+            "media_tokens",
+        ),
+        "doc_id",
+    ).select(
+        "bin_id",
+        "doc_id",
+        "tok_start",
+        "n_tokens",
+        "modality",
+        "exact_copies",
+        "text_tokens",
+        "media_tokens",
+    )
+
+
 def st7_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars run to completion over the static events dir;
     equals the batch q80 result exactly (same oracle) — min_by/max_by
@@ -653,6 +724,34 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return curriculum_order(docs, n_phases=4)
+
+
+def t24_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS (not
+    documents) are the unit of assignment, so a near-dup pair can never
+    straddle train and test — the eval-contamination failure t9
+    decontaminates after the fact is prevented structurally here.
+    Pipeline: exact-Jaccard near-dup pairs (≥0.5, the c2/d5 pair
+    stage) → pointer-jumping connected components → every member
+    inherits its cluster's split via the t7 modulus on the CLUSTER id
+    (singletons are their own cluster). Same scale shape as d5 + t7:
+    bucketed pair join, O(log diameter) CC rounds, map-only assign."""
+    from ..operators.dedup import connected_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    d = docs.join(comp, docs.doc_id == comp.node, "left")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint")
+    bucket = F.pmod(cluster, F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(
+        "doc_id", cluster.alias("cluster_id"), split.alias("split")
+    )
 
 
 def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2720,6 +2720,105 @@ SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
 FROM b
 """
 
+# c5: the multimodal flagship — m11's decode arithmetic, min-id keeper
+# per decoded fingerprint, m13's token rules, pack replay over the
+# deduped survivor stream.
+ORACLES["c5_multimodal_pipeline"] = """
+WITH s AS (
+  SELECT doc_id, length(text) AS n,
+         COALESCE((SELECT SUM(ord(substr(d.text, CAST(i + 1 AS INTEGER), 1)) % 256)
+                   FROM unnest(range(LEAST(length(d.text), 64))) AS u(i)), 0)
+           AS sum64,
+         COALESCE((SELECT SUM(ord(substr(d.text, CAST(i + 1 AS INTEGER), 1)) % 256)
+                   FROM unnest(range(LEAST(length(d.text), 256))) AS u(i)), 0)
+           AS sum256
+  FROM documents d
+),
+meta AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'avi' END
+           AS modality,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 8
+              WHEN 1 THEN LEAST(n, 64)
+              ELSE (LEAST(n, 256) + 63) // 64 END AS BIGINT) AS dim_a,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 8
+              WHEN 1 THEN 8000 + (doc_id % 4) * 4000
+              ELSE 1000000 // (5 + doc_id % 4) END AS BIGINT) AS dim_b,
+         CAST(CASE doc_id % 3 WHEN 0 THEN sum64
+              WHEN 1 THEN (sum64 - LEAST(n, 64) * 128) * 256
+              ELSE sum256 END AS BIGINT) AS content_sum
+  FROM s
+),
+surv AS (
+  SELECT modality, dim_a, dim_b, content_sum,
+         MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS exact_copies
+  FROM meta GROUP BY 1, 2, 3, 4
+),
+mt AS (
+  SELECT doc_id, modality, exact_copies,
+         CAST(CASE modality
+              WHEN 'png' THEN ((dim_a + 1) // 2) * ((dim_b + 1) // 2)
+              WHEN 'wav' THEN (dim_a + 15) // 16
+              ELSE dim_a * 16 END AS BIGINT) AS media_tokens
+  FROM surv
+),
+tt AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS text_tokens
+  FROM documents
+),
+t AS (
+  SELECT mt.doc_id, modality, exact_copies, text_tokens, media_tokens,
+         mt.doc_id % 32 AS shard32,
+         text_tokens + media_tokens AS n
+  FROM mt JOIN tt ON mt.doc_id = tt.doc_id
+),
+o AS (
+  SELECT doc_id, modality, exact_copies, text_tokens, media_tokens, n,
+         CAST(SUM(n) OVER (ORDER BY shard32, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS off
+  FROM t
+),
+b AS (
+  SELECT doc_id, modality, exact_copies, text_tokens, media_tokens, n, off,
+         unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS bin_id
+  FROM o WHERE n > 0
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+       CAST(greatest(bin_id * 256 - off, 0) AS BIGINT) AS tok_start,
+       CAST(least((bin_id + 1) * 256 - off, n)
+            - greatest(bin_id * 256 - off, 0) AS BIGINT) AS n_tokens,
+       modality, exact_copies, text_tokens, media_tokens
+FROM b
+"""
+
+# t24: leakage-safe split — the d5 recursive closure for cluster ids,
+# then the t7 modulus applied to the CLUSTER id, so near-dup pairs can
+# never straddle splits.
+ORACLES["t24_leakage_safe_split"] = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN COALESCE(c.comp, d.doc_id) % 100 < 80 THEN 'train'
+            WHEN COALESCE(c.comp, d.doc_id) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
 # st7: streaming OHLC equals the batch q80 exactly — min_by/max_by on
 # the total-order key are merge-associative, so the micro-batch schedule
 # cannot change open/close; identical oracle.
@@ -2841,6 +2940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x5_curriculum_order": L.x5_curriculum_order,
     "q94_tpch_q4": T.q94_tpch_q4,
     "q95_bloom_semi": T.q95_bloom_semi,
+    "t24_leakage_safe_split": L.t24_leakage_safe_split,
+    "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -1190,3 +1190,40 @@ def test_curriculum_phases_partition_and_positions_contiguous(spark, sf_small):
     phases = sorted(by_phase)
     for a, b in zip(phases, phases[1:]):
         assert maxd[a] <= mind[b]
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_small):
+    """The defining property: every near-dup pair lands in ONE split."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import jaccard_pairs
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        t24_leakage_safe_split,
+    )
+
+    out = {r.doc_id: r.split for r in t24_leakage_safe_split(spark, sf_small).collect()}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.5).collect()
+    assert pairs, "testdata plants near-dups"
+    for p in pairs:
+        assert out[p.id_a] == out[p.id_b]
+    # and the split is total
+    assert set(out) == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_c5_multimodal_pipeline_conservation(spark, sf_small):
+    """Dedup conservation: exact_copies over distinct docs == corpus
+    size. Token conservation: bin slices reassemble every survivor's
+    full (text + media) token count."""
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        c5_multimodal_pipeline,
+    )
+
+    rows = c5_multimodal_pipeline(spark, sf_small).collect()
+    n_docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(
+            r.doc_id, {"copies": r.exact_copies, "total": r.text_tokens + r.media_tokens, "toks": 0}
+        )["toks"] += r.n_tokens
+    assert sum(d["copies"] for d in per_doc.values()) == n_docs
+    for d in per_doc.values():
+        assert d["toks"] == d["total"]
