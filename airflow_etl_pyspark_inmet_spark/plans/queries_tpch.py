@@ -472,3 +472,97 @@ def q95_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q96_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS gate (the Deequ/Great-Expectations
+    pattern): a declarative constraint suite evaluated against the
+    warehouse in one pass per table plus anti-join referential checks,
+    emitting one (table, constraint, observed, threshold, ok) row per
+    expectation — the publish gate a production pipeline runs before
+    promoting a load. Constraints: row-count floors, key completeness
+    (no NULLs) and uniqueness, value-domain bounds, and referential
+    integrity (orphaned lineitem->orders / lineitem->part keys counted
+    by left anti join). All observations are exact BIGINTs; each
+    table's scalar checks fold into ONE aggregate (no per-constraint
+    scans) and union into the report."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+
+    def row(table, constraint, observed, threshold, ok):
+        return F.struct(
+            F.lit(table).alias("table_name"),
+            F.lit(constraint).alias("constraint"),
+            observed.cast("bigint").alias("observed"),
+            F.lit(threshold).cast("bigint").alias("threshold"),
+            ok.alias("ok"),
+        )
+
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nk"),
+        F.count_distinct("o_orderkey").alias("ndk"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("bad_price"),
+    ).select(
+        F.array(
+            row("orders", "row_count_min_1000", F.col("n"), 1000,
+                F.col("n") >= 1000),
+            row("orders", "orderkey_complete", F.col("n") - F.col("nk"), 0,
+                F.col("n") == F.col("nk")),
+            row("orders", "orderkey_unique", F.col("nk") - F.col("ndk"), 0,
+                F.col("nk") == F.col("ndk")),
+            row("orders", "totalprice_positive", F.col("bad_price"), 0,
+                F.col("bad_price") == 0),
+        ).alias("_rows")
+    )
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "bigint"
+            )
+        ).alias("bad_disc"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("bad_qty"),
+    ).select(
+        F.array(
+            row("lineitem", "row_count_min_1000", F.col("n"), 1000,
+                F.col("n") >= 1000),
+            row("lineitem", "discount_in_unit_interval", F.col("bad_disc"),
+                0, F.col("bad_disc") == 0),
+            row("lineitem", "quantity_positive", F.col("bad_qty"), 0,
+                F.col("bad_qty") == 0),
+        ).alias("_rows")
+    )
+    orphans_o = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.array(
+                row("lineitem", "ri_orderkey_in_orders", F.col("n"), 0,
+                    F.col("n") == 0)
+            ).alias("_rows")
+        )
+    )
+    orphans_p = (
+        li.select("l_partkey")
+        .join(p.select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.array(
+                row("lineitem", "ri_partkey_in_part", F.col("n"), 0,
+                    F.col("n") == 0)
+            ).alias("_rows")
+        )
+    )
+    report = (
+        o_stats.unionByName(li_stats)
+        .unionByName(orphans_o)
+        .unionByName(orphans_p)
+        .select(F.explode("_rows").alias("r"))
+        .select("r.*")
+    )
+    return report.orderBy("table_name", "constraint")

@@ -1756,6 +1756,62 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q96: data-quality expectations gate — every observation is an exact
+# BIGINT; the report is deterministic rows.
+ORACLES["q96_expectations"] = """
+WITH o_stats AS (
+  SELECT COUNT(*) AS n, COUNT(o_orderkey) AS nk,
+         COUNT(DISTINCT o_orderkey) AS ndk,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+  FROM orders
+),
+li_stats AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+           AS bad_disc,
+         SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty
+  FROM lineitem
+),
+orph_o AS (
+  SELECT COUNT(*) AS n FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+),
+orph_p AS (
+  SELECT COUNT(*) AS n FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'row_count_min_1000' AS constraint,
+         CAST(n AS BIGINT) AS observed, CAST(1000 AS BIGINT) AS threshold,
+         n >= 1000 AS ok FROM o_stats
+  UNION ALL
+  SELECT 'orders', 'orderkey_complete', CAST(n - nk AS BIGINT), 0, n = nk
+  FROM o_stats
+  UNION ALL
+  SELECT 'orders', 'orderkey_unique', CAST(nk - ndk AS BIGINT), 0, nk = ndk
+  FROM o_stats
+  UNION ALL
+  SELECT 'orders', 'totalprice_positive', CAST(bad_price AS BIGINT), 0,
+         bad_price = 0 FROM o_stats
+  UNION ALL
+  SELECT 'lineitem', 'row_count_min_1000', CAST(n AS BIGINT), 1000,
+         n >= 1000 FROM li_stats
+  UNION ALL
+  SELECT 'lineitem', 'discount_in_unit_interval', CAST(bad_disc AS BIGINT),
+         0, bad_disc = 0 FROM li_stats
+  UNION ALL
+  SELECT 'lineitem', 'quantity_positive', CAST(bad_qty AS BIGINT), 0,
+         bad_qty = 0 FROM li_stats
+  UNION ALL
+  SELECT 'lineitem', 'ri_orderkey_in_orders', CAST(n AS BIGINT), 0, n = 0
+  FROM orph_o
+  UNION ALL
+  SELECT 'lineitem', 'ri_partkey_in_part', CAST(n AS BIGINT), 0, n = 0
+  FROM orph_p
+)
+ORDER BY table_name, "constraint"
+"""
+
 # q95: bloom-prune semi join — the bloom stage is exact-verified, so
 # the oracle is the plain EXISTS semi join.
 ORACLES["q95_bloom_semi"] = """
@@ -2944,6 +3000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_bloom_semi": T.q95_bloom_semi,
     "t24_leakage_safe_split": L.t24_leakage_safe_split,
     "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
+    "q96_expectations": T.q96_expectations,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

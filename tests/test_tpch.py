@@ -176,3 +176,37 @@ def test_bloom_prune_tiny_filter_still_exact(spark):
     )
     got = sorted(r.k for r in out.collect())
     assert got == list(range(0, 5000, 100))
+
+
+def test_q96_expectations_all_pass_on_clean_data(spark):
+    rows = T.q96_expectations(spark, SF).collect()
+    assert len(rows) == 9
+    assert all(r.ok for r in rows), [
+        (r.table_name, r.constraint, r.observed) for r in rows if not r.ok
+    ]
+
+
+def test_q96_expectations_catches_planted_violations(spark):
+    """Planted orphans and domain violations must flip their rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    with tempfile.TemporaryDirectory() as tmp:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        bad = li.limit(5).withColumn(
+            "l_orderkey", F2.col("l_orderkey") + 900000000
+        ).withColumn("l_discount", F2.lit(3.0))
+        li.unionByName(bad).write.parquet(f"{tmp}/lineitem.parquet")
+        for t in ("orders", "part"):
+            spark.read.parquet(f"{SF}/{t}.parquet").write.parquet(
+                f"{tmp}/{t}.parquet"
+            )
+        status = {
+            (r.table_name, r.constraint): r.ok
+            for r in T.q96_expectations(spark, tmp).collect()
+        }
+    assert status[("lineitem", "ri_orderkey_in_orders")] is False
+    assert status[("lineitem", "discount_in_unit_interval")] is False
+    assert status[("orders", "orderkey_unique")] is True
