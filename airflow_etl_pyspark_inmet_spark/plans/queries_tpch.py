@@ -22,7 +22,7 @@ SURVEY.md 2.3-2.4 catalogue.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries_relational import _t
@@ -566,3 +566,57 @@ def q96_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
     )
     return report.orderBy("table_name", "constraint")
+
+
+def q97_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands): each order opens a
+    30-day coverage window per customer; overlapping/touching windows
+    merge into islands — the classic contract/outage/session-coverage
+    merge, as two stacked windows on ONE shuffle: running-max of prior
+    interval ends detects island starts, a running sum of the
+    new-island flags numbers them, then one hash agg per island. All
+    boundaries in exact epoch-micros BIGINTs. Returns per-island
+    (customer, start, end, n_orders) for customers with >= 2 islands
+    (the interesting re-engagement cases), deterministically ordered."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate")).alias("s_us"),
+        (
+            F.unix_micros(F.col("o_orderdate"))
+            + F.lit(30 * 86400 * 1000000).cast("bigint")
+        ).alias("e_us"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s_us", "o_orderkey")
+    prev_max_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = o.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("o_custkey", "island").agg(
+        F.min("s_us").alias("island_start_us"),
+        F.max("e_us").alias("island_end_us"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # the >=2-islands filter is a count window over the (already small,
+    # one row per island) aggregate — no second join, no broadcast of a
+    # corpus-sized frame
+    n_islands = F.count(F.lit(1)).over(Window.partitionBy("o_custkey"))
+    return (
+        islands.withColumn("_ni", n_islands)
+        .filter(F.col("_ni") >= 2)
+        .select(
+            "o_custkey", "island", "island_start_us", "island_end_us",
+            "n_orders",
+        )
+        .orderBy("o_custkey", "island")
+    )

@@ -1756,6 +1756,48 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q97: gaps-and-islands interval coalescing — running max of prior
+# ends flags island starts; exact epoch-micros boundaries.
+ORACLES["q97_interval_merge"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) AS s_us,
+         epoch_us(o_orderdate) + CAST(30 AS BIGINT) * 86400 * 1000000
+           AS e_us
+  FROM orders
+),
+f AS (
+  SELECT o_custkey, o_orderkey, s_us, e_us,
+         CASE WHEN MAX(e_us) OVER (PARTITION BY o_custkey
+                    ORDER BY s_us, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s_us > MAX(e_us) OVER (PARTITION BY o_custkey
+                    ORDER BY s_us, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM o
+),
+i AS (
+  SELECT o_custkey, o_orderkey, s_us, e_us,
+         SUM(new_island) OVER (PARTITION BY o_custkey
+               ORDER BY s_us, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+),
+isl AS (
+  SELECT o_custkey, CAST(island AS BIGINT) AS island,
+         MIN(s_us) AS island_start_us,
+         MAX(e_us) AS island_end_us,
+         COUNT(*) AS n_orders
+  FROM i GROUP BY 1, 2
+)
+SELECT o_custkey, island, island_start_us, island_end_us, n_orders
+FROM (SELECT isl.*, COUNT(*) OVER (PARTITION BY o_custkey) AS ni FROM isl)
+WHERE ni >= 2
+ORDER BY o_custkey, island
+"""
+
 # q96: data-quality expectations gate — every observation is an exact
 # BIGINT; the report is deterministic rows.
 ORACLES["q96_expectations"] = """
@@ -3001,6 +3043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t24_leakage_safe_split": L.t24_leakage_safe_split,
     "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
     "q96_expectations": T.q96_expectations,
+    "q97_interval_merge": T.q97_interval_merge,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -210,3 +210,47 @@ def test_q96_expectations_catches_planted_violations(spark):
     assert status[("lineitem", "ri_orderkey_in_orders")] is False
     assert status[("lineitem", "discount_in_unit_interval")] is False
     assert status[("orders", "orderkey_unique")] is True
+
+
+def test_q97_islands_disjoint_and_ordered(spark):
+    """Merged islands per customer must be disjoint, ordered, and
+    conserve orders for multi-island customers."""
+    rows = T.q97_interval_merge(spark, SF).collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, isl in by_cust.items():
+        isl.sort(key=lambda r: r.island)
+        assert [r.island for r in isl] == list(range(1, len(isl) + 1))
+        assert len(isl) >= 2
+        for a, b in zip(isl, isl[1:]):
+            # strictly disjoint: next island starts after this one ends
+            assert b.island_start_us > a.island_end_us
+            assert a.island_start_us <= a.island_end_us
+
+
+def test_q97_hand_case_overlap_chain(spark):
+    """Three overlapping windows chain into one island; a later one is
+    its own island."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1)),
+        (1, 11, dt.datetime(2024, 1, 20)),   # overlaps island 1
+        (1, 12, dt.datetime(2024, 2, 10)),   # overlaps via order 11
+        (1, 13, dt.datetime(2024, 6, 1)),    # far later -> island 2
+        (2, 20, dt.datetime(2024, 1, 1)),    # single island -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate timestamp"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/orders.parquet")
+        got = T.q97_interval_merge(spark, tmp).collect()
+    assert [(r.o_custkey, r.island, r.n_orders) for r in got] == [
+        (1, 1, 3),
+        (1, 2, 1),
+    ]
