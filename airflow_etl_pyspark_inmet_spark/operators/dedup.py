@@ -851,3 +851,75 @@ def incremental_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over an undirected edge list in EXACT integer
+    arithmetic — the iterative-graph-algorithm pattern beyond
+    :func:`connected_components`, with a cross-engine-replayable
+    contract: ranks live in integer ``scale``-units and every step is
+    integer division/multiplication/sum (truncating ``div``, bigint
+    sums — order-free), so k rounds produce bit-identical ranks in any
+    engine that replays the same recurrence:
+
+        pr0(v)   = scale div N
+        contrib  = pr(v) div deg(v)
+        pr'(v)   = ((100 - d) * (scale div N)) div 100
+                   + (d * sum_incoming(contrib)) div 100
+
+    Plan shape per round (the d5/t22 iterative idiom): one hash agg on
+    the destination key co-partitioned with the (checkpointed) edge
+    frame, lineage truncated with a lazy localCheckpoint — k rounds =
+    k bounded jobs, nothing accumulates. Dangling nodes cannot occur
+    in an undirected edge list (deg >= 1 by construction).
+
+    ``edges`` must already contain BOTH directions of each undirected
+    edge. Returns (node, pr_scaled, degree).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    base = scale // n
+    teleport = (100 - damping_pct) * base // 100
+    pr = deg.select(
+        "src", F.lit(base).cast("bigint").alias("pr"), "deg"
+    )
+    for _ in range(n_iters):
+        contrib = pr.select(
+            "src", F.expr("pr div deg").alias("_c")
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pr = (
+            deg.join(incoming, deg.src == incoming.dst, "left")
+            .select(
+                "src",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(_in, 0L) div 100"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+                "deg",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col("src").alias("node"),
+        F.col("pr").alias("pr_scaled"),
+        F.col("deg").cast("bigint").alias("degree"),
+    )

@@ -201,6 +201,50 @@ def m14_av_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 exact-integer iterations, damping 0.85) over the
+    part co-purchase graph — the corpus-safe q83 edge construction
+    (per-basket top-5-by-support cap, distinct pairs, both directions)
+    feeding the iterative-graph operator beyond connected components
+    (operators.dedup.pagerank_exact). Every step is truncating integer
+    arithmetic in 1e12-scale units, so the oracle replays the 3 rounds
+    as unrolled SQL bit for bit (the t22 iterative-replay contract).
+    Top-100 by rank with full tiebreak."""
+    from ..operators.dedup import pagerank_exact
+
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_support"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("_support").desc(), F.col("l_partkey").asc()
+    )
+    top = (
+        d.join(support, "l_partkey")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = top.toDF("o", "p1")
+    b = top.toDF("o", "p2")
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    pr = pagerank_exact(edges, n_iters=3)
+    return pr.orderBy(
+        F.col("pr_scaled").desc(), F.col("node").asc()
+    ).limit(100)
+
+
 def c5_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MULTIMODAL flagship composition — c4's text-pipeline proof
     repeated for the mixed-media path: real codec decode (m11's

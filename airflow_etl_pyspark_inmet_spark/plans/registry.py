@@ -1756,6 +1756,53 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# g1: PageRank in exact 1e12-scale integer units — q83's capped edge
+# construction, then 3 unrolled rounds of the truncating recurrence
+# pr' = 15*(scale//n)//100 + 85*sum(pr div deg)//100.
+_G1_ROUND = """
+c{i} AS (SELECT src, pr // deg AS c FROM p{i}),
+i{i} AS (SELECT e.dst AS dst, SUM(c.c) AS inn
+         FROM edges e JOIN c{i} c ON e.src = c.src GROUP BY 1),
+p{j} AS (
+  SELECT d.src,
+         CAST((15 * (1000000000000 // n.n) // 100)
+              + (85 * COALESCE(i{i}.inn, 0) // 100) AS BIGINT) AS pr,
+         d.deg
+  FROM deg d CROSS JOIN n LEFT JOIN i{i} ON i{i}.dst = d.src
+)"""
+ORACLES["g1_pagerank"] = (
+    """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5),
+pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM deg),
+p0 AS (
+  SELECT src, CAST(1000000000000 // n.n AS BIGINT) AS pr, deg
+  FROM deg CROSS JOIN n
+),"""
+    + ",".join(_G1_ROUND.format(i=i, j=i + 1) for i in range(3))
+    + """
+SELECT src AS node, pr AS pr_scaled, CAST(deg AS BIGINT) AS degree
+FROM p3
+ORDER BY pr_scaled DESC, node ASC
+LIMIT 100
+"""
+)
+
 # q97: gaps-and-islands interval coalescing — running max of prior
 # ends flags island starts; exact epoch-micros boundaries.
 ORACLES["q97_interval_merge"] = """
@@ -3044,6 +3091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
     "q96_expectations": T.q96_expectations,
     "q97_interval_merge": T.q97_interval_merge,
+    "g1_pagerank": L.g1_pagerank,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -1227,3 +1227,42 @@ def test_c5_multimodal_pipeline_conservation(spark, sf_small):
     assert sum(d["copies"] for d in per_doc.values()) == n_docs
     for d in per_doc.values():
         assert d["toks"] == d["total"]
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    """On a k-regular graph (a 4-cycle) every node has identical rank."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import pagerank_exact
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r.node: (r.pr_scaled, r.degree) for r in pagerank_exact(edges).collect()}
+    assert len(out) == 4
+    assert len({v for v in out.values()}) == 1  # all identical
+    assert all(d == 2 for _, d in out.values())
+
+
+def test_pagerank_matches_manual_recurrence(spark):
+    """Path graph 0-1-2: replay the exact integer recurrence by hand."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import pagerank_exact
+
+    pairs = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {r.node: r.pr_scaled for r in pagerank_exact(edges, n_iters=3).collect()}
+
+    scale = 1_000_000_000_000
+    n = 3
+    base = scale // n
+    tele = 15 * base // 100
+    deg = {0: 1, 1: 2, 2: 1}
+    pr = {v: base for v in deg}
+    adj = {0: [1], 1: [0, 2], 2: [1]}
+    for _ in range(3):
+        c = {v: pr[v] // deg[v] for v in pr}
+        pr = {
+            v: tele + 85 * sum(c[u] for u in adj[v]) // 100 for v in pr
+        }
+    assert got == pr
