@@ -298,3 +298,123 @@ def test_avi_roundtrip_property(n, h, w, fps, seed):
         assert (got_w, got_h) == (w, h)
         for a, b in zip(out, frames):
             np.testing.assert_array_equal(a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=1000),   # start
+            st.integers(min_value=0, max_value=200),    # length
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_merge_matches_bruteforce_property(spark, intervals):
+    """q97's windowed island construction == a brute-force interval
+    merge, for arbitrary per-key interval sets (including touching and
+    nested intervals)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (k, i, s, s + ln) for i, (k, s, ln) in enumerate(intervals)
+    ]
+    df = spark.createDataFrame(rows, "k long, rid long, s long, e long")
+    w = Window.partitionBy("k").orderBy("s", "rid")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {
+        (r.k, r.isl): (r.lo, r.hi, r.n)
+        for r in flagged.groupBy("k", "isl")
+        .agg(F.min("s").alias("lo"), F.max("e").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # brute force per key
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, rid, s, e in rows:
+        by_key[k].append((s, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += 1
+            else:
+                merged.append([s, e, 1])
+        want = {(k, i + 1): tuple(m) for i, m in enumerate(merged)}
+        got_k = {kk: vv for kk, vv in got.items() if kk[0] == k}
+        assert got_k == {
+            kk: (m[0], m[1], m[2]) for kk, m in want.items()
+        }, (k, got_k, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+             max_size=40),
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+             max_size=15),
+)
+def test_bloom_prune_semi_join_property(spark, fact_keys, key_keys):
+    """bloom_prune_semi_join == plain semi join for arbitrary key sets,
+    even with a filter sized to guarantee false positives."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        bloom_prune_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, rid long"
+    )
+    keys = spark.createDataFrame([(k,) for k in set(key_keys)], "kk long")
+    got = {
+        (r.k, r.rid)
+        for r in bloom_prune_semi_join(
+            fact, keys, fact_key="k", key_col="kk", n_bits=64, n_hashes=2
+        ).collect()
+    }
+    want = {
+        (k, i) for i, k in enumerate(fact_keys) if k in set(key_keys)
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1,
+             max_size=30)
+)
+def test_pack_counts_conservation_property(spark, counts):
+    """Packing conserves every token exactly once and bins never exceed
+    capacity, for arbitrary count vectors (zeros excluded from bins)."""
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        pack_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n long"
+    )
+    rows = pack_counts(df, count_col="n", capacity=256).collect()
+    per_doc = {}
+    per_bin = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tokens
+        per_bin[r.bin_id] = per_bin.get(r.bin_id, 0) + r.n_tokens
+        assert r.n_tokens > 0
+    for i, c in enumerate(counts):
+        assert per_doc.get(i, 0) == c
+    for b, tot in per_bin.items():
+        assert tot <= 256
