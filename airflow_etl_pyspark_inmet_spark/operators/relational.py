@@ -710,3 +710,54 @@ def bloom_prune_semi_join(
         F.col(fact_key) == F.col(key_col),
         "left_semi",
     )
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_threshold: int = 10_000,
+) -> DataFrame:
+    """Skew-split (hybrid broadcast/shuffle) inner join — the
+    production answer to a join where a handful of hot keys would
+    overwhelm single reducers: a cheap stats pass finds keys whose fact
+    row count exceeds ``hot_threshold`` (the hot-key frame is by
+    construction tiny — at most |fact| / threshold rows — and
+    broadcasts), then
+
+    - HOT fact rows join the hot slice of the dim via BROADCAST (no
+      shuffle of the skewed mass at all — each executor streams its
+      hot rows against an in-memory dim slice), and
+    - COLD fact rows take the normal shuffle join, now guaranteed
+      skew-free (every remaining key is under the threshold).
+
+    The union of the two paths equals the plain inner join exactly.
+    This subsumes per-key salting (q28/q72) when the dim side of the
+    hot keys fits in memory — no row multiplication, no salt-column
+    bookkeeping; AQE's skew-join handles sort-merge spills, but it
+    cannot convert the hot keys to a broadcast path on its own when
+    the dim is over the auto-broadcast limit (only the HOT SLICE needs
+    to fit, which this operator exploits).
+    """
+    stats = (
+        fact.groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(F.col(fact_key).alias("_hot_key"))
+        .localCheckpoint(eager=False)
+    )
+    fact_hot = fact.join(
+        F.broadcast(stats), fact[fact_key] == F.col("_hot_key"), "left_semi"
+    )
+    fact_cold = fact.join(
+        F.broadcast(stats), fact[fact_key] == F.col("_hot_key"), "left_anti"
+    )
+    dim_hot = dim.join(
+        F.broadcast(stats), dim[dim_key] == F.col("_hot_key"), "left_semi"
+    )
+    hot = fact_hot.join(
+        F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key]
+    )
+    cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
+    return hot.unionByName(cold)

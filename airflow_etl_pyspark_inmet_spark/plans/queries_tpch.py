@@ -620,3 +620,32 @@ def q97_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "island")
     )
+
+
+def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split hybrid join (operators.relational.skew_split_join):
+    events join the customer dim on the user key with hot users
+    (> 50 events) routed through a broadcast path and cold users
+    through the normal shuffle join — the union provably equals the
+    plain inner join, which is the oracle. Threshold 50 exercises BOTH
+    paths on this data distribution. Revenue per market segment in
+    exact cents."""
+    from ..operators.relational import skew_split_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = skew_split_join(e, c, fact_key="user_id", dim_key="c_custkey",
+                        hot_threshold=50)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_cents").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1756,6 +1756,17 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q98: skew-split hybrid join == the plain inner join (the split is
+# routing, not semantics), so the oracle is the direct join aggregate.
+ORACLES["q98_skew_split_join"] = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
 # g1: PageRank in exact 1e12-scale integer units — q83's capped edge
 # construction, then 3 unrolled rounds of the truncating recurrence
 # pr' = 15*(scale//n)//100 + 85*sum(pr div deg)//100.
@@ -3092,6 +3103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_expectations": T.q96_expectations,
     "q97_interval_merge": T.q97_interval_merge,
     "g1_pagerank": L.g1_pagerank,
+    "q98_skew_split_join": T.q98_skew_split_join,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -254,3 +254,46 @@ def test_q97_hand_case_overlap_chain(spark):
         (1, 1, 3),
         (1, 2, 1),
     ]
+
+
+def test_skew_split_join_equals_plain_join_with_planted_hot_key(spark):
+    """A key owning 40% of the fact must route through the broadcast
+    path and the union must equal the plain inner join exactly."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        skew_split_join,
+    )
+
+    fact_rows = [(7, i) for i in range(400)] + [
+        (k % 5, 1000 + k) for k in range(600)
+    ]
+    fact = spark.createDataFrame(fact_rows, "k long, rid long")
+    dim = spark.createDataFrame(
+        [(i, f"seg{i % 3}") for i in range(10)], "dk long, seg string"
+    )
+    got = {
+        (r.k, r.rid, r.seg)
+        for r in skew_split_join(
+            fact, dim, fact_key="k", dim_key="dk", hot_threshold=100
+        ).collect()
+    }
+    want = {
+        (r.k, r.rid, r.seg)
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    }
+    assert got == want and len(want) == 1000
+
+
+def test_skew_split_join_all_cold_and_all_hot_degenerate(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        skew_split_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 4, i) for i in range(40)], "k long, rid long"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(4)], "dk long")
+    plain = fact.join(dim, fact.k == dim.dk).count()
+    # threshold above every count -> pure shuffle path
+    assert skew_split_join(fact, dim, "k", "dk", hot_threshold=1000).count() == plain
+    # threshold 0 -> every key hot, pure broadcast path
+    assert skew_split_join(fact, dim, "k", "dk", hot_threshold=0).count() == plain
