@@ -649,3 +649,51 @@ def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def q99_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME temporal join against an SCD2 dimension — the
+    warehouse lookup "which dim version was in effect when the fact
+    happened": the q46 gaps-and-islands construction builds per-user
+    event_type validity versions (valid_from = first ts of each
+    island), and each order of a known user picks the version whose
+    valid_from is the latest at-or-before the order date via the
+    union+window as-of plan (operators.relational.asof_join — one
+    shuffle, no interval explosion). Orders preceding every version
+    surface with a NULL version (left semantics). Oracle: DuckDB's
+    native ASOF LEFT JOIN over the same island CTE."""
+    from ..operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("version_type"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+    ).select("user_id", "version_type", "valid_from_us")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate")).alias("order_us"),
+    )
+    known = o.join(
+        dim.select("user_id").distinct(), "user_id", "left_semi"
+    )
+    j = asof_join(
+        known, dim, on="user_id", left_ts="order_us",
+        right_ts="valid_from_us",
+    )
+    return j.select(
+        "o_orderkey", "user_id", "order_us", "version_type"
+    )

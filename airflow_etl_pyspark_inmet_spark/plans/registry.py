@@ -1756,6 +1756,40 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q99: point-in-time SCD2 lookup — the q46 island CTE builds versions;
+# DuckDB's native ASOF LEFT JOIN mirrors the engine's union+window
+# as-of plan.
+ORACLES["q99_pit_scd2_join"] = """
+WITH f AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM f
+),
+dim AS (
+  SELECT user_id, MIN(event_type) AS version_type,
+         epoch_us(MIN(ts)) AS valid_from_us
+  FROM i GROUP BY user_id, island
+),
+o AS (
+  SELECT o_orderkey, o_custkey AS user_id, epoch_us(o_orderdate) AS order_us
+  FROM orders
+  WHERE o_custkey IN (SELECT DISTINCT user_id FROM dim)
+)
+SELECT o.o_orderkey, o.user_id, o.order_us, d.version_type
+FROM o ASOF LEFT JOIN dim d
+  ON o.user_id = d.user_id AND d.valid_from_us <= o.order_us
+"""
+
 # q98: skew-split hybrid join == the plain inner join (the split is
 # routing, not semantics), so the oracle is the direct join aggregate.
 ORACLES["q98_skew_split_join"] = """
@@ -3104,6 +3138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_interval_merge": T.q97_interval_merge,
     "g1_pagerank": L.g1_pagerank,
     "q98_skew_split_join": T.q98_skew_split_join,
+    "q99_pit_scd2_join": T.q99_pit_scd2_join,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

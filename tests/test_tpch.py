@@ -297,3 +297,40 @@ def test_skew_split_join_all_cold_and_all_hot_degenerate(spark):
     assert skew_split_join(fact, dim, "k", "dk", hot_threshold=1000).count() == plain
     # threshold 0 -> every key hot, pure broadcast path
     assert skew_split_join(fact, dim, "k", "dk", hot_threshold=0).count() == plain
+
+
+def test_q99_pit_version_is_latest_at_or_before(spark):
+    """Hand-built SCD2 history: orders must pick exactly the version in
+    effect at their date, NULL before the first version."""
+    import datetime as dt
+    import tempfile
+
+    ev_rows = [
+        (1, dt.datetime(2024, 1, 1), "A"),
+        (1, dt.datetime(2024, 1, 2), "A"),   # same island
+        (1, dt.datetime(2024, 3, 1), "B"),   # version 2 from 3/1
+        (1, dt.datetime(2024, 5, 1), "A"),   # version 3 from 5/1
+    ]
+    o_rows = [
+        (100, 1, dt.datetime(2023, 12, 1)),  # before all -> NULL
+        (101, 1, dt.datetime(2024, 2, 15)),  # -> A (v1)
+        (102, 1, dt.datetime(2024, 3, 1)),   # boundary -> B (inclusive)
+        (103, 1, dt.datetime(2024, 6, 1)),   # -> A (v3)
+        (104, 9, dt.datetime(2024, 6, 1)),   # unknown user -> excluded
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            ev_rows, "user_id long, ts timestamp, event_type string"
+        ).withColumn(
+            "event_id", F.monotonically_increasing_id()
+        ).withColumn("value", F.lit(1.0)).withColumn(
+            "props", F.lit("{}")
+        ).write.parquet(f"{tmp}/events.parquet")
+        spark.createDataFrame(
+            o_rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ).write.parquet(f"{tmp}/orders.parquet")
+        got = {
+            r.o_orderkey: r.version_type
+            for r in T.q99_pit_scd2_join(spark, tmp).collect()
+        }
+    assert got == {100: None, 101: "A", 102: "B", 103: "A"}
