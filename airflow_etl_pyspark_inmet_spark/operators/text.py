@@ -780,3 +780,70 @@ def bpe_train(
         schema="rank int, merge_left string, merge_right string, "
         "pair_count bigint",
     )
+
+
+def interp_bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring — the smoothing
+    step between :func:`bigram_condprob` (pure MLE, zero for unseen
+    continuations) and a real LM: per bigram occurrence
+
+        p_interp = lam * P(w2 | w1) + (1 - lam) * P(w2)
+
+    with the unigram backoff computed over the FULL token stream (not
+    just bigram positions). Exactness contract is t20's, extended:
+    both component probabilities are exact integer micro-units from
+    one integer division each, and the interpolation is
+    ``(lam_tenths * p_bi + (10 - lam_tenths) * p_uni) div 10`` — no
+    float anywhere, so the cross-engine match is guaranteed by
+    construction.
+
+    Plan shape: the bigram stream (hashed keys, localCheckpoint) feeds
+    the pair/prefix counts and the scoring join as in t20; the unigram
+    stream adds one hash agg and a broadcast 1-row total. Docs with
+    fewer than two tokens emit no row.
+    """
+    grams = exploded_ngrams(df, id_col, text_col, 2)
+    big = grams.select(
+        "_id",
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
+        F.xxhash64(F.split(F.col("g"), " ")[1]).alias("w2h"),
+    ).localCheckpoint(eager=False)
+    uni = exploded_ngrams(df, id_col, text_col, 1).select(
+        F.xxhash64("g").alias("uh")
+    ).localCheckpoint(eager=False)
+    cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
+    cntu = uni.groupBy("uh").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        big.join(cnt2, "gh")
+        .join(cnt1, "w1h")
+        .join(cntu, big.w2h == cntu.uh)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_id",
+            F.expr(
+                f"({lam_tenths} * (c2 * 1000000L div c1)"
+                f" + {10 - lam_tenths} * (cu * 1000000L div _n)) div 10"
+            ).alias("pi_micro"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("pi_micro").alias("p_sum_micro"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "p_sum_micro",
+            F.expr("p_sum_micro div n_bigrams").alias("p_avg_micro"),
+        )
+    )

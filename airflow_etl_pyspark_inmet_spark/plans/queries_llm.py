@@ -770,6 +770,18 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def t25_interp_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (lambda=0.7):
+    p = (7*P(w2|w1) + 3*P(w2)) in exact integer micro-units over the
+    full-token-stream unigram backoff — the smoothing tier between
+    t20's pure-MLE bigram and a real LM, with t20's
+    guaranteed-by-construction cross-engine contract."""
+    from ..operators.text import interp_bigram_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return interp_bigram_score(docs, lam_tenths=7)
+
+
 def t24_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate CLUSTERS (not
     documents) are the unit of assignment, so a near-dup pair can never

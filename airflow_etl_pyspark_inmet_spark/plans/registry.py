@@ -1756,6 +1756,37 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# t25: Jelinek-Mercer interpolated bigram scoring — t20's bigram MLE
+# plus a full-token-stream unigram backoff, all integer micro-units.
+ORACLES["t25_interp_bigram"] = """
+WITH b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-1, 0)))
+                AS i) u
+),
+u1 AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+),
+c2 AS (SELECT g, COUNT(*) AS c2 FROM b GROUP BY 1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+cu AS (SELECT w, COUNT(*) AS cu FROM u1 GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM u1),
+scored AS (
+  SELECT doc_id,
+         (7 * (c2.c2 * 1000000 // c1.c1)
+          + 3 * (cu.cu * 1000000 // nn.n)) // 10 AS pi
+  FROM b JOIN c2 USING (g) JOIN c1 USING (w1)
+       JOIN cu ON cu.w = b.w2 CROSS JOIN nn
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(pi) AS BIGINT) AS p_sum_micro,
+       CAST(SUM(pi) // COUNT(*) AS BIGINT) AS p_avg_micro
+FROM scored GROUP BY doc_id
+"""
+
 # q99: point-in-time SCD2 lookup — the q46 island CTE builds versions;
 # DuckDB's native ASOF LEFT JOIN mirrors the engine's union+window
 # as-of plan.
@@ -3139,6 +3170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g1_pagerank": L.g1_pagerank,
     "q98_skew_split_join": T.q98_skew_split_join,
     "q99_pit_scd2_join": T.q99_pit_scd2_join,
+    "t25_interp_bigram": L.t25_interp_bigram,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

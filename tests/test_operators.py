@@ -1266,3 +1266,21 @@ def test_pagerank_matches_manual_recurrence(spark):
             v: tele + 85 * sum(c[u] for u in adj[v]) // 100 for v in pr
         }
     assert got == pr
+
+
+def test_interp_bigram_hand_computed(spark):
+    """Two-doc corpus, hand-replayed interpolation arithmetic."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        interp_bigram_score,
+    )
+
+    rows = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.p_sum_micro, r.p_avg_micro)
+           for r in interp_bigram_score(df, lam_tenths=7).collect()}
+    # bigram stream: doc1: (a b),(b a),(a b); doc2: (a b)
+    # c2: ab=3, ba=1 ; c1 prefix: a=3, b=1 ; unigrams: a=3,b=3, N=6
+    # p_bi(ab)=3*1e6//3=1_000_000 ; p_bi(ba)=1*1e6//1=1_000_000
+    # p_uni(b)=3*1e6//6=500_000 ; p_uni(a)=500_000
+    # pi = (7*1e6 + 3*5e5)//10 = 850_000 for every occurrence
+    assert got == {1: (3, 2_550_000, 850_000), 2: (1, 850_000, 850_000)}
