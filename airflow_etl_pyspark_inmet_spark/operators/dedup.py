@@ -923,3 +923,47 @@ def pagerank_exact(
         F.col("pr").alias("pr_scaled"),
         F.col("deg").cast("bigint").alias("degree"),
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy string self-join: pairs of rows whose names are
+    within ``max_dist`` Levenshtein edits — entity-resolution's core
+    primitive, built scale-safe: edit distance <= k implies the lengths
+    differ by at most k, so one side EXPLODES its length into the
+    2k+1-value band [len-k, len+k] and the candidate join is an EQUI
+    join on (band == other side's exact length) — never an all-pairs
+    product, no non-equi nested loop — then the exact ``levenshtein``
+    verify runs on candidates only. Production corpora tighten the
+    blocks further with positional q-gram prefix filters; length
+    banding alone is already complete (recall 1) by the triangle
+    inequality.
+
+    Returns (key_a, key_b, name_a, name_b, dist) with key_a < key_b.
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+        F.explode(
+            F.sequence(
+                F.length(name_col) - max_dist,
+                F.length(name_col) + max_dist,
+            )
+        ).alias("_band"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+        F.length(name_col).alias("_blen"),
+    )
+    return (
+        a.join(b, (F.col("_band") == F.col("_blen"))
+               & (F.col("key_a") < F.col("key_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )

@@ -254,3 +254,39 @@ def curriculum_order(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "difficulty_milli", "phase", "pos")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted priority sampling (without replacement):
+    every row gets the integer priority
+
+        pri = (u * SCALE) div w,   u = (id * KNUTH) % BUCKETS
+
+    and the sample is the ``k`` smallest priorities — a reproducible
+    integer-arithmetic analogue of the exponential-clocks / A-ES scheme
+    (there the key is -ln(u)/w; the linear u/w surrogate keeps the
+    monotone weight bias — doubling w halves a row's expected priority
+    — while avoiding floats entirely, so runs and engines agree bit for
+    bit; the documented trade is inclusion probabilities linear rather
+    than exactly proportional in w). Heavier rows win ties
+    deterministically via the (pri, id) total order.
+
+    Plan shape: map-only priority + a global TakeOrderedAndProject —
+    top-k never sorts the corpus; each partition keeps k rows and the
+    driver merges P*k.
+    """
+    w = F.col(weight_col).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        w.alias("weight"),
+        F.expr(
+            f"cast(({id_col} * {KNUTH}) % {BUCKETS} as bigint) * 1000000"
+            f" div cast({weight_col} as bigint)"
+        ).alias("priority"),
+    )
+    return out.orderBy(F.col("priority").asc(), F.col(id_col).asc()).limit(k)

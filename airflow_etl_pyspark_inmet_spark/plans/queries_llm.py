@@ -770,6 +770,37 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample: 25 documents drawn by
+    the integer (u div w) priority scheme with w = n_chars — longer
+    docs proportionally likelier, bit-reproducible across runs and
+    engines (operators.mixing.weighted_priority_sample). The plan is
+    map-only + global top-k (TakeOrderedAndProject), never a corpus
+    sort."""
+    from ..operators.mixing import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    return weighted_priority_sample(docs, k=25, weight_col="w")
+
+
+def d15_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: part-name pairs within 2 Levenshtein edits via
+    the length-banded blocked join (operators.dedup.fuzzy_name_pairs —
+    equi-join candidates, exact verify, complete recall by the length
+    triangle inequality). Deterministic top-50 by (dist, keys); the
+    oracle brute-forces all pairs, so a hash match also re-proves the
+    blocking loses nothing."""
+    from ..operators.dedup import fuzzy_name_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = fuzzy_name_pairs(p, key_col="p_partkey", name_col="p_name")
+    return pairs.orderBy(
+        F.col("dist").asc(), F.col("key_a").asc(), F.col("key_b").asc()
+    ).limit(50)
+
+
 def t25_interp_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jelinek-Mercer interpolated bigram LM scoring (lambda=0.7):
     p = (7*P(w2|w1) + 3*P(w2)) in exact integer micro-units over the

@@ -1756,6 +1756,32 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# x7: deterministic weighted priority sample — pure integer replay.
+ORACLES["x7_weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         CAST((doc_id * 2654435761) % 1048576 AS BIGINT) * 1000000
+           // CAST(GREATEST(n_chars, 1) AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority FROM d
+ORDER BY priority ASC, doc_id ASC
+LIMIT 25
+"""
+
+# d15: blocked fuzzy join — the oracle brute-forces all pairs, so a
+# hash match also proves the length-band blocking is lossless.
+ORACLES["d15_fuzzy_name_pairs"] = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY dist ASC, key_a ASC, key_b ASC
+LIMIT 50
+"""
+
 # t25: Jelinek-Mercer interpolated bigram scoring — t20's bigram MLE
 # plus a full-token-stream unigram backoff, all integer micro-units.
 ORACLES["t25_interp_bigram"] = """
@@ -3171,6 +3197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_skew_split_join": T.q98_skew_split_join,
     "q99_pit_scd2_join": T.q99_pit_scd2_join,
     "t25_interp_bigram": L.t25_interp_bigram,
+    "d15_fuzzy_name_pairs": L.d15_fuzzy_name_pairs,
+    "x7_weighted_sample": L.x7_weighted_sample,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

@@ -1284,3 +1284,58 @@ def test_interp_bigram_hand_computed(spark):
     # p_uni(b)=3*1e6//6=500_000 ; p_uni(a)=500_000
     # pi = (7*1e6 + 3*5e5)//10 = 850_000 for every occurrence
     assert got == {1: (3, 2_550_000, 850_000), 2: (1, 850_000, 850_000)}
+
+
+def test_fuzzy_pairs_blocking_equals_bruteforce(spark):
+    """Length-banded blocking must find exactly the brute-force pair
+    set, including insert/delete pairs that change length."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    rows = [
+        (1, "anvil"),
+        (2, "anvill"),      # dist 1 (insert)
+        (3, "anvil iron"),  # far
+        (4, "anvi"),        # dist 1 (delete) / dist 2 to 2
+        (5, "bnvil"),       # dist 1 (substitute)
+        (6, "zzzzz"),       # far from all
+    ]
+    df = spark.createDataFrame(rows, ["k", "nm"])
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_name_pairs(df, "k", "nm", max_dist=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {
+        (a, b, lev(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 2
+    }
+    assert got == want and (1, 2, 1) in want and (1, 4, 1) in want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With one row 1000x heavier than the rest, it must enter a small
+    sample; zero/negative weights are the caller's contract (guarded
+    upstream)."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 1000000 if i == 37 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r.doc_id for r in weighted_priority_sample(df, 10, "w").collect()]
+    assert 37 in got
+    assert len(got) == 10 and len(set(got)) == 10
