@@ -770,6 +770,33 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def m15_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection over REAL decoded video (shot-detection
+    proxy): a frame is a keyframe when it is the first frame or its
+    decoded pixel sum moves more than 1000 units from the previous
+    frame — one lag window per doc over the m10 per-frame sums, exact
+    integer deltas. The m9/m10 decode provenance carries through: the
+    oracle predicts every frame sum from the 64-char slice arithmetic
+    and replays the lag."""
+    from ..operators.avi import avi_frame_sums, text_to_avi_payload
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = avi_frame_sums(text_to_avi_payload(docs))
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = frames.withColumn("_prev", F.lag("frame_sum").over(w))
+    return (
+        lagged.withColumn(
+            "delta",
+            F.when(
+                F.col("_prev").isNull(), F.lit(None).cast("bigint")
+            ).otherwise(F.abs(F.col("frame_sum") - F.col("_prev"))),
+        )
+        .filter(F.col("_prev").isNull() | (F.col("delta") > 1000))
+        .select("doc_id", "frame_idx", "frame_sum", "delta")
+    )
+
+
 def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted priority sample: 25 documents drawn by
     the integer (u div w) priority scheme with w = n_chars — longer

@@ -1756,6 +1756,29 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# m15: keyframes over decoded video — the m10 frame-sum CTE + a lag.
+ORACLES["m15_keyframes"] = """
+WITH fs AS (
+  SELECT doc_id, CAST(i // 64 AS INTEGER) AS frame_idx,
+         CAST(SUM(ord(substr(text, CAST(i + 1 AS INTEGER), 1)) % 256)
+              AS BIGINT) AS frame_sum
+  FROM (SELECT doc_id, text, unnest(range(LEAST(length(text), 256))) AS i
+        FROM documents)
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT doc_id, frame_idx, frame_sum,
+         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev
+  FROM fs
+)
+SELECT doc_id, frame_idx, frame_sum,
+       CASE WHEN prev IS NULL THEN NULL
+            ELSE CAST(ABS(frame_sum - prev) AS BIGINT) END AS delta
+FROM lagged
+WHERE prev IS NULL OR ABS(frame_sum - prev) > 1000
+"""
+
 # x7: deterministic weighted priority sample — pure integer replay.
 ORACLES["x7_weighted_sample"] = """
 WITH d AS (
@@ -3199,6 +3222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t25_interp_bigram": L.t25_interp_bigram,
     "d15_fuzzy_name_pairs": L.d15_fuzzy_name_pairs,
     "x7_weighted_sample": L.x7_weighted_sample,
+    "m15_keyframes": L.m15_keyframes,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,
