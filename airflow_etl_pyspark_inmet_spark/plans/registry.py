@@ -1796,13 +1796,17 @@ LIMIT 25
 # d15: blocked fuzzy join — the oracle brute-forces all pairs, so a
 # hash match also proves the length-band blocking is lossless.
 ORACLES["d15_fuzzy_name_pairs"] = """
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WITH n AS (
+  SELECT p_name, MIN(p_partkey) AS name_key, COUNT(*) AS n_parts
+  FROM part GROUP BY 1
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       CAST(a.n_parts AS BIGINT) AS n_parts_a,
+       CAST(b.n_parts AS BIGINT) AS n_parts_b
+FROM n a JOIN n b ON a.name_key < b.name_key
 WHERE levenshtein(a.p_name, b.p_name) <= 2
-ORDER BY dist ASC, key_a ASC, key_b ASC
-LIMIT 50
+ORDER BY dist, name_a, name_b
 """
 
 # t25: Jelinek-Mercer interpolated bigram scoring — t20's bigram MLE
