@@ -697,3 +697,81 @@ def q99_pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "o_orderkey", "user_id", "order_us", "version_type"
     )
+
+
+def q100_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding-window distinct counting — 7-day rolling unique
+    users per day, the engagement metric COUNT(DISTINCT) windows can't
+    express and approx sketches only estimate: q63's positional
+    bitmaps made SLIDING. Per (day, bucket) bitmaps build with one
+    hash agg; each contributes to its 7 target days via a map-side
+    explode of an ALREADY-AGGREGATED frame (days x buckets rows, not
+    events); per-target bitmap_or_agg merges are associative; popcount
+    + sum finishes. Nothing event-sized is shuffled twice and no
+    distinct-per-window recompute happens — the bitmap OR is the
+    mergeable-state trick that makes exact rolling uniques feasible at
+    100 TB. Targets are restricted to observed days."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    daily = ev.groupBy("day", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+        "bucket",
+        "bm",
+    )
+    observed = daily.select("day").distinct().withColumnRenamed(
+        "day", "target_day"
+    )
+    merged = (
+        contrib.join(observed, "target_day", "left_semi")
+        .groupBy("target_day", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .groupBy("target_day")
+        .agg(F.sum("c").alias("n_users"))
+    )
+    return merged.orderBy("target_day")
+
+
+def q101_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — "how many order-coverage
+    windows are active each day": every order opens [date, date+30d);
+    one hash agg folds the corpus into per-day +1/-1 deltas (at most
+    2x distinct-days rows — corpus-sized data never reaches the
+    window), a calendar spine fills gaps, and a running sum over the
+    AGGREGATED day frame yields the concurrency curve. The global
+    window is bounded by the calendar, not the data — the documented
+    safe case for an unpartitioned window. The capacity-planning /
+    concurrent-sessions query every ops team needs, exact."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("s")
+    ).withColumn("e", F.date_add(F.col("s"), 30))
+    deltas = (
+        o.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(o.select(F.col("e").alias("day"), F.lit(-1).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    bounds = o.agg(
+        F.min("s").alias("_lo"), F.max("e").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    j = spine.join(deltas, "day", "left").select(
+        "day", F.coalesce(F.col("delta"), F.lit(0)).alias("delta")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day",
+        F.col("delta").cast("bigint").alias("delta"),
+        F.sum("delta").over(w).cast("bigint").alias("active"),
+    ).orderBy("day")

@@ -1756,6 +1756,49 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# q101: sweep-line interval concurrency — per-day +1/-1 deltas, a
+# calendar spine, one running sum over the aggregated day frame.
+ORACLES["q101_active_intervals"] = """
+WITH b AS (
+  SELECT CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders
+),
+mm AS (SELECT MIN(s) AS lo, MAX(e) AS hi FROM b),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM mm
+),
+d AS (
+  SELECT day, CAST(SUM(dl) AS BIGINT) AS delta FROM (
+    SELECT s AS day, 1 AS dl FROM b
+    UNION ALL
+    SELECT e AS day, -1 AS dl FROM b
+  ) GROUP BY 1
+)
+SELECT sp.day,
+       CAST(COALESCE(d.delta, 0) AS BIGINT) AS delta,
+       CAST(SUM(COALESCE(d.delta, 0)) OVER (
+              ORDER BY sp.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS active
+FROM spine sp LEFT JOIN d ON d.day = sp.day
+ORDER BY sp.day
+"""
+
+# q100: exact 7-day rolling distinct users — DuckDB brute-forces the
+# per-day COUNT(DISTINCT) over the trailing window.
+ORACLES["q100_sliding_distinct"] = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS target_day FROM events)
+SELECT d.target_day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM days d JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.target_day - 6 AND d.target_day
+GROUP BY 1 ORDER BY 1
+"""
+
 # m15: keyframes over decoded video — the m10 frame-sum CTE + a lag.
 ORACLES["m15_keyframes"] = """
 WITH fs AS (
@@ -3229,6 +3272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d15_fuzzy_name_pairs": L.d15_fuzzy_name_pairs,
     "x7_weighted_sample": L.x7_weighted_sample,
     "m15_keyframes": L.m15_keyframes,
+    "q100_sliding_distinct": T.q100_sliding_distinct,
+    "q101_active_intervals": T.q101_active_intervals,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

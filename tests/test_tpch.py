@@ -334,3 +334,39 @@ def test_q99_pit_version_is_latest_at_or_before(spark):
             for r in T.q99_pit_scd2_join(spark, tmp).collect()
         }
     assert got == {100: None, 101: "A", 102: "B", 103: "A"}
+
+
+def test_q100_sliding_distinct_brute_force(spark):
+    """7-day rolling uniques equal a per-day brute-force recompute."""
+    rows = T.q100_sliding_distinct(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    )
+    data = ev.collect()
+    import datetime as dt
+
+    by_day = {}
+    for r in data:
+        by_day.setdefault(r.day, set()).add(r.user_id)
+    for r in rows:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(r.target_day - dt.timedelta(days=k), set())
+        assert r.n_users == len(users), r.target_day
+
+
+def test_q101_concurrency_invariants(spark):
+    """Sweep: active >= 0 everywhere, starts at first-day order count,
+    ends at 0 on the final day (every interval closed), and the sum of
+    deltas is 0."""
+    rows = T.q101_active_intervals(spark, SF).collect()
+    assert rows
+    assert all(r.active >= 0 for r in rows)
+    assert rows[-1].active == 0
+    assert sum(r.delta for r in rows) == 0
+    # spine is contiguous daily
+    import datetime as dt
+
+    for a, b in zip(rows, rows[1:]):
+        assert b.day - a.day == dt.timedelta(days=1)
