@@ -1649,10 +1649,11 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     repriced, a synthetic key range added) so the oracle reproduces the
     exact status partition. Null-safe equality (<=>) keeps NULL columns
     from misclassifying as changed. The added-key offset is max(
-    o_orderkey) from the table itself (broadcast 1-row aggregate), so
-    the synthetic range k + max is > max — provably disjoint from real
-    keys at ANY scale factor, where a fixed 10M literal would collide
-    past SF ~1.6 (TPC-H max orderkey is 6M x SF)."""
+    o_orderkey) + 1 from the table itself (broadcast 1-row aggregate),
+    so the synthetic range k + max + 1 is STRICTLY greater than max
+    even for k = 0 — provably disjoint from real keys at ANY scale
+    factor (a bare +max collides at k = 0; a fixed 10M literal would
+    collide past SF ~1.6, TPC-H max orderkey being 6M x SF)."""
     old = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -1671,7 +1672,9 @@ def q76_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             old.filter(F.col("o_orderkey") % 11 == 0)
             .crossJoin(F.broadcast(mx))
             .select(
-                (F.col("o_orderkey") + F.col("_mx")).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.col("_mx") + 1).alias(
+                    "o_orderkey"
+                ),
                 "o_orderstatus",
                 "o_totalprice",
                 "o_orderdate",
@@ -1763,9 +1766,10 @@ def q78_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog values, insert lands new keys, untouched keys pass
     through). The changelog derives deterministically from orders
     (delete %17, update %5 with +10 reprice, insert a key range for %9
-    offset by max(o_orderkey) — broadcast 1-row aggregate, so inserted
-    keys are provably disjoint from real keys at any scale factor),
-    with delete taking precedence so ops are disjoint."""
+    offset by max(o_orderkey) + 1 — broadcast 1-row aggregate; the +1
+    keeps k = 0 disjoint too — so inserted keys provably never collide
+    with real keys at any scale factor), with delete taking precedence
+    so ops are disjoint."""
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
@@ -1784,7 +1788,7 @@ def q78_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("c_date"),
     )
     inserts = base.filter(k % 9 == 0).crossJoin(F.broadcast(mx)).select(
-        (k + F.col("_mx")).alias("o_orderkey"), F.lit("I").alias("op"),
+        (k + F.col("_mx") + 1).alias("o_orderkey"), F.lit("I").alias("op"),
         F.col("o_orderstatus").alias("c_status"),
         F.col("o_totalprice").alias("c_price"),
         F.col("o_orderdate").alias("c_date"),

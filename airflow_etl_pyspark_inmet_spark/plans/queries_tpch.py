@@ -775,3 +775,62 @@ def q101_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("bigint").alias("delta"),
         F.sum("delta").over(w).cast("bigint").alias("active"),
     ).orderBy("day")
+
+
+def c6_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL-REFRESH flagship — production pipelines are
+    incremental, and this composes that whole story as one
+    oracle-checked query: a CDC changelog (q78's deterministic I/U/D
+    construction) maintains the monthly-revenue materialized view via
+    RETRACTION/ADDITION PARTIALS ONLY — deletes retract (-cents, -1),
+    updates retract the old row and add the new one, inserts add — and
+    the q69 partial-merge folds them into the existing MV without
+    rescanning the base table. The oracle computes the FULL aggregate
+    over the changelog-applied table from scratch, so a hash match IS
+    the materialized-view-maintenance theorem (incremental == full
+    recompute) verified end to end with delete handling. Exact BIGINT
+    cents; changelog-sized work only (base is scanned once to build
+    the original MV, as in production)."""
+    from ..operators.relational import merge_partial_aggs
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    new_cents = (
+        (F.col("o_totalprice") + 10).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    ym = [
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+    ]
+    old_mv = base.groupBy(*ym).agg(
+        F.sum(cents).alias("price_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    retr_del = base.filter(k % 17 == 0).select(
+        *ym, (-cents).alias("price_cents"), F.lit(-1).cast("bigint").alias("n_orders")
+    )
+    upd = base.filter((k % 17 != 0) & (k % 5 == 0))
+    retr_upd = upd.select(
+        *ym, (-cents).alias("price_cents"), F.lit(-1).cast("bigint").alias("n_orders")
+    )
+    add_upd = upd.select(
+        *ym, new_cents.alias("price_cents"), F.lit(1).cast("bigint").alias("n_orders")
+    )
+    add_ins = base.filter(k % 9 == 0).select(
+        *ym, cents.alias("price_cents"), F.lit(1).cast("bigint").alias("n_orders")
+    )
+    partials = (
+        old_mv.unionByName(retr_del)
+        .unionByName(retr_upd)
+        .unionByName(add_upd)
+        .unionByName(add_ins)
+    )
+    mv = merge_partial_aggs(
+        partials, ["ano", "mes"], ["price_cents", "n_orders"]
+    )
+    return mv.filter(F.col("n_orders") > 0).orderBy("ano", "mes")

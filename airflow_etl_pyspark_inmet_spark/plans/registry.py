@@ -1756,6 +1756,43 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# c6: incremental MV refresh == full recompute over the CDC-applied
+# table — the oracle recomputes from scratch, so a hash match is the
+# view-maintenance theorem verified with delete handling.
+ORACLES["c6_incremental_refresh"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+changelog AS (
+  SELECT o_orderkey, 'D' AS op, NULL AS c_status,
+         CAST(NULL AS DOUBLE) AS c_price,
+         CAST(NULL AS TIMESTAMP) AS c_date
+  FROM base WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', o_orderstatus, o_totalprice + 10, o_orderdate
+  FROM base WHERE o_orderkey % 17 <> 0 AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base) + 1, 'I',
+         o_orderstatus, o_totalprice, o_orderdate
+  FROM base WHERE o_orderkey % 9 = 0
+),
+applied AS (
+  SELECT CASE WHEN c.op IN ('U', 'I') THEN c.c_price
+              ELSE b.o_totalprice END AS price,
+         CASE WHEN c.op IN ('U', 'I') THEN c.c_date
+              ELSE b.o_orderdate END AS d
+  FROM base b FULL OUTER JOIN changelog c USING (o_orderkey)
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT CAST(year(d) AS INTEGER) AS ano, CAST(month(d) AS INTEGER) AS mes,
+       CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS price_cents,
+       COUNT(*) AS n_orders
+FROM applied
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 # q101: sweep-line interval concurrency — per-day +1/-1 deltas, a
 # calendar spine, one running sum over the aggregated day frame.
 ORACLES["q101_active_intervals"] = """
@@ -2166,7 +2203,7 @@ changelog AS (
   SELECT o_orderkey, 'U', o_orderstatus, o_totalprice + 10, o_orderdate
   FROM base WHERE o_orderkey % 17 <> 0 AND o_orderkey % 5 = 0
   UNION ALL
-  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base), 'I',
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base) + 1, 'I',
          o_orderstatus, o_totalprice, o_orderdate
   FROM base WHERE o_orderkey % 9 = 0
 )
@@ -2229,7 +2266,7 @@ new AS (
          CASE WHEN k % 7 = 0 THEN tp + 1 ELSE tp END AS tp, od
   FROM old WHERE k % 13 <> 0
   UNION ALL
-  SELECT k + (SELECT MAX(k) FROM old) AS k, st, tp, od
+  SELECT k + (SELECT MAX(k) FROM old) + 1 AS k, st, tp, od
   FROM old WHERE k % 11 = 0
 )
 SELECT COALESCE(o.k, n.k) AS o_orderkey,
@@ -3274,6 +3311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m15_keyframes": L.m15_keyframes,
     "q100_sliding_distinct": T.q100_sliding_distinct,
     "q101_active_intervals": T.q101_active_intervals,
+    "c6_incremental_refresh": T.c6_incremental_refresh,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

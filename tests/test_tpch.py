@@ -370,3 +370,37 @@ def test_q101_concurrency_invariants(spark):
 
     for a, b in zip(rows, rows[1:]):
         assert b.day - a.day == dt.timedelta(days=1)
+
+
+def test_c6_incremental_equals_full_recompute(spark):
+    """The MV-maintenance theorem on sf0.001: incremental partials ==
+    full recompute over the changelog-applied table."""
+    got = {(r.ano, r.mes): (r.price_cents, r.n_orders)
+           for r in T.c6_incremental_refresh(spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    # replay the changelog apply row-level, then aggregate fully
+    kept = o.filter(k % 17 != 0).select(
+        F.when(k % 5 == 0, F.col("o_totalprice") + 10)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderdate").alias("d"),
+    )
+    ins = o.filter(k % 9 == 0).select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("d"),
+    )
+    full = (
+        kept.unionByName(ins)
+        .groupBy(F.year("d").alias("ano"), F.month("d").alias("mes"))
+        .agg(
+            F.sum(
+                (F.col("price").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("pc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {(r.ano, r.mes): (r.pc, r.n) for r in full.collect()}
+    assert got == want and len(want) > 0
