@@ -770,6 +770,16 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def st8_stream_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per day as a stream (positional bitmaps
+    make the distinct mergeable — fixed-size state, not HLL); equals
+    the batch per-day COUNT(DISTINCT), which is the oracle."""
+    from ..streaming.windows import streaming_daily_uniques
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return streaming_daily_uniques(spark, f"{sf_dir}/events.parquet")
+
+
 def m15_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe selection over REAL decoded video (shot-detection
     proxy): a frame is a keyframe when it is the first frame or its

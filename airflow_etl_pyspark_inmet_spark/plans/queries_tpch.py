@@ -834,3 +834,47 @@ def c6_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials, ["ano", "mes"], ["price_cents", "n_orders"]
     )
     return mv.filter(F.col("n_orders") > 0).orderBy("ano", "mes")
+
+
+def q102_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery / FK inference — the data-catalog profiling
+    step that answers "which columns join": for each candidate
+    (child column, parent column) pair, the child's distinct count,
+    the parent's distinct count, and the CONTAINMENT ratio
+    |child ∩ parent| / |child| in exact integer ppm — 1e6 means every
+    child value exists in the parent (a valid FK). Each pair costs two
+    distinct aggregates plus one semi join on already-distinct keys;
+    pairs are independent and union into one report. The q67/q68/q96
+    profiling family's missing relationship tier."""
+    cands = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+        ("customer", "c_custkey", "orders", "o_custkey"),  # reverse: not an FK
+    ]
+    parts = []
+    for ct, cc, pt, pc in cands:
+        child = _t(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = _t(spark, sf_dir, pt).select(F.col(pc).alias("p")).distinct()
+        both = child.join(parent, child.v == parent.p, "left_semi")
+        stats = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            both.agg(F.count(F.lit(1)).alias("n_contained"))
+        ).crossJoin(parent.agg(F.count(F.lit(1)).alias("n_parent")))
+        parts.append(
+            stats.select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_parent").cast("bigint").alias("n_parent"),
+                F.col("n_contained").cast("bigint").alias("n_contained"),
+                F.expr("n_contained * 1000000 div n_child").alias(
+                    "containment_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("child_col", "parent_col")

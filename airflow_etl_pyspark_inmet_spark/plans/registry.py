@@ -1756,6 +1756,41 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# st8: streaming exact daily uniques == batch COUNT(DISTINCT) per day.
+ORACLES["st8_stream_daily_uniques"] = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+# q102: FK inference report — distinct counts + containment in ppm.
+_Q102_PAIR = """
+SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+       CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(DISTINCT {pc}) FROM {pt}) AS BIGINT) AS n_parent,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+             WHERE EXISTS (SELECT 1 FROM {pt} WHERE {pc} = c.v))
+            AS BIGINT) AS n_contained,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+             WHERE EXISTS (SELECT 1 FROM {pt} WHERE {pc} = c.v))
+            * 1000000
+            // (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS BIGINT)
+         AS containment_ppm"""
+ORACLES["q102_join_discovery"] = (
+    "\nUNION ALL\n".join(
+        _Q102_PAIR.format(ct=ct, cc=cc, pt=pt, pc=pc)
+        for ct, cc, pt, pc in [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("events", "user_id", "customer", "c_custkey"),
+            ("customer", "c_custkey", "orders", "o_custkey"),
+        ]
+    )
+    + "\nORDER BY child_col, parent_col"
+)
+
 # c6: incremental MV refresh == full recompute over the CDC-applied
 # table — the oracle recomputes from scratch, so a hash match is the
 # view-maintenance theorem verified with delete handling.
@@ -3313,6 +3348,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_sliding_distinct": T.q100_sliding_distinct,
     "q101_active_intervals": T.q101_active_intervals,
     "c6_incremental_refresh": T.c6_incremental_refresh,
+    "q102_join_discovery": T.q102_join_discovery,
+    "st8_stream_daily_uniques": L.st8_stream_daily_uniques,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

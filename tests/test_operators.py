@@ -1339,3 +1339,26 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got = [r.doc_id for r in weighted_priority_sample(df, 10, "w").collect()]
     assert 37 in got
     assert len(got) == 10 and len(set(got)) == 10
+
+
+def test_streaming_daily_uniques_equals_batch(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_daily_uniques,
+    )
+
+    got = {
+        (r.day, r.n_users)
+        for r in streaming_daily_uniques(
+            spark, f"{sf_small}/events.parquet"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    want = {
+        (r.day, r.n)
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
