@@ -967,3 +967,54 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
+
+
+def jaccard_search_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Text similarity SEARCH (not dedup): exact n-gram-Jaccard top-k
+    corpus neighbors for each query document, via the shingle inverted
+    index — a query only ever meets docs it SHARES A SHINGLE WITH
+    (zero-overlap docs have jaccard 0 and can't enter a top-k over
+    positive scores), so candidates are an equi-join on the shingle
+    key, never query x corpus. Deterministic integer tiebreak:
+    rank by (inter * 1e6 div union) descending, then neighbor id —
+    exact integer ppm, no float comparison anywhere."""
+    from pyspark.sql import Window
+
+    s = shingle_sets(df, id_col, text_col, ngram)
+    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    qs = s.filter(F.col("_id").isin(query_ids)).toDF("query_id", "shingle")
+    corpus = s.toDF("item_id", "shingle")
+    inter = (
+        corpus.join(F.broadcast(qs), "shingle")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .groupBy("query_id", "item_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nq = sizes.toDF("query_id", "n_q")
+    ni = sizes.toDF("item_id", "n_i")
+    scored = (
+        inter.join(F.broadcast(nq), "query_id")
+        .join(ni, "item_id")
+        .select(
+            "query_id",
+            "item_id",
+            F.expr(
+                "inter * 1000000 div (n_q + n_i - inter)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", "jaccard_ppm")
+    )

@@ -770,6 +770,19 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def t26_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text similarity search: exact 3-gram-Jaccard top-5 corpus
+    neighbors for 3 query documents via the shingle inverted index —
+    candidates only where a shingle is shared (equi-join, never
+    query x corpus), scores in exact integer ppm with deterministic
+    tiebreak (operators.dedup.jaccard_search_topk). The retrieval
+    sibling of the d2 dedup thresholding."""
+    from ..operators.dedup import jaccard_search_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return jaccard_search_topk(docs, query_ids=[0, 1, 2], k=5)
+
+
 def st8_stream_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct users per day as a stream (positional bitmaps
     make the distinct mergeable — fixed-size state, not HLL); equals

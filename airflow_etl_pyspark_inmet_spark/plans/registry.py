@@ -1756,6 +1756,34 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# t26: Jaccard text search — brute-force over the shared-shingle
+# candidates (zero-overlap docs can't enter a positive-score top-k).
+ORACLES["t26_jaccard_search"] = f"""
+WITH {_GRAMS_DISTINCT},
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS item_id, COUNT(*) AS inter
+  FROM grams q JOIN grams c ON q.g = c.g
+  WHERE q.doc_id IN (0, 1, 2) AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, item_id,
+         CAST(inter * 1000000 // (sq.n + si.n - inter) AS BIGINT)
+           AS jaccard_ppm
+  FROM inter
+  JOIN sizes sq ON sq.doc_id = query_id
+  JOIN sizes si ON si.doc_id = item_id
+),
+r AS (
+  SELECT query_id, item_id, jaccard_ppm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY jaccard_ppm DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, jaccard_ppm FROM r WHERE rank <= 5
+"""
+
 # st8: streaming exact daily uniques == batch COUNT(DISTINCT) per day.
 ORACLES["st8_stream_daily_uniques"] = """
 SELECT CAST(ts AS DATE) AS day,
@@ -3350,6 +3378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c6_incremental_refresh": T.c6_incremental_refresh,
     "q102_join_discovery": T.q102_join_discovery,
     "st8_stream_daily_uniques": L.st8_stream_daily_uniques,
+    "t26_jaccard_search": L.t26_jaccard_search,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

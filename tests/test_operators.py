@@ -1362,3 +1362,23 @@ def test_streaming_daily_uniques_equals_batch(spark, sf_small):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_jaccard_search_planted_twin_ranks_first(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        jaccard_search_topk,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again"),
+        (1, "the quick brown fox jumps over the lazy dog again"),  # twin
+        (2, "a completely different sentence with other words entirely"),
+        (3, "the quick brown fox jumps over the sleepy dog again"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = jaccard_search_topk(df, query_ids=[0], k=3)
+    rows_out = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows_out[0].item_id == 1 and rows_out[0].jaccard_ppm == 1_000_000
+    assert rows_out[1].item_id == 3
+    # doc 2 shares no 3-gram with doc 0 -> absent
+    assert all(r.item_id != 2 for r in rows_out)
