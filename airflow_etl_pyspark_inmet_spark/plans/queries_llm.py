@@ -770,6 +770,56 @@ def x5_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, n_phases=4)
 
 
+def x8_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch corpus reshuffle — the dataloader contract x3's
+    single permutation doesn't cover: each training epoch needs a
+    DIFFERENT deterministic permutation. Priority
+    ((doc_id + epoch * 99991) * KNUTH) % 2^20 re-keys every epoch;
+    positions come from per-epoch windows (parallel across epochs, the
+    x3/x5 idiom). Three epochs emitted; reproducible bit for bit."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window as W
+
+    e = docs.crossJoin(
+        F.broadcast(
+            spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+        )
+    )
+    pri = ((F.col("doc_id") + F.col("epoch") * 99991) * 2654435761) % 1048576
+    w = W.partitionBy("epoch").orderBy(pri, F.col("doc_id"))
+    return e.select(
+        "epoch",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def d17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: d6's label-blocked cosine pairs
+    (threshold 0.35) closed into connected components (d5's
+    pointer-jumping), one row per embedding with its cluster id and
+    canonical flag — the SemDeDup cluster step as a first-class
+    output, composing the similarity and clustering families."""
+    from ..operators.dedup import (
+        connected_components,
+        embedding_cosine_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, block_col="label", threshold=0.35)
+    comp = connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b"))
+    )
+    base = emb.select("vec_id", "label")
+    cluster = F.coalesce(F.col("comp"), F.col("vec_id")).cast("bigint")
+    return base.join(comp, base.vec_id == comp.node, "left").select(
+        "vec_id",
+        "label",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).alias("is_canonical"),
+    )
+
+
 def t26_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text similarity search: exact 3-gram-Jaccard top-5 corpus
     neighbors for 3 query documents via the shingle inverted index —

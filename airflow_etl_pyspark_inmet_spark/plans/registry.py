@@ -1756,6 +1756,51 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
 
+# x8: per-epoch deterministic reshuffle — pure integer replay.
+ORACLES["x8_epoch_reshuffle"] = """
+WITH e AS (
+  SELECT d.doc_id, CAST(ep.epoch AS INTEGER) AS epoch
+  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) ep
+)
+SELECT epoch, doc_id,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY epoch
+              ORDER BY ((doc_id + epoch * 99991) * 2654435761) % 1048576,
+                       doc_id) AS BIGINT) AS pos
+FROM e
+"""
+
+# d17: semantic dup clusters — d6's blocked cosine pairs closed by the
+# d5 recursive-CTE component closure.
+ORACLES["d17_semantic_clusters"] = """
+WITH RECURSIVE ev AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY 1)
+SELECT v.vec_id, v.label,
+       CAST(COALESCE(c.comp, v.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.comp, v.vec_id) = v.vec_id AS is_canonical
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+"""
+
 # t26: Jaccard text search — brute-force over the shared-shingle
 # candidates (zero-overlap docs can't enter a positive-score top-k).
 ORACLES["t26_jaccard_search"] = f"""
@@ -3312,7 +3357,7 @@ FROM p
 
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. Union
-# of CORRECTNESS_r01-r06 covers 143 of the 180 now registered (every
+# of CORRECTNESS_r01-r06 covers 143 of the 182 now registered (every
 # latest driver row green; everything else green in this round's full
 # local replica). Round-7 window, front to back:
 #   1. the 4 queries new this round's first batch (c4 full pretraining
@@ -3320,7 +3365,7 @@ FROM p
 #      basket pairs);
 #   2. the 6 round-6 queries that landed BEHIND the r6 window and have
 #      never been driver-checked (d12, q78-q82);
-#   2b. the 34 mid-round-7 additions (extended TPC-H batch q84-q102
+#   2b. the 36 mid-round-7 additions (extended TPC-H batch q84-q102
 #      incl. bloom-prune semi join, expectations gate, interval merge,
 #      skew-split join, PIT SCD2 join; s5 product-quantization ANN;
 #      st7 streaming OHLC; m14 AV alignment / m15 keyframes; x5
@@ -3328,7 +3373,8 @@ FROM p
 #      interpolated LM; d15 fuzzy join; g1 PageRank; c5 multimodal
 #      flagship, c6 incremental-refresh flagship, q100 rolling
 #      uniques, q101 concurrency, st8 streaming exact uniques, t26
-#      Jaccard search) — never-checked code outranks re-checking r4-stale
+#      Jaccard search, x8 epoch reshuffle, d17 semantic clusters)
+#      — never-checked code outranks re-checking r4-stale
 #      code that already has two independent full-replica
 #      confirmations (r6 judge's + this round's);
 #   3. the stalest r4 evidence fills the remaining ~13 slots; the rest
@@ -3380,6 +3426,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_join_discovery": T.q102_join_discovery,
     "st8_stream_daily_uniques": L.st8_stream_daily_uniques,
     "t26_jaccard_search": L.t26_jaccard_search,
+    "x8_epoch_reshuffle": L.x8_epoch_reshuffle,
+    "d17_semantic_clusters": L.d17_semantic_clusters,
     # -- 3. stalest driver evidence (round 4) ----------------------
     "d3_dedup_minhash": L.d3_dedup_minhash,
     "d4_dedup_simhash": L.d4_dedup_simhash,

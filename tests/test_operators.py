@@ -1382,3 +1382,39 @@ def test_jaccard_search_planted_twin_ranks_first(spark):
     assert rows_out[1].item_id == 3
     # doc 2 shares no 3-gram with doc 0 -> absent
     assert all(r.item_id != 2 for r in rows_out)
+
+
+def test_epoch_reshuffle_distinct_permutations(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        x8_epoch_reshuffle,
+    )
+
+    rows = x8_epoch_reshuffle(spark, sf_small).collect()
+    n_docs = len({r.doc_id for r in rows})
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert set(by_epoch) == {0, 1, 2}
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n_docs + 1))
+    # epochs are genuinely different permutations
+    assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
+
+
+def test_semantic_clusters_cover_corpus_and_respect_pairs(spark, sf_small):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        d17_semantic_clusters,
+    )
+
+    out = {r.vec_id: r.cluster_id for r in
+           d17_semantic_clusters(spark, sf_small).collect()}
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    assert len(out) == emb.count()
+    pairs = embedding_cosine_pairs(
+        emb, block_col="label", threshold=0.35
+    ).collect()
+    for p in pairs:
+        assert out[p.id_a] == out[p.id_b]
