@@ -860,6 +860,7 @@ def pagerank_exact(
     scale: int = 1_000_000_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    validate_undirected: bool = True,
 ) -> DataFrame:
     """PageRank over an undirected edge list in EXACT integer
     arithmetic — the iterative-graph-algorithm pattern beyond
@@ -881,11 +882,31 @@ def pagerank_exact(
     in an undirected edge list (deg >= 1 by construction).
 
     ``edges`` must already contain BOTH directions of each undirected
-    edge. Returns (node, pr_scaled, degree).
+    edge. ``validate_undirected`` (default on) enforces that contract
+    with one anti-join pass: a node appearing only as a destination
+    (pure sink — possible only if the caller fed a DIRECTED edge list)
+    would otherwise silently vanish from the ranking and undersize N,
+    so directed misuse now fails loudly instead. Disable only when the
+    symmetry is guaranteed by construction upstream (e.g. the caller
+    just emitted both directions itself). Returns (node, pr_scaled,
+    degree).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
+    if validate_undirected:
+        sink = (
+            e.select(F.col("dst").alias("_node"))
+            .join(e.select(F.col("src").alias("_node")), "_node", "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if sink:
+            raise ValueError(
+                f"pagerank_exact requires an undirected edge list (both "
+                f"directions present); node {sink[0]['_node']!r} appears "
+                f"only as {dst_col!r}. Union the reversed edges first."
+            )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
     base = scale // n
@@ -963,6 +984,101 @@ def fuzzy_name_pairs(
     return (
         a.join(b, (F.col("_band") == F.col("_blen"))
                & (F.col("key_a") < F.col("key_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+def fuzzy_name_pairs_segmented(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Production-tier blocked fuzzy self-join: the positional-segment
+    (pigeonhole) blocking :func:`fuzzy_name_pairs`'s docstring promises
+    — blocks are (length, segment-index, segment-content) instead of
+    length alone, so at corpus scale same-length names no longer share
+    one giant block (PassJoin's core idea — Li, Deng & Feng, "PassJoin:
+    A Partition-based Method for Similarity Joins", VLDB 2012).
+
+    Completeness (recall 1) by pigeonhole: split every name into
+    ``k+1`` contiguous segments (k = ``max_dist``). If
+    ``lev(a, b) <= k``, at most k segments of ``a`` are touched by an
+    edit, so at least one segment survives VERBATIM in ``b``, shifted
+    by at most the number of edits before it (<= k). The probe side
+    therefore enumerates, for every hypothetical partner length
+    ``La in [Lb-k, Lb+k]``, each segment window ``i`` at start offsets
+    ``±k`` around where ``a`` would have cut it — (2k+1)^2 * (k+1)
+    fixed-width probe rows per name (75 at k=2), all generated JVM-side
+    with higher-order array functions (no UDF, no explode of the
+    corpus against itself). Candidates are an EQUI join on
+    (length, segment-index, content); the exact ``levenshtein`` verify
+    runs on candidates only, so the result is bit-identical to the
+    brute-force join (the oracle proves it).
+
+    Zero-length segments (names shorter than k+1 chars) degrade to the
+    empty-content block — i.e. plain length banding — so short strings
+    keep recall 1 with the same code path.
+
+    Returns (key_a, key_b, name_a, name_b, dist) with key_a < key_b.
+    """
+    k = max_dist
+    p = k + 1  # number of segments
+    seg_a = (
+        f"transform(sequence(0, {k}), i -> named_struct("
+        f"'i', i, "
+        f"'g', substring({name_col}, (i * length({name_col})) div {p} + 1, "
+        f"((i + 1) * length({name_col})) div {p} "
+        f"- (i * length({name_col})) div {p})))"
+    )
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+        F.length(name_col).alias("_la"),
+        F.explode(F.expr(seg_a)).alias("_seg"),
+    ).select(
+        "key_a", "name_a", "_la",
+        F.col("_seg.i").alias("_i"),
+        F.col("_seg.g").alias("_g"),
+    )
+    # probe side: every (La, i, shifted window) a within-distance-k
+    # partner could have produced. seglen/start recomputed exactly as
+    # the index side cuts them, from the HYPOTHETICAL length La.
+    probe = (
+        f"array_distinct(flatten(transform("
+        f"sequence(greatest(length({name_col}) - {k}, 0), "
+        f"length({name_col}) + {k}), la -> "
+        f"flatten(transform(sequence(0, {k}), i -> "
+        f"filter(transform(sequence(-{k}, {k}), d -> "
+        f"CASE "
+        f"WHEN ((i + 1) * la) div {p} - (i * la) div {p} = 0 AND d = 0 "
+        f"THEN named_struct('la', la, 'i', i, 'g', '') "
+        f"WHEN ((i + 1) * la) div {p} - (i * la) div {p} > 0 "
+        f"AND (i * la) div {p} + d >= 0 "
+        f"AND (i * la) div {p} + d "
+        f"+ ((i + 1) * la) div {p} - (i * la) div {p} "
+        f"<= length({name_col}) "
+        f"THEN named_struct('la', la, 'i', i, 'g', "
+        f"substring({name_col}, (i * la) div {p} + d + 1, "
+        f"((i + 1) * la) div {p} - (i * la) div {p})) "
+        f"ELSE NULL END), x -> x IS NOT NULL))))))"
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+        F.explode(F.expr(probe)).alias("_pr"),
+    ).select(
+        "key_b", "name_b",
+        F.col("_pr.la").alias("_la"),
+        F.col("_pr.i").alias("_i"),
+        F.col("_pr.g").alias("_g"),
+    )
+    return (
+        a.join(b, ["_la", "_i", "_g"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "dist")

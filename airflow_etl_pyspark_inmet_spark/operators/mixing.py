@@ -279,14 +279,20 @@ def weighted_priority_sample(
     Plan shape: map-only priority + a global TakeOrderedAndProject —
     top-k never sorts the corpus; each partition keeps k rows and the
     driver merges P*k.
+
+    Contract: weights must be >= 1. A zero weight would make integer
+    ``div`` return NULL (non-ANSI Spark) and NULLS-FIRST ASC ordering
+    would then silently *prefer* the invalid rows, so the operator
+    clamps with ``greatest(w, 1)`` — a weight below 1 behaves as 1
+    rather than corrupting the sample.
     """
-    w = F.col(weight_col).cast("bigint")
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
     out = df.select(
         F.col(id_col),
         w.alias("weight"),
         F.expr(
             f"cast(({id_col} * {KNUTH}) % {BUCKETS} as bigint) * 1000000"
-            f" div cast({weight_col} as bigint)"
+            f" div greatest(cast({weight_col} as bigint), 1)"
         ).alias("priority"),
     )
     return out.orderBy(F.col("priority").asc(), F.col(id_col).asc()).limit(k)

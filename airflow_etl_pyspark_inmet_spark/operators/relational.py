@@ -704,10 +704,14 @@ def bloom_prune_semi_join(
             F.expr(f"_b{i} & shiftleft(1L, cast(_h{i} % 64 as int))") != 0
         )
     pruned = probe.filter(keep).select(fact.columns)
-    # exact verify: the real semi join runs on the pruned survivors only
+    # exact verify: the real semi join runs on the pruned survivors only.
+    # The key side is aliased to a reserved name so fact_key == key_col
+    # (same column name on both sides) cannot raise an ambiguous-reference
+    # AnalysisException.
+    keys_frame = keys.select(F.col(key_col).alias("_bloom_exact_key"))
     return pruned.join(
-        keys.select(key_col),
-        F.col(fact_key) == F.col(key_col),
+        keys_frame,
+        F.col(fact_key) == F.col("_bloom_exact_key"),
         "left_semi",
     )
 
@@ -756,8 +760,15 @@ def skew_split_join(
     dim_hot = dim.join(
         F.broadcast(stats), dim[dim_key] == F.col("_hot_key"), "left_semi"
     )
-    hot = fact_hot.join(
-        F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key]
-    )
-    cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
+    if fact_key == dim_key:
+        # Same key name on both sides: join on the column NAME so Spark
+        # coalesces it into a single output column — the expression form
+        # would emit duplicate columns and make unionByName ambiguous.
+        hot = fact_hot.join(F.broadcast(dim_hot), on=fact_key)
+        cold = fact_cold.join(dim, on=fact_key)
+    else:
+        hot = fact_hot.join(
+            F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key]
+        )
+        cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
     return hot.unionByName(cold)

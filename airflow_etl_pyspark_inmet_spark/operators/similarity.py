@@ -228,6 +228,68 @@ def ann_with_recall_check(
     )
 
 
+def _assign_udf(centroids: np.ndarray, n: int):
+    """Pandas UDF assigning each vector to its ``n`` nearest centroids by
+    cosine (both sides normalized inside the batch)."""
+
+    @F.pandas_udf("array<int>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        sims = Vn @ Cn.T  # (rows, cells)
+        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return udf
+
+
+def _ivf_train(base: DataFrame, n_cells: int) -> np.ndarray:
+    """IVF coarse-quantizer training: deterministic seeds (the
+    ``n_cells`` lowest-id corpus vectors) refined by ONE distributed
+    Lloyd step whose statistics are per-batch partial sums inside a
+    single ``mapInPandas`` pass — each task emits at most ``n_cells``
+    (cell, sum-vector, count) rows, so nothing corpus-sized ever
+    shuffles or reaches the driver. ``base`` must already be the
+    checkpointed (item_id, _ivec) projection."""
+    seed_rows = base.orderBy("item_id").limit(n_cells).select("_ivec").collect()
+    C0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (cells, dim)
+    dim = C0.shape[1]
+    n_cells_eff = C0.shape[0]
+
+    def lloyd_partials(batches):
+        C0n = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+        S = np.zeros((n_cells_eff, dim), dtype=np.float64)
+        N = np.zeros(n_cells_eff, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_ivec"].to_numpy()).astype(np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cell = np.argsort(-(Vn @ C0n.T), axis=1)[:, 0]
+            np.add.at(S, cell, V)
+            np.add.at(N, cell, 1)
+        hit = np.nonzero(N)[0]
+        if len(hit):
+            yield pd.DataFrame(
+                {"_cell": hit.astype("int32"),
+                 "_s": list(S[hit]),
+                 "_n": N[hit]}
+            )
+
+    partials = base.select("_ivec").mapInPandas(
+        lloyd_partials, "_cell int, _s array<double>, _n bigint"
+    ).collect()
+    S = np.zeros((n_cells_eff, dim), dtype=np.float64)
+    N = np.zeros(n_cells_eff, dtype=np.int64)
+    for r in partials:
+        S[r["_cell"]] += np.asarray(r["_s"], dtype=np.float64)
+        N[r["_cell"]] += r["_n"]
+    return np.where((N > 0)[:, None], S / np.maximum(N, 1)[:, None], C0)
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -258,27 +320,6 @@ def ivf_topk(
     """
     from .util import ensure_parallelism
 
-    seed_rows = (
-        items.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    )
-    C0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (cells, dim)
-    dim = C0.shape[1]
-
-    def assign_udf(centroids: np.ndarray, n: int):
-        @F.pandas_udf("array<int>")
-        def udf(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            # cosine distance == euclidean on normalized vectors; normalize both
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            Cn = centroids / np.maximum(
-                np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-            )
-            sims = Vn @ Cn.T  # (rows, cells)
-            top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
-            return pd.Series(list(top))
-
-        return udf
-
     # Materialize the projected corpus once: the Lloyd pass and the final
     # assignment both read this checkpoint instead of re-scanning parquet
     # and re-paying the small-file repartition (previously the corpus went
@@ -287,47 +328,13 @@ def ivf_topk(
     base = ensure_parallelism(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
     ).localCheckpoint(eager=False)
+    C1 = _ivf_train(base, n_cells)
 
-    # One Lloyd step: per-batch partial sums inside the same Arrow pass
-    # that assigns to the seed centroids. Output is <= n_cells rows per
-    # task; the driver merges a (cells x dim) matrix. The previous shape
-    # (posexplode to N x dim rows + hash aggregate) shuffled a frame the
-    # size of the corpus times the dimension.
-    def lloyd_partials(batches):
-        C0n = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
-        S = np.zeros((n_cells, dim), dtype=np.float64)
-        N = np.zeros(n_cells, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["_ivec"].to_numpy()).astype(np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            cell = np.argsort(-(Vn @ C0n.T), axis=1)[:, 0]
-            np.add.at(S, cell, V)
-            np.add.at(N, cell, 1)
-        hit = np.nonzero(N)[0]
-        if len(hit):
-            yield pd.DataFrame(
-                {"_cell": hit.astype("int32"),
-                 "_s": list(S[hit]),
-                 "_n": N[hit]}
-            )
-
-    partials = base.select("_ivec").mapInPandas(
-        lloyd_partials, "_cell int, _s array<double>, _n bigint"
-    ).collect()
-    S = np.zeros((n_cells, dim), dtype=np.float64)
-    N = np.zeros(n_cells, dtype=np.int64)
-    for r in partials:
-        S[r["_cell"]] += np.asarray(r["_s"], dtype=np.float64)
-        N[r["_cell"]] += r["_n"]
-    C1 = np.where((N > 0)[:, None], S / np.maximum(N, 1)[:, None], C0)
-
-    it = base.withColumn("_cell", assign_udf(C1, 1)(F.col("_ivec"))[0])
+    it = base.withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0])
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        F.explode(assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
+        F.explode(_assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
     )
     cand = (
         it.join(F.broadcast(q), "_cell")
@@ -403,6 +410,12 @@ def _pq_train(
     """
     sub = dim // m
     seed_rows = base.orderBy("item_id").limit(ks).select(vec_col).collect()
+    if len(seed_rows) < ks:
+        raise ValueError(
+            f"PQ training needs at least ks={ks} corpus vectors for the "
+            f"deterministic seed; got {len(seed_rows)}. Lower ks or grow "
+            "the corpus."
+        )
     S0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (ks, dim)
     S0 = S0 / np.maximum(np.linalg.norm(S0, axis=1, keepdims=True), 1e-12)
     C0 = S0.reshape(ks, m, sub).transpose(1, 0, 2).copy()  # (m, ks, sub)
@@ -443,6 +456,41 @@ def _pq_train(
     return np.where((N > 0)[..., None], S / np.maximum(N, 1)[..., None], C0)
 
 
+def _pq_encode_udf(C: np.ndarray, m: int, sub: int):
+    """Pandas UDF: L2-normalize, split into ``m`` subvectors, emit the
+    nearest-codebook-centroid index per subspace (the m-byte PQ code)."""
+
+    @F.pandas_udf("array<int>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Vs = V.reshape(len(V), m, sub)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            d = ((Vs[:, j, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return udf
+
+
+def _pq_lut_udf(C: np.ndarray, m: int, sub: int):
+    """Pandas UDF: per-query ADC lookup table — (m x ks) inner products
+    of the normalized query subvectors against every codebook centroid."""
+
+    @F.pandas_udf("array<array<double>>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Vs = V.reshape(len(V), m, sub)
+        out = []
+        for i in range(len(V)):
+            out.append([list(Vs[i, j] @ C[j].T) for j in range(m)])
+        return pd.Series(out)
+
+    return udf
+
+
 def pq_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -480,40 +528,20 @@ def pq_topk(
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
     ).localCheckpoint(eager=False)
     dim = len(base.select("_ivec").first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires the embedding dimension to split evenly into "
+            f"subspaces: dim={dim} is not divisible by m={m}. Pick m from "
+            f"the divisors of {dim}."
+        )
     sub = dim // m
     C = _pq_train(base, m, ks, dim)  # (m, ks, sub)
 
-    def encode_udf():
-        @F.pandas_udf("array<int>")
-        def udf(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            Vs = V.reshape(len(V), m, sub)
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j in range(m):
-                d = ((Vs[:, j, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d, axis=1)
-            return pd.Series(list(codes))
-
-        return udf
-
-    coded = base.select("item_id", encode_udf()(F.col("_ivec")).alias("_codes"))
-
-    def lut_udf():
-        @F.pandas_udf("array<array<double>>")
-        def udf(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            Vs = V.reshape(len(V), m, sub)
-            out = []
-            for i in range(len(V)):
-                out.append([list(Vs[i, j] @ C[j].T) for j in range(m)])
-            return pd.Series(out)
-
-        return udf
-
+    coded = base.select(
+        "item_id", _pq_encode_udf(C, m, sub)(F.col("_ivec")).alias("_codes")
+    )
     q = queries.select(
-        F.col(query_id_col), lut_udf()(F.col(vec_col)).alias("_lut")
+        F.col(query_id_col), _pq_lut_udf(C, m, sub)(F.col(vec_col)).alias("_lut")
     )
     scored = (
         coded.crossJoin(F.broadcast(q))
@@ -570,6 +598,110 @@ def pq_refine_topk(
     scored = (
         cand.join(vecs, "item_id")
         .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "item_id",
+            cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank", "score")
+    )
+
+
+def ivf_pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-routed PQ retrieval — the full FAISS-IVFPQ-shaped production
+    composition this module's docstrings promise: the coarse IVF
+    quantizer (:func:`_ivf_train`) routes each query to its ``n_probe``
+    nearest Voronoi cells, the ADC scan then touches ONLY the m-byte PQ
+    codes of items in probed cells (~n_probe/n_cells of the corpus), and
+    the exact cosine refine re-ranks the per-query ``shortlist``.
+
+    Scale shape — the two multipliers compound: at dim=64/m=8 the scan
+    state is 32x smaller than raw vectors (PQ) AND only
+    n_probe/n_cells of it is read per query (IVF), so a 100 TB corpus
+    scan becomes ~100TB/32 * 4/16 ≈ 0.8 TB of bandwidth-bound code
+    reads per query batch. Plan: one corpus checkpoint feeds IVF
+    training, PQ training, and the encode pass (three reads of one
+    materialization, zero re-scans of storage); candidates are an
+    equi-join on cell id against the broadcast exploded queries; the
+    ADC sum is a JVM-side ``aggregate`` over the code array (no Python
+    in the scoring hot path); refine moves shortlist x Q rows. Recall
+    is the product of the IVF routing recall (s3's dial) and PQ
+    quantization recall (s5's dial); the s6 registry tier pins it
+    against the exact oracle like s2/s3/s5.
+    """
+    from .util import ensure_parallelism
+
+    base = ensure_parallelism(
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
+    ).localCheckpoint(eager=False)
+    dim = len(base.select("_ivec").first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires the embedding dimension to split evenly into "
+            f"subspaces: dim={dim} is not divisible by m={m}."
+        )
+    sub = dim // m
+    C_ivf = _ivf_train(base, n_cells)  # (cells, dim)
+    C_pq = _pq_train(base, m, ks, dim)  # (m, ks, sub)
+
+    # One encode pass: cell id + PQ codes side by side; original vectors
+    # are NOT carried into the scan (that's the point).
+    coded = base.select(
+        "item_id",
+        _assign_udf(C_ivf, 1)(F.col("_ivec"))[0].alias("_cell"),
+        _pq_encode_udf(C_pq, m, sub)(F.col("_ivec")).alias("_codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_lut_udf(C_pq, m, sub)(F.col(vec_col)).alias("_lut"),
+        F.explode(_assign_udf(C_ivf, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    shortlisted = (
+        coded.join(F.broadcast(q), "_cell")
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "item_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc + F.col("_lut")[j][F.col("_codes")[j]],
+            ).alias("_adc"),
+        )
+    )
+    ws = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col("item_id").asc()
+    )
+    cand = (
+        shortlisted.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, "item_id")
+    )
+    # exact refine on the shortlist only: equi-join back to the raw
+    # vectors (shortlist x Q rows move — never corpus-sized).
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    scored = (
+        cand.join(base, "item_id")
+        .join(F.broadcast(qv), query_id_col)
         .select(
             query_id_col,
             "item_id",

@@ -424,6 +424,30 @@ def s5_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.6)
 
 
+def s6_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed PQ retrieval — the production composition s5's
+    docstring promises, now real (operators.similarity.ivf_pq_topk):
+    the coarse IVF quantizer routes each query to 4 of 16 cells, the
+    ADC scan reads ONLY the 8-byte PQ codes inside probed cells
+    (32x compression AND 4/16 of the corpus per query — the two scan
+    multipliers compound), and the exact cosine refine re-ranks the
+    top-100 shortlist. Oracle-checkable tier like s2/s3/s5: emits the
+    exact top-k plus a per-query recall envelope boolean; the measured
+    recall floor at sf0.01 is the product of the IVF routing and PQ
+    quantization recalls, so the envelope sits below s5's (0.4).
+    Production path = ivf_pq_topk alone."""
+    from ..operators.similarity import ann_with_recall_check, ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = ivf_pq_topk(
+        emb, qs, k=10, n_cells=16, n_probe=4, m=8, ks=16, shortlist=100
+    )
+    return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.4)
+
+
 def st3_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming (applyInPandasWithState): per-user
     running count/first/last across micro-batches; finite-input result
@@ -885,6 +909,60 @@ def x7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(docs, k=25, weight_col="w")
 
 
+def st9_stream_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — c6's incremental-refresh
+    theorem proven in the STREAMING path: the same deterministic CDC
+    changelog (deletes retract, updates retract+add, inserts add, exact
+    BIGINT cents) is fed through a multi-epoch ``foreachBatch`` stream
+    (maxFilesPerTrigger=1 over a 4-file delta spill) where each
+    micro-batch partial-aggregates its own rows and
+    ``merge_partial_aggs`` folds them into the running MV. The oracle
+    recomputes the monthly-revenue aggregate from scratch over the
+    changelog-applied table, so a hash match proves incremental ==
+    full recompute regardless of how the changelog splits into
+    micro-batches."""
+    from ..streaming.windows import streaming_incremental_refresh
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    new_cents = (
+        (F.col("o_totalprice") + 10).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    ym = [
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+    ]
+    old_mv = base.groupBy(*ym).agg(
+        F.sum(cents).alias("price_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    neg1 = F.lit(-1).cast("bigint").alias("n_orders")
+    pos1 = F.lit(1).cast("bigint").alias("n_orders")
+    retr_del = base.filter(k % 17 == 0).select(
+        *ym, (-cents).alias("price_cents"), neg1
+    )
+    upd = base.filter((k % 17 != 0) & (k % 5 == 0))
+    retr_upd = upd.select(*ym, (-cents).alias("price_cents"), neg1)
+    add_upd = upd.select(*ym, new_cents.alias("price_cents"), pos1)
+    add_ins = base.filter(k % 9 == 0).select(
+        *ym, cents.alias("price_cents"), pos1
+    )
+    deltas = (
+        retr_del.unionByName(retr_upd)
+        .unionByName(add_upd)
+        .unionByName(add_ins)
+    )
+    mv = streaming_incremental_refresh(
+        spark, old_mv, deltas,
+        keys=["ano", "mes"], vals=["price_cents", "n_orders"],
+    )
+    return mv.filter(F.col("n_orders") > 0).orderBy("ano", "mes")
+
+
 def d15_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution done the scale-correct way: CANONICALIZE
     FIRST (one hash agg collapses the corpus to its distinct names +
@@ -909,6 +987,41 @@ def d15_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = fuzzy_name_pairs(names, key_col="name_key", name_col="p_name")
+    sizes = names.select(
+        F.col("name_key").alias("_k"), F.col("n_parts")
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("n_parts", "n_parts_a"),
+                   pairs.key_a == F.col("_k")).drop("_k")
+        .join(sizes.withColumnRenamed("n_parts", "n_parts_b"),
+              pairs.key_b == F.col("_k")).drop("_k")
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+def d16_fuzzy_pairs_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15's fuzzy name join through the PRODUCTION blocking tier:
+    positional-segment (pigeonhole / PassJoin-style) blocks of
+    (length, segment-index, segment-content) instead of length alone —
+    at corpus scale same-length names no longer share one giant block.
+    Same canonicalize-first collapse as d15 and the SAME brute-force
+    oracle, so a hash match proves the tighter blocking is still
+    recall-1 (the pigeonhole theorem verified end to end). A/B
+    blocking selectivity vs d15 is recorded in SCALING.md."""
+    from ..operators.dedup import fuzzy_name_pairs_segmented
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("name_key"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    pairs = fuzzy_name_pairs_segmented(
+        names, key_col="name_key", name_col="p_name"
+    )
     sizes = names.select(
         F.col("name_key").alias("_k"), F.col("n_parts")
     )

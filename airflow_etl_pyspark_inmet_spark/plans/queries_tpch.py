@@ -878,3 +878,289 @@ def q102_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("child_col", "parent_col")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the six remaining TPC-H queries, adapted to the available
+# schema (no partsupp table, no l_commitdate/l_receiptdate/l_shipmode,
+# no comment columns). Each adaptation preserves the ORIGINAL query's
+# plan shape — the point of carrying the suite — and documents exactly
+# what was substituted. With these, all 22 TPC-H query shapes are
+# registered (Q1 q01, Q3 q73, Q4 q94, Q5 q39, Q6 q84, Q7 q85, Q8 q86,
+# Q9 q104, Q10 q87, Q11 q105, Q12 q106, Q13 q88, Q14 q89, Q15 q90,
+# Q16 q107, Q17 q74, Q18 q75, Q19 q91, Q20 q108, Q21 q92, Q22 q93,
+# Q2 q103).
+# ---------------------------------------------------------------------------
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp stand-in: the supply relation DERIVED from observed
+    lineitems — supplier s supplies part p at unit cost
+    min(extendedprice micros div quantity). One hash agg over
+    (partkey, suppkey); at scale this is the same shuffle partsupp
+    itself would need, and the min is exact integer micro-dollars."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "min(cast(cast(l_extendedprice as decimal(18,2)) * 100 "
+                "as bigint) * 10000 div cast(l_quantity as bigint))"
+            ).alias("cost_micros")
+        )
+    )
+
+
+def q103_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier). Adaptation: partsupp is
+    derived from lineitems (:func:`_supply`); region = EUROPE, part
+    filter p_type = ECONOMY and p_size <= 15. The defining Q2 idiom is
+    preserved: a correlated per-part MIN over the qualifying suppliers
+    (expressed as groupBy-min + join-back — the decorrelated plan
+    Catalyst itself produces for the scalar subquery) selects the
+    cheapest European supplier(s) of each qualifying part. Supplier,
+    nation, region, and the filtered part dim all broadcast; the only
+    corpus-sized shuffle is the supply aggregation itself. Money is
+    exact integer cents/micros end to end."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.expr("cast(cast(s_acctbal as decimal(18,2)) * 100 as bigint)")
+            .alias("acctbal_cents"),
+        )
+    )
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    j = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            "acctbal_cents", "cost_micros",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = j.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost_micros").alias("_min_cost")
+    )
+    return (
+        j.join(
+            F.broadcast(m),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("cost_micros") == F.col("_min_cost")),
+        )
+        .select(
+            "acctbal_cents", "s_name", "n_name",
+            "p_partkey", "p_name", "cost_micros",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q104_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit). Adaptation: with no
+    ps_supplycost, the cost side is the part's list price
+    (p_retailprice x quantity) — profit = discounted revenue minus
+    list-price cost, per (supplier nation, order year), parts filtered
+    by name ('%widget%' for TPC-H's '%green%'). The 5-way join graph
+    is the original's: part (filtered, broadcast), supplier
+    (broadcast), nation (broadcast) hang off lineitem; the one big
+    shuffle is lineitem x orders on the order key. Profit is an exact
+    integer micro-dollar sum — no float subtraction can flip a digit."""
+    parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.expr(
+        "cast(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) "
+        "* 1000000 as bigint) "
+        "- cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint) "
+        "* 10000 * cast(l_quantity as bigint)"
+    )
+    j = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.sum(amount).cast("bigint").alias("profit_micros"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def q105_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification). Adaptation:
+    part value = the exact-cents revenue its ASIA-region suppliers
+    shipped (for ps_supplycost x ps_availqty), region ASIA for nation
+    GERMANY. The defining idiom is intact: a grouped aggregate per
+    part, a SCALAR total over the same aggregate (computed once off a
+    checkpoint, broadcast back), and the fraction filter
+    value > total/1000 in exact integer arithmetic (div, no float).
+    The group-by shuffles the filtered fact once; the scalar side is
+    a 1-row broadcast."""
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    v = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.expr(
+                "sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 "
+                "as bigint))"
+            ).cast("bigint").alias("value_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = v.agg(F.sum("value_cents").alias("_t"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") > F.expr("_t div 1000"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+def q106_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split). Adaptation: with
+    no l_shipmode/l_commitdate/l_receiptdate, the mode is
+    l_returnflag and "late" is l_shipdate > o_orderdate + 90 days,
+    restricted to 1997 shipments (for the receipt-year window). The
+    defining idiom is intact: the lineitem x orders join followed by
+    the conditional count split on o_orderpriority — high priorities
+    (1-URGENT/2-HIGH) vs the rest — per mode. Counts are exact; the
+    date predicate prunes before the join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + interval 90 days")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count_if(hi).cast("bigint").alias("high_line_count"),
+            F.count_if(~hi).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q107_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count). Adaptation:
+    the supplier-part pairs come from DISTINCT observed lineitems (for
+    partsupp), and the excluded-supplier predicate is s_acctbal < 1000
+    (for the '%Customer%Complaints%' comment match). The defining
+    idiom is intact: a COUNT(DISTINCT suppkey) per (brand, type, size)
+    group over the pair relation, with the bad suppliers removed by
+    an anti-ish filter (here a semi join against the good-supplier
+    set) and the part filter (brand <> Brand#5, type <> PROMO, size in
+    a 11-value list) broadcast onto the pairs."""
+    ok_sup = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 1000
+    ).select("s_suppkey")
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(ok_sup), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q108_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion). Adaptation: the
+    availability test ps_availqty > 0.5 * shipped-qty becomes
+    "first-half-1997 quantity exceeds half the 1997 total"
+    (2*h1 > yr in exact integers), parts filtered by name '%bolt%'
+    (for 'forest%'), nations in AMERICA+ASIA (for CANADA). The
+    defining idiom is intact: the nested aggregate over (supplier,
+    part) shipments, a DISTINCT qualifying-supplier projection, and
+    the semi-join chain back to the supplier dim filtered by
+    nation/region — suppliers qualify via EXISTS, never multiplying
+    rows. Quantities are integral bigints; no float touches the
+    predicate."""
+    bolt = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(bolt), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+    )
+    qty = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"),
+                F.col("l_quantity").cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("h1_qty"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("yr_qty"),
+    )
+    cand = qty.filter(2 * F.col("h1_qty") > F.col("yr_qty")).select(
+        "l_suppkey"
+    ).distinct()
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            "s_name",
+            F.expr("cast(cast(s_acctbal as decimal(18,2)) * 100 as bigint)")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("s_name")
+    )

@@ -3355,85 +3355,174 @@ SELECT doc_id, difficulty_milli, phase,
 FROM p
 """
 
+
+# --- round 8 additions ---------------------------------------------------
+
+_ANN_EXACT_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+"""
+
+# s6: IVF-routed PQ — exact top-k + compound-recall envelope boolean,
+# the same oracle-checkable ANN contract as s2/s3/s5.
+ORACLES["s6_ivf_pq_topk"] = _ANN_EXACT_SQL
+
+# d16: segment-blocked fuzzy join — same brute-force oracle as d15, so
+# a hash match proves the PassJoin pigeonhole blocking is recall-1.
+ORACLES["d16_fuzzy_pairs_segmented"] = ORACLES["d15_fuzzy_name_pairs"]
+
+# st9: streaming incremental refresh — same full-recompute oracle as
+# c6; a hash match proves incremental == full recompute IN THE
+# STREAMING PATH, independent of the micro-batch split.
+ORACLES["st9_stream_incremental_refresh"] = ORACLES["c6_incremental_refresh"]
+
+# q103-q108: the six remaining TPC-H shapes (adaptations documented in
+# queries_tpch.py; with these all 22 TPC-H queries are registered).
+ORACLES["q103_tpch_q2"] = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000
+             // CAST(l_quantity AS BIGINT)) AS cost_micros
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+  JOIN region r ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+j AS (
+  SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+         CAST(CAST(e.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+         sp.cost_micros
+  FROM supply sp JOIN eu e ON sp.l_suppkey = e.s_suppkey
+  JOIN part p ON sp.l_partkey = p.p_partkey
+  WHERE p.p_type = 'ECONOMY' AND p.p_size <= 15
+),
+m AS (SELECT p_partkey, MIN(cost_micros) AS min_cost FROM j GROUP BY 1)
+SELECT j.acctbal_cents, j.s_name, j.n_name, j.p_partkey, j.p_name, j.cost_micros
+FROM j JOIN m ON j.p_partkey = m.p_partkey AND j.cost_micros = m.min_cost
+ORDER BY j.acctbal_cents DESC, j.n_name, j.s_name, j.p_partkey
+LIMIT 100
+"""
+
+ORACLES["q104_tpch_q9"] = """
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_micros,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+ORACLES["q105_tpch_q11"] = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+),
+tot AS (SELECT SUM(value_cents) AS t FROM v)
+SELECT l_partkey AS p_partkey, value_cents FROM v, tot
+WHERE value_cents > t // 1000
+ORDER BY value_cents DESC, p_partkey
+"""
+
+ORACLES["q106_tpch_q12"] = """
+SELECT l_returnflag,
+       CAST(count_if(o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND year(l_shipdate) = 1997
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q107_tpch_q16"] = """
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok_sup AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply
+JOIN part ON l_partkey = p_partkey
+JOIN ok_sup ON l_suppkey = s_suppkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q108_tpch_q20"] = """
+WITH bolt_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'),
+qty AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS h1_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS yr_qty
+  FROM lineitem JOIN bolt_parts ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT l_suppkey FROM qty WHERE 2 * h1_qty > yr_qty)
+SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+FROM supplier JOIN cand ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+ORDER BY s_name
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
-# entries of queries(); it rotates a 50-query window each round. Union
-# of CORRECTNESS_r01-r06 covers 143 of the 182 now registered (every
-# latest driver row green; everything else green in this round's full
-# local replica). Round-7 window, front to back:
-#   1. the 4 queries new this round's first batch (c4 full pretraining
-#      pipeline, t22 BPE training, m13 multimodal packing, q83 capped
-#      basket pairs);
-#   2. the 6 round-6 queries that landed BEHIND the r6 window and have
-#      never been driver-checked (d12, q78-q82);
-#   2b. the 36 mid-round-7 additions (extended TPC-H batch q84-q102
-#      incl. bloom-prune semi join, expectations gate, interval merge,
-#      skew-split join, PIT SCD2 join; s5 product-quantization ANN;
-#      st7 streaming OHLC; m14 AV alignment / m15 keyframes; x5
-#      curriculum / x7 weighted sample; t24 leakage-safe split / t25
-#      interpolated LM; d15 fuzzy join; g1 PageRank; c5 multimodal
-#      flagship, c6 incremental-refresh flagship, q100 rolling
-#      uniques, q101 concurrency, st8 streaming exact uniques, t26
-#      Jaccard search, x8 epoch reshuffle, d17 semantic clusters)
-#      — never-checked code outranks re-checking r4-stale
-#      code that already has two independent full-replica
-#      confirmations (r6 judge's + this round's);
-#   3. the stalest r4 evidence fills the remaining ~13 slots; the rest
-#      of the r4 block rotates forward at r8 (all replica-green now).
+# entries of queries(); it rotates a 50-query window each round. After
+# the r7 window, driver staleness was: 50 r7, 50 r6, 47 r5, 35 r4,
+# 0 never-checked. Round-8 window, front to back (the VERDICT r7 ask:
+# retire the r4 cohort entirely):
+#   1. the 9 queries new this round (s6 IVF-routed PQ, d16 segment-
+#      blocked fuzzy join, st9 streaming incremental refresh, and the
+#      six remaining TPC-H shapes q103-q108 completing all 22);
+#   2. ALL 35 queries whose last driver row is r4 (the q11-q44 block,
+#      t12/t13, x1-x3) — after this round nothing in the registry has
+#      driver evidence older than r5;
+#   3. 6 of the oldest r5 rows fill the remaining slots (q03 headline,
+#      c1/c2 compositions, d2/d5 dedup chain, t1).
+# Everything behind the window is green in the r7 judge's independent
+# full replica and in this round's local replica run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1. new in round 7 ------------------------------------------
-    "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
-    "t22_bpe_train": L.t22_bpe_train,
-    "m13_multimodal_pack": L.m13_multimodal_pack,
-    "q83_basket_pairs_capped": R.q83_basket_pairs_capped,
-    # -- 2. never driver-checked (behind the r6 window) ------------
-    "d12_image_neardup": L.d12_image_neardup,
-    "q78_cdc_apply": R.q78_cdc_apply,
-    "q79_ratio_to_report": R.q79_ratio_to_report,
-    "q80_ohlc_bars": R.q80_ohlc_bars,
-    "q81_basket_pairs": R.q81_basket_pairs,
-    "q82_running_balance_floor": R.q82_running_balance_floor,
-    # -- 2b. extended TPC-H batch, new this round (queries_tpch.py) --
-    "q84_tpch_q6": T.q84_tpch_q6,
-    "q85_tpch_q7": T.q85_tpch_q7,
-    "q86_tpch_q8": T.q86_tpch_q8,
-    "q87_tpch_q10": T.q87_tpch_q10,
-    "q88_tpch_q13": T.q88_tpch_q13,
-    "q89_tpch_q14": T.q89_tpch_q14,
-    "q90_tpch_q15": T.q90_tpch_q15,
-    "q91_tpch_q19": T.q91_tpch_q19,
-    "q92_tpch_q21": T.q92_tpch_q21,
-    "q93_tpch_q22": T.q93_tpch_q22,
-    "s5_pq_topk": L.s5_pq_topk,
-    "st7_stream_ohlc": L.st7_stream_ohlc,
-    "m14_av_alignment": L.m14_av_alignment,
-    "x5_curriculum_order": L.x5_curriculum_order,
-    "q94_tpch_q4": T.q94_tpch_q4,
-    "q95_bloom_semi": T.q95_bloom_semi,
-    "t24_leakage_safe_split": L.t24_leakage_safe_split,
-    "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
-    "q96_expectations": T.q96_expectations,
-    "q97_interval_merge": T.q97_interval_merge,
-    "g1_pagerank": L.g1_pagerank,
-    "q98_skew_split_join": T.q98_skew_split_join,
-    "q99_pit_scd2_join": T.q99_pit_scd2_join,
-    "t25_interp_bigram": L.t25_interp_bigram,
-    "d15_fuzzy_name_pairs": L.d15_fuzzy_name_pairs,
-    "x7_weighted_sample": L.x7_weighted_sample,
-    "m15_keyframes": L.m15_keyframes,
-    "q100_sliding_distinct": T.q100_sliding_distinct,
-    "q101_active_intervals": T.q101_active_intervals,
-    "c6_incremental_refresh": T.c6_incremental_refresh,
-    "q102_join_discovery": T.q102_join_discovery,
-    "st8_stream_daily_uniques": L.st8_stream_daily_uniques,
-    "t26_jaccard_search": L.t26_jaccard_search,
-    "x8_epoch_reshuffle": L.x8_epoch_reshuffle,
-    "d17_semantic_clusters": L.d17_semantic_clusters,
-    # -- 3. stalest driver evidence (round 4) ----------------------
-    "d3_dedup_minhash": L.d3_dedup_minhash,
-    "d4_dedup_simhash": L.d4_dedup_simhash,
-    "d7_segment_dedup": L.d7_segment_dedup,
-    "d8_semantic_keeper": L.d8_semantic_keeper,
-    "q10_semi_join": R.q10_semi_join,
+    # -- 1. new in round 8 ------------------------------------------
+    "s6_ivf_pq_topk": L.s6_ivf_pq_topk,
+    "d16_fuzzy_pairs_segmented": L.d16_fuzzy_pairs_segmented,
+    "st9_stream_incremental_refresh": L.st9_stream_incremental_refresh,
+    "q103_tpch_q2": T.q103_tpch_q2,
+    "q104_tpch_q9": T.q104_tpch_q9,
+    "q105_tpch_q11": T.q105_tpch_q11,
+    "q106_tpch_q12": T.q106_tpch_q12,
+    "q107_tpch_q16": T.q107_tpch_q16,
+    "q108_tpch_q20": T.q108_tpch_q20,
+    # -- 2. the full r4-stale cohort (retired this round) -----------
     "q11_anti_join": R.q11_anti_join,
     "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,
@@ -3469,7 +3558,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_mixture_sample": L.x1_mixture_sample,
     "x2_domain_cap": L.x2_domain_cap,
     "x3_shard_assign": L.x3_shard_assign,
+    # -- 3. oldest r5 rows ------------------------------------------
+    "q03_monthly_kpis": R.q3_monthly_kpis,
+    "c1_curation_chain": L.c1_curation_chain,
+    "c2_dedup_funnel": L.c2_dedup_funnel,
+    "d2_dedup_jaccard": L.d2_dedup_jaccard,
+    "d5_dedup_clusters": L.d5_dedup_clusters,
+    "t1_token_stats": L.t1_token_stats,
     # --- end of the driver's 50-entry correctness window -------------
+    "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
+    "t22_bpe_train": L.t22_bpe_train,
+    "m13_multimodal_pack": L.m13_multimodal_pack,
+    "q83_basket_pairs_capped": R.q83_basket_pairs_capped,
+    "d12_image_neardup": L.d12_image_neardup,
+    "q78_cdc_apply": R.q78_cdc_apply,
+    "q79_ratio_to_report": R.q79_ratio_to_report,
+    "q80_ohlc_bars": R.q80_ohlc_bars,
+    "q81_basket_pairs": R.q81_basket_pairs,
+    "q82_running_balance_floor": R.q82_running_balance_floor,
+    "q84_tpch_q6": T.q84_tpch_q6,
+    "q85_tpch_q7": T.q85_tpch_q7,
+    "q86_tpch_q8": T.q86_tpch_q8,
+    "q87_tpch_q10": T.q87_tpch_q10,
+    "q88_tpch_q13": T.q88_tpch_q13,
+    "q89_tpch_q14": T.q89_tpch_q14,
+    "q90_tpch_q15": T.q90_tpch_q15,
+    "q91_tpch_q19": T.q91_tpch_q19,
+    "q92_tpch_q21": T.q92_tpch_q21,
+    "q93_tpch_q22": T.q93_tpch_q22,
+    "s5_pq_topk": L.s5_pq_topk,
+    "st7_stream_ohlc": L.st7_stream_ohlc,
+    "m14_av_alignment": L.m14_av_alignment,
+    "x5_curriculum_order": L.x5_curriculum_order,
+    "q94_tpch_q4": T.q94_tpch_q4,
+    "q95_bloom_semi": T.q95_bloom_semi,
+    "t24_leakage_safe_split": L.t24_leakage_safe_split,
+    "c5_multimodal_pipeline": L.c5_multimodal_pipeline,
+    "q96_expectations": T.q96_expectations,
+    "q97_interval_merge": T.q97_interval_merge,
+    "g1_pagerank": L.g1_pagerank,
+    "q98_skew_split_join": T.q98_skew_split_join,
+    "q99_pit_scd2_join": T.q99_pit_scd2_join,
+    "t25_interp_bigram": L.t25_interp_bigram,
+    "d15_fuzzy_name_pairs": L.d15_fuzzy_name_pairs,
+    "x7_weighted_sample": L.x7_weighted_sample,
+    "m15_keyframes": L.m15_keyframes,
+    "q100_sliding_distinct": T.q100_sliding_distinct,
+    "q101_active_intervals": T.q101_active_intervals,
+    "c6_incremental_refresh": T.c6_incremental_refresh,
+    "q102_join_discovery": T.q102_join_discovery,
+    "st8_stream_daily_uniques": L.st8_stream_daily_uniques,
+    "t26_jaccard_search": L.t26_jaccard_search,
+    "x8_epoch_reshuffle": L.x8_epoch_reshuffle,
+    "d17_semantic_clusters": L.d17_semantic_clusters,
+    "d3_dedup_minhash": L.d3_dedup_minhash,
+    "d4_dedup_simhash": L.d4_dedup_simhash,
+    "d7_segment_dedup": L.d7_segment_dedup,
+    "d8_semantic_keeper": L.d8_semantic_keeper,
+    "q10_semi_join": R.q10_semi_join,
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
     "m9_avi_stats": L.m9_avi_stats,
@@ -3527,26 +3673,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_column_profile": R.q67_column_profile,
     "q68_skew_report": R.q68_skew_report,
     "q69_incremental_agg": R.q69_incremental_agg,
-    "q03_monthly_kpis": R.q3_monthly_kpis,
     "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
     "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
     "x4_temperature_weights": L.x4_temperature_weights,
     "d9_repeated_spans": L.d9_repeated_spans,
     "t19_quality_classifier": L.t19_quality_classifier,
-    "c1_curation_chain": L.c1_curation_chain,
-    "c2_dedup_funnel": L.c2_dedup_funnel,
     "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
     "q46_scd2_intervals": R.q46_scd2_intervals,
     "q47_upsert_merge": R.q47_upsert_merge,
     "q48_rank_suite": R.q48_rank_suite,
     "q49_forward_fill": R.q49_forward_fill,
     "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
-    "d5_dedup_clusters": L.d5_dedup_clusters,
     "q36_global_topk": R.q36_global_topk,
     "q38_ntile_quartiles": R.q38_ntile_quartiles,
-    "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t1_token_stats": L.t1_token_stats,
     "t2_quality": L.t2_quality,
     "t3_lang_id": L.t3_lang_id,
     "t4_fingerprint": L.t4_fingerprint,

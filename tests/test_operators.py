@@ -1418,3 +1418,235 @@ def test_semantic_clusters_cover_corpus_and_respect_pairs(spark, sf_small):
     ).collect()
     for p in pairs:
         assert out[p.id_a] == out[p.id_b]
+
+
+# --------------------------------------------------------------------------
+# round 8: IVF-routed PQ (s6), segment-blocked fuzzy join (d16),
+# streaming incremental refresh (st9), and the ADVICE.md guard fixes.
+# --------------------------------------------------------------------------
+
+
+def test_ivf_pq_topk_recall_vs_exact(emb):
+    """The composed IVF routing + PQ quantization recall must clear the
+    s6 envelope (0.4) — at sf0.001 the measured floor is ~0.9."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in cosine_topk(emb, qs, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in ivf_pq_topk(
+            emb, qs, k=10, n_cells=16, n_probe=4, m=8, ks=16, shortlist=100
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+
+
+def test_pq_rejects_indivisible_dim(emb):
+    """dim % m != 0 must fail fast with a named ValueError, not a numpy
+    reshape error deep inside a pandas UDF (ADVICE.md r7)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, qs, k=5, m=7).collect()
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(emb, qs, k=5, m=7).collect()
+
+
+def test_pq_rejects_tiny_corpus(emb):
+    """Corpus smaller than ks must fail fast naming the parameters
+    (ADVICE.md r7), not crash in _pq_train's reshape."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import pq_topk
+
+    tiny = emb.filter(F.col("vec_id") < 8)
+    qs = tiny.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="ks=16"):
+        pq_topk(tiny, qs, k=3, m=8, ks=16).collect()
+
+
+def test_fuzzy_segmented_equals_bruteforce(spark):
+    """The positional-segment (pigeonhole) blocking must find exactly
+    the brute-force pair set — including insert/delete pairs that
+    change length AND names shorter than k+1 chars (the empty-segment
+    degradation path)."""
+    import itertools
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        fuzzy_name_pairs_segmented,
+    )
+
+    rows = [
+        (1, "anvil"),
+        (2, "anvill"),       # dist 1 (insert)
+        (3, "anvil iron"),   # far
+        (4, "anvi"),         # dist 1 (delete)
+        (5, "bnvil"),        # dist 1 (substitute)
+        (6, "zzzzz"),        # far from all
+        (7, "prefix anvil"), # edits at the FRONT shift all segments
+        (8, "xxprefix anvil"),  # dist 2 to 7 (two front inserts)
+        (9, "ab"),           # shorter than k+1: empty segments
+        (10, "ba"),          # dist 2 to 9
+        (11, ""),            # empty string edge
+    ]
+    df = spark.createDataFrame(rows, ["k", "nm"])
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_name_pairs_segmented(df, "k", "nm", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {
+        (a, b, lev(na, nb))
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) <= 2
+    }
+    assert got == want and (7, 8, 2) in want and (9, 10, 2) in want
+
+
+def test_pagerank_rejects_directed_edges(spark):
+    """A pure-sink node (dst never appearing as src) means the caller
+    fed a directed edge list — must fail loudly (ADVICE.md r7), not
+    silently drop the node and undersize N."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        pagerank_exact,
+    )
+
+    directed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 99)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="undirected"):
+        pagerank_exact(directed, n_iters=1)
+    # the symmetric closure of the same edges is accepted
+    sym = directed.unionByName(
+        directed.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    assert pagerank_exact(sym, n_iters=1).count() == 4
+
+
+def test_weighted_sample_clamps_invalid_weights(spark):
+    """Zero/negative weights used to make integer div return NULL and
+    ASC NULLS FIRST silently PREFER the invalid rows (ADVICE.md r7).
+    The operator now clamps to w>=1: invalid-weight rows behave as
+    weight 1 and a 1000x-heavier valid row still dominates."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, 0 if i % 2 else -5) for i in range(1, 40)] + [(1000, 100000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = weighted_priority_sample(df, k=5, weight_col="w")
+    picked = {r.doc_id for r in got.collect()}
+    assert 1000 in picked
+    assert got.filter(F.col("priority").isNull()).count() == 0
+
+
+def test_bloom_semi_join_same_key_name(spark):
+    """fact_key == key_col (same column name on both sides) must not
+    raise an ambiguous-reference AnalysisException (ADVICE.md r7)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        bloom_prune_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k bigint, v bigint"
+    )
+    keys = spark.createDataFrame([(3,), (7,), (250,)], "k bigint")
+    got = bloom_prune_semi_join(fact, keys, fact_key="k", key_col="k")
+    assert {r.k for r in got.collect()} == {3, 7}
+
+
+def test_skew_split_join_same_key_name(spark):
+    """fact_key == dim_key must coalesce the key into one column and
+    equal the plain inner join (ADVICE.md r7: unionByName used to see
+    duplicate columns)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        skew_split_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 0), (3, 1)],
+        "k bigint, payload bigint",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (4, "unmatched")], "k bigint, name string"
+    )
+    got = skew_split_join(fact, dim, "k", "k", hot_threshold=10)
+    plain = fact.join(dim, "k")
+    assert sorted(got.columns) == sorted(plain.columns)
+    assert (
+        {tuple(r) for r in got.select("k", "payload", "name").collect()}
+        == {tuple(r) for r in plain.select("k", "payload", "name").collect()}
+    )
+
+
+def test_streaming_incremental_refresh_multi_epoch(spark, tmp_path):
+    """The foreachBatch fold must cross >=2 micro-batches and produce
+    the same MV as a batch recompute over base+deltas, regardless of
+    how the changelog splits into epochs."""
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_incremental_refresh,
+    )
+
+    base = spark.createDataFrame(
+        [(g, 10 * g + i) for g in (1, 2, 3) for i in range(5)],
+        "grp bigint, val bigint",
+    )
+    initial = base.groupBy("grp").agg(
+        F.sum("val").alias("val"), F.count(F.lit(1)).alias("n")
+    )
+    # deltas: retract two rows of grp1, add three rows to grp4
+    deltas = spark.createDataFrame(
+        [(1, -10, -1), (1, -11, -1), (4, 7, 1), (4, 8, 1), (4, 9, 1)],
+        "grp bigint, val bigint, n bigint",
+    )
+    mv = streaming_incremental_refresh(
+        spark, initial, deltas, keys=["grp"], vals=["val", "n"], n_files=3
+    )
+    full = (
+        base.withColumn("n", F.lit(1))
+        .filter(~((F.col("grp") == 1) & F.col("val").isin(10, 11)))
+        .unionByName(
+            spark.createDataFrame(
+                [(4, 7, 1), (4, 8, 1), (4, 9, 1)],
+                "grp bigint, val bigint, n bigint",
+            )
+        )
+        .groupBy("grp")
+        .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
+    )
+    assert (
+        {tuple(r) for r in mv.collect()}
+        == {tuple(r) for r in full.collect()}
+    )
