@@ -882,11 +882,16 @@ def pagerank_exact(
     in an undirected edge list (deg >= 1 by construction).
 
     ``edges`` must already contain BOTH directions of each undirected
-    edge. ``validate_undirected`` (default on) enforces that contract
-    with one anti-join pass: a node appearing only as a destination
-    (pure sink — possible only if the caller fed a DIRECTED edge list)
-    would otherwise silently vanish from the ranking and undersize N,
-    so directed misuse now fails loudly instead. Disable only when the
+    edge. ``validate_undirected`` (default on) enforces FULL symmetry
+    with one anti-join pass of the edge list against its reversed
+    self: any edge (a, b) whose mirror (b, a) is absent raises. This
+    catches both the pure-sink case (a node never appearing as source
+    silently vanishes from the ranking and undersizes N) and the
+    subtler asymmetric case where every node sources at least one
+    edge but mass is still not conserved (ADVICE r8). Cost: one
+    shuffled anti-join on (src, dst) over the checkpointed edge frame
+    — O(|E|) rows through one Exchange, the same order as a single
+    PageRank round (SCALING.md quantifies it). Disable only when the
     symmetry is guaranteed by construction upstream (e.g. the caller
     just emitted both directions itself). Returns (node, pr_scaled,
     degree).
@@ -895,17 +900,14 @@ def pagerank_exact(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
     if validate_undirected:
-        sink = (
-            e.select(F.col("dst").alias("_node"))
-            .join(e.select(F.col("src").alias("_node")), "_node", "left_anti")
-            .limit(1)
-            .collect()
-        )
-        if sink:
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        asym = e.join(rev, ["src", "dst"], "left_anti").limit(1).collect()
+        if asym:
+            a, b = asym[0]["src"], asym[0]["dst"]
             raise ValueError(
                 f"pagerank_exact requires an undirected edge list (both "
-                f"directions present); node {sink[0]['_node']!r} appears "
-                f"only as {dst_col!r}. Union the reversed edges first."
+                f"directions present); edge ({a!r}, {b!r}) has no mirror "
+                f"({b!r}, {a!r}). Union the reversed edges first."
             )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()

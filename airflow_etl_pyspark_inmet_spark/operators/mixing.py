@@ -261,6 +261,7 @@ def weighted_priority_sample(
     k: int,
     weight_col: str,
     id_col: str = "doc_id",
+    strict: bool = False,
 ) -> DataFrame:
     """Deterministic weighted priority sampling (without replacement):
     every row gets the integer priority
@@ -282,14 +283,31 @@ def weighted_priority_sample(
 
     Contract: weights must be >= 1. A zero weight would make integer
     ``div`` return NULL (non-ANSI Spark) and NULLS-FIRST ASC ordering
-    would then silently *prefer* the invalid rows, so the operator
-    clamps with ``greatest(w, 1)`` — a weight below 1 behaves as 1
-    rather than corrupting the sample.
+    would then silently *prefer* the invalid rows, so the PRIORITY
+    expression clamps with ``greatest(w, 1)`` — a weight below 1
+    behaves as 1 rather than corrupting the sample. The emitted
+    ``weight`` column is the caller's ORIGINAL value (not the clamp),
+    so an upstream data bug stays visible in the sample (ADVICE r8).
+    ``strict=True`` turns the contract into a hard gate: one bounded
+    probe job (filter + limit 1) raises ValueError on any w < 1
+    instead of clamping — opt-in because it costs an extra action.
     """
-    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    if strict:
+        bad = (
+            df.filter(F.col(weight_col).cast("bigint") < 1)
+            .select(id_col, weight_col)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"weighted_priority_sample(strict=True): weight < 1 for "
+                f"{id_col}={bad[0][0]!r} ({weight_col}={bad[0][1]!r}); "
+                "weights must be >= 1."
+            )
     out = df.select(
         F.col(id_col),
-        w.alias("weight"),
+        F.col(weight_col).cast("bigint").alias("weight"),
         F.expr(
             f"cast(({id_col} * {KNUTH}) % {BUCKETS} as bigint) * 1000000"
             f" div greatest(cast({weight_col} as bigint), 1)"

@@ -705,13 +705,15 @@ def bloom_prune_semi_join(
         )
     pruned = probe.filter(keep).select(fact.columns)
     # exact verify: the real semi join runs on the pruned survivors only.
-    # The key side is aliased to a reserved name so fact_key == key_col
-    # (same column name on both sides) cannot raise an ambiguous-reference
-    # AnalysisException.
+    # The key side is aliased so fact_key == key_col (same column name on
+    # both sides) cannot raise an ambiguous-reference AnalysisException;
+    # both join operands are DataFrame-qualified so even a fact table that
+    # itself has a `_bloom_exact_key` column resolves unambiguously
+    # (ADVICE r8).
     keys_frame = keys.select(F.col(key_col).alias("_bloom_exact_key"))
     return pruned.join(
         keys_frame,
-        F.col(fact_key) == F.col("_bloom_exact_key"),
+        pruned[fact_key] == keys_frame["_bloom_exact_key"],
         "left_semi",
     )
 

@@ -1650,3 +1650,61 @@ def test_streaming_incremental_refresh_multi_epoch(spark, tmp_path):
         {tuple(r) for r in mv.collect()}
         == {tuple(r) for r in full.collect()}
     )
+
+
+def test_pagerank_rejects_asymmetric_no_sink_graph(spark):
+    """A directed edge list where EVERY node also appears as a source
+    (no pure sinks) used to pass the undirected check while PageRank
+    mass was not conserved (ADVICE.md r8). The full-symmetry validator
+    (anti-join edges vs their reversed selves) must reject it."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        pagerank_exact,
+    )
+
+    asym = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="mirror"):
+        pagerank_exact(asym, n_iters=1)
+
+
+def test_weighted_sample_emits_original_weight_and_strict_raises(spark):
+    """The emitted weight column must be the caller's ORIGINAL value
+    (the clamp lives only inside the priority expression), and
+    strict=True must raise on any w < 1 instead of clamping
+    (ADVICE.md r8)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        weighted_priority_sample,
+    )
+
+    rows = [(1, -5), (2, 0), (3, 7), (4, 2)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = {r.doc_id: r.weight for r in
+           weighted_priority_sample(df, k=4, weight_col="w").collect()}
+    assert got == {1: -5, 2: 0, 3: 7, 4: 2}
+    with pytest.raises(ValueError, match="weight < 1"):
+        weighted_priority_sample(df, k=4, weight_col="w", strict=True)
+    ok = df.filter(F.col("w") >= 1)
+    assert weighted_priority_sample(
+        ok, k=2, weight_col="w", strict=True
+    ).count() == 2
+
+
+def test_bloom_semi_join_reserved_alias_collision(spark):
+    """A fact table that itself has a `_bloom_exact_key` column must not
+    make the exact-verify join ambiguous: the join operands are
+    DataFrame-qualified (ADVICE.md r8)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        bloom_prune_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k bigint, _bloom_exact_key bigint"
+    )
+    keys = spark.createDataFrame([(3,), (7,), (250,)], "k bigint")
+    got = bloom_prune_semi_join(fact, keys, fact_key="k", key_col="k")
+    assert {r.k for r in got.collect()} == {3, 7}
