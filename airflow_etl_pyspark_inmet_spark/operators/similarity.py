@@ -209,8 +209,12 @@ def ann_with_recall_check(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     ).localCheckpoint(eager=False)
+    # the ANN side is Q x k rows — broadcast it (stats-free window
+    # output otherwise draws a SortMergeJoin for a 50-row join).
     hits = exact.select(query_id_col, "item_id").join(
-        ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
+        F.broadcast(
+            ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1))
+        ),
         [query_id_col, "item_id"],
         "left",
     )
@@ -633,8 +637,11 @@ def pq_refine_topk(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    # The shortlist (Q x shortlist rows) broadcasts against the corpus
+    # vectors — without the hint the stats-free frame drew a SortMergeJoin
+    # that SHUFFLED THE WHOLE CORPUS to re-rank 500 rows.
     scored = (
-        cand.join(vecs, "item_id")
+        vecs.join(F.broadcast(cand), "item_id")
         .join(F.broadcast(q), query_id_col)
         .select(
             query_id_col,
@@ -735,11 +742,13 @@ def ivf_pq_topk(
         .filter(F.col("_r") <= shortlist)
         .select(query_id_col, "item_id")
     )
-    # exact refine on the shortlist only: equi-join back to the raw
-    # vectors (shortlist x Q rows move — never corpus-sized).
+    # exact refine on the shortlist only: the Q x shortlist candidate
+    # frame BROADCASTS against the corpus checkpoint (without the hint
+    # the stats-free frames drew a SortMergeJoin that shuffled the
+    # whole corpus to re-rank 500 rows).
     qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     scored = (
-        cand.join(base, "item_id")
+        base.join(F.broadcast(cand), "item_id")
         .join(F.broadcast(qv), query_id_col)
         .select(
             query_id_col,
