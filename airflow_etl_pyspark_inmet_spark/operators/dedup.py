@@ -953,6 +953,7 @@ def fuzzy_name_pairs(
     key_col: str,
     name_col: str,
     max_dist: int = 2,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy string self-join: pairs of rows whose names are
     within ``max_dist`` Levenshtein edits — entity-resolution's core
@@ -967,6 +968,9 @@ def fuzzy_name_pairs(
     inequality.
 
     Returns (key_a, key_b, name_a, name_b, dist) with key_a < key_b.
+    ``candidates_only`` returns the blocking stage's output BEFORE the
+    exact verify — the blocking-selectivity audit surface (SCALING.md's
+    d15-vs-d16 A/B reads it).
     """
     a = df.select(
         F.col(key_col).alias("key_a"),
@@ -983,10 +987,14 @@ def fuzzy_name_pairs(
         F.col(name_col).alias("name_b"),
         F.length(name_col).alias("_blen"),
     )
+    cand = a.join(
+        b,
+        (F.col("_band") == F.col("_blen")) & (F.col("key_a") < F.col("key_b")),
+    ).select("key_a", "key_b", "name_a", "name_b")
+    if candidates_only:
+        return cand
     return (
-        a.join(b, (F.col("_band") == F.col("_blen"))
-               & (F.col("key_a") < F.col("key_b")))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
@@ -997,6 +1005,7 @@ def fuzzy_name_pairs_segmented(
     key_col: str,
     name_col: str,
     max_dist: int = 2,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Production-tier blocked fuzzy self-join: the positional-segment
     (pigeonhole) blocking :func:`fuzzy_name_pairs`'s docstring promises
@@ -1077,11 +1086,15 @@ def fuzzy_name_pairs_segmented(
         F.col("_pr.i").alias("_i"),
         F.col("_pr.g").alias("_g"),
     )
-    return (
+    cand = (
         a.join(b, ["_la", "_i", "_g"])
         .filter(F.col("key_a") < F.col("key_b"))
         .dropDuplicates(["key_a", "key_b"])
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+    )
+    if candidates_only:
+        return cand.select("key_a", "key_b", "name_a", "name_b")
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
