@@ -131,11 +131,16 @@ def main() -> None:
         print(json.dumps({"mode": "ab", "sf_dir": SF_DIR, "queries": result}))
         return
 
-    def median5(name: str) -> tuple[float, list[float]]:
-        runs = sorted(run_once(name) for _ in range(5))
-        return runs[2], [round(r, 3) for r in runs]
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    prior = _best_prior()
+    def median5(name: str) -> tuple[float, list[float]]:
+        runs = sorted(run_once(name) for _ in range(n_runs))
+        return runs[len(runs) // 2], [round(r, 3) for r in runs]
+
+    # Reprobe only against priors measured at the SAME sf dir: the
+    # BENCH_r*.json records are sf0.1, so a scale-up run (e.g. the
+    # SCALING.md sf1 datapoint) must not reprobe every query 10x.
+    prior = _best_prior() if SF_DIR == "/root/testdata/sf0.1" else {}
     timings: dict[str, float] = {}
     runs_log: dict[str, list[float]] = {}
     reprobed: dict[str, dict] = {}

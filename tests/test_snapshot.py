@@ -1,0 +1,161 @@
+"""Transactional snapshot tables (plans/snapshot.py): manifest-as-commit
+MERGE sink — the production twin of the c6/st9 MV story.
+
+Covers: write/read roundtrip, MERGE semantics (update/insert/delete)
+against an independently computed expectation, snapshot isolation /
+time travel, partition-pruned copy-on-write (untouched files carry
+over BY PATH), commit-conflict detection, and vacuum reclamation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+    _commit_manifest,
+    _list_manifest_versions,
+    _read_manifest,
+    snapshot_merge,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_write,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_snapshot_write_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(100)], "k bigint, v bigint, p int"
+    )
+    v1 = snapshot_write(spark, t, df)
+    assert v1 == 1
+    assert _rows(snapshot_read(spark, t)) == _rows(df)
+
+
+def test_snapshot_merge_update_insert_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k bigint, v bigint"
+    )
+    snapshot_write(spark, t, base)
+    # delta: update k<5 to v=-1, insert k=100..104, delete k in 40..44
+    delta = spark.createDataFrame(
+        [(i, -1, False) for i in range(5)]
+        + [(i, i, False) for i in range(100, 105)]
+        + [(i, 0, True) for i in range(40, 45)],
+        "k bigint, v bigint, is_del boolean",
+    )
+    v2 = snapshot_merge(spark, t, delta, keys=["k"], delete_col="is_del")
+    assert v2 == 2
+    expect = (
+        {(i, -1) for i in range(5)}
+        | {(i, i * 10) for i in range(5, 40)}
+        | {(i, i * 10) for i in range(45, 50)}
+        | {(i, i) for i in range(100, 105)}
+    )
+    assert _rows(snapshot_read(spark, t)) == expect
+    # time travel: v1 is untouched
+    assert _rows(snapshot_read(spark, t, version=1)) == _rows(base)
+
+
+def test_snapshot_merge_partition_pruning_carries_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 4) for i in range(200)], "k bigint, v bigint, p int"
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    man1 = _read_manifest(spark, t, 1)
+    untouched_before = {
+        f["path"] for f in man1["files"] if f["partition"] != "1"
+    }
+    # delta touches ONLY partition 1
+    delta = spark.createDataFrame(
+        [(1, -99, 1), (1001, 5, 1)], "k bigint, v bigint, p int"
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], partition_col="p")
+    man2 = _read_manifest(spark, t, 2)
+    untouched_after = {
+        f["path"] for f in man2["files"] if f["partition"] != "1"
+    }
+    # copy-on-write pruning: files of partitions 0/2/3 carried verbatim
+    assert untouched_after == untouched_before
+    got = snapshot_read(spark, t)
+    assert got.filter(F.col("k") == 1).collect()[0]["v"] == -99
+    assert got.filter(F.col("k") == 1001).count() == 1
+    assert got.count() == 201
+    # the reconstructed partition column keeps its integer type
+    assert dict(got.dtypes)["p"] == "int"
+
+
+def test_snapshot_commit_conflict_raises_and_merge_retries(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 1)], "k bigint, v bigint")
+    snapshot_write(spark, t, df)
+    # simulate a racing writer: pre-commit version 2 manifest
+    man = _read_manifest(spark, t, 1)
+    _commit_manifest(spark, t, 2, {**man, "version": 2})
+    with pytest.raises(RuntimeError, match="conflict"):
+        _commit_manifest(spark, t, 2, {**man, "version": 2})
+    # merge retries against the winner's snapshot and lands as v3
+    delta = spark.createDataFrame([(2, 2)], "k bigint, v bigint")
+    v = snapshot_merge(spark, t, delta, keys=["k"])
+    assert v == 3
+    assert _rows(snapshot_read(spark, t)) == {(1, 1), (2, 2)}
+
+
+def test_snapshot_vacuum_reclaims_only_dead_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(20)], "k bigint, v bigint"
+    )
+    snapshot_write(spark, t, df)
+    snapshot_merge(
+        spark, t,
+        spark.createDataFrame([(0, -1)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    snapshot_merge(
+        spark, t,
+        spark.createDataFrame([(1, -2)], "k bigint, v bigint"),
+        keys=["k"],
+    )
+    assert _list_manifest_versions(spark, t) == [1, 2, 3]
+    expect_latest = _rows(snapshot_read(spark, t))
+    deleted = snapshot_vacuum(spark, t, keep=1)
+    # v1/v2's unshared files are gone, v3 still reads exactly the same
+    assert deleted
+    assert _list_manifest_versions(spark, t) == [3]
+    assert _rows(snapshot_read(spark, t)) == expect_latest
+
+
+def test_snapshot_mv_maintenance_equals_full_recompute(spark, sf_small):
+    """The c6 theorem through the SINK: maintain a monthly-revenue MV
+    snapshot table with a CDC merge and compare against a from-scratch
+    recompute over the changed base."""
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    import tempfile
+
+    t = tempfile.mkdtemp(prefix="mvsnap") + "/mv"
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    mv = orders.groupBy(
+        F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes")
+    ).agg(F.sum(cents).alias("price_cents"))
+    snapshot_write(spark, t, mv)
+    # CDC: bump every %5 order by 10 -> per-group delta merge
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10)
+        .otherwise(F.col("o_totalprice")),
+    )
+    new_mv = changed.groupBy(
+        F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes")
+    ).agg(F.sum(cents).alias("price_cents"))
+    snapshot_merge(spark, t, new_mv, keys=["ano", "mes"])
+    assert _rows(snapshot_read(spark, t)) == _rows(new_mv)
