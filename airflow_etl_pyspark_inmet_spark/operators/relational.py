@@ -774,3 +774,55 @@ def skew_split_join(
         )
         cold = fact_cold.join(dim, fact_cold[fact_key] == dim[dim_key])
     return hot.unionByName(cold)
+
+
+def hierarchy_root_depth(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Recursive hierarchy traversal (org charts, BOM explosions,
+    category trees) — the WITH RECURSIVE query shape Spark SQL lacks,
+    as a bounded-round POINTER-DOUBLING fold: every node resolves its
+    ROOT ancestor and its DEPTH (edge count to the root) in
+    O(log max_depth) self-joins, not O(depth) sequential steps.
+
+    ``edges`` holds one row per node with its parent; ROOTS point at
+    themselves (parent == node). Each round joins the current
+    (node -> known ancestor, depth) frame with itself, composing jumps:
+    after round r every node knows its 2^r-step ancestor (or its root,
+    which self-loops at +0 depth, making the fold idempotent at the
+    fixpoint). ``max_rounds`` rounds therefore resolve any hierarchy of
+    depth <= 2^max_rounds (default 64 — deeper than any real
+    organizational/BOM tree; raise it for pathological chains).
+
+    Plan shape per round: ONE co-partitioned equi self-join (shuffle on
+    the ancestor key) + lazy localCheckpoint to truncate lineage — the
+    d5/g1 iterative idiom. Nothing driver-side, nothing quadratic;
+    total work O(N log depth). Returns (node, root, depth).
+    """
+    cur = edges.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.when(F.col(parent_col) == F.col(node_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("depth"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        m = cur.select(
+            F.col("node").alias("_n"),
+            F.col("anc").alias("_a"),
+            F.col("depth").alias("_d"),
+        )
+        cur = (
+            cur.join(m, cur["anc"] == m["_n"])
+            .select(
+                "node",
+                F.col("_a").alias("anc"),
+                (F.col("depth") + F.col("_d")).alias("depth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select("node", F.col("anc").alias("root"), "depth")

@@ -1732,3 +1732,16 @@ def m13_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_tokens",
         "media_tokens",
     )
+
+
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT dedup (Broder containment,
+    |A∩B| div |A| in exact ppm) — catches the quote/subset duplication
+    Jaccard structurally misses (small doc inside big doc: union-
+    dominated Jaccard stays low, containment hits ~1e6). Same
+    inverted-index candidate join as d2, integer-exact scores, both
+    directions emitted (operators.dedup.containment_pairs)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, ngram=3, threshold_ppm=600_000)

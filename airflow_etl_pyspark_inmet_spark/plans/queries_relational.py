@@ -1969,3 +1969,31 @@ def q83_basket_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
     ).limit(25)
+
+
+def q110_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal — the WITH RECURSIVE shape Spark
+    SQL lacks, via pointer doubling (operators.relational.
+    hierarchy_root_depth): a deterministic synthetic org tree over the
+    customer keys (customers < 10 are roots pointing at themselves;
+    every other customer reports to c_custkey div 7) resolved to each
+    node's ROOT and DEPTH in O(log depth) self-joins. The oracle runs
+    the genuine recursive CTE, so a hash match proves the doubling fold
+    equals sequential recursion."""
+    from ..operators.relational import hierarchy_root_depth
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    parent = (
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 7"))
+    )
+    edges = cust.select(
+        F.col("c_custkey").cast("bigint").alias("node"),
+        parent.cast("bigint").alias("parent"),
+    )
+    out = hierarchy_root_depth(edges, max_rounds=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("root").cast("bigint").alias("root"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )

@@ -3496,23 +3496,116 @@ WHERE r_name IN ('AMERICA', 'ASIA')
 ORDER BY s_name
 """
 
+
+# q110: recursive hierarchy traversal — the oracle runs the GENUINE
+# recursive CTE (sequential parent-chain walk), so a hash match proves
+# the Spark pointer-doubling fold equals true recursion. Roots are
+# customers < 10 (self-parented); everyone else reports to
+# c_custkey div 7.
+ORACLES["q110_hierarchy_rollup"] = """
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 7, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(arg_max(cur, depth) AS BIGINT) AS root,
+       CAST(MAX(depth) AS BIGINT) AS depth
+FROM up GROUP BY node
+"""
+
+# d18: asymmetric containment — same distinct-gram CTE as d2, scores as
+# exact integer ppm in BOTH directions, pair kept when the larger
+# direction clears 0.6.
+ORACLES["d18_containment_pairs"] = f"""
+WITH {_GRAMS_DISTINCT},
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(c * 1000000 // sa.n AS BIGINT) AS cont_a_ppm,
+       CAST(c * 1000000 // sb.n AS BIGINT) AS cont_b_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(c * 1000000 // sa.n, c * 1000000 // sb.n) >= 600000
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. After
-# the r7 window, driver staleness was: 50 r7, 50 r6, 47 r5, 35 r4,
-# 0 never-checked. Round-8 window, front to back (the VERDICT r7 ask:
-# retire the r4 cohort entirely):
-#   1. the 9 queries new this round (s6 IVF-routed PQ, d16 segment-
-#      blocked fuzzy join, st9 streaming incremental refresh, and the
-#      six remaining TPC-H shapes q103-q108 completing all 22);
-#   2. ALL 35 queries whose last driver row is r4 (the q11-q44 block,
-#      t12/t13, x1-x3) — after this round nothing in the registry has
-#      driver evidence older than r5;
-#   3. 6 of the oldest r5 rows fill the remaining slots (q03 headline,
-#      c1/c2 compositions, d2/d5 dedup chain, t1).
-# Everything behind the window is green in the r7 judge's independent
-# full replica and in this round's local replica run.
+# the r8 window, driver staleness was: 50 r8, ~48 r7/r6, 41 r5,
+# 0 never-checked. Round-9 window, front to back (the VERDICT r8 ask:
+# rotate to the stalest 50):
+#   1. the 2 queries new this round (q110 recursive hierarchy via
+#      pointer doubling, d18 asymmetric containment dedup);
+#   2. ALL 41 queries whose last driver row is r5 (d6/d9, q36-q70
+#      remnants, s1/s2, the t2-t19 text block, x4) — after this round
+#      nothing in the registry has driver evidence older than r6;
+#   3. 7 of the oldest r6 rows fill the remaining slots.
+# Everything behind the window is green in the r8 judge's independent
+# 191/191 full replica and in this round's local replica run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1. new in round 8 ------------------------------------------
+    # -- 1. new in round 9 (recursive hierarchy, containment dedup) --
+    "q110_hierarchy_rollup": R.q110_hierarchy_rollup,
+    "d18_containment_pairs": L.d18_containment_pairs,
+    # -- 2. the full r5-stale cohort (the VERDICT r8 ask: most of ----
+    #       q34-q69 last driver-checked in r4-r6; nothing behind ----
+    #       this window is older than r6 afterwards ------------------
+    "d6_dedup_embedding": L.d6_dedup_embedding,
+    "d9_repeated_spans": L.d9_repeated_spans,
+    "q36_global_topk": R.q36_global_topk,
+    "q37_quality_gate": R.q37_quality_gate,
+    "q38_ntile_quartiles": R.q38_ntile_quartiles,
+    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
+    "q46_scd2_intervals": R.q46_scd2_intervals,
+    "q47_upsert_merge": R.q47_upsert_merge,
+    "q48_rank_suite": R.q48_rank_suite,
+    "q49_forward_fill": R.q49_forward_fill,
+    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
+    "q53_sketch_rollup": R.q53_sketch_rollup,
+    "q54_left_outer_enrich": R.q54_left_outer_enrich,
+    "q55_variant_json": R.q55_variant_json,
+    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
+    "q57_group_rank_pandas": R.q57_group_rank_pandas,
+    "q58_cohort_retention": R.q58_cohort_retention,
+    "q59_session_funnel": R.q59_session_funnel,
+    "q60_percentile_disc": R.q60_percentile_disc,
+    "q67_column_profile": R.q67_column_profile,
+    "q68_skew_report": R.q68_skew_report,
+    "q69_incremental_agg": R.q69_incremental_agg,
+    "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
+    "s1_cosine_topk": L.s1_cosine_topk,
+    "s2_lsh_topk": L.s2_lsh_topk,
+    "t10_repetition_stats": L.t10_repetition_stats,
+    "t11_stratified_sample": L.t11_stratified_sample,
+    "t14_strip_boilerplate": L.t14_strip_boilerplate,
+    "t15_vocab_top_terms": L.t15_vocab_top_terms,
+    "t16_oov_stats": L.t16_oov_stats,
+    "t17_unigram_logprob": L.t17_unigram_logprob,
+    "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
+    "t19_quality_classifier": L.t19_quality_classifier,
+    "t2_quality": L.t2_quality,
+    "t3_lang_id": L.t3_lang_id,
+    "t4_fingerprint": L.t4_fingerprint,
+    "t5_chunk_docs": L.t5_chunk_docs,
+    "t7_train_split": L.t7_train_split,
+    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
+    "t9_decontaminate": L.t9_decontaminate,
+    "x4_temperature_weights": L.x4_temperature_weights,
+    # -- 3. oldest r6 rows fill the remaining slots ------------------
+    "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
+    "d10_incremental_dedup": L.d10_incremental_dedup,
+    "d11_image_dup_groups": L.d11_image_dup_groups,
+    "d1_dedup_exact": L.d1_dedup_exact,
+    "m10_avi_frames": L.m10_avi_frames,
+    "m11_mixed_modality": L.m11_mixed_modality,
+    "m12_image_ahash": L.m12_image_ahash,
+    # --- end of the driver 50-entry correctness window --------------
     "s6_ivf_pq_topk": L.s6_ivf_pq_topk,
     "d16_fuzzy_pairs_segmented": L.d16_fuzzy_pairs_segmented,
     "st9_stream_incremental_refresh": L.st9_stream_incremental_refresh,
@@ -3522,7 +3615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_tpch_q12": T.q106_tpch_q12,
     "q107_tpch_q16": T.q107_tpch_q16,
     "q108_tpch_q20": T.q108_tpch_q20,
-    # -- 2. the full r4-stale cohort (retired this round) -----------
     "q11_anti_join": R.q11_anti_join,
     "q12_topk_per_group": R.q12_topk_per_group,
     "q13_running_window": R.q13_running_window,
@@ -3558,14 +3650,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_mixture_sample": L.x1_mixture_sample,
     "x2_domain_cap": L.x2_domain_cap,
     "x3_shard_assign": L.x3_shard_assign,
-    # -- 3. oldest r5 rows ------------------------------------------
     "q03_monthly_kpis": R.q3_monthly_kpis,
     "c1_curation_chain": L.c1_curation_chain,
     "c2_dedup_funnel": L.c2_dedup_funnel,
     "d2_dedup_jaccard": L.d2_dedup_jaccard,
     "d5_dedup_clusters": L.d5_dedup_clusters,
     "t1_token_stats": L.t1_token_stats,
-    # --- end of the driver's 50-entry correctness window -------------
     "c4_pretraining_pipeline": L.c4_pretraining_pipeline,
     "t22_bpe_train": L.t22_bpe_train,
     "m13_multimodal_pack": L.m13_multimodal_pack,
@@ -3619,25 +3709,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m7_wav_stats": L.m7_wav_stats,
     "m8_wav_frames": L.m8_wav_frames,
     "m9_avi_stats": L.m9_avi_stats,
-    "m10_avi_frames": L.m10_avi_frames,
-    "m11_mixed_modality": L.m11_mixed_modality,
-    "d10_incremental_dedup": L.d10_incremental_dedup,
     "t20_bigram_condprob": L.t20_bigram_condprob,
     "s4_label_centroids": L.s4_label_centroids,
     "q73_tpch_q3": R.q73_tpch_q3,
     "q74_tpch_q17": R.q74_tpch_q17,
     "t21_token_lift": L.t21_token_lift,
-    "m12_image_ahash": L.m12_image_ahash,
     "q75_tpch_q18": R.q75_tpch_q18,
     "q76_table_diff": R.q76_table_diff,
-    "d11_image_dup_groups": L.d11_image_dup_groups,
     "q77_mad_outliers": R.q77_mad_outliers,
-    "c3_dedup_funnel_lsh": L.c3_dedup_funnel_lsh,
     "q72_sessionize_salted": R.q72_sessionize_salted,
     "s3_ivf_topk": L.s3_ivf_topk,
     "q71_time_weighted_avg": R.q71_time_weighted_avg,
     "m6_resize_png": L.m6_resize_png,
-    "d1_dedup_exact": L.d1_dedup_exact,
     "t6_normalize": L.t6_normalize,
     "m1_decode_meta": L.m1_decode_meta,
     "m2_frame_sample": L.m2_frame_sample,
@@ -3666,45 +3749,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q07_decimal_comma_roundtrip": R.q7_decimal_comma_roundtrip,
     "q08_dayfirst_dates": R.q8_dayfirst_dates,
     "q09_union_by_name": R.q9_union_by_name,
-    "t14_strip_boilerplate": L.t14_strip_boilerplate,
-    "t15_vocab_top_terms": L.t15_vocab_top_terms,
-    "t16_oov_stats": L.t16_oov_stats,
-    "t17_unigram_logprob": L.t17_unigram_logprob,
-    "q67_column_profile": R.q67_column_profile,
-    "q68_skew_report": R.q68_skew_report,
-    "q69_incremental_agg": R.q69_incremental_agg,
-    "q70_monthly_kpis_dbl": R.q70_monthly_kpis_dbl,
-    "t18_intra_doc_dedup": L.t18_intra_doc_dedup,
-    "x4_temperature_weights": L.x4_temperature_weights,
-    "d9_repeated_spans": L.d9_repeated_spans,
-    "t19_quality_classifier": L.t19_quality_classifier,
-    "q45_date_spine_gapfill": R.q45_date_spine_gapfill,
-    "q46_scd2_intervals": R.q46_scd2_intervals,
-    "q47_upsert_merge": R.q47_upsert_merge,
-    "q48_rank_suite": R.q48_rank_suite,
-    "q49_forward_fill": R.q49_forward_fill,
-    "q50_anomaly_vs_climatology": R.q50_anomaly_vs_climatology,
-    "q36_global_topk": R.q36_global_topk,
-    "q38_ntile_quartiles": R.q38_ntile_quartiles,
-    "d6_dedup_embedding": L.d6_dedup_embedding,
-    "t2_quality": L.t2_quality,
-    "t3_lang_id": L.t3_lang_id,
-    "t4_fingerprint": L.t4_fingerprint,
-    "t5_chunk_docs": L.t5_chunk_docs,
-    "t7_train_split": L.t7_train_split,
-    "t8_tfidf_top_terms": L.t8_tfidf_top_terms,
-    "t9_decontaminate": L.t9_decontaminate,
-    "t10_repetition_stats": L.t10_repetition_stats,
-    "t11_stratified_sample": L.t11_stratified_sample,
-    "s1_cosine_topk": L.s1_cosine_topk,
-    "s2_lsh_topk": L.s2_lsh_topk,
-    "q37_quality_gate": R.q37_quality_gate,
-    "q53_sketch_rollup": R.q53_sketch_rollup,
-    "q54_left_outer_enrich": R.q54_left_outer_enrich,
-    "q55_variant_json": R.q55_variant_json,
-    "q56_grouped_agg_udaf": R.q56_grouped_agg_udaf,
-    "q57_group_rank_pandas": R.q57_group_rank_pandas,
-    "q58_cohort_retention": R.q58_cohort_retention,
-    "q59_session_funnel": R.q59_session_funnel,
-    "q60_percentile_disc": R.q60_percentile_disc,
 }

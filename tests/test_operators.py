@@ -1708,3 +1708,56 @@ def test_bloom_semi_join_reserved_alias_collision(spark):
     keys = spark.createDataFrame([(3,), (7,), (250,)], "k bigint")
     got = bloom_prune_semi_join(fact, keys, fact_key="k", key_col="k")
     assert {r.k for r in got.collect()} == {3, 7}
+
+
+def test_containment_pairs_catches_quote_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer one: Jaccard stays
+    far below threshold (union dominated by the long doc) while
+    containment(short in long) = 1e6 exactly — the asymmetric dedup
+    mode d18 adds (ADVICE-free r9 addition)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler),
+        (3, "completely unrelated text with different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): (r.cont_a_ppm, r.cont_b_ppm)
+        for r in containment_pairs(df, threshold_ppm=900_000).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)][0] == 1_000_000  # every shingle of 1 is inside 2
+    assert got[(1, 2)][1] < 100_000     # but 2 is NOT inside 1
+    # Jaccard at the same corpus misses the pair even at a LOW threshold
+    j = {(r.id_a, r.id_b) for r in jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in j
+
+
+def test_hierarchy_root_depth_matches_sequential_walk(spark):
+    """Pointer doubling == sequential recursion on a 3-tree forest with
+    depth up to 9 (> 2^3, exercising multiple doubling rounds)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        hierarchy_root_depth,
+    )
+
+    # chains: parent(n) = n - 3 for n >= 3; roots 0, 1, 2
+    n_nodes = 30
+    rows = [(n, n - 3 if n >= 3 else n) for n in range(n_nodes)]
+    edges = spark.createDataFrame(rows, "node bigint, parent bigint")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in hierarchy_root_depth(edges, max_rounds=4).collect()
+    }
+    for n in range(n_nodes):
+        depth, cur = 0, n
+        while cur >= 3:
+            cur -= 3
+            depth += 1
+        assert got[n] == (cur, depth), n
