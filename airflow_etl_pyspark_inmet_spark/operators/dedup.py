@@ -1199,3 +1199,55 @@ def jaccard_search_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "rank", "jaccard_ppm")
     )
+
+
+def label_propagation_min(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous bounded-round MIN-label propagation over an
+    undirected edge list (both directions present, the
+    :func:`pagerank_exact` contract): every node starts labeled with
+    its own id; each round, label'(v) = min(label(v), min over
+    neighbors of their labels). After k rounds each node holds the
+    minimum id within graph distance k — the bounded-neighborhood
+    primitive (community seeding, influence fronts, k-hop reachability
+    tests) sitting between one-shot aggregation and
+    :func:`connected_components`' full closure (which this converges
+    to as k grows, but in O(diameter) rounds, not O(log) — use CC when
+    the closure itself is wanted).
+
+    Integer-exact and deterministic, so k rounds replay as unrolled
+    SQL bit for bit (the g1/t22 iterative-replay contract). Plan shape
+    per round: one co-partitioned equi-join edges x labels + one hash
+    agg on the destination key + a lazy localCheckpoint truncating
+    lineage — O(|E|) per round, nothing driver-side. Returns
+    (node, label)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    lab = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        nb = (
+            e.join(lab, e["dst"] == lab["node"])
+            .groupBy(e["src"].alias("_v"))
+            .agg(F.min("label").alias("_nb"))
+        )
+        lab = (
+            lab.join(nb, lab["node"] == nb["_v"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nb"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab

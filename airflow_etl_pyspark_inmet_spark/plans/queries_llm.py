@@ -1745,3 +1745,48 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return containment_pairs(docs, ngram=3, threshold_ppm=600_000)
+
+
+def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round synchronous label propagation (3 rounds of
+    min-label exchange) over the same capped co-purchase graph as g1 —
+    the second iterative-graph operator family: after round k each
+    part holds the minimum part id within distance k
+    (operators.dedup.label_propagation_min). Integer-exact, so the
+    oracle replays the 3 rounds as unrolled SQL bit for bit."""
+    from ..operators.dedup import label_propagation_min
+
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_support"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("_support").desc(), F.col("l_partkey").asc()
+    )
+    top = (
+        d.join(support, "l_partkey")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = top.toDF("o", "p1")
+    b = top.toDF("o", "p2")
+    pairs = (
+        a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    out = label_propagation_min(edges, n_rounds=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )

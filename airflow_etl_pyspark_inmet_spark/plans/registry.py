@@ -3536,6 +3536,44 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE greatest(c * 1000000 // sa.n, c * 1000000 // sb.n) >= 600000
 """
 
+
+# g2: bounded-round min-label propagation — same edge CTEs as g1, the 3
+# rounds unrolled (integer-exact, so the replay is bit-for-bit).
+_G2_ROUND = """
+l{j} AS (
+  SELECT l.node,
+         least(l.label, coalesce(MIN(nl.label), l.label)) AS label
+  FROM l{i} l
+  LEFT JOIN edges e ON e.src = l.node
+  LEFT JOIN l{i} nl ON nl.node = e.dst
+  GROUP BY l.node, l.label
+)"""
+ORACLES["g2_label_propagation"] = (
+    """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5),
+pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),"""
+    + ",".join(_G2_ROUND.format(i=i, j=i + 1) for i in range(3))
+    + """
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l3
+"""
+)
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. After
 # the r8 window, driver staleness was: 50 r8, ~48 r7/r6, 41 r5,
@@ -3553,6 +3591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. new in round 9 (recursive hierarchy, containment dedup) --
     "q110_hierarchy_rollup": R.q110_hierarchy_rollup,
     "d18_containment_pairs": L.d18_containment_pairs,
+    "g2_label_propagation": L.g2_label_propagation,
     # -- 2. the full r5-stale cohort (the VERDICT r8 ask: most of ----
     #       q34-q69 last driver-checked in r4-r6; nothing behind ----
     #       this window is older than r6 afterwards ------------------

@@ -1761,3 +1761,26 @@ def test_hierarchy_root_depth_matches_sequential_walk(spark):
             cur -= 3
             depth += 1
         assert got[n] == (cur, depth), n
+
+
+def test_label_propagation_bounded_rounds(spark):
+    """On a path graph 0-1-2-3-4-5, k rounds give each node the min id
+    within distance k — NOT the full closure (that's CC's job)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        label_propagation_min,
+    )
+
+    pairs = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src bigint, dst bigint"
+    )
+    got2 = {
+        r.node: r.label
+        for r in label_propagation_min(edges, n_rounds=2).collect()
+    }
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+    got5 = {
+        r.node: r.label
+        for r in label_propagation_min(edges, n_rounds=5).collect()
+    }
+    assert got5 == {n: 0 for n in range(6)}
