@@ -114,6 +114,12 @@ def _commit_manifest(
         )
 
 
+def _manifest_schema(man: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(man["schema_json"]))
+
+
 def _land_data_files(
     spark: SparkSession,
     table: str,
@@ -193,27 +199,43 @@ def snapshot_read(
             f"snapshot v{version} of {table} not found (have {versions})"
         )
     man = _read_manifest(spark, table, version)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema_json"]))
     paths = [f["path"] for f in man["files"]]
     if not paths:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(man["schema_json"]))
-        )
+        return spark.createDataFrame([], schema)
     if man.get("partition_col") is not None:
         return _read_partitioned_files(
-            spark, man["files"], man["partition_col"], man["partition_type"]
+            spark, man["files"], man["partition_col"], man["partition_type"],
+            schema,
         )
-    return spark.read.parquet(*paths)
+    # reading WITH the manifest schema (not file-inferred) makes mixed
+    # physical schemas safe: files written before a schema-evolving
+    # MERGE simply surface NULL for the later-added columns
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _read_partitioned_files(
-    spark: SparkSession, files: list[dict], pcol: str, ptype: str
+    spark: SparkSession,
+    files: list[dict],
+    pcol: str,
+    ptype: str,
+    schema=None,
 ) -> DataFrame:
     """Read manifest entries with the partition value (encoded in the
     directory name) reconstructed as a typed column — one literal per
     partition group, so the value survives round trips with its
-    original type (the dir name alone would stringify it)."""
+    original type (the dir name alone would stringify it). ``schema``
+    (the manifest's logical schema, partition column included) pins the
+    read so pre-evolution files surface NULL for later-added columns."""
+    from pyspark.sql.types import StructType
+
+    data_schema = None
+    cols = None
+    if schema is not None:
+        data_schema = StructType([f for f in schema.fields if f.name != pcol])
+        cols = [f.name for f in schema.fields]
     by_part: dict[str | None, list[str]] = {}
     for f in files:
         by_part.setdefault(f["partition"], []).append(f["path"])
@@ -223,7 +245,12 @@ def _read_partitioned_files(
             F.lit(None) if part in (None, "__HIVE_DEFAULT_PARTITION__")
             else F.lit(part)
         ).cast(ptype)
-        d = spark.read.parquet(*ps).withColumn(pcol, val)
+        reader = spark.read
+        if data_schema is not None:
+            reader = reader.schema(data_schema)
+        d = reader.parquet(*ps).withColumn(pcol, val)
+        if cols is not None:
+            d = d.select(*cols)
         out = d if out is None else out.unionByName(d)
     return out
 
@@ -285,20 +312,32 @@ def snapshot_merge(
             ]
             if live:
                 target = _read_partitioned_files(
-                    spark, live, partition_col, man["partition_type"]
+                    spark, live, partition_col, man["partition_type"],
+                    _manifest_schema(man),
                 )
         else:
             # unpartitioned: the whole table rewrites (documented
             # degenerate case) — nothing carries over
             carried = []
             paths = [f["path"] for f in man["files"]]
-            target = spark.read.parquet(*paths) if paths else None
+            target = (
+                spark.read.schema(_manifest_schema(man)).parquet(*paths)
+                if paths
+                else None
+            )
 
         # target rows not superseded by the delta (matched rows leave;
-        # non-deleted source rows re-enter with their new values)
+        # non-deleted source rows re-enter with their new values).
+        # Schema EVOLUTION: a source column the target lacks widens the
+        # table — surviving target rows read it as NULL (unionByName
+        # allowMissingColumns, the mergeSchema contract); a target
+        # column the source lacks stays, NULL on the new rows. The
+        # carried (untouched-partition) files keep the OLD physical
+        # schema; reads stay correct because the parquet reader fills
+        # absent columns with null against the manifest schema.
         if target is not None:
             keep = target.join(F.broadcast(src_keys), keys, "left_anti")
-            merged = keep.unionByName(src_data.select(*keep.columns))
+            merged = keep.unionByName(src_data, allowMissingColumns=True)
         else:
             merged = src_data
         new_files = _land_data_files(spark, table, merged, partition_col)
@@ -306,7 +345,7 @@ def snapshot_merge(
             "version": base_version + 1,
             "partition_col": partition_col,
             "partition_type": man.get("partition_type"),
-            "schema_json": man["schema_json"],
+            "schema_json": merged.schema.json(),
             "files": carried + new_files,
         }
         try:
@@ -352,3 +391,53 @@ def snapshot_vacuum(
                 False,
             )
     return deleted
+
+
+def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
+    """Table history as a DataFrame — the Iceberg ``snapshots`` /
+    Delta ``DESCRIBE HISTORY`` metadata surface: one row per committed
+    version with its file count and partition list. Reads only the
+    manifests (O(files) driver work, no data scan)."""
+    rows = []
+    for v in _list_manifest_versions(spark, table):
+        man = _read_manifest(spark, table, v)
+        parts = sorted(
+            {f["partition"] for f in man["files"] if f["partition"] is not None}
+        )
+        rows.append((v, len(man["files"]), parts))
+    return spark.createDataFrame(
+        rows, "version int, n_files int, partitions array<string>"
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+) -> int:
+    """OPTIMIZE for snapshot tables: rewrite the CURRENT snapshot's
+    data into ``target_files`` files per partition (coalesce bin-pack)
+    and commit the result as a new version — content-identical, fewer
+    files, old versions still time-travelable. The merge-heavy write
+    path accretes one small file set per MERGE; this is the
+    compaction half of that trade (same role as warehouse.compact_table
+    for catalog tables)."""
+    versions = _list_manifest_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots at {table}")
+    man = _read_manifest(spark, table, versions[-1])
+    pcol = man.get("partition_col")
+    cur = snapshot_read(spark, table)
+    compacted = (
+        cur.repartition(target_files, pcol)
+        if pcol is not None
+        else cur.coalesce(target_files)
+    )
+    files = _land_data_files(spark, table, compacted, pcol)
+    _commit_manifest(
+        spark,
+        table,
+        versions[-1] + 1,
+        {**man, "version": versions[-1] + 1, "files": files},
+    )
+    return versions[-1] + 1

@@ -159,3 +159,92 @@ def test_snapshot_mv_maintenance_equals_full_recompute(spark, sf_small):
     ).agg(F.sum(cents).alias("price_cents"))
     snapshot_merge(spark, t, new_mv, keys=["ano", "mes"])
     assert _rows(snapshot_read(spark, t)) == _rows(new_mv)
+
+
+def test_snapshot_merge_schema_evolution(spark, tmp_path):
+    """A source with an ADDED column widens the table: surviving old
+    rows (and carried untouched-partition files) read NULL for it;
+    time travel still shows the pre-evolution schema."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(30)], "k bigint, v bigint, p int"
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    delta = spark.createDataFrame(
+        [(0, -1, 0, "new")], "k bigint, v bigint, p int, tag string"
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], partition_col="p")
+    got = snapshot_read(spark, t)
+    assert "tag" in got.columns
+    assert got.count() == 30
+    assert got.filter(F.col("k") == 0).collect()[0]["tag"] == "new"
+    # rows from the carried partitions 1/2 AND the rewritten survivors
+    # of partition 0 read NULL for the evolved column
+    assert got.filter(F.col("tag").isNull()).count() == 29
+    assert "tag" not in snapshot_read(spark, t, version=1).columns
+
+
+def test_snapshot_history_and_compact(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i, i % 2) for i in range(100)], "k bigint, v bigint, p int"
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    snapshot_merge(
+        spark, t,
+        spark.createDataFrame([(0, -1, 0)], "k bigint, v bigint, p int"),
+        keys=["k"], partition_col="p",
+    )
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        snapshot_compact,
+        snapshot_history,
+    )
+
+    hist = {r.version: r.n_files for r in snapshot_history(spark, t).collect()}
+    assert set(hist) == {1, 2}
+    before = _rows(snapshot_read(spark, t))
+    v3 = snapshot_compact(spark, t, target_files=1)
+    hist3 = {
+        r.version: r.n_files for r in snapshot_history(spark, t).collect()
+    }
+    # content-identical, fewer (or equal) files, old versions intact
+    assert _rows(snapshot_read(spark, t, version=v3)) == before
+    assert hist3[3] <= hist3[2]
+    assert _rows(snapshot_read(spark, t, version=2)) == before
+
+
+def test_snapshot_concurrent_merges_serialize(spark, tmp_path):
+    """Two REAL racing writers (threads) with commuting deltas: the CAS
+    commit forces one to retry; the final table equals both deltas
+    applied and exactly 3 versions exist — serializability, not
+    lost-update."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark,
+        t,
+        spark.createDataFrame([(i, 0) for i in range(10)], "k bigint, v bigint"),
+    )
+    errs = []
+
+    def do_merge(lo):
+        try:
+            delta = spark.createDataFrame(
+                [(lo, 1), (lo + 1, 1)], "k bigint, v bigint"
+            )
+            snapshot_merge(spark, t, delta, keys=["k"], max_retries=5)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=do_merge, args=(lo,)) for lo in (0, 5)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert _list_manifest_versions(spark, t) == [1, 2, 3]
+    got = dict(
+        (r.k, r.v) for r in snapshot_read(spark, t).collect()
+    )
+    assert got == {i: (1 if i in (0, 1, 5, 6) else 0) for i in range(10)}
