@@ -248,3 +248,81 @@ def test_snapshot_concurrent_merges_serialize(spark, tmp_path):
         (r.k, r.v) for r in snapshot_read(spark, t).collect()
     )
     assert got == {i: (1 if i in (0, 1, 5, 6) else 0) for i in range(10)}
+
+
+def test_snapshot_changes_cdf(spark, tmp_path):
+    """CDF between versions: inserts/updates/deletes classified, silent
+    rows (unchanged) absent."""
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+        ),
+    )
+    delta = spark.createDataFrame(
+        [(2, 99, False), (4, 40, False), (3, 0, True)],
+        "k bigint, v bigint, is_del boolean",
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], delete_col="is_del")
+    got = {
+        r.k: (r.v, r._change)
+        for r in snapshot_changes(spark, t, 1, 2, keys=["k"]).collect()
+    }
+    assert got == {2: (99, "update"), 4: (40, "insert"), 3: (30, "delete")}
+
+
+def test_stream_merge_to_snapshot_equals_batch_apply(spark, tmp_path):
+    """Streaming upsert (foreachBatch + snapshot_merge, one file per
+    micro-batch) lands the same final table as applying the compacted
+    CDC feed in one batch — split-invariance through the TRANSACTIONAL
+    sink, with one committed version per epoch."""
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        stream_merge_to_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    snapshot_write(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(i, 0) for i in range(8)], "k bigint, v bigint"
+        ),
+    )
+    # 3 delta files in one source dir = 3 micro-batches
+    # (maxFilesPerTrigger=1), touching disjoint keys per file
+    import glob as g
+    import os
+    import shutil
+
+    deltas = [
+        [(0, 1, False), (1, 1, False)],
+        [(2, 2, False), (8, 8, False)],
+        [(3, 0, True)],
+    ]
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(deltas):
+        tmp = str(tmp_path / f"one{i}")
+        spark.createDataFrame(
+            rows, "k bigint, v bigint, is_del boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in g.glob(f"{tmp}/part-*.parquet"):
+            shutil.copy(f, f"{src}/delta{i}.parquet")
+    n = stream_merge_to_snapshot(
+        spark, src, t, keys=["k"], checkpoint_dir=ckpt,
+        schema_ddl="k bigint, v bigint, is_del boolean",
+        delete_col="is_del",
+    )
+    assert n == 3
+    got = {(r.k, r.v) for r in snapshot_read(spark, t).collect()}
+    expect = {(0, 1), (1, 1), (2, 2), (4, 0), (5, 0), (6, 0), (7, 0), (8, 8)}
+    assert got == expect
+    # one committed version per applied epoch (1 initial + 3 merges)
+    assert _list_manifest_versions(spark, t) == [1, 2, 3, 4]
