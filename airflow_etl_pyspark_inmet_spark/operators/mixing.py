@@ -314,3 +314,69 @@ def weighted_priority_sample(
         ).alias("priority"),
     )
     return out.orderBy(F.col("priority").asc(), F.col(id_col).asc()).limit(k)
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    strat_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-budget allocation across domains — the step that
+    turns mixture WEIGHTS into an actual training-data recipe: given a
+    total token budget B, each domain gets an integer token quota
+    proportional to its temperature-damped share (sqrt of its
+    whitespace-token count, the :func:`temperature_weights` fixed-point
+    contract), with the rounding slack distributed by the LARGEST
+    REMAINDER method (Hamilton apportionment) so the quotas sum to B
+    EXACTLY — no float shares, no off-by-a-few-tokens drift between
+    engines or runs.
+
+    All integer: base_d = (B * w_d) div W, remainder_d = (B * w_d)
+    mod W; the r = B - sum(base) domains with the largest remainders
+    (ties broken by domain ascending) get +1. The apportionment window
+    runs over the DOMAINS frame (one row per domain, already
+    aggregated — the documented-safe unpartitioned-window case, bounded
+    by domain cardinality, not corpus size); the only corpus-sized work
+    is one map-side-combined hash agg of token counts.
+
+    Output per domain: n_tokens (available), weight_e6 (damped share in
+    millionths), quota_tokens (sums to B), fill_ppm (quota vs
+    available — over 1e6 means the recipe upsamples the domain)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    counts = (
+        df.select(F.col(strat_col), toks.alias("_t"))
+        .groupBy(strat_col)
+        .agg(F.sum("_t").alias("n_tokens"))
+        .withColumn(
+            "_w",
+            F.floor(F.sqrt(F.col("n_tokens")) * F.lit(1e6)).cast("bigint"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(F.sum("_w").alias("_wtot"))
+    B = F.lit(budget_tokens).cast("bigint")
+    based = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("_base", F.expr(f"({budget_tokens} * _w) div _wtot"))
+        .withColumn("_rem", F.expr(f"({budget_tokens} * _w) % _wtot"))
+        .withColumn("weight_e6", F.expr("_w * 1000000 div _wtot"))
+    )
+    slack = based.agg((B - F.sum("_base")).alias("_r"))
+    w = Window.orderBy(F.col("_rem").desc(), F.col(strat_col).asc())
+    return (
+        based.crossJoin(F.broadcast(slack))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            strat_col,
+            "n_tokens",
+            "weight_e6",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_r"), 1).otherwise(0)
+            ).cast("bigint").alias("quota_tokens"),
+        )
+        .withColumn(
+            "fill_ppm", F.expr("quota_tokens * 1000000 div n_tokens")
+        )
+    )

@@ -1790,3 +1790,15 @@ def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
     )
+
+
+def x9_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget allocation: a 100k-token training recipe
+    apportioned across sources by temperature-damped token share with
+    largest-remainder rounding, so quotas sum to the budget EXACTLY
+    (operators.mixing.token_budget_allocation). All integer — the
+    oracle replays the apportionment bit for bit."""
+    from ..operators.mixing import token_budget_allocation
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return token_budget_allocation(docs, budget_tokens=100_000)

@@ -3574,6 +3574,43 @@ FROM l3
 """
 )
 
+
+# x9: largest-remainder token-budget apportionment — all integer, so the
+# oracle replays it exactly; the SUM(quota_tokens) == budget theorem is
+# implied by the hash match.
+ORACLES["x9_token_budget"] = """
+WITH c AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+wts AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS w
+  FROM c
+),
+tot AS (SELECT SUM(w) AS wtot FROM wts),
+base AS (
+  SELECT source, n_tokens, w,
+         CAST((100000 * wts.w) // wtot AS BIGINT) AS base,
+         CAST((100000 * wts.w) % wtot AS BIGINT) AS rem,
+         CAST(wts.w * 1000000 // wtot AS BIGINT) AS weight_e6
+  FROM wts CROSS JOIN tot
+),
+slack AS (SELECT 100000 - SUM(base) AS r FROM base),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+  FROM base
+)
+SELECT source, n_tokens, weight_e6,
+       CAST(base + CASE WHEN rnk <= (SELECT r FROM slack) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota_tokens,
+       CAST((base + CASE WHEN rnk <= (SELECT r FROM slack) THEN 1 ELSE 0 END)
+            * 1000000 // n_tokens AS BIGINT) AS fill_ppm
+FROM rk
+"""
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. After
 # the r8 window, driver staleness was: 50 r8, ~48 r7/r6, 41 r5,
@@ -3592,6 +3629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_hierarchy_rollup": R.q110_hierarchy_rollup,
     "d18_containment_pairs": L.d18_containment_pairs,
     "g2_label_propagation": L.g2_label_propagation,
+    "x9_token_budget": L.x9_token_budget,
     # -- 2. the full r5-stale cohort (the VERDICT r8 ask: most of ----
     #       q34-q69 last driver-checked in r4-r6; nothing behind ----
     #       this window is older than r6 afterwards ------------------

@@ -1784,3 +1784,24 @@ def test_label_propagation_bounded_rounds(spark):
         for r in label_propagation_min(edges, n_rounds=5).collect()
     }
     assert got5 == {n: 0 for n in range(6)}
+
+
+def test_token_budget_allocation_sums_exactly(spark):
+    """Largest-remainder apportionment: quotas sum to the budget
+    EXACTLY, monotone in domain size, and every domain gets >= its
+    floor share."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        token_budget_allocation,
+    )
+
+    rows = []
+    for d, n in (("a", 3), ("b", 30), ("c", 300)):
+        for i in range(n):
+            rows.append((d, "tok " * 10))
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = token_budget_allocation(df, budget_tokens=9999).collect()
+    quotas = {r.source: r.quota_tokens for r in out}
+    assert sum(quotas.values()) == 9999
+    assert quotas["a"] < quotas["b"] < quotas["c"]
+    # sqrt damping: the 100x domain gets ~10x the tokens, not ~100x
+    assert quotas["c"] < 15 * quotas["a"]
