@@ -3616,8 +3616,10 @@ FROM rk
 # the r8 window, driver staleness was: 50 r8, ~48 r7/r6, 41 r5,
 # 0 never-checked. Round-9 window, front to back (the VERDICT r8 ask:
 # rotate to the stalest 50):
-#   1. the 2 queries new this round (q110 recursive hierarchy via
-#      pointer doubling, d18 asymmetric containment dedup);
+#   1. the 4 queries new this round (q110 recursive hierarchy via
+#      pointer doubling, d18 asymmetric containment dedup, g2
+#      bounded-round label propagation, x9 exact token-budget
+#      apportionment);
 #   2. ALL 41 queries whose last driver row is r5 (d6/d9, q36-q70
 #      remnants, s1/s2, the t2-t19 text block, x4) — after this round
 #      nothing in the registry has driver evidence older than r6;
@@ -3625,7 +3627,7 @@ FROM rk
 # Everything behind the window is green in the r8 judge's independent
 # 191/191 full replica and in this round's local replica run.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1. new in round 9 (recursive hierarchy, containment dedup) --
+    # -- 1. new in round 9 ------------------------------------------
     "q110_hierarchy_rollup": R.q110_hierarchy_rollup,
     "d18_containment_pairs": L.d18_containment_pairs,
     "g2_label_propagation": L.g2_label_propagation,

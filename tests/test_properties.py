@@ -418,3 +418,91 @@ def test_pack_counts_conservation_property(spark, counts):
         assert per_doc.get(i, 0) == c
     for b, tot in per_bin.items():
         assert tot <= 256
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+)
+def test_hierarchy_root_depth_property(spark, raw):
+    """For any random forest with parent[i] < i (plus self-rooted 0),
+    pointer doubling equals the sequential parent-chain walk."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        hierarchy_root_depth,
+    )
+
+    # parent of node i (1-based) is raw[i-1] % i  -> always < i; node 0 roots
+    parents = {0: 0}
+    for i, r in enumerate(raw, start=1):
+        parents[i] = r % i
+    # a node is a root iff parent == node (only 0 here)
+    edges = spark.createDataFrame(
+        list(parents.items()), "node bigint, parent bigint"
+    )
+    got = {
+        r.node: (r.root, r.depth)
+        for r in hierarchy_root_depth(edges, max_rounds=6).collect()
+    }
+    for n, p in parents.items():
+        cur, depth = n, 0
+        while parents[cur] != cur:
+            cur = parents[cur]
+            depth += 1
+        assert got[n] == (cur, depth), (n, got[n], (cur, depth))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_label_propagation_equals_bfs_property(spark, raw_edges, k):
+    """k rounds of min-label exchange == min node id within BFS
+    distance k, for arbitrary small graphs."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        label_propagation_min,
+    )
+
+    und = {(a, b) for a, b in raw_edges} | {(b, a) for a, b in raw_edges}
+    edges = spark.createDataFrame(sorted(und), "src bigint, dst bigint")
+    nodes = sorted({a for a, _ in und})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+    got = {
+        r.node: r.label
+        for r in label_propagation_min(edges, n_rounds=k).collect()
+    }
+    for n in nodes:
+        frontier, seen = {n}, {n}
+        for _ in range(k):
+            frontier = {v for u in frontier for v in adj[u]} - seen
+            seen |= frontier
+        assert got[n] == min(seen), (n, k)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=10_000),
+)
+def test_token_budget_sums_exactly_property(spark, sizes, budget):
+    """Largest-remainder apportionment: for any domain sizes and any
+    budget, integer quotas sum to the budget EXACTLY."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        token_budget_allocation,
+    )
+
+    rows = []
+    for d, n in enumerate(sizes):
+        rows.append((f"dom{d}", "t " * n))
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = token_budget_allocation(df, budget_tokens=budget).collect()
+    assert sum(r.quota_tokens for r in out) == budget
