@@ -1200,3 +1200,62 @@ def q108_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+def c7_snapshot_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c6's incremental-refresh theorem driven through the REAL
+    transactional sink (plans/snapshot.py): the base orders land as a
+    snapshot table, the same deterministic CDC changelog (deletes
+    %17, updates %5 +10, inserts %9 at max+1 keys) applies via ONE
+    copy-on-write snapshot MERGE (delete handling included), and the
+    monthly-revenue MV aggregates from the committed snapshot read.
+    The oracle is c6's from-scratch recompute over the changelog-
+    applied table, so a hash match proves the MERGE's row-level
+    update/insert/delete semantics — through the manifest-commit
+    storage layer — equal the declarative CDC apply bit for bit.
+    The table lands in a fresh temp dir per invocation (idempotent
+    re-runs); sf0.01-scale footprint."""
+    import tempfile
+
+    from .snapshot import snapshot_merge, snapshot_read, snapshot_write
+
+    t = tempfile.mkdtemp(prefix="c7snap") + "/orders"
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    snapshot_write(spark, t, base)
+    mx = base.agg(F.max("o_orderkey")).first()[0]
+    k = F.col("o_orderkey")
+    deletes = base.filter(k % 17 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        F.lit(True).alias("_del"),
+    )
+    updates = base.filter((k % 17 != 0) & (k % 5 == 0)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit(False).alias("_del"),
+    )
+    inserts = base.filter(k % 9 == 0).select(
+        (k + F.lit(int(mx)) + 1).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit(False).alias("_del"),
+    )
+    delta = deletes.unionByName(updates).unionByName(inserts)
+    snapshot_merge(spark, t, delta, keys=["o_orderkey"], delete_col="_del")
+    applied = snapshot_read(spark, t)
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    return (
+        applied.groupBy(
+            F.year("o_orderdate").cast("int").alias("ano"),
+            F.month("o_orderdate").cast("int").alias("mes"),
+        )
+        .agg(
+            F.sum(cents).alias("price_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("ano", "mes")
+    )

@@ -3611,6 +3611,12 @@ SELECT source, n_tokens, weight_e6,
 FROM rk
 """
 
+
+# c7: the c6 view-maintenance theorem driven through the transactional
+# snapshot sink — same oracle (full recompute over the applied table),
+# so the hash match proves the MERGE storage layer's I/U/D semantics.
+ORACLES["c7_snapshot_merge_mv"] = ORACLES["c6_incremental_refresh"]
+
 # Ordering note: the driver's correctness gate hashes only the FIRST 50
 # entries of queries(); it rotates a 50-query window each round. After
 # the r8 window, driver staleness was: 50 r8, ~48 r7/r6, 41 r5,
@@ -3632,6 +3638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d18_containment_pairs": L.d18_containment_pairs,
     "g2_label_propagation": L.g2_label_propagation,
     "x9_token_budget": L.x9_token_budget,
+    "c7_snapshot_merge_mv": T.c7_snapshot_merge_mv,
     # -- 2. the full r5-stale cohort (the VERDICT r8 ask: most of ----
     #       q34-q69 last driver-checked in r4-r6; nothing behind ----
     #       this window is older than r6 afterwards ------------------
