@@ -326,3 +326,54 @@ def test_stream_merge_to_snapshot_equals_batch_apply(spark, tmp_path):
     assert got == expect
     # one committed version per applied epoch (1 initial + 3 merges)
     assert _list_manifest_versions(spark, t) == [1, 2, 3, 4]
+
+
+def test_snapshot_changes_across_schema_evolution(spark, tmp_path):
+    """CDF where to_version has a column from_version lacks: updates
+    carry the new column's value, deletes classify normally."""
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, t, spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    )
+    delta = spark.createDataFrame(
+        [(1, 11, "x", False), (3, 30, "y", False)],
+        "k bigint, v bigint, tag string, d boolean",
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], delete_col="d")
+    got = {
+        r.k: (r.v, r.tag, r._change)
+        for r in snapshot_changes(spark, t, 1, 2, keys=["k"]).collect()
+    }
+    # k=2 is unchanged except the evolved column went from absent to
+    # NULL — shared-column compare says silent; k=1 updated, k=3 inserted
+    assert got == {1: (11, "x", "update"), 3: (30, "y", "insert")}
+
+
+def test_inmet_pipeline_is_deterministic_via_snapshot_cdf(spark, inmet_glob):
+    """Versioned warehouse loads prove pipeline determinism: running
+    the full reference pipeline twice and landing `cidade_kpis_mensal`
+    as two snapshot versions yields an EMPTY change feed — the
+    reproducibility contract a production warehouse wants from its
+    loader, verified through the transactional sink."""
+    import tempfile
+
+    from airflow_etl_pyspark_inmet_spark.plans.inmet_pipeline import (
+        run_pipeline,
+    )
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    t = tempfile.mkdtemp(prefix="inmetsnap") + "/kpis"
+    for _ in range(2):
+        tables = run_pipeline(spark, inmet_glob)
+        snapshot_write(spark, t, tables["cidade_kpis_mensal"])
+    changes = snapshot_changes(
+        spark, t, 1, 2, keys=["cidade_sk", "ano", "mes"]
+    )
+    assert changes.count() == 0
