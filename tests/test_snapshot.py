@@ -4,7 +4,12 @@ MERGE sink — the production twin of the c6/st9 MV story.
 Covers: write/read roundtrip, MERGE semantics (update/insert/delete)
 against an independently computed expectation, snapshot isolation /
 time travel, partition-pruned copy-on-write (untouched files carry
-over BY PATH), commit-conflict detection, and vacuum reclamation.
+over BY PATH), commit-conflict detection with a REAL two-thread race
+(serializability), vacuum reclamation, schema evolution (carried files
+read NULL for added columns), history metadata + compaction
+content-identity, change data feed (incl. across an evolution
+boundary), streaming upsert == one-batch apply, and INMET-pipeline
+determinism proven as an empty CDF between two versioned loads.
 """
 
 from __future__ import annotations
