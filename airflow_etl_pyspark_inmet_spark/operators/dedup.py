@@ -68,6 +68,7 @@ def jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.5,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
 
@@ -87,11 +88,19 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # The per-doc sizes frame is CORPUS-SIZED (one row per doc — 400 GB
+    # at 25 B docs), so the default join is unhinted: AQE converts it to
+    # broadcast at runtime only when the frame actually fits, shuffle
+    # join otherwise. ``broadcast_sizes=True`` restores the explicit
+    # hint for corpora the CALLER knows are broadcastable (skips AQE's
+    # query-stage materialization — measured ~0.6 s at sf0.1).
     na = sizes.toDF("id_a", "n_a")
     nb = sizes.toDF("id_b", "n_b")
+    if broadcast_sizes:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     j = (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -108,6 +117,7 @@ def containment_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold_ppm: int = 600_000,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs (Broder's containment,
     |A∩B| / |A|) — the dedup mode resemblance/Jaccard structurally
@@ -134,11 +144,15 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # same sizes-broadcast contract as jaccard_pairs: corpus-sized
+    # frame, unhinted by default (AQE decides), caller opt-in hint
     na = sizes.toDF("id_a", "n_a")
     nb = sizes.toDF("id_b", "n_b")
+    if broadcast_sizes:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn("cont_a_ppm", F.expr("inter * 1000000 div n_a"))
         .withColumn("cont_b_ppm", F.expr("inter * 1000000 div n_b"))
         .filter(
@@ -178,6 +192,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 30,
     bands: int = 10,
     threshold: float = 0.5,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH, verified with exact Jaccard.
 
@@ -243,11 +258,16 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
     )
 
-    return _jaccard_verify(grams, candidates, threshold)
+    return _jaccard_verify(
+        grams, candidates, threshold, broadcast_sizes=broadcast_sizes
+    )
 
 
 def _jaccard_verify(
-    s: DataFrame, candidates: DataFrame, threshold: float
+    s: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair set.
 
@@ -275,11 +295,16 @@ def _jaccard_verify(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes here is CANDIDATE-pruned (only docs appearing in a pair),
+    # smaller than the corpus but still unbounded in the worst case —
+    # same unhinted-default / caller-opt-in contract as jaccard_pairs
     na = sizes.toDF("id_a", "n_a")
     nb = sizes.toDF("id_b", "n_b")
+    if broadcast_sizes:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -445,6 +470,7 @@ def simhash_jaccard_pairs(
     ngram: int = 3,
     n_bands: int = 16,
     threshold: float = 0.5,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """SimHash candidates + exact n-gram-Jaccard verification — the
     oracle-checkable validation tier of the simhash family.
@@ -474,7 +500,10 @@ def simhash_jaccard_pairs(
         .withColumnRenamed(id_col, "_id")
         .localCheckpoint(eager=False)
     )
-    pairs = jaccard_pairs(df, id_col, text_col, ngram, threshold)
+    pairs = jaccard_pairs(
+        df, id_col, text_col, ngram, threshold,
+        broadcast_sizes=broadcast_sizes,
+    )
     a = sig.toDF("id_a", "sig_a")
     b = sig.toDF("id_b", "sig_b")
     width = 64 // n_bands

@@ -48,7 +48,7 @@ def d2_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard near-dup pairs at threshold 0.5 (the
     testdata plants ~25 pairs >= 0.85; noise pairs sit <= 0.15)."""
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, ngram=3, threshold=0.5)
+    return jaccard_pairs(docs, ngram=3, threshold=0.5, broadcast_sizes=True)
 
 
 def d3_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +58,9 @@ def d3_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     result (same oracle) — while the candidate join stays linear in docs,
     not quadratic (see operators.dedup.minhash_lsh_pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, ngram=3, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, ngram=3, threshold=0.5, broadcast_sizes=True
+    )
 
 
 def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +72,9 @@ def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective buckets + Hamming verify is operators.dedup.simhash_pairs,
     exercised in tests."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_jaccard_pairs(docs, ngram=3, n_bands=16, threshold=0.5)
+    return simhash_jaccard_pairs(
+        docs, ngram=3, n_bands=16, threshold=0.5, broadcast_sizes=True
+    )
 
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +375,7 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, ngram=3, threshold=0.5)
+    pairs = jaccard_pairs(docs, ngram=3, threshold=0.5, broadcast_sizes=True)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
@@ -1060,7 +1064,9 @@ def t24_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components, jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    pairs = jaccard_pairs(
+        docs, threshold=0.5, broadcast_sizes=True
+    ).select("id_a", "id_b")
     comp = connected_components(pairs)
     d = docs.join(comp, docs.doc_id == comp.node, "left")
     cluster = F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint")
@@ -1148,7 +1154,7 @@ def c2_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    pairs = jaccard_pairs(keepers, ngram=3, threshold=0.5)
+    pairs = jaccard_pairs(keepers, ngram=3, threshold=0.5, broadcast_sizes=True)
     comps = connected_components(pairs)
     return (
         keepers.select("doc_id", "exact_copies")
@@ -1311,7 +1317,9 @@ def c3_dedup_funnel_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    pairs = minhash_lsh_pairs(keepers, ngram=3, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        keepers, ngram=3, threshold=0.5, broadcast_sizes=True
+    )
     comps = connected_components(pairs)
     return (
         keepers.select("doc_id", "exact_copies")
@@ -1548,7 +1556,9 @@ def c4_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     # 3. near-dedup (production LSH path) -> canonical doc per cluster
-    pairs = minhash_lsh_pairs(keepers, ngram=3, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        keepers, ngram=3, threshold=0.5, broadcast_sizes=True
+    )
     comps = connected_components(pairs)
     canon = (
         keepers.join(comps, F.col("doc_id") == F.col("node"), "left")
@@ -1744,7 +1754,9 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return containment_pairs(docs, ngram=3, threshold_ppm=600_000)
+    return containment_pairs(
+        docs, ngram=3, threshold_ppm=600_000, broadcast_sizes=True
+    )
 
 
 def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:

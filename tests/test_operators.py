@@ -1805,3 +1805,26 @@ def test_token_budget_allocation_sums_exactly(spark):
     assert quotas["a"] < quotas["b"] < quotas["c"]
     # sqrt damping: the 100x domain gets ~10x the tokens, not ~100x
     assert quotas["c"] < 15 * quotas["a"]
+
+
+def test_jaccard_pairs_broadcast_hint_is_result_neutral(spark):
+    """broadcast_sizes only changes the JOIN STRATEGY (explicit hint vs
+    AQE runtime choice) — rows must be identical. The default is the
+    scale-safe unhinted form (the sizes frame is corpus-sized at 25 B
+    docs); bench-scale callers opt in."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f h"),
+        (3, "x y z w q r s"),
+        (4, "x y z w q r t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hinted = {tuple(r) for r in
+              jaccard_pairs(df, threshold=0.3, broadcast_sizes=True).collect()}
+    unhinted = {tuple(r) for r in
+                jaccard_pairs(df, threshold=0.3).collect()}
+    assert hinted == unhinted and len(hinted) >= 2
