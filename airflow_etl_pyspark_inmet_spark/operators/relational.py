@@ -801,6 +801,13 @@ def hierarchy_root_depth(
     the ancestor key) + lazy localCheckpoint to truncate lineage — the
     d5/g1 iterative idiom. Nothing driver-side, nothing quadratic;
     total work O(N log depth). Returns (node, root, depth).
+
+    Fail-loudly contract (the connected_components precedent): if any
+    node's resolved ancestor is still NOT a root after ``max_rounds``
+    (hierarchy deeper than 2^max_rounds, or a parent cycle — which
+    never reaches a self-looping root), the function RAISES instead of
+    returning silently-partial ancestors. The check is one bounded
+    probe job (semi join against non-root nodes + limit 1).
     """
     cur = edges.select(
         F.col(node_col).alias("node"),
@@ -824,5 +831,20 @@ def hierarchy_root_depth(
                 (F.col("depth") + F.col("_d")).alias("depth"),
             )
             .localCheckpoint(eager=False)
+        )
+    non_roots = edges.filter(
+        F.col(parent_col) != F.col(node_col)
+    ).select(F.col(node_col).alias("_nr"))
+    stuck = (
+        cur.join(non_roots, cur["anc"] == non_roots["_nr"], "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if stuck:
+        raise ValueError(
+            f"hierarchy_root_depth: node {stuck[0]['node']!r} has not "
+            f"reached a root after {max_rounds} doubling rounds (depth > "
+            f"2^{max_rounds}, or a parent cycle). Raise max_rounds, or "
+            "fix the cycle."
         )
     return cur.select("node", F.col("anc").alias("root"), "depth")

@@ -1828,3 +1828,29 @@ def test_jaccard_pairs_broadcast_hint_is_result_neutral(spark):
     unhinted = {tuple(r) for r in
                 jaccard_pairs(df, threshold=0.3).collect()}
     assert hinted == unhinted and len(hinted) >= 2
+
+
+def test_hierarchy_raises_on_cycle_and_insufficient_rounds(spark):
+    """Unresolved ancestors must fail loudly, not silently return a
+    partial ancestor: a parent cycle never reaches a root, and a chain
+    deeper than 2^max_rounds needs more rounds."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        hierarchy_root_depth,
+    )
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (0, 0)], "node bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="cycle|root"):
+        hierarchy_root_depth(cyc, max_rounds=3)
+    # depth-8 chain: 2 rounds (reach 4) insufficient, 3 rounds fine
+    chain = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(9)], "node bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="doubling rounds"):
+        hierarchy_root_depth(chain, max_rounds=2)
+    got = {r.node: r.depth for r in
+           hierarchy_root_depth(chain, max_rounds=3).collect()}
+    assert got[8] == 8 and got[0] == 0

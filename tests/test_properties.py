@@ -506,3 +506,46 @@ def test_token_budget_sums_exactly_property(spark, sizes, budget):
     df = spark.createDataFrame(rows, "source string, text string")
     out = token_budget_allocation(df, budget_tokens=budget).collect()
     assert sum(r.quota_tokens for r in out) == budget
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_equals_bruteforce_property(spark, texts):
+    """Inverted-index containment == python brute force over word
+    3-gram sets, for arbitrary small corpora (threshold 0 emits every
+    co-occurring pair)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.cont_a_ppm, r.cont_b_ppm)
+        for r in containment_pairs(df, threshold_ppm=1).collect()
+    }
+
+    def grams(t):
+        ws = t.strip().split()
+        return {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 0))}
+
+    expect = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i >= j:
+                continue
+            gi, gj = grams(ti), grams(tj)
+            inter = len(gi & gj)
+            if inter and gi and gj:
+                expect[(i, j)] = (
+                    inter,
+                    inter * 1_000_000 // len(gi),
+                    inter * 1_000_000 // len(gj),
+                )
+    assert got == expect
