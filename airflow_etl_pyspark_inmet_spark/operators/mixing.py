@@ -293,15 +293,24 @@ def weighted_priority_sample(
     instead of clamping — opt-in because it costs an extra action.
     """
     if strict:
+        # NULL weights (and non-castable strings — try_cast -> NULL)
+        # must ALSO trip the gate: `cast(w) < 1` is NULL for them, so a
+        # bare < filter would let exactly the upstream-data-bug rows
+        # slip through and silently behave as weight 1 (ADVICE r9).
+        # try_cast, not cast: under ANSI a malformed string would throw
+        # a SparkNumberFormatException mid-probe instead of reaching
+        # the contract's ValueError.
+        w_cast = F.expr(f"try_cast({weight_col} as bigint)")
         bad = (
-            df.filter(F.col(weight_col).cast("bigint") < 1)
+            df.filter((w_cast < 1) | w_cast.isNull())
             .select(id_col, weight_col)
             .limit(1)
             .collect()
         )
         if bad:
             raise ValueError(
-                f"weighted_priority_sample(strict=True): weight < 1 for "
+                f"weighted_priority_sample(strict=True): weight < 1, "
+                f"NULL, or non-numeric for "
                 f"{id_col}={bad[0][0]!r} ({weight_col}={bad[0][1]!r}); "
                 "weights must be >= 1."
             )
@@ -321,6 +330,7 @@ def token_budget_allocation(
     budget_tokens: int,
     strat_col: str = "source",
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Exact token-budget allocation across domains — the step that
     turns mixture WEIGHTS into an actual training-data recipe: given a
@@ -342,8 +352,15 @@ def token_budget_allocation(
 
     Output per domain: n_tokens (available), weight_e6 (damped share in
     millionths), quota_tokens (sums to B), fill_ppm (quota vs
-    available — over 1e6 means the recipe upsamples the domain)."""
-    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    available — over 1e6 means the recipe upsamples the domain).
+
+    ``token_count_col``: when the corpus already carries per-row token
+    counts (the t1/packing pipelines emit them), pass the column name
+    to skip the whitespace re-tokenization pass."""
+    if token_count_col is not None:
+        toks = F.col(token_count_col).cast("bigint")
+    else:
+        toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
     counts = (
         df.select(F.col(strat_col), toks.alias("_t"))
         .groupBy(strat_col)
@@ -356,11 +373,27 @@ def token_budget_allocation(
     )
     totals = counts.agg(F.sum("_w").alias("_wtot"))
     B = F.lit(budget_tokens).cast("bigint")
+    # The B * w_d products run in decimal(38,0): at the documented
+    # target scales (10 B-token budget over 100 B-token domains,
+    # w ~ sqrt(n_tokens)*1e6 ~ 3e11) the bigint product exceeds 2^63
+    # and non-ANSI Spark would wrap SILENTLY, corrupting quotas
+    # (ADVICE r9). The `div` quotients are <= B / <= 1e6, so they fit
+    # bigint exactly; `%` of decimals yields decimal, kept exact for
+    # the remainder ordering.
+    bd = f"cast({budget_tokens} as decimal(38,0))"
     based = (
         counts.crossJoin(F.broadcast(totals))
-        .withColumn("_base", F.expr(f"({budget_tokens} * _w) div _wtot"))
-        .withColumn("_rem", F.expr(f"({budget_tokens} * _w) % _wtot"))
-        .withColumn("weight_e6", F.expr("_w * 1000000 div _wtot"))
+        .withColumn(
+            "_base",
+            F.expr(f"({bd} * cast(_w as decimal(38,0))) div _wtot"),
+        )
+        .withColumn(
+            "_rem", F.expr(f"({bd} * cast(_w as decimal(38,0))) % _wtot")
+        )
+        .withColumn(
+            "weight_e6",
+            F.expr("(cast(_w as decimal(38,0)) * 1000000) div _wtot"),
+        )
     )
     slack = based.agg((B - F.sum("_base")).alias("_r"))
     w = Window.orderBy(F.col("_rem").desc(), F.col(strat_col).asc())
@@ -377,6 +410,10 @@ def token_budget_allocation(
             ).cast("bigint").alias("quota_tokens"),
         )
         .withColumn(
-            "fill_ppm", F.expr("quota_tokens * 1000000 div n_tokens")
+            "fill_ppm",
+            F.expr(
+                "(cast(quota_tokens as decimal(38,0)) * 1000000)"
+                " div n_tokens"
+            ),
         )
     )

@@ -809,6 +809,28 @@ def hierarchy_root_depth(
     returning silently-partial ancestors. The check is one bounded
     probe job (semi join against non-root nodes + limit 1).
     """
+    # Dangling-parent gate: a node whose parent id has NO row in the
+    # node set would silently vanish from the inner self-join on round
+    # 1 AND escape the post-loop stuck probe (which only scans rows
+    # still present) — contradicting the fail-loudly contract (ADVICE
+    # r9). One bounded probe job: anti-join parent ids against node
+    # ids, raise on the first orphan.
+    dangling = (
+        edges.select(F.col(parent_col).alias("_p"))
+        .join(
+            edges.select(F.col(node_col).alias("_n")),
+            F.col("_p") == F.col("_n"),
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if dangling:
+        raise ValueError(
+            f"hierarchy_root_depth: parent id {dangling[0]['_p']!r} has "
+            "no node row — the hierarchy is malformed (dangling parent). "
+            "Add the missing node (roots must self-loop: parent == node)."
+        )
     cur = edges.select(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),

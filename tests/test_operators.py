@@ -1854,3 +1854,89 @@ def test_hierarchy_raises_on_cycle_and_insufficient_rounds(spark):
     got = {r.node: r.depth for r in
            hierarchy_root_depth(chain, max_rounds=3).collect()}
     assert got[8] == 8 and got[0] == 0
+
+
+def test_weighted_sample_strict_rejects_null_and_noncastable(spark):
+    """strict=True must also trip on NULL weights and non-numeric
+    strings (cast -> NULL): `cast(w) < 1` is NULL for them, so a bare
+    < probe would let exactly those bad rows through and they'd behave
+    as weight 1 while displaying NULL (ADVICE.md r9)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        weighted_priority_sample,
+    )
+
+    nulls = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        weighted_priority_sample(nulls, k=3, weight_col="w", strict=True)
+    strs = spark.createDataFrame(
+        [(1, "5"), (2, "heavy"), (3, "7")], "doc_id bigint, w string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        weighted_priority_sample(strs, k=3, weight_col="w", strict=True)
+    ok = spark.createDataFrame(
+        [(1, "5"), (3, "7")], "doc_id bigint, w string"
+    )
+    assert weighted_priority_sample(
+        ok, k=2, weight_col="w", strict=True
+    ).count() == 2
+
+
+def test_token_budget_allocation_no_bigint_overflow(spark):
+    """10 B-token budget over ~100 B-token domains: B * w products
+    exceed 2^63 and must run in decimal(38,0), not silently wrap
+    (ADVICE.md r9). Quotas must equal exact-integer Hamilton
+    apportionment computed in unbounded Python ints."""
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        token_budget_allocation,
+    )
+
+    budget = 10_000_000_000
+    sizes = {"web": 97_000_000_123, "code": 41_000_000_457, "books": 7_012_345_678}
+    df = spark.createDataFrame(
+        [(d, n) for d, n in sizes.items()], "source string, n_tok bigint"
+    )
+    out = {
+        r.source: (r.quota_tokens, r.weight_e6, r.fill_ppm)
+        for r in token_budget_allocation(
+            df, budget_tokens=budget, token_count_col="n_tok"
+        ).collect()
+    }
+    # exact-integer reference (unbounded ints)
+    w = {d: math.floor(math.isqrt(n) * 10**6) for d, n in sizes.items()}
+    # isqrt is exact; F.sqrt is a double — align the reference to the
+    # engine's documented sqrt*1e6 floor using float sqrt
+    w = {d: math.floor(math.sqrt(n) * 1e6) for d, n in sizes.items()}
+    W = sum(w.values())
+    base = {d: (budget * wd) // W for d, wd in w.items()}
+    rem = {d: (budget * wd) % W for d, wd in w.items()}
+    slack = budget - sum(base.values())
+    for d in sorted(rem, key=lambda d: (-rem[d], d))[:slack]:
+        base[d] += 1
+    assert {d: q for d, (q, _, _) in out.items()} == base
+    assert sum(q for q, _, _ in out.values()) == budget
+    for d in sizes:
+        assert out[d][1] == (w[d] * 10**6) // W
+        assert out[d][2] == (base[d] * 10**6) // sizes[d]
+
+
+def test_hierarchy_raises_on_dangling_parent(spark):
+    """A parent id with no node row must raise, not silently drop the
+    child from the result (the inner self-join would lose it on round
+    1 and the stuck probe only scans surviving rows — ADVICE.md r9)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        hierarchy_root_depth,
+    )
+
+    dangling = spark.createDataFrame(
+        [(0, 0), (1, 0), (5, 99)], "node bigint, parent bigint"
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        hierarchy_root_depth(dangling, max_rounds=3)
