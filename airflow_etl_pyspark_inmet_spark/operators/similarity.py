@@ -97,6 +97,52 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
+def sign_lsh_bucket_udf(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    with_probes: bool,
+    seed_base: int = 7,
+):
+    """Arrow-batched pandas UDF mapping an embedding to its sign-LSH
+    bucket ids: one ``array<bigint>`` of ``n_tables`` base buckets
+    (table tag in the high bits), or — with ``with_probes`` — base
+    buckets plus every Hamming-distance-1 probe bucket per table
+    (``n_tables * (1 + n_planes)`` ids). One numpy matmul per Arrow
+    batch over all tables' stacked hyperplanes; hyperplanes are the
+    deterministic LCG of :func:`_hyperplanes`, so bucketing is
+    reproducible across runs/engines. Shared by the ANN query tier
+    (:func:`lsh_cosine_topk`) and the near-dup pair tier
+    (operators.dedup.embedding_lsh_pairs)."""
+    mats = [
+        np.array(
+            _hyperplanes(n_planes, dim, seed=seed_base + 101 * t),
+            dtype=np.float64,
+        )
+        for t in range(n_tables)
+    ]
+    stacked = np.concatenate(mats, axis=0)  # (tables*planes, dim)
+
+    @F.pandas_udf("array<bigint>")
+    def udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (V @ stacked.T >= 0).astype(np.int64)  # (n, tables*planes)
+        cols = []
+        for t in range(n_tables):
+            block = bits[:, t * n_planes : (t + 1) * n_planes]
+            b = (block << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            cols.append(b ^ (t << 32))  # tag table in high bits
+        B = np.stack(cols, axis=1)  # (n, tables)
+        if with_probes:
+            # flipping plane bit i stays below the table tag (i < 32)
+            B = np.concatenate(
+                [B] + [B ^ (1 << i) for i in range(n_planes)], axis=1
+            )
+        return pd.Series(list(B))
+
+    return udf
+
+
 def lsh_cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -124,30 +170,8 @@ def lsh_cosine_topk(
     batch over all tables' hyperplanes) — dense linear algebra is the one
     place the vectorized Python path beats per-element SQL folds.
     """
-    mats = [
-        np.array(_hyperplanes(n_planes, dim, seed=7 + 101 * t), dtype=np.float64)
-        for t in range(n_tables)
-    ]
-    stacked = np.concatenate(mats, axis=0)  # (tables*planes, dim)
-
     def _bucket_udf(with_probes: bool):
-        @F.pandas_udf("array<bigint>")
-        def udf(vecs: pd.Series) -> pd.Series:
-            V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-            bits = (V @ stacked.T >= 0).astype(np.int64)  # (n, tables*planes)
-            cols = []
-            for t in range(n_tables):
-                block = bits[:, t * n_planes : (t + 1) * n_planes]
-                b = (block << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
-                cols.append(b ^ (t << 32))  # tag table in high bits
-            B = np.stack(cols, axis=1)  # (n, tables)
-            if with_probes:
-                B = np.concatenate(
-                    [B] + [B ^ (1 << i) for i in range(n_planes)], axis=1
-                )
-            return pd.Series(list(B))
-
-        return udf
+        return sign_lsh_bucket_udf(dim, n_planes, n_tables, with_probes)
 
     it = items.select(
         F.col(id_col).alias("item_id"),

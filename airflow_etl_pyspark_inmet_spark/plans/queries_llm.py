@@ -1814,3 +1814,151 @@ def x9_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("source", "text")
     return token_budget_allocation(docs, budget_tokens=100_000)
+
+
+def _lsh_pairs_same_label(spark: SparkSession, sf_dir: str):
+    """Shared body for the d19/d20/d21 harness: the production
+    sign-LSH-bucketed cosine pairs (operators.dedup.embedding_lsh_pairs
+    — corpus-scaled blocking, the d6 scale fix) plus the same pair set
+    restricted to same-label, the comparison universe of the
+    label-blocked ground-truth tier. Returns (emb, lsh_all,
+    lsh_same_label); both pair frames are lazily checkpointed so the
+    harness reads them once."""
+    from ..operators.dedup import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).localCheckpoint(
+        eager=False
+    )
+    lab = emb.select("vec_id", "label")
+    la = lab.toDF("id_a", "_lab_a")
+    lb = lab.toDF("id_b", "_lab_b")
+    same = (
+        lsh.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("_lab_a") == F.col("_lab_b"))
+        .select("id_a", "id_b", "cos_sim")
+        .localCheckpoint(eager=False)
+    )
+    return emb, lsh, same
+
+
+def d19_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding near-dup (the d6 77x fix, VERDICT r9 item
+    1): pairs blocked by corpus-scaled sign-LSH buckets (expected
+    occupancy ~32, planes ~ log2(N/32)) with exact cosine verify,
+    instead of the fixed-cardinality label key whose per-block work is
+    quadratic in the corpus. Harness contract = the s2/s3 pattern:
+    emits the DETERMINISTIC label-blocked ground-truth pairs (the d6
+    oracle) plus one recall_ok boolean — recall of the LSH pair set
+    over the label-blocked truth, gated at 0.6, far under the measured
+    floor (1.0 at sf0.01, 0.905 at sf0.1 — near-random synthetic
+    embeddings put every true pair at cos 0.35-0.5, the sign-LSH worst
+    case) and far over failure modes. Production path =
+    embedding_lsh_pairs alone (it also finds the CROSS-label pairs the
+    label tier structurally misses: 245 of 271 true pairs at sf0.01)."""
+    from ..operators.dedup import embedding_cosine_pairs
+
+    emb, lsh, _ = _lsh_pairs_same_label(spark, sf_dir)
+    exact = embedding_cosine_pairs(
+        emb, block_col="label", threshold=0.35
+    ).localCheckpoint(eager=False)
+    hit = exact.join(
+        lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    stats = exact.agg(F.count(F.lit(1)).alias("_tot")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    flag = stats.select(
+        (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
+def d20_semantic_keeper_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keeper selection over the LSH-bucketed pairs (the d8
+    variant of the d19 scale fix): same-label-restricted LSH pairs ->
+    connected components -> min-id keeper, compared against the
+    label-blocked ground-truth keepers. Emits the deterministic exact
+    keepers (the d8 oracle) + one agree_ok boolean: the fraction of
+    vec_ids whose LSH-derived cluster id equals the exact cluster id,
+    gated at 0.8 (measured 1.0 at sf0.01 — recall there is 1.0, so
+    the clusterings coincide). The same-label restriction keeps the
+    comparison universe equal to the ground-truth tier's; production
+    drops it and clusters the full LSH pair set."""
+    from ..operators.dedup import connected_components, semantic_dedup_keepers
+
+    emb, _, same = _lsh_pairs_same_label(spark, sf_dir)
+    exact = semantic_dedup_keepers(
+        emb, block_col="label", threshold=0.35
+    ).localCheckpoint(eager=False)
+    comp = connected_components(same.select("id_a", "id_b"))
+    lshk = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("vec_id")).alias("_lsh_cluster"),
+        )
+    )
+    both = exact.join(lshk, "vec_id")
+    stats = both.agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.count_if(F.col("cluster_id") == F.col("_lsh_cluster")).alias(
+            "_same"
+        ),
+    )
+    flag = stats.select(
+        (F.col("_same") * 10 >= F.col("_tot") * 8).alias("agree_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
+def d21_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters over the LSH-bucketed pairs (the
+    d17 variant of the d19 scale fix): same contract as d20 but with
+    the d17 cluster/canonical output shape — exact label-blocked
+    clusters as the deterministic rows + agree_ok envelope on the
+    LSH-derived clustering (gated 0.8; measured 1.0 at sf0.01)."""
+    from ..operators.dedup import (
+        connected_components,
+        embedding_cosine_pairs,
+    )
+
+    emb, _, same = _lsh_pairs_same_label(spark, sf_dir)
+    pairs = embedding_cosine_pairs(emb, block_col="label", threshold=0.35)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    base = emb.select("vec_id", "label")
+    cluster = F.coalesce(F.col("comp"), F.col("vec_id")).cast("bigint")
+    exact = (
+        base.join(comp, base.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            "label",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("is_canonical"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lcomp = connected_components(same.select("id_a", "id_b")).toDF(
+        "_lnode", "_lcomp"
+    )
+    lshk = (
+        emb.select("vec_id")
+        .join(lcomp, F.col("vec_id") == F.col("_lnode"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_lcomp"), F.col("vec_id")).alias("_lsh_cluster"),
+        )
+    )
+    both = exact.join(lshk, "vec_id")
+    stats = both.agg(
+        F.count(F.lit(1)).alias("_tot"),
+        F.count_if(F.col("cluster_id") == F.col("_lsh_cluster")).alias(
+            "_same"
+        ),
+    )
+    flag = stats.select(
+        (F.col("_same") * 10 >= F.col("_tot") * 8).alias("agree_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))

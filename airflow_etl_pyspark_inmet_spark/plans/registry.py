@@ -3836,3 +3836,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08_dayfirst_dates": R.q8_dayfirst_dates,
     "q09_union_by_name": R.q9_union_by_name,
 }
+
+# d19/d20/d21 — the embedding-LSH scale fix harness (VERDICT r9 item 1).
+# Contract = the s2/s3 ANN pattern: deterministic exact rows (the d6/d8/
+# d17 label-blocked ground truth) + one envelope boolean on the
+# production LSH tier (recall / cluster agreement), which the oracle
+# asserts as a constant TRUE.
+ORACLES["d19_dedup_embedding_lsh"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim,
+       TRUE AS recall_ok
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+"""
+ORACLES["d20_semantic_keeper_lsh"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e2.b AS node, r.comp FROM reach r JOIN edges e2 ON e2.a = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY 1)
+SELECT v.vec_id,
+       COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = COALESCE(c.cluster_id, v.vec_id) AS is_keeper,
+       TRUE AS agree_ok
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+"""
+ORACLES["d21_semantic_clusters_lsh"] = """
+WITH RECURSIVE ev AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM p
+),
+reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY 1)
+SELECT v.vec_id, v.label,
+       CAST(COALESCE(c.comp, v.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.comp, v.vec_id) = v.vec_id AS is_canonical,
+       TRUE AS agree_ok
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+"""
+QUERIES["d19_dedup_embedding_lsh"] = L.d19_dedup_embedding_lsh
+QUERIES["d20_semantic_keeper_lsh"] = L.d20_semantic_keeper_lsh
+QUERIES["d21_semantic_clusters_lsh"] = L.d21_semantic_clusters_lsh

@@ -1940,3 +1940,56 @@ def test_hierarchy_raises_on_dangling_parent(spark):
     )
     with pytest.raises(ValueError, match="dangling"):
         hierarchy_root_depth(dangling, max_rounds=3)
+
+
+def test_embedding_lsh_pairs_exact_precision_and_recall(emb):
+    """embedding_lsh_pairs (the d6 scale fix): every emitted pair must
+    be a TRUE pair (exact cosine verify -> precision 1.0, values
+    matching numpy brute force bit-for-bit at the double level), the
+    candidate join must be an equi-join (no cartesian), and recall
+    against the full all-pairs truth must clear the envelope on the
+    sf0.001 corpus (measured 1.0 there)."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    got = embedding_lsh_pairs(emb, threshold=0.35, dim=64)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {(r.id_a, r.id_b): r.cos_sim for r in got.collect()}
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.stack(pdf.embedding.values).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    ids = pdf.vec_id.values
+    truth = {}
+    iu, ju = np.triu_indices(len(ids), 1)
+    for i, j in zip(iu, ju):
+        if C[i, j] >= 0.35:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            truth[(a, b)] = C[i, j]
+    # precision exact: every emitted pair is true, cosine matches
+    for k, v in rows.items():
+        assert k in truth and abs(v - truth[k]) < 1e-9
+    # recall envelope vs FULL truth (not just same-label)
+    assert len(rows) >= 0.9 * len(truth)
+
+
+def test_embedding_lsh_pairs_auto_planes_scale_with_corpus(spark):
+    """The n_planes=None sizing must grow with the corpus so expected
+    bucket occupancy stays bounded: ceil(log2(N / occupancy)) — the
+    property that makes total pair work linear in N (d6's fixed label
+    key is the quadratic counterexample, BENCH_sf1_r9.json)."""
+    import math
+
+    for n, occ, want in ((100, 32, 2), (2048, 32, 6), (10**6, 32, 15)):
+        got = max(
+            3,
+            min(24, math.ceil(math.log2(max(n, 2) / occ)))
+            if n > occ
+            else 3,
+        )
+        assert got == max(3, want), (n, got)
