@@ -1056,17 +1056,22 @@ def t24_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents) are the unit of assignment, so a near-dup pair can never
     straddle train and test — the eval-contamination failure t9
     decontaminates after the fact is prevented structurally here.
-    Pipeline: exact-Jaccard near-dup pairs (≥0.5, the c2/d5 pair
-    stage) → pointer-jumping connected components → every member
-    inherits its cluster's split via the t7 modulus on the CLUSTER id
-    (singletons are their own cluster). Same scale shape as d5 + t7:
-    bucketed pair join, O(log diameter) CC rounds, map-only assign."""
-    from ..operators.dedup import connected_components, jaccard_pairs
+    Pipeline: MinHash+LSH near-dup pairs (≥0.5 verified exact — the c3
+    PRODUCTION pair stage; the exact tier's shingle self-join blows up
+    on hot shingles at corpus scale, and its sizes broadcast is
+    corpus-sized, VERDICT r9 item 2) → pointer-jumping connected
+    components → every member inherits its cluster's split via the t7
+    modulus on the CLUSTER id (singletons are their own cluster). Same
+    oracle as before by the d3/c3 recall argument: true pairs in this
+    corpus sit at j≥0.85, where the r=3/b=10 S-curve misses with
+    p<1e-4, so the verified LSH pair set equals the exact pair set and
+    the clusters (hence splits) match row for row. Scale shape:
+    banded-signature candidate join, O(log diameter) CC rounds,
+    map-only assign — nothing broadcast, nothing quadratic."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = jaccard_pairs(
-        docs, threshold=0.5, broadcast_sizes=True
-    ).select("id_a", "id_b")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
     comp = connected_components(pairs)
     d = docs.join(comp, docs.doc_id == comp.node, "left")
     cluster = F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint")
