@@ -69,6 +69,7 @@ def jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     broadcast_sizes: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (a < b, jaccard >= threshold).
 
@@ -76,18 +77,59 @@ def jaccard_pairs(
     shingle (co-occurrence count = |A∩B|), broadcast per-doc shingle
     counts, jaccard = inter / (|A| + |B| - inter). Every step is a plain
     shuffle/groupBy — no UDFs, no driver loops.
+
+    ``max_shingle_df`` — the HOT-SHINGLE guard (VERDICT r9 item 4): the
+    postings self-join is quadratic PER POSTING LIST, so one
+    stopword-gram appearing in k docs alone contributes ~k^2/2
+    candidate rows — on a skewed corpus the "exact" tier silently goes
+    quadratic. With a cap, shingles whose document frequency exceeds it
+    are excluded from CANDIDATE GENERATION (the standard
+    non-discriminative-shingle prune), bounding the join fan-out at
+    cap^2 per shingle, and the surviving candidates are re-verified
+    with the FULL shingle sets — their emitted jaccard is therefore
+    EXACT, not an approximation. The documented recall trade: a pair
+    whose shared shingles are ALL hotter than the cap is never
+    generated (such pairs share only boilerplate). Default ``None``
+    keeps the uncapped single-pass plan unchanged.
     """
     s = shingle_sets(df, id_col, text_col, ngram)
     sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_shingle_df is not None:
+        disc = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # explicit selects, not positional toDF: the semi join reorders
+        # columns to (shingle, _id)
+        s_cand = s.join(disc, "shingle", "left_semi")
+        ca = s_cand.select(F.col("_id").alias("id_a"), "shingle")
+        cb = s_cand.select(F.col("_id").alias("id_b"), "shingle")
+        cand = (
+            ca.join(cb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # exact re-verify on full shingle sets: fan-out bounded by
+        # candidates x doc length, never postings^2 of a hot shingle
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     # The per-doc sizes frame is CORPUS-SIZED (one row per doc — 400 GB
     # at 25 B docs), so the default join is unhinted: AQE converts it to
     # broadcast at runtime only when the frame actually fits, shuffle

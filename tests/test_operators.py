@@ -1993,3 +1993,45 @@ def test_embedding_lsh_pairs_auto_planes_scale_with_corpus(spark):
             else 3,
         )
         assert got == max(3, want), (n, got)
+
+
+def test_jaccard_pairs_hot_shingle_guard(spark):
+    """max_shingle_df (the hot-shingle guard): a planted stop-shingle
+    shared by every doc must not drive the candidate join quadratic —
+    pairs sharing ONLY hotter-than-cap shingles are dropped, while
+    pairs sharing any discriminative shingle survive with their EXACT
+    (full-set) jaccard, bit-identical to the uncapped run."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    boiler = "terms of service apply"  # shared by ALL docs -> hot shingles
+    rows = [
+        # 10 boilerplate-only docs: every pair has jaccard 1.0 but ONLY
+        # via hot shingles -> dropped under the cap (the documented trade)
+        *[(i, boiler) for i in range(10)],
+        # one true near-dup pair with discriminative overlap
+        (100, boiler + " alpha beta gamma delta epsilon zeta"),
+        (101, boiler + " alpha beta gamma delta epsilon eta"),
+        # an unrelated doc
+        (200, boiler + " one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.3, max_shingle_df=5).collect()
+    }
+    # boilerplate-only pairs are in the uncapped result but capped drops
+    # them: the pair count is bounded by discriminative co-occurrence
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    assert len(capped) < len(uncapped)
+    # the discriminative pair survives with bit-identical EXACT jaccard
+    # (computed on FULL shingle sets, hot shingles included)
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # nothing else leaks in
+    assert set(capped) == {(100, 101)}
