@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_FMT = "v-{n:012d}.json"
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -96,22 +97,56 @@ def _commit_manifest(
     spark: SparkSession, table: str, version: int, manifest: dict
 ) -> None:
     """The transaction: write the manifest under a temp name, then
-    rename to its final ``v-N`` name. Rename-with-no-overwrite is the
-    atomic compare-and-swap — if another writer committed N first, the
-    rename returns false and we raise for the caller to retry."""
+    publish it at its final ``v-N`` name with an ATOMIC NO-OVERWRITE
+    primitive, so two writers racing on the same version N conflict
+    deterministically (exactly one wins; the loser raises and retries
+    on N+1).
+
+    The primitive is scheme-dependent (ADVICE r9): on HDFS-like stores
+    ``fs.rename`` itself refuses an existing destination (the namenode
+    checks under its lock — the Delta/_delta_log protocol), but on
+    ``file:`` Hadoop's rename bottoms out in POSIX ``rename(2)``,
+    which silently REPLACES the destination — an exists() pre-check is
+    only a TOCTOU window there. So on the local scheme the commit is
+    ``link(2)`` (``java.nio.Files.createLink``): hard-linking the
+    fully-written temp file to the final name atomically fails with
+    EEXIST when the version is taken, and readers can never observe a
+    partially-written manifest (the link exposes completed bytes)."""
     fs, _, jvm = _fs(spark, table)
     tmp = f"{table}/manifests/.tmp-{uuid.uuid4().hex}"
     _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(
-        f"{table}/manifests/{_MANIFEST_FMT.format(n=version)}"
-    )
-    if fs.exists(dst) or not fs.rename(src, dst):
+    dst_str = f"{table}/manifests/{_MANIFEST_FMT.format(n=version)}"
+    dst = jvm.org.apache.hadoop.fs.Path(dst_str)
+
+    def _conflict():
         fs.delete(src, False)
         raise RuntimeError(
             f"snapshot commit conflict: version {version} of {table} was "
             "committed concurrently; re-read the latest snapshot and retry."
         )
+
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(dst.toUri().getPath()).toPath(),
+                jvm.java.io.File(src.toUri().getPath()).toPath(),
+            )
+        except Py4JJavaError as e:
+            cls = e.java_exception.getClass().getName()
+            if "FileAlreadyExists" in cls:
+                _conflict()
+            fs.delete(src, False)
+            raise
+        fs.delete(src, False)
+    else:
+        # HDFS-semantics rename: returns false (no replace) when dst
+        # exists; the exists() pre-check is only a fast path
+        if fs.exists(dst) or not fs.rename(src, dst):
+            _conflict()
 
 
 def _manifest_schema(man: dict):
@@ -128,7 +163,19 @@ def _land_data_files(
 ) -> list[dict]:
     """Write ``df`` as a new immutable parquet directory and return its
     manifest entries [{path, partition}]. Partition values ride in the
-    directory layout (partitionBy) so reads prune on the file list."""
+    directory layout (partitionBy) so reads prune on the file list.
+
+    The manifest stores the partition value UNESCAPED (the Hive dir
+    name percent-encodes ``: / %`` etc. — ADVICE r9): a timestamp
+    partition lands as ``ts=2020-01-01 00%3A00%3A00`` on disk but the
+    manifest entry says ``2020-01-01 00:00:00``, which is exactly what
+    ``CAST(value AS STRING)`` produces engine-side — so merge pruning
+    and typed read-back compare apples to apples. NULL (and empty
+    string — the Hive quirk: both land in the default partition and
+    read back as NULL) keep the ``__HIVE_DEFAULT_PARTITION__``
+    sentinel."""
+    from urllib.parse import unquote
+
     data_dir = f"{table}/data/{uuid.uuid4().hex}"
     writer = df.write.mode("error").format("parquet")
     if partition_col is not None:
@@ -147,7 +194,12 @@ def _land_data_files(
         if partition_col is not None:
             seg = st.getPath().getParent().getName()
             if seg.startswith(f"{partition_col}="):
-                part = seg[len(partition_col) + 1:]
+                raw = seg[len(partition_col) + 1:]
+                part = (
+                    raw
+                    if raw == _NULL_PART
+                    else unquote(raw)
+                )
         entries.append({"path": path, "partition": part})
     return entries
 
@@ -184,11 +236,25 @@ def snapshot_write(
 
 
 def snapshot_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partitions: list | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (latest by default; pass ``version``
     for time travel). The read plan is a plain parquet scan of exactly
-    the manifest's file set — pushdown/pruning apply as usual."""
+    the manifest's file set — pushdown/pruning apply as usual.
+
+    ``partitions`` — MANIFEST-LEVEL partition pruning, the 100 TB read
+    path: the file list shrinks BEFORE any filesystem or scan work
+    (values are normalized through the same CAST-AS-STRING encoding
+    the manifest stores; ``None`` selects the null partition). A
+    ``.filter(col == lit)`` on the unpruned read ALSO prunes — each
+    partition group carries its value as a literal, so Catalyst
+    constant-folds non-matching groups away entirely (plan-asserted in
+    tests) — but the manifest prune additionally skips their driver-
+    side listing, the right call when a 10k-partition table serves a
+    3-partition query."""
     versions = _list_manifest_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots at {table}")
@@ -202,12 +268,22 @@ def snapshot_read(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(man["schema_json"]))
-    paths = [f["path"] for f in man["files"]]
+    files = man["files"]
+    if partitions is not None:
+        if man.get("partition_col") is None:
+            raise ValueError(
+                f"{table} is unpartitioned; partitions= is not applicable"
+            )
+        want = {
+            _NULL_PART if v in (None, "") else str(v) for v in partitions
+        }
+        files = [f for f in files if f["partition"] in want]
+    paths = [f["path"] for f in files]
     if not paths:
         return spark.createDataFrame([], schema)
     if man.get("partition_col") is not None:
         return _read_partitioned_files(
-            spark, man["files"], man["partition_col"], man["partition_type"],
+            spark, files, man["partition_col"], man["partition_type"],
             schema,
         )
     # reading WITH the manifest schema (not file-inferred) makes mixed
@@ -242,7 +318,7 @@ def _read_partitioned_files(
     out = None
     for part, ps in sorted(by_part.items(), key=lambda kv: str(kv[0])):
         val = (
-            F.lit(None) if part in (None, "__HIVE_DEFAULT_PARTITION__")
+            F.lit(None) if part in (None, _NULL_PART)
             else F.lit(part)
         ).cast(ptype)
         reader = spark.read
@@ -302,10 +378,22 @@ def snapshot_merge(
 
         target = None
         if partition_col is not None:
-            touched = {
-                str(r[0])
-                for r in source.select(partition_col).distinct().collect()
-            }
+            # Touched set in the SAME normalization the manifest stores
+            # (ADVICE r9): Spark-side CAST(value AS STRING) — matching
+            # the unescaped dir-name encoding _land_data_files records —
+            # never Python str(), whose repr drifts for timestamps /
+            # decimals. NULL and '' land in the Hive default partition.
+            touched = set()
+            for r in (
+                source.select(
+                    F.col(partition_col).cast("string").alias("_p")
+                )
+                .distinct()
+                .collect()
+            ):
+                touched.add(
+                    _NULL_PART if r["_p"] in (None, "") else r["_p"]
+                )
             live = [f for f in man["files"] if f["partition"] in touched]
             carried = [
                 f for f in man["files"] if f["partition"] not in touched

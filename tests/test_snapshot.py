@@ -382,3 +382,142 @@ def test_inmet_pipeline_is_deterministic_via_snapshot_cdf(spark, inmet_glob):
         spark, t, 1, 2, keys=["cidade_sk", "ano", "mes"]
     )
     assert changes.count() == 0
+
+
+def test_merge_prunes_timestamp_and_string_partitions(spark, tmp_path):
+    """The ADVICE r9 pruning bug: partition values whose Hive dir name
+    is percent-escaped (timestamps — ':' -> %3A — and strings with
+    '/', '%') must still classify as TOUCHED during MERGE. Before the
+    fix, str(python_value) never matched the escaped dir name, so the
+    old partition files carried over NEXT TO the merged rows —
+    silently duplicating every row of a touched partition."""
+    import datetime
+
+    # timestamp partitions
+    t = str(tmp_path / "ts_tbl")
+    ts = [datetime.datetime(2020, 1, d, 12, 30, 0) for d in (1, 2)]
+    base = spark.createDataFrame(
+        [(1, 10, ts[0]), (2, 20, ts[0]), (3, 30, ts[1])],
+        "k bigint, v bigint, p timestamp",
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    delta = spark.createDataFrame(
+        [(1, 11, ts[0])], "k bigint, v bigint, p timestamp"
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], partition_col="p")
+    got = _rows(snapshot_read(spark, t))
+    assert got == {(1, 11, ts[0]), (2, 20, ts[0]), (3, 30, ts[1])}
+    # untouched ts[1] partition carried over by path (no rewrite)
+    f1 = {f["path"] for f in _read_manifest(spark, t, 1)["files"]}
+    f2 = {f["path"] for f in _read_manifest(spark, t, 2)["files"]}
+    assert any(p in f2 for p in f1)
+
+    # string partitions needing URL-escaping
+    t2 = str(tmp_path / "str_tbl")
+    parts = ["a/b: c%", "plain"]
+    base2 = spark.createDataFrame(
+        [(1, 10, parts[0]), (2, 20, parts[0]), (3, 30, parts[1])],
+        "k bigint, v bigint, p string",
+    )
+    snapshot_write(spark, t2, base2, partition_col="p")
+    delta2 = spark.createDataFrame(
+        [(2, 22, parts[0]), (4, 40, parts[0])],
+        "k bigint, v bigint, p string",
+    )
+    snapshot_merge(spark, t2, delta2, keys=["k"], partition_col="p")
+    got2 = _rows(snapshot_read(spark, t2))
+    assert got2 == {
+        (1, 10, parts[0]), (2, 22, parts[0]),
+        (3, 30, parts[1]), (4, 40, parts[0]),
+    }
+
+
+def test_merge_null_partition_classified_touched(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__; a
+    delta touching the null partition must rewrite it (no stale rows),
+    and untouched non-null partitions must carry over."""
+    t = str(tmp_path / "null_tbl")
+    base = spark.createDataFrame(
+        [(1, 10, None), (2, 20, None), (3, 30, 7)],
+        "k bigint, v bigint, p int",
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    delta = spark.createDataFrame(
+        [(1, 11, None)], "k bigint, v bigint, p int"
+    )
+    snapshot_merge(spark, t, delta, keys=["k"], partition_col="p")
+    got = _rows(snapshot_read(spark, t))
+    assert got == {(1, 11, None), (2, 20, None), (3, 30, 7)}
+    # the p=7 partition's file carried over untouched
+    f1 = {f["path"] for f in _read_manifest(spark, t, 1)["files"]
+          if f["partition"] == "7"}
+    f2 = {f["path"] for f in _read_manifest(spark, t, 2)["files"]
+          if f["partition"] == "7"}
+    assert f1 == f2 and f1
+
+
+def test_pruned_read_scans_only_selected_partition(spark, tmp_path):
+    """~1k-file table (VERDICT r9 item 5): a partition-filtered read
+    must scan ONLY the selected partition's files — via manifest-level
+    pruning (partitions=) AND via Catalyst constant-folding a
+    .filter() against the per-group literals (both plan-asserted by
+    inputFiles + a single FileScan)."""
+    t = str(tmp_path / "big_tbl")
+    df = (
+        spark.range(20000)
+        .select(F.col("id"), (F.col("id") % 100).alias("p"))
+        .repartition(10)
+    )
+    snapshot_write(spark, t, df, partition_col="p")
+    man = _read_manifest(spark, t, 1)
+    n_files = len(man["files"])
+    assert n_files >= 900  # ~10 files x 100 partitions
+    per_part = [f for f in man["files"] if f["partition"] == "3"]
+
+    def norm(paths):
+        # file:/ vs file:/// URI spelling
+        return sorted(p.split(":", 1)[1].lstrip("/") for p in paths)
+
+    filtered = snapshot_read(spark, t).filter(F.col("p") == 3)
+    assert norm(filtered.inputFiles()) == norm(
+        f["path"] for f in per_part
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+    pruned = snapshot_read(spark, t, partitions=[3])
+    assert norm(pruned.inputFiles()) == norm(
+        f["path"] for f in per_part
+    )
+    assert _rows(pruned) == _rows(filtered)
+    assert pruned.count() == 200
+
+
+def test_compaction_bounds_manifest_growth(spark, tmp_path):
+    """Merge-heavy write paths accrete one file set per MERGE so the
+    manifest grows O(merges); snapshot_compact must bound it back to
+    ~one file per partition (and vacuum reclaims the rest) — the
+    manifest-scaling half of VERDICT r9 item 5."""
+    from airflow_etl_pyspark_inmet_spark.plans.snapshot import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "grow_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, i % 4) for i in range(40)], "k bigint, v bigint, p int"
+    )
+    snapshot_write(spark, t, base, partition_col="p")
+    for step in range(1, 4):
+        delta = spark.createDataFrame(
+            [(i, step, i % 4) for i in range(0, 40, 5)],
+            "k bigint, v bigint, p int",
+        )
+        snapshot_merge(spark, t, delta, keys=["k"], partition_col="p")
+    grown = len(_read_manifest(spark, t, 4)["files"])
+    v = snapshot_compact(spark, t, target_files=1)
+    compacted = _read_manifest(spark, t, v)["files"]
+    assert len(compacted) <= 4 < grown  # one file per partition
+    # content identity after compaction
+    expect = {(i, 3, i % 4) if i % 5 == 0 else (i, 0, i % 4)
+              for i in range(40)}
+    assert _rows(snapshot_read(spark, t)) == expect
