@@ -888,32 +888,72 @@ def q102_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=False)
         )
-    parts = []
-    for ct, cc, pt, pc in cands:
-        child = sketch[ct].filter(F.col("c") == cc).select("v")
-        parent = sketch[pt].filter(F.col("c") == pc).select(
-            F.col("v").alias("p")
+    # FUSED stats (VERDICT r9 item 6 — was one semi-join + three
+    # aggregates PER PAIR, 36 exchanges / 72 hash aggs): all distinct
+    # counts come from ONE table-tagged union + groupBy(tbl, c), and
+    # all containment counts from ONE pair-tagged semi-join +
+    # groupBy(pair) — the per-pair work collapses into two aggregate
+    # passes over the already-checkpointed sketches, then a driver-
+    # literal candidates frame broadcast-assembles the output.
+    tagged = None
+    for tbl, _cols in need.items():
+        part = sketch[tbl].select(F.lit(tbl).alias("t"), "c", "v")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    counts = tagged.groupBy("t", "c").agg(F.count(F.lit(1)).alias("n"))
+    child_u = None
+    parent_u = None
+    for pid, (ct, cc, pt, pc) in enumerate(cands):
+        cu = (
+            sketch[ct]
+            .filter(F.col("c") == cc)
+            .select(F.lit(pid).alias("pid"), "v")
         )
-        both = child.join(parent, F.col("v") == F.col("p"), "left_semi")
-        stats = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-            both.agg(F.count(F.lit(1)).alias("n_contained"))
-        ).crossJoin(parent.agg(F.count(F.lit(1)).alias("n_parent")))
-        parts.append(
-            stats.select(
-                F.lit(f"{ct}.{cc}").alias("child_col"),
-                F.lit(f"{pt}.{pc}").alias("parent_col"),
-                F.col("n_child").cast("bigint").alias("n_child"),
-                F.col("n_parent").cast("bigint").alias("n_parent"),
-                F.col("n_contained").cast("bigint").alias("n_contained"),
-                F.expr("n_contained * 1000000 div n_child").alias(
-                    "containment_ppm"
-                ),
-            )
+        pu = (
+            sketch[pt]
+            .filter(F.col("c") == pc)
+            .select(F.lit(pid).alias("pid"), "v")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("child_col", "parent_col")
+        child_u = cu if child_u is None else child_u.unionByName(cu)
+        parent_u = pu if parent_u is None else parent_u.unionByName(pu)
+    contained = (
+        child_u.join(parent_u, ["pid", "v"], "left_semi")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+    cand_df = spark.createDataFrame(
+        [
+            (pid, f"{ct}.{cc}", f"{pt}.{pc}", ct, cc, pt, pc)
+            for pid, (ct, cc, pt, pc) in enumerate(cands)
+        ],
+        "pid int, child_col string, parent_col string, "
+        "ct string, cc string, pt string, pc string",
+    )
+    nc = counts.toDF("t", "c", "n_child")
+    np_ = counts.toDF("t", "c", "n_parent")
+    return (
+        cand_df.join(
+            F.broadcast(nc),
+            (F.col("ct") == nc.t) & (F.col("cc") == nc.c),
+        )
+        .join(
+            F.broadcast(np_),
+            (F.col("pt") == np_.t) & (F.col("pc") == np_.c),
+        )
+        .join(F.broadcast(contained), "pid", "left")
+        .select(
+            "child_col",
+            "parent_col",
+            F.col("n_child").cast("bigint").alias("n_child"),
+            F.col("n_parent").cast("bigint").alias("n_parent"),
+            F.coalesce(F.col("n_contained"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contained"),
+            F.expr(
+                "coalesce(n_contained, 0) * 1000000 div n_child"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("child_col", "parent_col")
+    )
 
 
 # ---------------------------------------------------------------------------
