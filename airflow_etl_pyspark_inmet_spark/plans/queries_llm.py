@@ -1967,3 +1967,48 @@ def d21_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_same") * 10 >= F.col("_tot") * 8).alias("agree_ok")
     )
     return exact.crossJoin(F.broadcast(flag))
+
+
+def d22_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus (UNBLOCKED) embedding near-dup harness — the
+    strongest form of the d19 envelope: the deterministic ALL-PAIRS
+    cosine>=0.35 truth at harness scale plus recall_ok for the
+    production LSH tier measured against THAT truth, which includes
+    the cross-label pairs the label-blocked d6 tier structurally
+    misses (245 of 271 true pairs at sf0.01 cross labels). The exact
+    companion is an intentional broadcast nested-loop self-join —
+    quadratic, harness-scale only, exactly like s1's exact ANN
+    baseline; the production path (embedding_lsh_pairs) stays linear.
+    Measured LSH recall vs full truth: 1.0 at sf0.01, 0.915 at sf0.1;
+    envelope 0.6."""
+    from ..operators.dedup import embedding_lsh_pairs
+    from ..operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).localCheckpoint(
+        eager=False
+    )
+    v = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("_v"),
+        _norm(F.col("embedding")).alias("_n"),
+    )
+    a = v.toDF("id_a", "_va", "_na")
+    b = v.toDF("id_b", "_vb", "_nb")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .localCheckpoint(eager=False)
+    )
+    hit = exact.join(
+        lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    stats = exact.agg(F.count(F.lit(1)).alias("_tot")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    flag = stats.select(
+        (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))

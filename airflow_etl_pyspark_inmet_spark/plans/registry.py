@@ -3916,3 +3916,21 @@ FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
 QUERIES["d19_dedup_embedding_lsh"] = L.d19_dedup_embedding_lsh
 QUERIES["d20_semantic_keeper_lsh"] = L.d20_semantic_keeper_lsh
 QUERIES["d21_semantic_clusters_lsh"] = L.d21_semantic_clusters_lsh
+
+# d22 — full-corpus (unblocked) truth for the embedding LSH envelope:
+# all-pairs cosine>=0.35 + recall_ok of the production LSH tier vs
+# THAT truth (covers the cross-label pairs d6's label tier misses).
+ORACLES["d22_dedup_embedding_full"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim,
+       TRUE AS recall_ok
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+"""
+QUERIES["d22_dedup_embedding_full"] = L.d22_dedup_embedding_full

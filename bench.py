@@ -112,6 +112,116 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-check":
+        # Standing scale-regression gate (VERDICT r9 item 3): run a
+        # representative query subset at sf0.1 AND at a K-x replica
+        # (scripts/gen_scale.py; default /tmp/sf1, generated on demand)
+        # and flag any query whose wall-clock grows more than 3x
+        # data-linear. The subset covers each plan family's PRODUCTION
+        # path — for the embedding near-dup family that is the
+        # corpus-scaled LSH tier (op:embedding_lsh_pairs), not the
+        # label-blocked ground-truth harness d6, whose quadratic
+        # per-block shape is documented and expected (BENCH_sf1_r9).
+        big_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf1")
+        if not os.path.exists(f"{big_dir}/lineitem.parquet"):
+            from scripts.gen_scale import generate
+
+            print(f"# generating {big_dir} (10x sf0.1)", file=sys.stderr)
+            generate(big_dir, 10, "/root/testdata/sf0.1")
+
+        def _op_embedding_lsh(spark_, sf_dir_):
+            from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+                embedding_lsh_pairs,
+            )
+
+            emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+            return embedding_lsh_pairs(emb, threshold=0.35, dim=64)
+
+        def _op_minhash_lsh(spark_, sf_dir_):
+            from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+                minhash_lsh_pairs,
+            )
+
+            docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+            return minhash_lsh_pairs(docs, threshold=0.5)
+
+        subset = [
+            "q01_pricing_summary",
+            "q02_daily_supplier_agg",
+            "q12_topk_per_group",
+            "q27_lag_lead",
+            "d1_dedup_exact",
+            "d3_dedup_minhash",
+            "d4_dedup_simhash",
+            "d5_dedup_clusters",
+            "s3_ivf_topk",
+            "t8_tfidf_top_terms",
+            "op:embedding_lsh_pairs",
+            "op:minhash_lsh_pairs",
+        ]
+        ops = {
+            "op:embedding_lsh_pairs": _op_embedding_lsh,
+            "op:minhash_lsh_pairs": _op_minhash_lsh,
+        }
+        n_sc = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+        def run_at(name: str, sf_dir: str) -> float:
+            fn = ops.get(name) or QUERIES[name]
+            runs = []
+            for _ in range(n_sc):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.time() - t0)
+            return sorted(runs)[len(runs) // 2]
+
+        import duckdb as _dk
+
+        n_small = _dk.sql(
+            "SELECT count(*) FROM "
+            f"'/root/testdata/sf0.1/lineitem.parquet'"
+        ).fetchone()[0]
+        n_big = _dk.sql(
+            f"SELECT count(*) FROM '{big_dir}/lineitem.parquet'"
+        ).fetchone()[0]
+        factor = n_big / n_small
+        out = {}
+        flags = []
+        spark.read.parquet(f"{big_dir}/lineitem.parquet").count()  # warm
+        for name in subset:
+            small = run_at(name, "/root/testdata/sf0.1")
+            big = run_at(name, big_dir)
+            ratio = big / small if small > 0 else float("inf")
+            flag = ratio > 3 * factor
+            out[name] = {
+                "small_sec": round(small, 3),
+                "big_sec": round(big, 3),
+                "ratio": round(ratio, 2),
+                "flag": flag,
+            }
+            if flag:
+                flags.append(name)
+            print(
+                f"# scale-check {name}: {small:.2f}s -> {big:.2f}s "
+                f"(x{ratio:.1f}, bar x{3 * factor:.0f})"
+                + (" FLAG" if flag else ""),
+                file=sys.stderr,
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_check",
+                    "data_factor": round(factor, 2),
+                    "flag_bar": round(3 * factor, 2),
+                    "queries": out,
+                    "flags": flags,
+                    "big_dir": big_dir,
+                }
+            )
+        )
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--ab":
         # Isolated measurement for A/B claims: median of 5 per named
         # query, raw runs included so the artifact is auditable (this
