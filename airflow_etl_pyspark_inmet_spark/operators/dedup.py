@@ -610,6 +610,7 @@ def embedding_lsh_pairs(
     n_tables: int = 8,
     multiprobe: bool = True,
     target_occupancy: int = 32,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-scaled embedding near-dup pairs: sign-LSH bucket blocking
     + exact cosine verification — the production replacement for the
@@ -643,49 +644,61 @@ def embedding_lsh_pairs(
     recall per table for more tables; callers pin ``n_planes``/
     ``n_tables`` when they need a fixed recall floor. The sizing count
     is one cheap action (count of the slim id column).
+
+    ``index_df`` — the INCREMENTAL shape (the d10 band-table pattern
+    for embeddings): when given, pairs are (``id_a`` from ``df`` — the
+    delta, ``id_b`` from ``index_df`` — the standing corpus), with the
+    multiprobe on the DELTA side only. The index side's (id, bucket)
+    frame is exactly what a 100 TB pipeline materializes once and
+    appends to per ingest — each delta then costs
+    |delta| * L(1+planes) probe rows joined against the bucket table,
+    never a corpus re-scan. Id spaces must be disjoint (enforced
+    nowhere — same contract as d10); plane sizing uses the INDEX side
+    size, which governs occupancy.
     """
     import math
 
     from .similarity import _dot, _norm, sign_lsh_bucket_udf
 
+    base_side = index_df if index_df is not None else df
     if n_planes is None:
-        n = df.count()
+        n = base_side.count()
         n_planes = max(
             3,
             min(24, math.ceil(math.log2(max(n, 2) / target_occupancy)))
             if n > target_occupancy
             else 3,
         )
-    slim = df.select(F.col(id_col), F.col(vec_col))
     base_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, False)
     probe_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, multiprobe)
-    base = slim.select(
+    base = base_side.select(
         F.col(id_col).alias("id_b"),
         F.explode(base_udf(F.col(vec_col))).alias("_bkt"),
     )
-    probe = slim.select(
+    probe = df.select(
         F.col(id_col).alias("id_a"),
         F.explode(probe_udf(F.col(vec_col))).alias("_bkt"),
     )
     # Hamming-1 is symmetric, so probing one side of the join covers
     # both orientations of every candidate pair.
-    cand = (
-        probe.join(base, "_bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = probe.join(base, "_bkt")
+    if index_df is None:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
-    v = df.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_n"),
+    vb = base_side.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
-    a = v.toDF("id_a", "_va", "_na")
-    b = v.toDF("id_b", "_vb", "_nb")
     cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

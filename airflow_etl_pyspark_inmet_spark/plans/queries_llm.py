@@ -2012,3 +2012,52 @@ def d22_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
     )
     return exact.crossJoin(F.broadcast(flag))
+
+
+def d23_embedding_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup — the 100 TB ingest shape (the
+    d10 band-table pattern for embeddings): a small delta (vec_id <
+    50) is deduped against the standing corpus (the rest) by probing
+    the corpus's sign-LSH bucket table (multiprobe on the delta side
+    only; `embedding_lsh_pairs(index_df=...)`). Per ingest this costs
+    |delta| * L(1+planes) probe rows joined against the materialized
+    bucket table — never a corpus re-scan. Harness contract as d19/
+    d22: the deterministic exact delta-x-corpus truth (broadcast the
+    50-row delta, exact cosine fold) + recall_ok of the LSH tier vs
+    that truth (envelope 0.6; measured 1.0 at sf0.01)."""
+    from ..operators.dedup import embedding_lsh_pairs
+    from ..operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") < 50)
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    lsh = embedding_lsh_pairs(
+        delta, threshold=0.35, dim=64, index_df=corpus
+    ).localCheckpoint(eager=False)
+    a = delta.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        _norm(F.col("embedding")).alias("_na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        _norm(F.col("embedding")).alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    exact = (
+        b.crossJoin(F.broadcast(a))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .localCheckpoint(eager=False)
+    )
+    hit = exact.join(
+        lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    stats = exact.agg(F.count(F.lit(1)).alias("_tot")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    flag = stats.select(
+        (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))

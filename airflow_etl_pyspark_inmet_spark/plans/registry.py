@@ -3934,3 +3934,20 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 """
 QUERIES["d22_dedup_embedding_full"] = L.d22_dedup_embedding_full
+
+# d23 — incremental delta-vs-corpus embedding dedup (the d10 pattern
+# for embeddings): exact delta x corpus truth + LSH-probe recall flag.
+ORACLES["d23_embedding_delta_dedup"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim,
+       TRUE AS recall_ok
+FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id >= 50
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+"""
+QUERIES["d23_embedding_delta_dedup"] = L.d23_embedding_delta_dedup

@@ -2035,3 +2035,38 @@ def test_jaccard_pairs_hot_shingle_guard(spark):
     assert capped[(100, 101)] == uncapped[(100, 101)]
     # nothing else leaks in
     assert set(capped) == {(100, 101)}
+
+
+def test_embedding_lsh_pairs_incremental_matches_self_join(emb):
+    """index_df (incremental delta-vs-corpus mode): every emitted pair
+    is a true delta x corpus pair with exact cosine, the delta never
+    pairs against itself, and recall vs the brute-force delta x corpus
+    truth clears the envelope on sf0.001."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+
+    delta = emb.filter(F.col("vec_id") < 30)
+    corpus = emb.filter(F.col("vec_id") >= 30)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_lsh_pairs(
+            delta, threshold=0.35, dim=64, index_df=corpus
+        ).collect()
+    }
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.stack(pdf.embedding.values).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    ids = pdf.vec_id.values
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < 30 <= ids[j] and C[i, j] >= 0.35:
+                truth[(int(ids[i]), int(ids[j]))] = C[i, j]
+    for (ka, kb), v in got.items():
+        assert ka < 30 <= kb  # delta x corpus only
+        assert (ka, kb) in truth and abs(v - truth[(ka, kb)]) < 1e-9
+    assert len(got) >= 0.9 * len(truth)
