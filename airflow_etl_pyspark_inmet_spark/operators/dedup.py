@@ -160,6 +160,7 @@ def containment_pairs(
     ngram: int = 3,
     threshold_ppm: int = 600_000,
     broadcast_sizes: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs (Broder's containment,
     |A∩B| / |A|) — the dedup mode resemblance/Jaccard structurally
@@ -175,17 +176,47 @@ def containment_pairs(
     id_a < id_b; a pair survives when its LARGER direction clears
     ``threshold_ppm``. Returns (id_a, id_b, inter, n_a, n_b,
     cont_a_ppm, cont_b_ppm) where cont_a_ppm = |A∩B|*1e6 div |A| (how
-    much of A is inside B)."""
+    much of A is inside B).
+
+    ``max_shingle_df`` — the same hot-shingle guard as
+    :func:`jaccard_pairs`: candidate generation skips shingles with
+    document frequency above the cap (bounding the postings join),
+    surviving candidates re-verify on FULL shingle sets so the emitted
+    containment ppm stays exact; pairs sharing only hotter-than-cap
+    boilerplate are dropped (documented trade)."""
     s = shingle_sets(df, id_col, text_col, ngram)
     sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_shingle_df is not None:
+        disc = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        s_cand = s.join(disc, "shingle", "left_semi")
+        ca = s_cand.select(F.col("_id").alias("id_a"), "shingle")
+        cb = s_cand.select(F.col("_id").alias("id_b"), "shingle")
+        cand = (
+            ca.join(cb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     # same sizes-broadcast contract as jaccard_pairs: corpus-sized
     # frame, unhinted by default (AQE decides), caller opt-in hint
     na = sizes.toDF("id_a", "n_a")

@@ -2070,3 +2070,36 @@ def test_embedding_lsh_pairs_incremental_matches_self_join(emb):
         assert ka < 30 <= kb  # delta x corpus only
         assert (ka, kb) in truth and abs(v - truth[(ka, kb)]) < 1e-9
     assert len(got) >= 0.9 * len(truth)
+
+
+def test_containment_pairs_hot_shingle_guard(spark):
+    """containment_pairs(max_shingle_df=...): same guard contract as
+    jaccard_pairs — boilerplate-only pairs dropped, discriminative
+    pairs keep bit-identical exact ppm scores."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    boiler = "terms of service apply"
+    rows = [
+        *[(i, boiler) for i in range(10)],
+        # short doc quoted whole inside a long one (the containment case)
+        (100, "alpha beta gamma delta " + boiler),
+        (101, "alpha beta gamma delta " + boiler
+         + " plus much longer tail content here now ok"),
+        (200, boiler + " one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    un = {
+        (r.id_a, r.id_b): (r.inter, r.cont_a_ppm, r.cont_b_ppm)
+        for r in containment_pairs(df, threshold_ppm=600_000).collect()
+    }
+    cap = {
+        (r.id_a, r.id_b): (r.inter, r.cont_a_ppm, r.cont_b_ppm)
+        for r in containment_pairs(
+            df, threshold_ppm=600_000, max_shingle_df=5
+        ).collect()
+    }
+    assert (0, 1) in un and (0, 1) not in cap
+    assert (100, 101) in cap and cap[(100, 101)] == un[(100, 101)]
+    assert set(cap) == {(100, 101)}
