@@ -2061,3 +2061,56 @@ def d23_embedding_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
     )
     return exact.crossJoin(F.broadcast(flag))
+
+
+def st10_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d23's incremental embedding dedup AS A STREAM: arriving delta
+    vectors (vec_id < 50) probe the static corpus LSH bucket table
+    (stream-static bucket equi-join, stateless append) with exact
+    in-batch cosine verify — streaming_embedding_dedup. The streamed
+    LSH pair set equals the batch index-mode tier bit for bit
+    (deterministic hyperplanes, stateless plan — unit-tested), so the
+    harness contract and oracle are exactly d23's: the deterministic
+    exact delta-x-corpus truth + recall_ok of the streamed tier
+    (envelope 0.6; measured 1.0 at sf0.01)."""
+    from ..operators.similarity import _dot, _norm
+    from ..streaming.windows import streaming_embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    lsh = streaming_embedding_dedup(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        corpus,
+        threshold=0.35,
+        dim=64,
+        delta_max_id=50,
+    ).localCheckpoint(eager=False)
+    delta = emb.filter(F.col("vec_id") < 50)
+    a = delta.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        _norm(F.col("embedding")).alias("_na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        _norm(F.col("embedding")).alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    exact = (
+        b.crossJoin(F.broadcast(a))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .localCheckpoint(eager=False)
+    )
+    hit = exact.join(
+        lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    stats = exact.agg(F.count(F.lit(1)).alias("_tot")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    flag = stats.select(
+        (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(flag))

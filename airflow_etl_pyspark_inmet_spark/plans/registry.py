@@ -3951,3 +3951,9 @@ FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id >= 50
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 """
 QUERIES["d23_embedding_delta_dedup"] = L.d23_embedding_delta_dedup
+
+# st10 — streaming incremental embedding dedup: same harness contract
+# and oracle as d23 (the streamed LSH tier equals the batch tier bit
+# for bit; the oracle-checked rows are the exact delta x corpus truth).
+ORACLES["st10_stream_embedding_dedup"] = ORACLES["d23_embedding_delta_dedup"]
+QUERIES["st10_stream_embedding_dedup"] = L.st10_stream_embedding_dedup

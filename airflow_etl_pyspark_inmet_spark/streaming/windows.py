@@ -704,3 +704,92 @@ def streaming_daily_uniques(
         .groupBy("day")
         .agg(F.expr("sum(bitmap_count(bm))").alias("n_users"))
     )
+
+
+def streaming_embedding_dedup(
+    spark: SparkSession,
+    emb_path: str,
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    delta_max_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    target_occupancy: int = 32,
+) -> DataFrame:
+    """STREAMING incremental embedding dedup — the d23 ingest shape as
+    a stream: arriving vectors (the delta, ``vec_id < delta_max_id``)
+    probe the STATIC corpus's sign-LSH bucket table (stream-static
+    equi-join on bucket id, stateless) and candidates verify with the
+    exact JVM cosine fold inside the micro-batch. Append mode, memory
+    sink, run to completion — the result equals the batch
+    ``embedding_lsh_pairs(delta, index_df=corpus)`` bit for bit
+    (deterministic hyperplanes, stateless plan), which is what makes
+    it oracle-checkable.
+
+    Scale notes: the probe explode carries the vector through the
+    stream side (|delta| x tables(1+planes) rows per batch) so no
+    stream self-join is needed; multi-table duplicate candidates are
+    deduped in the returned batch frame (at scale:
+    ``dropDuplicatesWithinWatermark`` keyed on the pair); the static
+    bucket/vector frames are computed once and re-read per batch (at
+    scale: a materialized bucket table, the d10/d23 index pattern).
+    """
+    import math
+
+    from ..operators.similarity import _dot, _norm, sign_lsh_bucket_udf
+
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(
+            3,
+            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy)))
+            if n > target_occupancy
+            else 3,
+        )
+    base_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, False)
+    probe_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, True)
+    base = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.explode(base_udf(F.col(vec_col))).alias("_bkt"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    schema = spark.read.parquet(emb_path).schema
+    parent, _, fname = emb_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    delta = stream.filter(F.col(id_col) < delta_max_id)
+    probe = delta.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+        F.explode(probe_udf(F.col(vec_col))).alias("_bkt"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = (
+        probe.join(base, "_bkt")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    name = f"stream_embdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).dropDuplicates(["id_a", "id_b"])

@@ -522,3 +522,39 @@ def test_sessionize_salted_chunk_smaller_than_gap(spark):
     # sanity: user 1 really has 2 sessions, user 2 one
     assert max(s for (u, _), s in got.items() if u == 1) == 2
     assert max(s for (u, _), s in got.items() if u == 2) == 1
+
+
+def test_streaming_embedding_dedup_equals_batch_tier(spark, sf_small):
+    """st10's streamed LSH pair set must equal the batch index-mode
+    tier BIT FOR BIT: deterministic hyperplanes + a stateless
+    stream-static plan mean the micro-batch schedule cannot change the
+    result — that equality is what makes the streaming tier
+    oracle-checkable via d23's exact-truth harness."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_embedding_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    delta = emb.filter(F.col("vec_id") < 30)
+    corpus = emb.filter(F.col("vec_id") >= 30)
+    batch = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_lsh_pairs(
+            delta, threshold=0.35, dim=64, index_df=corpus
+        ).collect()
+    }
+    streamed = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in streaming_embedding_dedup(
+            spark,
+            f"{sf_small}/embeddings.parquet",
+            corpus,
+            threshold=0.35,
+            dim=64,
+            delta_max_id=30,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
