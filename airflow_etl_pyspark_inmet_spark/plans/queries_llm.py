@@ -383,10 +383,13 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d6_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine (semantic) near-dup pairs, blocked by the cluster
-    label (stand-in for an LSH/IVF bucket at scale — see
-    operators.dedup.embedding_cosine_pairs). Exact oracle: the JVM
-    aggregate fold matches DuckDB's list_dot_product element order
-    bit-for-bit (proven by m3)."""
+    label — since r10 this is the GROUND-TRUTH HARNESS tier only: its
+    fixed block cardinality is quadratic in the corpus (measured 77x
+    for 10x data, BENCH_sf1_r9.json); the production path is the
+    corpus-scaled sign-LSH tier (embedding_lsh_pairs; d19/d22 harness,
+    d23 incremental, st10 streaming). Exact oracle: the JVM aggregate
+    fold matches DuckDB's list_dot_product element order bit-for-bit
+    (proven by m3)."""
     from ..operators.dedup import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -625,7 +628,9 @@ def d7_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d8_semantic_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup selection: cosine>=0.35 pairs within label blocks ->
     connected components -> min-id keeper per semantic cluster; total
-    partition of the corpus (singletons keep themselves)."""
+    partition of the corpus (singletons keep themselves). Since r10
+    the label blocking is the ground-truth harness tier; the
+    production variant on corpus-scaled LSH buckets is d20."""
     from ..operators.dedup import semantic_dedup_keepers
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -827,7 +832,9 @@ def d17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (threshold 0.35) closed into connected components (d5's
     pointer-jumping), one row per embedding with its cluster id and
     canonical flag — the SemDeDup cluster step as a first-class
-    output, composing the similarity and clustering families."""
+    output, composing the similarity and clustering families. Since
+    r10 the label blocking is the ground-truth harness tier; the
+    production variant on corpus-scaled LSH buckets is d21."""
     from ..operators.dedup import (
         connected_components,
         embedding_cosine_pairs,
