@@ -1457,3 +1457,84 @@ def label_propagation_min(
             .localCheckpoint(eager=False)
         )
     return lab
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str = "p1",
+    b_col: str = "p2",
+) -> DataFrame:
+    """Exact per-node triangle counting over an undirected graph given
+    as distinct unordered pairs (``a < b``) — the third iterative-graph
+    primitive next to :func:`pagerank_exact` / :func:`label_propagation_min`
+    (clustering-coefficient numerators, community density, spam-ring
+    detection over near-dup graphs).
+
+    Scale design: the naive wedge join fans out quadratically in the
+    max degree (a hot node with 10^6 neighbors yields 5*10^11 wedges).
+    This uses DEGREE-ORDERED ORIENTATION (the standard distributed
+    trick): each edge is directed from its lower-(degree, id) endpoint
+    to the higher, so every vertex's out-degree is O(sqrt(|E|)) and
+    total wedge count is O(|E|^1.5) regardless of skew. Each triangle
+    {x,y,z} is found exactly once — as the wedge rooted at its
+    lowest-rank vertex, closed by the oriented edge between the other
+    two. Plan: one degree hash-agg, one orientation join, one wedge
+    self-join on the root key, one closing left-semi join, one credit
+    hash-agg — all equi-joins on 8-byte keys, nothing driver-side.
+
+    Orientation does not change which triangles exist, so an oracle may
+    count triangles directly from the undirected pairs (a<b<c triple
+    join) and match bit for bit. Returns (node, n_triangles) for every
+    node in at least one triangle."""
+    p = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .distinct()
+    )
+    deg = (
+        p.select(F.col("a").alias("n"))
+        .unionAll(p.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    e = (
+        p.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias(
+                "_ddeg"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("_ddeg").alias("_dv"),
+    )
+    w2 = e.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("_ddeg").alias("_dw"),
+    )
+    v_first = (F.col("_dv") < F.col("_dw")) | (
+        (F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = w1.join(w2, "u").filter(v_first).select("u", "v", "w")
+    tri = wedges.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    credit = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return credit.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -2121,3 +2121,88 @@ def st10_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_hit") * 10 >= F.col("_tot") * 6).alias("recall_ok")
     )
     return exact.crossJoin(F.broadcast(flag))
+
+
+def _capped_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared g1/g2/g3 edge construction: the corpus-safe q83 capped
+    co-purchase pairs (per-basket top-5-by-global-support before the
+    self-join), as distinct unordered (p1 < p2) pairs."""
+    from pyspark.sql import Window as W
+
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_support"))
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("_support").desc(), F.col("l_partkey").asc()
+    )
+    top = (
+        d.join(support, "l_partkey")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = top.toDF("o", "p1")
+    b = top.toDF("o", "p2")
+    return (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+
+
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting over the capped co-purchase graph — the
+    local-clustering / community-density primitive, via degree-ordered
+    orientation (operators.dedup.triangle_counts) so wedge fan-out is
+    O(|E|^1.5) even on a skewed degree sequence, instead of quadratic
+    in the hottest node's degree. Orientation is invisible to the
+    result, so the oracle counts the same triangles directly with an
+    a<b<c triple join — a hash match proves the oriented plan finds
+    every triangle exactly once. Top-100 nodes by (n_triangles DESC,
+    node ASC)."""
+    from ..operators.dedup import triangle_counts
+
+    pairs = _capped_copurchase_pairs(spark, sf_dir)
+    out = triangle_counts(pairs)
+    return out.orderBy(
+        F.col("n_triangles").desc(), F.col("node").asc()
+    ).limit(100)
+
+
+def t27_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY scoring — the fraction of a doc's
+    distinct 3-gram shingles that occur in NO other document (corpus
+    document frequency 1), in exact integer ppm. The inverse of
+    near-duplication: a memorization / boilerplate-risk signal
+    (low novelty = templated or duplicated content) and a diversity
+    objective for data selection. Plan: one distinct-shingle build
+    (8-byte xxhash keys), one DF hash-agg on the shingle, one
+    count_if per doc — shuffle is O(total distinct shingles), no
+    self-join anywhere, so it scales where pairwise Jaccard cannot.
+    The oracle replays DF counting on the string grams (hash
+    collisions at 2^-64 are the accepted shingle_sets contract)."""
+    from ..operators.dedup import shingle_sets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = shingle_sets(docs, "doc_id", "text", 3).toDF("doc_id", "shingle")
+    df_counts = s.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    per_doc = (
+        s.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("_df") == 1).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("n_novel * 1000000 div n_grams").alias("novelty_ppm"),
+    )

@@ -1997,3 +1997,137 @@ def q110_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("root").cast("bigint").alias("root"),
         F.col("depth").cast("bigint").alias("depth"),
     )
+
+
+def q109_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per group — the smallest price (exact
+    cents) whose cumulative quantity-weight reaches half the group's
+    total weight. percentile()'s weighted form interpolates in
+    floating point; this is the order-statistic definition, all
+    integer, so it cross-engine matches bit for bit.
+
+    Scale shape: one hash-agg collapses the corpus to DISTINCT
+    (group, value) rows with summed weights BEFORE any window — the
+    windows (running weight + group total) then run over the
+    aggregated frame, bounded by value cardinality per group, not row
+    count (the q79/q80 aggregate-then-window contract). No global
+    sort, no driver-side state."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        F.expr("cast(l_quantity as bigint)").alias("w"),
+    )
+    agg = v.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("wv"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = agg.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wv").over(wcum).alias("_cum"),
+        F.sum("wv").over(wtot).alias("_tot"),
+    )
+    return (
+        c.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("_tot").alias("w_total"),
+        )
+        .select("l_returnflag", "wmedian_cents", "w_total")
+    )
+
+
+def q111_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the corpus-safe capped baskets
+    (q83's per-basket top-5-by-support guard): for each directed rule
+    antecedent -> consequent, SUPPORT (co-occurrence count),
+    CONFIDENCE = n_pair/n_ante and LIFT = n_pair*N/(n_ante*n_cons),
+    both as exact integer ppm with the multiply widened to
+    decimal(38,0) so no scale overflows (the q86/x9 contract —
+    non-ANSI bigint would wrap silently at ~10^10 baskets).
+
+    Plan: support hash-agg + rank window + capped pair self-join (all
+    shared with q83, fan-out bounded at 25 pairs/basket), one
+    broadcast of the basket-count scalar, two broadcast joins against
+    the per-item counts. Rules with support >= 3, top-50 by
+    (lift DESC, conf DESC, antecedent, consequent)."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    support = d.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_support")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("_support").desc(), F.col("l_partkey").asc()
+    )
+    top = (
+        d.join(support, "l_partkey")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("l_orderkey", "l_partkey")
+    )
+    n_baskets = top.agg(
+        F.count_distinct("l_orderkey").alias("_nb")
+    )
+    item = top.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = top.toDF("o", "p1")
+    b = top.toDF("o", "p2")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_pair",
+        )
+    )
+    ia = item.toDF("antecedent", "n_ante")
+    ic = item.toDF("consequent", "n_cons")
+    out = (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            "n_ante",
+            "n_cons",
+            F.expr(
+                "cast(cast(n_pair as decimal(38,0)) * 1000000"
+                " div cast(n_ante as decimal(38,0)) as bigint)"
+            ).alias("conf_ppm"),
+            F.expr(
+                "cast(cast(n_pair as decimal(38,0)) * cast(_nb as"
+                " decimal(38,0)) * 1000000 div (cast(n_ante as"
+                " decimal(38,0)) * cast(n_cons as decimal(38,0)))"
+                " as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift_ppm").desc(),
+        F.col("conf_ppm").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(50)

@@ -3957,3 +3957,126 @@ QUERIES["d23_embedding_delta_dedup"] = L.d23_embedding_delta_dedup
 # for bit; the oracle-checked rows are the exact delta x corpus truth).
 ORACLES["st10_stream_embedding_dedup"] = ORACLES["d23_embedding_delta_dedup"]
 QUERIES["st10_stream_embedding_dedup"] = L.st10_stream_embedding_dedup
+
+# ---------------------------------------------------------------------------
+# round-10 additions (continued): graph density, novelty, weighted order
+# statistics, association rules.
+
+# g3 — triangle counting. The Spark side uses degree-ordered orientation
+# (O(|E|^1.5) wedges, skew-proof); orientation is invisible to WHICH
+# triangles exist, so the oracle counts them directly with an a<b<c
+# triple join over the same capped co-purchase pairs — a hash match
+# proves the oriented plan finds every triangle exactly once.
+_CAPPED_BASKETS_SQL = """
+d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5)"""
+
+ORACLES["g3_triangle_count"] = f"""
+WITH {_CAPPED_BASKETS_SQL},
+pairs AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.p1 = e1.p2
+  JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY 1
+ORDER BY n_triangles DESC, node ASC
+LIMIT 100
+"""
+QUERIES["g3_triangle_count"] = L.g3_triangle_count
+
+# t27 — n-gram novelty: DF counting on the string grams (the hashed
+# shingle_sets contract: collisions at ~2^-64 are accepted).
+ORACLES["t27_ngram_novelty"] = f"""
+WITH {_GRAMS_DISTINCT},
+df AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE dfc = 1) AS BIGINT) AS n_novel,
+       CAST(COUNT(*) FILTER (WHERE dfc = 1) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm
+FROM grams JOIN df USING (g)
+GROUP BY doc_id
+"""
+QUERIES["t27_ngram_novelty"] = L.t27_ngram_novelty
+
+# q109 — exact weighted median (order-statistic definition, integer
+# cents; aggregate-then-window so the windows see value cardinality,
+# not row count).
+ORACLES["q109_weighted_median"] = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS wv
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, cents,
+         SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wv) OVER (PARTITION BY l_returnflag) AS tot
+  FROM agg
+)
+SELECT l_returnflag,
+       CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+       CAST(MAX(tot) AS BIGINT) AS w_total
+FROM c WHERE cum * 2 >= tot GROUP BY 1
+"""
+QUERIES["q109_weighted_median"] = R.q109_weighted_median
+
+# q111 — association rules over the capped baskets; ppm arithmetic
+# widened (HUGEINT here, decimal(38,0) in Spark) so no basket scale
+# overflows.
+ORACLES["q111_assoc_rules"] = f"""
+WITH {_CAPPED_BASKETS_SQL},
+nb AS (SELECT COUNT(DISTINCT o) AS _nb FROM top),
+item AS (SELECT p, COUNT(*) AS n_item FROM top GROUP BY 1),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_pair
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT p2 AS antecedent, p1 AS consequent, n_pair FROM pairs
+)
+SELECT antecedent, consequent,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(ia.n_item AS BIGINT) AS n_ante,
+       CAST(ic.n_item AS BIGINT) AS n_cons,
+       CAST(CAST(n_pair AS HUGEINT) * 1000000 // ia.n_item AS BIGINT)
+         AS conf_ppm,
+       CAST(CAST(n_pair AS HUGEINT) * _nb * 1000000
+            // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT)
+         AS lift_ppm
+FROM rules
+JOIN item ia ON ia.p = antecedent
+JOIN item ic ON ic.p = consequent
+CROSS JOIN nb
+ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent ASC, consequent ASC
+LIMIT 50
+"""
+QUERIES["q111_assoc_rules"] = R.q111_assoc_rules

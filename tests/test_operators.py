@@ -2103,3 +2103,112 @@ def test_containment_pairs_hot_shingle_guard(spark):
     assert (0, 1) in un and (0, 1) not in cap
     assert (100, 101) in cap and cap[(100, 101)] == un[(100, 101)]
     assert set(cap) == {(100, 101)}
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    pendant edge 4-5 (5 in none) plus a disjoint 8-leaf star rooted
+    at 10 (stars are triangle-free — the skew case the orientation
+    bounds)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, 20 + i) for i in range(8)]
+    pairs = spark.createDataFrame(
+        k4 + [(4, 5)] + star, "p1 bigint, p2 bigint"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Degree-ordered orientation finds exactly the brute-force
+    triangle set on a random-ish deterministic graph."""
+    from itertools import combinations
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    edges = [
+        (a, b)
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if (a * 31 + b * 17) % 3 == 0
+    ]
+    eset = set(edges)
+    brute = {}
+    nodes = sorted({n for e in edges for n in e})
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in eset and (b, c) in eset and (a, c) in eset):
+            for n in (a, b, c):
+                brute[n] = brute.get(n, 0) + 1
+    pairs = spark.createDataFrame(edges, "p1 bigint, p2 bigint")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == brute and brute  # non-degenerate
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """A doc sharing every 3-gram with its twin scores 0 ppm; a doc
+    with fully unique grams scores exactly 1e6 ppm."""
+    import os
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        t27_ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "unique tokens only here never repeated"),
+        ],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novelty_ppm"])
+        for r in t27_ngram_novelty(spark, d).collect()
+    }
+    assert got[1] == (2, 0) and got[2] == (2, 0)
+    assert got[3] == (4, 1_000_000)
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """Order-statistic weighted median on a hand-computable frame:
+    values 100,200,300 cents with weights 1,1,3 -> cumulative 1,2,5
+    against total 5: first value with 2*cum>=5 is 300."""
+    import os
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_relational import (
+        q109_weighted_median,
+    )
+
+    rows = [
+        ("A", 1.00, 1.0),
+        ("A", 2.00, 1.0),
+        ("A", 3.00, 3.0),
+        ("B", 5.00, 2.0),
+        ("B", 7.00, 1.0),
+    ]
+    li = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["wmedian_cents"], r["w_total"])
+        for r in q109_weighted_median(spark, d).collect()
+    }
+    assert got == {"A": (300, 5), "B": (500, 3)}
