@@ -1538,3 +1538,99 @@ def triangle_counts(
     return credit.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def corpus_shingle_overlap(
+    df: DataFrame,
+    corpus_col: Column,
+    text_col: str = "text",
+    ngram: int = 3,
+    n_perm: int = 128,
+    est_tol_ppm: int = 250_000,
+) -> DataFrame:
+    """CORPUS-level overlap measurement between two document
+    collections (split by the boolean ``corpus_col``): the exact
+    Jaccard of their distinct-shingle SETS — the dataset-contamination
+    / train-test-leakage question asked of whole corpora rather than
+    document pairs (d10/t9 are the per-document tiers).
+
+    Exact tier: one distinct (corpus, shingle) build on 8-byte hashed
+    shingles, one per-shingle membership fold, one global aggregate —
+    shuffle is O(distinct shingles), never pairwise in documents or
+    shingles.
+
+    Sketch tier, verified in-engine (the s2/s3 contract): each corpus
+    is collapsed to an ``n_perm``-slot MinHash SIGNATURE (min of
+    xxhash64(shingle, p) per permutation — an associative fold, so at
+    100 TB the signature is a map-side partial aggregate of fixed
+    size). The signature match-rate estimates the same Jaccard;
+    ``est_ok`` asserts agreement within ``est_tol_ppm`` (the standard
+    error of 128 permutations is ~1/sqrt(128) ~ 0.09). One row out:
+    (n_shingles_a, n_shingles_b, n_intersection, jaccard_ppm,
+    est_ok)."""
+    from .text import exploded_ngrams
+
+    s = (
+        exploded_ngrams(
+            df.select(corpus_col.alias("_corpus"), F.col(text_col)),
+            "_corpus",
+            text_col,
+            ngram,
+        )
+        .select(F.col("_id").alias("_in_a"), F.xxhash64("g").alias("shingle"))
+        .distinct()
+    )
+    member = s.groupBy("shingle").agg(
+        F.max(F.col("_in_a").cast("int")).alias("_a"),
+        F.max((~F.col("_in_a")).cast("int")).alias("_b"),
+    )
+    exact = member.agg(
+        F.sum("_a").alias("n_shingles_a"),
+        F.sum("_b").alias("n_shingles_b"),
+        F.count_if((F.col("_a") == 1) & (F.col("_b") == 1)).alias(
+            "n_intersection"
+        ),
+    ).select(
+        "n_shingles_a",
+        "n_shingles_b",
+        "n_intersection",
+        F.expr(
+            "cast(cast(n_intersection as decimal(38,0)) * 1000000"
+            " div cast(n_shingles_a + n_shingles_b - n_intersection"
+            " as decimal(38,0)) as bigint)"
+        ).alias("jaccard_ppm"),
+    )
+    perms = F.explode(
+        F.expr(f"sequence(0, {int(n_perm) - 1})")
+    ).alias("p")
+    sig = (
+        s.select("_in_a", "shingle")
+        .select("_in_a", perms, "shingle")
+        .groupBy("_in_a", "p")
+        .agg(F.min(F.xxhash64("shingle", "p")).alias("mh"))
+    )
+    sa = sig.filter(F.col("_in_a")).select("p", F.col("mh").alias("mh_a"))
+    sb = sig.filter(~F.col("_in_a")).select("p", F.col("mh").alias("mh_b"))
+    est = (
+        sa.join(sb, "p")
+        .agg(
+            F.count_if(F.col("mh_a") == F.col("mh_b")).alias("_match"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .select(
+            F.expr("_match * 1000000 div _k").alias("_est_ppm")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_shingles_a",
+            "n_shingles_b",
+            "n_intersection",
+            "jaccard_ppm",
+            (
+                F.abs(F.col("_est_ppm") - F.col("jaccard_ppm"))
+                <= F.lit(int(est_tol_ppm))
+            ).alias("est_ok"),
+        )
+    )

@@ -20,7 +20,7 @@ otherwise), so a corpus with >2**31 ids must switch to the xxhash64 form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # Knuth's 2^32 / phi multiplier
@@ -415,5 +415,67 @@ def token_budget_allocation(
                 "(cast(quota_tokens as decimal(38,0)) * 1000000)"
                 " div n_tokens"
             ),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weighting (Data Selection with Importance
+    Resampling, Xie et al. 2023): score every document by how
+    target-like its unigram distribution is, for importance-resampling
+    a raw pool toward a small high-quality target domain.
+
+    Exact-integer variant of the DSIR estimator: with Laplace-smoothed
+    unigram counts over the target (T occurrences) and the non-target
+    source (S occurrences) and shared vocabulary size V, each token
+    occurrence f contributes the likelihood ratio
+
+        r(f) = (ct(f)+1)*(S+V) * 1e6  div  ((cs(f)+1)*(T+V))   [ppm]
+
+    and a document's score is the SUM of r over its token occurrences.
+    (The paper sums log-ratios; summing the ratios themselves preserves
+    the "target-like tokens score high" ordering while every step stays
+    in integer arithmetic — the t20 cross-engine-exactness contract.
+    The multiply is widened to decimal(38,0): at 100 TB, ct*S*1e6
+    overflows bigint silently under non-ANSI semantics.)
+
+    Plan shape: one explode -> one (token, side) hash-agg for the two
+    count tables (shuffle bounded by vocabulary), one 4-scalar
+    broadcast (T, S, V), one broadcast ratio join back onto the token
+    stream, one per-doc sum. No self-joins, no windows over the
+    corpus. Returns (doc_id, n_tokens, dsir_score_ppm)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_tgt"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count_if(F.col("_tgt")).alias("ct"),
+        F.count_if(~F.col("_tgt")).alias("cs"),
+    )
+    scalars = counts.agg(
+        F.sum("ct").alias("_t_tot"),
+        F.sum("cs").alias("_s_tot"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    ratios = counts.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        F.expr(
+            "cast((cast(ct + 1 as decimal(38,0)) * (_s_tot + _v) * 1000000)"
+            " div (cast(cs + 1 as decimal(38,0)) * (_t_tot + _v))"
+            " as bigint)"
+        ).alias("_r_ppm"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_r_ppm").alias("dsir_score_ppm"),
         )
     )

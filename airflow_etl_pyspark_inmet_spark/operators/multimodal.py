@@ -524,3 +524,54 @@ def ahash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def png_patchify(
+    df: DataFrame, payload_col: str = "payload", patch: int = 4
+) -> DataFrame:
+    """ViT-style PATCH EXTRACTION over REAL decoded PNGs: decode each
+    payload (the genuine inflate/un-filter kernel in operators.png) and
+    emit one row per non-overlapping ``patch`` x ``patch`` block with
+    its exact pixel sum — the image-side tokenization step of a
+    multimodal training pipeline (each patch row is what an embedding
+    lookup would consume; m13 counts these tokens, this op MATERIALIZES
+    them with their spatial index).
+
+    Arrow-batched mapInPandas, fan-out (h/patch)*(w/patch) rows per
+    image — a column-stable explode, so partition counts scale with
+    input splits and no state leaves the executor. Because the m6
+    payload pixels are pure character arithmetic, an SQL oracle can
+    predict every patch sum — a hash match certifies decode + spatial
+    windowing bit-exactly."""
+    import numpy as np
+
+    p = int(patch)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, sums = [], [], [], []
+            for i, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                arr = _png.png_decode(bytes(raw)).astype(np.int64)
+                h, w = arr.shape[:2]
+                for pr in range(h // p):
+                    for pc in range(w // p):
+                        blk = arr[
+                            pr * p : (pr + 1) * p, pc * p : (pc + 1) * p
+                        ]
+                        ids.append(i)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(blk.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_row": prs,
+                    "patch_col": pcs,
+                    "patch_sum": sums,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel,
+        "doc_id bigint, patch_row int, patch_col int, patch_sum bigint",
+    )

@@ -847,3 +847,74 @@ def interp_bigram_score(
             F.expr("p_sum_micro div n_bigrams").alias("p_avg_micro"),
         )
     )
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    k_counters: int = 256,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Heavy hitters via a MERGEABLE bounded-state Misra-Gries sketch —
+    the streaming/batched alternative to t15's exact vocabulary census
+    when the vocabulary itself no longer fits a hash aggregate (URL
+    tokens, n-grams, user ids at 100 TB).
+
+    Tier contract (the s2/s3 pattern): the CANDIDATE set comes from the
+    sketch — an Arrow-batched kernel holding exactly ``k_counters``
+    counters per batch, O(k) state regardless of batch length — and the
+    emitted surface is EXACT: candidates are re-counted with one
+    hash-agg semi-join and the top-``top`` by true frequency is
+    returned. Correctness of the cut is certified per row, in-engine
+    and in the oracle alike, by ``mg_ok`` = (freq * k_counters >
+    total_tokens): Misra-Gries guarantees any token with global
+    frequency > N/k survives in at least one batch (pigeonhole over
+    batches: if every batch-local share is <= n_batch/k the global sum
+    is <= N/k), so rows flagged TRUE are provably identical to the
+    exact top-k's rows. No full-vocab shuffle anywhere: the shuffle
+    carries only sketch survivors (<= k per batch) and their exact
+    counts."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+    k = int(k_counters)
+
+    def sketch(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = [c for c, n in counters.items() if n == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+            if counters:
+                yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(sketch, "token string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "freq",
+            (F.col("freq") * F.lit(k) > F.col("_n")).alias("mg_ok"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top)
+    )

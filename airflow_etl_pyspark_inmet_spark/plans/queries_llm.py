@@ -2206,3 +2206,60 @@ def t27_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("n_novel * 1000000 div n_grams").alias("novelty_ppm"),
     )
+
+
+def t28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the mergeable bounded-state Misra-Gries sketch
+    (operators.text.misra_gries_topk): candidates from O(k)-state
+    Arrow-batched sketches, exact re-count of the survivors, per-row
+    mg_ok certifying freq > N/k (the pigeonhole guarantee that makes
+    the emitted rows provably the exact top-20). The oracle computes
+    the exact top-20 and the same flag directly — a hash match proves
+    the sketch tier lost nothing."""
+    from ..operators.text import misra_gries_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return misra_gries_topk(docs, k_counters=256, top=20)
+
+
+def x6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights
+    (operators.mixing.dsir_importance): every document scored by its
+    Laplace-smoothed unigram likelihood ratio against the TARGET
+    domain (lang = 'en') vs the rest of the pool — the
+    quality-targeting data-selection step between hard filters (t19)
+    and mixture quotas (x1/x9). All integer ppm (decimal(38,0)
+    widened), so the oracle replays the estimator bit for bit."""
+    from ..operators.mixing import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_importance(docs, is_target=F.col("lang") == "en")
+
+
+def d24_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus contamination measurement
+    (operators.dedup.corpus_shingle_overlap): exact Jaccard between
+    the distinct 3-gram shingle SETS of the even-doc_id and odd-doc_id
+    halves of the corpus, plus a 128-permutation corpus-level MinHash
+    signature estimate verified in-engine (est_ok) — the whole-dataset
+    leakage question (does my train split overlap that benchmark
+    dump?) answered with one O(|shingles|) fold, no document pairs."""
+    from ..operators.dedup import corpus_shingle_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_shingle_overlap(docs, corpus_col=F.col("doc_id") % 2 == 0)
+
+
+def m16_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization over REAL decoded images
+    (operators.multimodal.png_patchify): each doc's 8x8 PNG (the m6
+    payload) decoded by the genuine PNG kernel and split into four 4x4
+    patches with exact pixel sums and spatial indices — the image
+    tokenizer step a multimodal trainer feeds to the patch embedding.
+    The oracle predicts all four sums per doc from pure character
+    arithmetic, so a hash match certifies decode + spatial windowing
+    bit-exactly."""
+    from ..operators.multimodal import png_patchify, text_to_png_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return png_patchify(text_to_png_payload(docs, side=8), patch=4)

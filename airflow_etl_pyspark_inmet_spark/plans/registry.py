@@ -4080,3 +4080,116 @@ ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent ASC, consequent ASC
 LIMIT 50
 """
 QUERIES["q111_assoc_rules"] = R.q111_assoc_rules
+
+# t28 — Misra-Gries heavy hitters: the emitted surface is the exact
+# top-20 (candidates re-counted exactly), so the oracle computes it
+# directly; mg_ok replays the freq*k > N certificate.
+ORACLES["t28_heavy_hitters"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+counts AS (SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1),
+n AS (SELECT COUNT(*) AS total FROM tk)
+SELECT token, CAST(freq AS BIGINT) AS freq,
+       freq * 256 > total AS mg_ok
+FROM counts CROSS JOIN n
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+QUERIES["t28_heavy_hitters"] = L.t28_heavy_hitters
+
+# x6 — DSIR importance weights: integer Laplace-smoothed likelihood
+# ratios (HUGEINT here, decimal(38,0) in Spark), summed per doc.
+ORACLES["x6_dsir_importance"] = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tk AS (SELECT doc_id, tgt, token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token,
+         COUNT(*) FILTER (WHERE tgt) AS ct,
+         COUNT(*) FILTER (WHERE NOT tgt) AS cs
+  FROM tk GROUP BY 1
+),
+sc AS (
+  SELECT SUM(ct) AS t_tot, SUM(cs) AS s_tot, COUNT(*) AS v FROM counts
+),
+ratios AS (
+  SELECT token,
+         CAST(CAST(ct + 1 AS HUGEINT) * (s_tot + v) * 1000000
+              // (CAST(cs + 1 AS HUGEINT) * (t_tot + v)) AS BIGINT)
+           AS r_ppm
+  FROM counts CROSS JOIN sc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(r_ppm) AS BIGINT) AS dsir_score_ppm
+FROM tk JOIN ratios USING (token)
+GROUP BY 1
+"""
+QUERIES["x6_dsir_importance"] = L.x6_dsir_importance
+
+# d24 — corpus-vs-corpus shingle overlap: the exact tier replayed on
+# string grams; the MinHash signature tier is engine-side and surfaces
+# only its verified est_ok boolean (the s2/s3 contract).
+ORACLES["d24_corpus_overlap"] = """
+WITH g AS (
+  SELECT DISTINCT (doc_id % 2 = 0) AS in_a,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0)))
+                AS i) u
+),
+member AS (
+  SELECT g,
+         MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+  FROM g GROUP BY 1
+)
+SELECT CAST(SUM(a) AS BIGINT) AS n_shingles_a,
+       CAST(SUM(b) AS BIGINT) AS n_shingles_b,
+       CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT)
+         AS n_intersection,
+       CAST(COUNT(*) FILTER (WHERE a = 1 AND b = 1) * 1000000
+            // (SUM(a) + SUM(b)
+                - COUNT(*) FILTER (WHERE a = 1 AND b = 1)) AS BIGINT)
+         AS jaccard_ppm,
+       TRUE AS est_ok
+FROM member
+"""
+QUERIES["d24_corpus_overlap"] = L.d24_corpus_overlap
+
+
+def _m16_image_patches_sql() -> str:
+    """Oracle for ViT-style patchify over the m6 PNG payloads: pixel
+    (y, x) of doc's 8x8 image is codepoint of character y*8+x (1-based
+    substr), masked to a byte, zero past the end — so each of the four
+    4x4 patch sums is 16 CASE terms of pure character arithmetic. A
+    hash match certifies the real PNG decode + spatial windowing."""
+    parts = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            terms = []
+            for dy in range(4):
+                for dx in range(4):
+                    idx = (pr * 4 + dy) * 8 + (pc * 4 + dx) + 1
+                    terms.append(
+                        f"(CASE WHEN length(text) >= {idx} THEN"
+                        f" ord(substr(text, {idx}, 1)) % 256 ELSE 0 END)"
+                    )
+            parts.append(
+                "SELECT doc_id,"
+                f" CAST({pr} AS INTEGER) AS patch_row,"
+                f" CAST({pc} AS INTEGER) AS patch_col,"
+                " CAST(" + "\n   + ".join(terms) + " AS BIGINT)"
+                " AS patch_sum FROM documents"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["m16_image_patches"] = _m16_image_patches_sql()
+QUERIES["m16_image_patches"] = L.m16_image_patches

@@ -2212,3 +2212,105 @@ def test_weighted_median_hand_case(spark, tmp_path):
         for r in q109_weighted_median(spark, d).collect()
     }
     assert got == {"A": (300, 5), "B": (500, 3)}
+
+
+def test_misra_gries_survives_planted_heavy_hitter(spark):
+    """k=8 counters with 100 distinct rare tokens forces constant
+    eviction; the planted hot token must survive the sketch and come
+    back exactly counted with a TRUE certificate."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        misra_gries_topk,
+    )
+
+    rows = [("hot",)] * 50 + [(f"rare{i}",) for i in range(100)]
+    docs = spark.createDataFrame(rows, "text string").coalesce(1)
+    out = misra_gries_topk(docs, k_counters=8, top=5).collect()
+    by_tok = {r["token"]: r for r in out}
+    assert by_tok["hot"]["freq"] == 50
+    assert by_tok["hot"]["mg_ok"]  # 50*8 > 150
+    # rare tokens, if present, are correctly NOT certified
+    for r in out:
+        if r["token"] != "hot":
+            assert r["freq"] == 1 and not r["mg_ok"]
+
+
+def test_dsir_importance_hand_case(spark):
+    """2-doc corpus: target doc 'a a', source doc 'a b'. ct(a)=2,
+    cs(a)=1, ct(b)=0, cs(b)=1, T=2, S=2, V=2 ->
+    r(a) = 3*4*1e6 // (2*4) = 1_500_000;
+    r(b) = 1*4*1e6 // (2*4) = 500_000."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        dsir_importance,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, True, "a a"), (2, False, "a b")],
+        "doc_id bigint, tgt boolean, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score_ppm"])
+        for r in dsir_importance(docs, is_target=F.col("tgt")).collect()
+    }
+    assert got[1] == (2, 3_000_000)
+    assert got[2] == (2, 2_000_000)
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    """Identical halves -> jaccard 1e6 with the MinHash estimate in
+    perfect agreement; disjoint halves -> 0."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        corpus_shingle_overlap,
+    )
+    from pyspark.sql import functions as F
+
+    same = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "x y z w v")],
+        "doc_id bigint, text string",
+    )
+    r = corpus_shingle_overlap(
+        same, corpus_col=F.col("doc_id") % 2 == 0
+    ).collect()[0]
+    assert (
+        r["n_shingles_a"] == 3
+        and r["n_shingles_b"] == 3
+        and r["n_intersection"] == 3
+        and r["jaccard_ppm"] == 1_000_000
+        and r["est_ok"]
+    )
+    disj = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "p q r s t")],
+        "doc_id bigint, text string",
+    )
+    r = corpus_shingle_overlap(
+        disj, corpus_col=F.col("doc_id") % 2 == 0
+    ).collect()[0]
+    assert r["n_intersection"] == 0 and r["jaccard_ppm"] == 0
+    assert r["est_ok"]  # estimate 0 matches exact 0
+
+
+def test_png_patchify_matches_numpy(spark):
+    """Patch sums equal numpy block sums of the known payload pixels,
+    and the four patches partition the m6 total pixel sum."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.multimodal import (
+        png_patchify,
+        text_to_png_payload,
+    )
+
+    text = "".join(chr(33 + (i * 7) % 90) for i in range(60))  # len 60 < 64
+    docs = spark.createDataFrame(
+        [(7, text)], "doc_id bigint, text string"
+    )
+    out = png_patchify(
+        text_to_png_payload(docs, side=8), patch=4
+    ).collect()
+    vals = [ord(c) & 0xFF for c in text[:64]] + [0] * (64 - min(64, len(text)))
+    arr = np.array(vals, dtype=np.int64).reshape(8, 8)
+    got = {(r["patch_row"], r["patch_col"]): r["patch_sum"] for r in out}
+    for pr in (0, 1):
+        for pc in (0, 1):
+            blk = arr[pr * 4 : pr * 4 + 4, pc * 4 : pc * 4 + 4]
+            assert got[(pr, pc)] == int(blk.sum())
+    assert sum(got.values()) == int(arr.sum())
