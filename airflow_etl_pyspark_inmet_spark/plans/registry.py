@@ -4193,3 +4193,23 @@ def _m16_image_patches_sql() -> str:
 
 ORACLES["m16_image_patches"] = _m16_image_patches_sql()
 QUERIES["m16_image_patches"] = L.m16_image_patches
+
+# s7 — Gram matrix: element-wise micro-quantization before any product
+# (the label_centroids contract) makes the integer sums order-free and
+# exactly replayable with a posexploded self-join.
+ORACLES["s7_embedding_gram"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id, i, CAST(floor(v[i] * 1000000) AS BIGINT) AS qi
+  FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) t
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS dim_i,
+       CAST(b.i - 1 AS INTEGER) AS dim_j,
+       CAST(SUM(a.qi * b.qi) AS BIGINT) AS smoment_q,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+QUERIES["s7_embedding_gram"] = L.s7_embedding_gram

@@ -2314,3 +2314,36 @@ def test_png_patchify_matches_numpy(spark):
             blk = arr[pr * 4 : pr * 4 + 4, pc * 4 : pc * 4 + 4]
             assert got[(pr, pc)] == int(blk.sum())
     assert sum(got.values()) == int(arr.sum())
+
+
+def test_embedding_gram_matches_numpy_and_partition_invariant(spark):
+    """The distributed matrix-partial sum equals the single-machine
+    integer Gram matrix, at any partitioning."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        embedding_second_moment,
+    )
+
+    rng = [
+        [((i * 13 + j * 7) % 41 - 20) / 23.0 for j in range(5)]
+        for i in range(37)
+    ]
+    q = np.floor(np.array(rng, dtype=np.float64) * 1_000_000).astype(
+        np.int64
+    )
+    want = q.T @ q
+    df = spark.createDataFrame(
+        [(r,) for r in rng], "embedding array<double>"
+    )
+    for parts in (1, 7):
+        got = {
+            (r["dim_i"], r["dim_j"]): (r["smoment_q"], r["n_vectors"])
+            for r in embedding_second_moment(
+                df.repartition(parts)
+            ).collect()
+        }
+        assert len(got) == 15
+        for i in range(5):
+            for j in range(i, 5):
+                assert got[(i, j)] == (int(want[i, j]), 37)
