@@ -918,3 +918,66 @@ def misra_gries_topk(
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(top)
     )
+
+
+def bpe_encode_census(
+    df: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION census — the consume side of
+    :func:`bpe_train`: train the merge table, apply it to the corpus,
+    and report per document the character count, the post-merge BPE
+    token count, and the compression ratio in exact integer ppm — the
+    "how many training tokens is this corpus" measurement every
+    pretraining budget starts from (x9 apportions what this measures).
+
+    100 TB shape: the merges (a fixed-size table, <= n_merges rows —
+    the bounded Lloyd-step collect) are folded over the DISTINCT word
+    dictionary only, a vocabulary-bounded map-only JVM fold; documents
+    then join their word stream back to the encoded lengths — one
+    vocab-keyed equi-join plus one per-doc hash-agg, so the corpus is
+    never re-scanned per merge round. Exact integers end to end (the
+    t22 replay contract)."""
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(df, n_merges, id_col, text_col)
+        .orderBy("rank")
+        .collect()
+    ]
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    syms = F.split("w", "")
+    for a, b in merges:
+        syms = _apply_bpe_merge(syms, a, b)
+    wlen = words.select(
+        "w",
+        F.length("w").cast("bigint").alias("_n_chars"),
+        F.size(syms).cast("bigint").alias("_n_syms"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(wlen), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_n_chars").alias("n_chars"),
+            F.sum("_n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 div n_chars").alias(
+                "compression_ppm"
+            ),
+        )
+    )

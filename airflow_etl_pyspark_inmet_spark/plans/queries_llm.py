@@ -2278,3 +2278,17 @@ def s7_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _t(spark, sf_dir, "embeddings").select("embedding")
     return embedding_second_moment(vecs)
+
+
+def t29_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (operators.text.bpe_encode_census):
+    train t22's 8-round merge table, fold it over the distinct word
+    dictionary, and measure every document's post-merge token count
+    and compression ppm — the corpus-tokens measurement a pretraining
+    budget starts from. The oracle replays the 8 training rounds
+    (t22's unrolled CTEs), re-applies them closed-form, and joins the
+    encoded word lengths back to the documents — bit for bit."""
+    from ..operators.text import bpe_encode_census
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode_census(docs, n_merges=8)

@@ -3060,17 +3060,15 @@ JOIN shards sh USING (doc_id)
 JOIN tw t USING (source)
 """
 
-def _t22_bpe_train_sql(k: int = 8) -> str:
-    """Oracle for BPE training: replay the k merge rounds as UNROLLED
-    CTE stages (no recursion needed — k is a fixed hyperparameter).
-    Each round: pair counts from adjacent positions -> argmax with the
-    (count DESC, left, right) tie-break -> apply the merge. The greedy
-    left-to-right application is closed-form per position: for l <> r
-    occurrences can never overlap, so every (l, r) adjacency merges;
-    for l == r the scan merges pairs at even offsets within each
-    maximal equal-symbol run (gaps-and-islands parity). A row is
-    dropped when its predecessor was a merge start; positions are then
-    renumbered. Exact integer counts end to end."""
+def _bpe_rounds_parts(k: int) -> list[str]:
+    """Shared CTE stages replaying k BPE merge rounds (t22 trains,
+    t29 encodes): pair counts from adjacent positions -> argmax with
+    the (count DESC, left, right) tie-break -> closed-form greedy
+    apply. For l <> r occurrences can never overlap, so every (l, r)
+    adjacency merges; for l == r the scan merges pairs at even offsets
+    within each maximal equal-symbol run (gaps-and-islands parity). A
+    row is dropped when its predecessor was a merge start; positions
+    are then renumbered. Exact integer counts end to end."""
     parts = [
         """
 dict AS (
@@ -3127,6 +3125,13 @@ pos{i + 1} AS MATERIALIZED (
   WHERE NOT consumed
 )"""
         )
+    return parts
+
+
+def _t22_bpe_train_sql(k: int = 8) -> str:
+    """Oracle for BPE training: the merge table from the unrolled
+    rounds (see :func:`_bpe_rounds_parts`)."""
+    parts = _bpe_rounds_parts(k)
     final = "\nUNION ALL\n".join(
         f"SELECT CAST({i + 1} AS INTEGER) AS rank, l AS merge_left, "
         f"r AS merge_right, c AS pair_count FROM best{i}"
@@ -4213,3 +4218,35 @@ FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY 1, 2
 """
 QUERIES["s7_embedding_gram"] = L.s7_embedding_gram
+
+
+def _t29_bpe_encode_sql(k: int = 8) -> str:
+    """Oracle for BPE tokenizer application: replay t22's k training
+    rounds (shared CTEs), read each distinct word's post-merge symbol
+    count from the final positions table, and join the encoded lengths
+    back onto the per-document word stream."""
+    parts = _bpe_rounds_parts(k)
+    final = f"""
+wlen AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms FROM pos{k} GROUP BY w
+),
+dtoks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+)
+SELECT doc_id,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n_syms) * 1000000 // SUM(length(w)) AS BIGINT)
+         AS compression_ppm
+FROM dtoks JOIN wlen USING (w)
+GROUP BY doc_id
+"""
+    return "WITH " + ",".join(parts + [final])
+
+
+ORACLES["t29_bpe_encode"] = _t29_bpe_encode_sql(8)
+QUERIES["t29_bpe_encode"] = L.t29_bpe_encode

@@ -2347,3 +2347,30 @@ def test_embedding_gram_matches_numpy_and_partition_invariant(spark):
         for i in range(5):
             for j in range(i, 5):
                 assert got[(i, j)] == (int(want[i, j]), 37)
+
+
+def test_bpe_encode_census_hand_corpus(spark):
+    """Toy corpus 'abab abab ab': merge 1 is (a,b)->'ab'; with two
+    merges the word 'abab' encodes to ['ab','ab'] (2 tokens, 4 chars)
+    then merge 2 (ab,ab)->'abab' gives 1 token; 'ab' stays 1 token,
+    2 chars."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        bpe_encode_census,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "ab ab")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["n_bpe_tokens"],
+            r["compression_ppm"],
+        )
+        for r in bpe_encode_census(docs, n_merges=2).collect()
+    }
+    # doc 1: abab(4 chars -> 1 token) x2 + ab(2 chars -> 1 token)
+    assert got[1] == (10, 3, 300_000)
+    # doc 2: ab + ab -> 1 token each
+    assert got[2] == (4, 2, 500_000)
