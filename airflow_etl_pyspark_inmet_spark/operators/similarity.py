@@ -814,6 +814,18 @@ def embedding_second_moment(
     ~10^6-vector corpora per the testdata contract — widen the agg to
     decimal(38,0) when deploying against a full crawl. Returns
     (dim_i, dim_j, smoment_q, n_vectors) with i <= j."""
+    return gram_partials(df, vec_col).groupBy("dim_i", "dim_j").agg(
+        F.sum("smoment_q").alias("smoment_q"),
+        F.sum("n_vectors").alias("n_vectors"),
+    )
+
+
+def gram_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The un-merged map side of :func:`embedding_second_moment`: one
+    d x d int64 partial per Arrow batch, as (dim_i, dim_j, smoment_q,
+    n_vectors) rows with i <= j. Pure integer and associative, so any
+    regrouping — another hash-agg, or a streaming foreachBatch fold —
+    merges partials into the exact corpus statistic."""
     from .util import ensure_parallelism
 
     src = ensure_parallelism(df.select(F.col(vec_col).alias("_v")))
@@ -831,15 +843,11 @@ def embedding_second_moment(
                 {
                     "dim_i": iu.astype(np.int32),
                     "dim_j": ju.astype(np.int32),
-                    "_part": part[iu, ju],
-                    "_n": np.full(len(iu), len(pdf), dtype=np.int64),
+                    "smoment_q": part[iu, ju],
+                    "n_vectors": np.full(len(iu), len(pdf), dtype=np.int64),
                 }
             )
 
-    parts = src.mapInPandas(
-        kernel, "dim_i int, dim_j int, _part bigint, _n bigint"
-    )
-    return parts.groupBy("dim_i", "dim_j").agg(
-        F.sum("_part").alias("smoment_q"),
-        F.sum("_n").alias("n_vectors"),
+    return src.mapInPandas(
+        kernel, "dim_i int, dim_j int, smoment_q bigint, n_vectors bigint"
     )

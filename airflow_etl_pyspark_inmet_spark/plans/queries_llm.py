@@ -2292,3 +2292,47 @@ def t29_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_encode_census(docs, n_merges=8)
+
+
+def st11_stream_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the Gram/whitening statistic — s7's
+    integer matrix partials folded through the st9 foreachBatch
+    machinery: the corpus's per-batch partials (operators.similarity.
+    gram_partials) are spilled to a 4-file delta feed and streamed back
+    one file per micro-batch; each epoch partial-aggregates its own
+    rows and merges into the running d x d state (MV-sized: 2080 rows
+    regardless of corpus). Because every cell is an exact integer SUM,
+    the final state is split-invariant and equals the batch tier bit
+    for bit — so the oracle IS s7's. The pattern is how a live
+    embedding firehose keeps PCA/whitening statistics current without
+    rescanning history."""
+    from ..operators.similarity import gram_partials
+    from ..streaming.windows import streaming_incremental_refresh
+
+    vecs = _t(spark, sf_dir, "embeddings").select("embedding")
+    parts = gram_partials(vecs)
+    empty_mv = parts.filter(F.lit(False)).groupBy("dim_i", "dim_j").agg(
+        F.sum("smoment_q").alias("smoment_q"),
+        F.sum("n_vectors").alias("n_vectors"),
+    )
+    return streaming_incremental_refresh(
+        spark,
+        empty_mv,
+        parts,
+        keys=["dim_i", "dim_j"],
+        vals=["smoment_q", "n_vectors"],
+    )
+
+
+def m17_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy features over REAL decoded PCM
+    (operators.audio.wav_energy_windows): each doc's WAV payload (the
+    m7 contract) decoded by the stdlib wave parser and reduced to
+    16-frame exact integer energies — the VAD/loudness-gating
+    primitive. The oracle squares the same character-arithmetic
+    samples per window, so a hash match certifies decode + windowed
+    energy bit-exactly."""
+    from ..operators.audio import text_to_wav_payload, wav_energy_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_energy_windows(text_to_wav_payload(docs), win=16)

@@ -4250,3 +4250,41 @@ GROUP BY doc_id
 
 ORACLES["t29_bpe_encode"] = _t29_bpe_encode_sql(8)
 QUERIES["t29_bpe_encode"] = L.t29_bpe_encode
+
+# st11 — streaming Gram maintenance: the streamed fold of s7's integer
+# partials equals the batch statistic bit for bit (associative sums),
+# so the oracle is s7's.
+ORACLES["st11_stream_gram"] = ORACLES["s7_embedding_gram"]
+QUERIES["st11_stream_gram"] = L.st11_stream_gram
+
+
+def _m17_audio_energy_sql(win: int = 16, n_max: int = 64) -> str:
+    """Oracle for windowed PCM energy: sample i (0-based) of doc's WAV
+    is ((codepoint_{i+1} & 0xFF) - 128) * 256 for i < min(len, 64)
+    (m7's proven payload contract, no padding); window w covers
+    samples w*win .. w*win+win-1 and exists iff min(len,64) > w*win.
+    Energy = sum of squares — pure character arithmetic."""
+    sels = []
+    for w in range(n_max // win):
+        lo = w * win
+        terms = []
+        for dy in range(win):
+            idx = lo + dy + 1
+            s = f"(ord(substr(text, {idx}, 1)) % 256 - 128) * 256"
+            terms.append(
+                f"(CASE WHEN LEAST(length(text), {n_max}) >= {idx}"
+                f" THEN CAST({s} AS BIGINT) * ({s}) ELSE 0 END)"
+            )
+        sels.append(
+            "SELECT doc_id,"
+            f" CAST({w} AS INTEGER) AS win_idx,"
+            f" CAST(LEAST(LEAST(length(text), {n_max}) - {lo}, {win})"
+            " AS INTEGER) AS n_frames,"
+            " CAST(" + "\n   + ".join(terms) + " AS BIGINT) AS energy"
+            f" FROM documents WHERE LEAST(length(text), {n_max}) > {lo}"
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+ORACLES["m17_audio_energy"] = _m17_audio_energy_sql(16, 64)
+QUERIES["m17_audio_energy"] = L.m17_audio_energy

@@ -86,3 +86,26 @@ def test_wav_payloads_are_riff(spark, sf_small):
         )
     ).count()
     assert bad == 0
+
+
+def test_wav_energy_windows_roundtrip(spark):
+    """Windowed energies equal numpy sums of squares of the encoded
+    samples, including the trailing partial window."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.audio import (
+        text_to_wav_payload,
+        wav_energy_windows,
+    )
+
+    text = "abcdefghijklmnopqrstu"  # 21 chars -> 21 frames: 16 + 5
+    docs = spark.createDataFrame([(3, text)], "doc_id bigint, text string")
+    out = wav_energy_windows(text_to_wav_payload(docs), win=16).collect()
+    samples = np.array(
+        [((ord(c) & 0xFF) - 128) * 256 for c in text], dtype=np.int64
+    )
+    got = {r["win_idx"]: (r["n_frames"], r["energy"]) for r in out}
+    assert got == {
+        0: (16, int((samples[:16] ** 2).sum())),
+        1: (5, int((samples[16:] ** 2).sum())),
+    }

@@ -2374,3 +2374,41 @@ def test_bpe_encode_census_hand_corpus(spark):
     assert got[1] == (10, 3, 300_000)
     # doc 2: ab + ab -> 1 token each
     assert got[2] == (4, 2, 500_000)
+
+
+def test_stream_gram_equals_batch(spark):
+    """The foreachBatch fold of gram partials equals the one-shot
+    batch aggregate regardless of the micro-batch split."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        embedding_second_moment,
+        gram_partials,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_incremental_refresh,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ([((i * 13 + j * 7) % 41 - 20) / 23.0 for j in range(5)],)
+        for i in range(37)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>").repartition(4)
+    parts = gram_partials(df)
+    empty_mv = parts.filter(F.lit(False)).groupBy("dim_i", "dim_j").agg(
+        F.sum("smoment_q").alias("smoment_q"),
+        F.sum("n_vectors").alias("n_vectors"),
+    )
+    streamed = streaming_incremental_refresh(
+        spark, empty_mv, parts,
+        keys=["dim_i", "dim_j"], vals=["smoment_q", "n_vectors"],
+        n_files=3,
+    )
+    want = {
+        (r["dim_i"], r["dim_j"]): (r["smoment_q"], r["n_vectors"])
+        for r in embedding_second_moment(df).collect()
+    }
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["smoment_q"], r["n_vectors"])
+        for r in streamed.collect()
+    }
+    assert got == want
