@@ -683,6 +683,112 @@ def pq_refine_topk(
     )
 
 
+def sq_refine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) two-stage retrieval — the third
+    compression tier of the ANN family next to PQ (:func:`pq_refine_topk`)
+    and IVF-PQ (:func:`ivf_pq_topk`); the FAISS IndexScalarQuantizer
+    shape. Every coordinate is quantized to an 8-bit code against the
+    GLOBAL [min, max] corpus range, so unlike PQ the codebook is
+    closed-form: the only trained statistics are two scalars from one
+    corpus aggregate — no k-means pass, no codebook broadcast.
+
+    Stage 1 scans only (id, 8-bit codes, reconstructed norm) — 4x
+    smaller than the float32 vectors — scoring every candidate with
+    the asymmetric reconstructed cosine (full-precision query x
+    dequantized item; a JVM-side ``aggregate(zip_with(...))``, zero
+    Python in the hot path). Stage 2 re-ranks the per-query top
+    ``shortlist`` with the exact cosine against the original vectors
+    (broadcast equi-join moving shortlist x Q rows, never
+    corpus-sized). Per-coordinate quantization error is bounded by
+    (max-min)/510, so SQ8 recall sits far above PQ's — the standard
+    memory/recall middle tier at 4x (vs 32x) compression."""
+    from .util import ensure_parallelism
+
+    proj = items.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("_ivec"),
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    lo, hi = base.agg(
+        F.min(F.array_min("_ivec")), F.max(F.array_max("_ivec"))
+    ).first()
+    if not (hi > lo):
+        raise ValueError(
+            f"SQ8 needs a non-degenerate value range; got [{lo}, {hi}]."
+        )
+    delta = (hi - lo) / 255.0
+    recon = lambda c: F.lit(lo) + c.cast("double") * F.lit(delta)  # noqa: E731
+    coded = base.select(
+        "item_id",
+        F.transform(
+            "_ivec", lambda x: F.round((x - F.lit(lo)) / F.lit(delta)).cast("int")
+        ).alias("_codes"),
+    ).withColumn(
+        "_anorm",
+        F.sqrt(
+            F.aggregate(
+                "_codes", F.lit(0.0), lambda acc, c: acc + recon(c) * recon(c)
+            )
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).withColumn("_qnorm", _norm(F.col("_qvec")))
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "item_id",
+            (
+                F.aggregate(
+                    F.zip_with("_codes", "_qvec", lambda c, x: recon(c) * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("_anorm") * F.col("_qnorm"))
+            ).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc(), F.col("item_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .select(query_id_col, "item_id")
+    )
+    vecs = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_fvec")
+    )
+    refined = (
+        vecs.join(F.broadcast(cand), "item_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            "item_id",
+            cosine_similarity(F.col("_fvec"), F.col("_qvec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank", "score")
+    )
+
+
 def ivf_pq_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -1771,15 +1771,11 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-round synchronous label propagation (3 rounds of
-    min-label exchange) over the same capped co-purchase graph as g1 —
-    the second iterative-graph operator family: after round k each
-    part holds the minimum part id within distance k
-    (operators.dedup.label_propagation_min). Integer-exact, so the
-    oracle replays the 3 rounds as unrolled SQL bit for bit."""
-    from ..operators.dedup import label_propagation_min
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The g1/g2/g4 shared graph: distinct (order, part) capped at the
+    top-5 most-supported parts per order (skew cap), unordered
+    co-purchase pairs, emitted in BOTH directions (the undirected edge
+    contract of the iterative-graph operators)."""
     d = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1804,11 +1800,23 @@ def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
         .distinct()
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionAll(
         pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
     )
+
+
+def g2_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round synchronous label propagation (3 rounds of
+    min-label exchange) over the same capped co-purchase graph as g1 —
+    the second iterative-graph operator family: after round k each
+    part holds the minimum part id within distance k
+    (operators.dedup.label_propagation_min). Integer-exact, so the
+    oracle replays the 3 rounds as unrolled SQL bit for bit."""
+    from ..operators.dedup import label_propagation_min
+
+    edges = _copurchase_edges(spark, sf_dir)
     out = label_propagation_min(edges, n_rounds=3)
     return out.select(
         F.col("node").cast("bigint").alias("node"),
@@ -2336,3 +2344,40 @@ def m17_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return wav_energy_windows(text_to_wav_payload(docs), win=16)
+
+
+def g4_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (k=3, 3 rounds) over the g1/g2
+    co-purchase graph — the fourth iterative-graph primitive: each
+    round drops sub-k-degree nodes AND the edges they carried, so
+    removals cascade in a way one-shot degree filtering can't express
+    (operators.dedup.kcore_peel). Integer-exact; the oracle replays
+    the peel rounds as unrolled SQL bit for bit."""
+    from ..operators.dedup import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir)
+    out = kcore_peel(edges, k=3, n_rounds=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
+
+
+def s8_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (SQ8: 8-bit codes against the global
+    corpus range, 4x compression, codebook = 2 scalars from one
+    aggregate — no training pass) with asymmetric reconstructed-cosine
+    shortlist + exact refine (operators.similarity.sq_refine_topk) —
+    the memory/recall middle tier between the exact scan (s1) and PQ
+    (s5). Oracle-checkable tier like s2/s3/s5: emits the exact top-k
+    plus a per-query recall envelope boolean (measured recall 1.0 at
+    sf0.01 — SQ8's per-coordinate error bound is (max-min)/510;
+    envelope 0.7)."""
+    from ..operators.similarity import ann_with_recall_check, sq_refine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = sq_refine_topk(emb, qs, k=10, shortlist=100)
+    return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.7)

@@ -4288,3 +4288,74 @@ def _m17_audio_energy_sql(win: int = 16, n_max: int = 64) -> str:
 
 ORACLES["m17_audio_energy"] = _m17_audio_energy_sql(16, 64)
 QUERIES["m17_audio_energy"] = L.m17_audio_energy
+
+
+# g4: bounded-round k-core peel — same edge CTEs as g1/g2, the peel
+# rounds unrolled (each round = degree filter + edge restriction to
+# kept endpoints; integer-exact, so the replay is bit-for-bit).
+_G4_ROUND = """
+k{j} AS (
+  SELECT src AS node FROM e{i} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{j} AS (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN k{j} a ON a.node = e.src
+  JOIN k{j} b ON b.node = e.dst
+)"""
+
+
+def _g4_kcore_sql(k: int = 3, n_rounds: int = 3) -> str:
+    return (
+        """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5),
+pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+e0 AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),"""
+        + ",".join(
+            _G4_ROUND.format(i=i, j=i + 1, k=k) for i in range(n_rounds)
+        )
+        + f"""
+SELECT CAST(src AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{n_rounds} GROUP BY src
+"""
+    )
+
+
+ORACLES["g4_kcore"] = _g4_kcore_sql(3, 3)
+QUERIES["g4_kcore"] = L.g4_kcore
+
+# s8 emits the exact top-k + SQ8-tier recall envelope boolean, the
+# s2/s3/s5 ann_with_recall_check contract — same exact-topk oracle.
+ORACLES["s8_sq8_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+"""
+QUERIES["s8_sq8_topk"] = L.s8_sq8_topk

@@ -2412,3 +2412,68 @@ def test_stream_gram_equals_batch(spark):
         for r in streamed.collect()
     }
     assert got == want
+
+
+def test_kcore_peel_cascades(spark):
+    """Peeling must CASCADE: on path 1-2-3-4 + triangle 5-6-7 with
+    k=2, round 1 drops the endpoints (degree 1), which only then
+    exposes 2 and 3 as sub-k — one-shot degree filtering would keep
+    them. The triangle survives as the true 2-core."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import kcore_peel
+
+    und = [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, n_rounds=3).collect()
+    }
+    assert got == {5: 2, 6: 2, 7: 2}
+    # one round is NOT enough: 2 and 3 still look safe after round 1
+    one = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, n_rounds=1).collect()
+    }
+    assert set(one) == {2, 3, 5, 6, 7}
+
+
+def test_sq8_recall_vs_exact(emb):
+    """SQ8's per-coordinate error bound is (max-min)/510, so the
+    refined top-10 should recover the exact top-10 near-perfectly on
+    the synthetic corpus — strictly above PQ's floor."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        sq_refine_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.item_id) for r in cosine_topk(emb, qs, 10).collect()}
+    sq = {
+        (r.query_id, r.item_id)
+        for r in sq_refine_topk(emb, qs, 10, shortlist=100).collect()
+    }
+    assert len(sq & exact) / len(exact) >= 0.9
+
+
+def test_sq8_identical_vector_is_top_neighbor(spark):
+    """A planted exact twin must rank first after the exact refine."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        sq_refine_topk,
+    )
+
+    base = [float((5 * 37 + j * 11) % 17 - 8) for j in range(64)]
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(64)])
+            for i in range(40)]
+    rows[0] = (0, base)
+    rows[39] = (39, base)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sq_refine_topk(df, qs, k=3, shortlist=20)
+    top = [r.item_id for r in out.collect() if r.rank == 1]
+    assert top == [39]
