@@ -849,6 +849,81 @@ def interp_bigram_score(
     )
 
 
+def kneser_ney_bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, the
+    smoothing used by KenLM-style quality filters) — the third LM tier
+    after :func:`bigram_condprob` (MLE) and :func:`interp_bigram_score`
+    (Jelinek-Mercer): per bigram occurrence
+
+        p_kn = (c(w1 w2) - D) / c(w1 .)
+             + D * N1+(w1 .) / c(w1 .) * N1+(. w2) / N1+(. .)
+
+    with absolute discount D = 3/4 carried in QUARTERS so every term
+    is integer: with continuation probability
+    ``pcont = N1+(. w2) * 1e6 div N1+(. .)`` the score is
+
+        p_kn_micro = (4*c2 - 3) * 1e6 div (4*c1)
+                   + (3 * N1fwd * pcont) div (4*c1)
+
+    (c2 >= 1 wherever a bigram occurs, so the discounted mass is
+    positive and no max() is needed). One integer division per term in
+    a fixed order — the t20/t25 guaranteed-by-construction cross-engine
+    contract, no float anywhere.
+
+    Plan shape: the hashed bigram stream (localCheckpoint) feeds the
+    token counts AND one distinct-types frame that is reused for all
+    three continuation statistics (N1+ forward, N1+ backward, total
+    types) — two shuffles over O(distinct bigrams) keys plus the t20
+    scoring joins; the type total is a broadcast 1-row aggregate. Docs
+    with fewer than two tokens emit no row."""
+    grams = exploded_ngrams(df, id_col, text_col, 2)
+    big = grams.select(
+        "_id",
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
+        F.xxhash64(F.split(F.col("g"), " ")[1]).alias("w2h"),
+    ).localCheckpoint(eager=False)
+    cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
+    types = (
+        big.select("gh", "w1h", "w2h").distinct().localCheckpoint(eager=False)
+    )
+    n1fwd = types.groupBy("w1h").agg(F.count(F.lit(1)).alias("n1f"))
+    ncont = types.groupBy("w2h").agg(F.count(F.lit(1)).alias("nc"))
+    ntypes = types.agg(F.count(F.lit(1)).alias("_nt"))
+    scored = (
+        big.join(cnt2, "gh")
+        .join(cnt1, "w1h")
+        .join(n1fwd, "w1h")
+        .join(ncont, big.w2h == ncont.w2h)
+        .crossJoin(F.broadcast(ntypes))
+        .select(
+            "_id",
+            F.expr(
+                "((4*c2 - 3) * 1000000L) div (4*c1)"
+                " + (3 * n1f * ((nc * 1000000L) div _nt)) div (4*c1)"
+            ).alias("pk_micro"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("pk_micro").alias("pkn_sum_micro"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "pkn_sum_micro",
+            F.expr("pkn_sum_micro div n_bigrams").alias("pkn_avg_micro"),
+        )
+    )
+
+
 def misra_gries_topk(
     df: DataFrame,
     k_counters: int = 256,

@@ -2381,3 +2381,30 @@ def s8_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = sq_refine_topk(emb, qs, k=10, shortlist=100)
     return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.7)
+
+
+def m18_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-autocorrelation over REAL decoded PCM
+    (operators.audio.wav_autocorr): each doc's WAV payload decoded by
+    the stdlib wave parser and reduced to exact int64 lag products at
+    lags 1/2/4/8 — the periodicity / pitch-detection primitive next to
+    m17's energy windows. The oracle multiplies the same
+    character-arithmetic samples pairwise, so a hash match certifies
+    decode + lag alignment bit-exactly."""
+    from ..operators.audio import text_to_wav_payload, wav_autocorr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wav_autocorr(text_to_wav_payload(docs), lags=(1, 2, 4, 8))
+
+
+def t30_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (D=3/4 carried in
+    quarters, continuation counts over the distinct-bigram-type frame
+    — operators.text.kneser_ney_bigram_score): the KenLM-style
+    perplexity-filter tier above t20's MLE and t25's Jelinek-Mercer.
+    All integer micro-units, so the oracle replays the discount +
+    continuation interpolation bit for bit."""
+    from ..operators.text import kneser_ney_bigram_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return kneser_ney_bigram_score(docs)

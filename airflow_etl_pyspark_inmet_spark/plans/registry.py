@@ -4359,3 +4359,73 @@ r AS (
 SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
 """
 QUERIES["s8_sq8_topk"] = L.s8_sq8_topk
+
+
+def _m18_audio_autocorr_sql(
+    lags: tuple[int, ...] = (1, 2, 4, 8), n_max: int = 64
+) -> str:
+    """Oracle for lag autocorrelation: sample i (0-based) of doc's WAV
+    is ((codepoint_{i+1} & 0xFF) - 128) * 256 for i < min(len, 64)
+    (m7's payload contract); autocorr(L) = sum over i of s_i * s_{i+L}
+    with both indices inside the clip; n_terms = max(min(len,64)-L, 0).
+    One row per (doc, lag), including empty clips — pure character
+    arithmetic, each product <= 2^30, sums exact in BIGINT."""
+
+    def s(i: int) -> str:  # 1-based substr index
+        return f"(ord(substr(text, {i}, 1)) % 256 - 128) * 256"
+
+    sels = []
+    for lag in lags:
+        terms = []
+        for i in range(1, n_max - lag + 1):
+            terms.append(
+                f"(CASE WHEN LEAST(length(text), {n_max}) >= {i + lag}"
+                f" THEN CAST({s(i)} AS BIGINT) * ({s(i + lag)})"
+                " ELSE 0 END)"
+            )
+        sels.append(
+            "SELECT doc_id,"
+            f" CAST({lag} AS INTEGER) AS lag,"
+            f" CAST(GREATEST(LEAST(length(text), {n_max}) - {lag}, 0)"
+            " AS INTEGER) AS n_terms,"
+            " CAST(" + "\n   + ".join(terms) + " AS BIGINT) AS autocorr"
+            " FROM documents"
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+ORACLES["m18_audio_autocorr"] = _m18_audio_autocorr_sql((1, 2, 4, 8), 64)
+QUERIES["m18_audio_autocorr"] = L.m18_audio_autocorr
+
+# t30: interpolated Kneser-Ney bigram scoring — t25's bigram CTEs plus
+# the distinct-type continuation counts; D=3/4 in quarters, one integer
+# division per term in a fixed order, so the replay is bit-for-bit.
+ORACLES["t30_kneser_ney"] = """
+WITH b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-1, 0)))
+                AS i) u
+),
+c2 AS (SELECT g, COUNT(*) AS c2 FROM b GROUP BY 1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+ty AS (SELECT DISTINCT g, w1, w2 FROM b),
+n1f AS (SELECT w1, COUNT(*) AS n1f FROM ty GROUP BY 1),
+nc AS (SELECT w2, COUNT(*) AS nc FROM ty GROUP BY 1),
+nt AS (SELECT COUNT(*) AS nt FROM ty),
+scored AS (
+  SELECT doc_id,
+         ((4 * c2.c2 - 3) * 1000000 // (4 * c1.c1))
+         + (3 * n1f.n1f * ((nc.nc * 1000000) // nt.nt)) // (4 * c1.c1)
+           AS pk
+  FROM b JOIN c2 USING (g) JOIN c1 USING (w1)
+       JOIN n1f USING (w1) JOIN nc ON nc.w2 = b.w2 CROSS JOIN nt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(pk) AS BIGINT) AS pkn_sum_micro,
+       CAST(SUM(pk) // COUNT(*) AS BIGINT) AS pkn_avg_micro
+FROM scored GROUP BY doc_id
+"""
+QUERIES["t30_kneser_ney"] = L.t30_kneser_ney

@@ -109,3 +109,32 @@ def test_wav_energy_windows_roundtrip(spark):
         0: (16, int((samples[:16] ** 2).sum())),
         1: (5, int((samples[16:] ** 2).sum())),
     }
+
+
+def test_wav_autocorr_roundtrip(spark):
+    """Lag products equal numpy's shifted dot, including the
+    shorter-than-lag zero row."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.audio import (
+        text_to_wav_payload,
+        wav_autocorr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy")], "doc_id bigint, text string"
+    )
+    out = wav_autocorr(text_to_wav_payload(docs), lags=(1, 4)).collect()
+    got = {(r["doc_id"], r["lag"]): (r["n_terms"], r["autocorr"]) for r in out}
+    s1 = np.array(
+        [((ord(c) & 0xFF) - 128) * 256 for c in "abcdefgh"], dtype=np.int64
+    )
+    s2 = np.array(
+        [((ord(c) & 0xFF) - 128) * 256 for c in "xy"], dtype=np.int64
+    )
+    assert got == {
+        (1, 1): (7, int((s1[:-1] * s1[1:]).sum())),
+        (1, 4): (4, int((s1[:-4] * s1[4:]).sum())),
+        (2, 1): (1, int((s2[:-1] * s2[1:]).sum())),
+        (2, 4): (0, 0),
+    }

@@ -2439,6 +2439,34 @@ def test_kcore_peel_cascades(spark):
     assert set(one) == {2, 3, 5, 6, 7}
 
 
+def test_kneser_ney_hand_corpus(spark):
+    """Hand-computed KN values on an asymmetric corpus where KN differs
+    from MLE: bigrams {a b, a d, c b}; nt=3 types, pcont(b)=2/3,
+    pcont(d)=1/3; D=3/4 in quarters with floor division per term."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        kneser_ney_bigram_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a d"), (3, "c b")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["pkn_sum_micro"], r["pkn_avg_micro"])
+        for r in kneser_ney_bigram_score(docs).collect()
+    }
+    # doc1 p(b|a): (4-3)*1e6//8 + (3*2*(2*1e6//3))//8 = 125000+499999
+    # doc2 p(d|a): 125000 + (3*2*(1*1e6//3))//8      = 125000+249999
+    # doc3 p(b|c): (4-3)*1e6//4 + (3*1*(2*1e6//3))//4 = 250000+499999
+    assert got == {
+        1: (1, 624999, 624999),
+        2: (1, 374999, 374999),
+        3: (1, 749999, 749999),
+    }
+    # MLE would give 500000 for every bigram here — KN's continuation
+    # redistribution must shift them.
+    assert got[1][2] != 500000
+
+
 def test_sq8_recall_vs_exact(emb):
     """SQ8's per-coordinate error bound is (max-min)/510, so the
     refined top-10 should recover the exact top-10 near-perfectly on
