@@ -2408,3 +2408,33 @@ def t30_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return kneser_ney_bigram_score(docs)
+
+
+def c8_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering — the composition t30 exists
+    for: score every doc with the Kneser-Ney LM, take the exact 70th-
+    percentile score cutoff (percentile_disc, an actual data value —
+    one distributed aggregate, broadcast back as a scalar; NO global
+    window sort, the scale trap of rank-based filters), and keep the
+    top-30% most-predictable docs with their source and the cutoff.
+    All integers end to end, so the oracle replays scoring + cutoff +
+    filter bit for bit."""
+    from ..operators.text import kneser_ney_bigram_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = kneser_ney_bigram_score(docs).localCheckpoint(eager=False)
+    # Spark's percentile_disc returns double; the underlying value is an
+    # exact micro-unit integer (< 2^53), so the bigint cast is lossless.
+    thr = scored.agg(
+        F.expr(
+            "percentile_disc(0.7) WITHIN GROUP (ORDER BY pkn_avg_micro)"
+        )
+        .cast("bigint")
+        .alias("thr_micro")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("pkn_avg_micro") >= F.col("thr_micro"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "pkn_avg_micro", "thr_micro")
+    )

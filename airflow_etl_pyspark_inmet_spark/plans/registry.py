@@ -4429,3 +4429,84 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id
 """
 QUERIES["t30_kneser_ney"] = L.t30_kneser_ney
+
+# c8: perplexity filter — t30's scoring CTEs as a subquery, the exact
+# quantile_disc cutoff (an actual data value, ties kept by >=), filter.
+ORACLES["c8_perplexity_filter"] = f"""
+WITH s AS ({ORACLES['t30_kneser_ney']}),
+thr AS (SELECT quantile_disc(pkn_avg_micro, 0.7) AS thr_micro FROM s)
+SELECT s.doc_id, d.source, s.pkn_avg_micro,
+       CAST(thr.thr_micro AS BIGINT) AS thr_micro
+FROM s JOIN documents d USING (doc_id) CROSS JOIN thr
+WHERE s.pkn_avg_micro >= thr.thr_micro
+"""
+QUERIES["c8_perplexity_filter"] = L.c8_perplexity_filter
+
+
+# ---- round-10 driver correctness-window rotation ----------------------
+# The driver hashes only the FIRST 50 queries() entries, so the dict is
+# reordered each round to put the stalest evidence first. Round-10
+# window, front to back:
+#   1. all 23 queries with NO driver row yet — everything added during
+#      round 10 (the d19-d24 LSH tier, st10/st11 streaming, g3/g4
+#      graph, s7/s8, t27-t30, x6, m16-m18, q109/q111, c8);
+#   2. 27 of the 46 queries whose last driver row is r6 (the m-family
+#      codecs, the s3/s4 ANN pair, TPC-H q73-q77 block, q01/q34/q51).
+# Remaining r6-stale after this round (19, front of the r11 window):
+# q61-q66, st1-st6, q02/q04-q09.
+_R10_WINDOW = [
+    "d19_dedup_embedding_lsh",
+    "d20_semantic_keeper_lsh",
+    "d21_semantic_clusters_lsh",
+    "d22_dedup_embedding_full",
+    "d23_embedding_delta_dedup",
+    "st10_stream_embedding_dedup",
+    "g3_triangle_count",
+    "t27_ngram_novelty",
+    "q109_weighted_median",
+    "q111_assoc_rules",
+    "t28_heavy_hitters",
+    "x6_dsir_importance",
+    "d24_corpus_overlap",
+    "m16_image_patches",
+    "s7_embedding_gram",
+    "t29_bpe_encode",
+    "st11_stream_gram",
+    "m17_audio_energy",
+    "g4_kcore",
+    "s8_sq8_topk",
+    "m18_audio_autocorr",
+    "t30_kneser_ney",
+    "c8_perplexity_filter",
+    "m10_avi_frames",
+    "m11_mixed_modality",
+    "m12_image_ahash",
+    "m7_wav_stats",
+    "m8_wav_frames",
+    "m9_avi_stats",
+    "t20_bigram_condprob",
+    "s4_label_centroids",
+    "q73_tpch_q3",
+    "q74_tpch_q17",
+    "t21_token_lift",
+    "q75_tpch_q18",
+    "q76_table_diff",
+    "q77_mad_outliers",
+    "q72_sessionize_salted",
+    "s3_ivf_topk",
+    "q71_time_weighted_avg",
+    "m6_resize_png",
+    "t6_normalize",
+    "m1_decode_meta",
+    "m2_frame_sample",
+    "m3_embed_norm",
+    "m4_byte_histogram",
+    "m5_resize",
+    "q01_pricing_summary",
+    "q34_approx_distinct",
+    "q51_approx_quantiles",
+]
+assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R10_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
+}
