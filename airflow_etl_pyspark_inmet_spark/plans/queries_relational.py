@@ -2074,6 +2074,15 @@ def q111_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= 5)
         .select("l_orderkey", "l_partkey")
+        # localCheckpoint: ``top`` feeds FOUR consumers (n_baskets, the
+        # per-item counts, and both sides of the pair self-join);
+        # without lineage truncation each consumer re-derives the
+        # distinct -> support-join -> rank pipeline and the final plan
+        # re-scans lineitem ~14x (28 scans / 45 exchanges, VERDICT r10
+        # item 2). Truncated, the capped-basket frame is computed once
+        # and served from block storage — the repo-standard
+        # multi-consumer pattern (operators/mixing.py).
+        .localCheckpoint(eager=False)
     )
     n_baskets = top.agg(
         F.count_distinct("l_orderkey").alias("_nb")

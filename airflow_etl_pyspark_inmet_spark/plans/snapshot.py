@@ -274,9 +274,24 @@ def snapshot_read(
             raise ValueError(
                 f"{table} is unpartitioned; partitions= is not applicable"
             )
-        want = {
-            _NULL_PART if v in (None, "") else str(v) for v in partitions
-        }
+        # Normalize requested values with the SAME engine-side
+        # CAST(value AS STRING) encoding the manifest stores (Python
+        # str(True) would yield "True" vs the stored "true"; dates,
+        # floats and decimals have similar drift). One bounded local
+        # job over len(partitions) values, mirroring snapshot_merge's
+        # touched-partition collection.
+        want = {_NULL_PART for v in partitions if v is None or v == ""}
+        typed = [v for v in partitions if not (v is None or v == "")]
+        if typed:
+            norm = (
+                spark.createDataFrame(
+                    [(v,) for v in typed],
+                    schema=f"_v {man['partition_type']}",
+                )
+                .select(F.col("_v").cast("string").alias("_p"))
+                .collect()
+            )
+            want |= {r["_p"] for r in norm if r["_p"] is not None}
         files = [f for f in files if f["partition"] in want]
     paths = [f["path"] for f in files]
     if not paths:

@@ -521,3 +521,31 @@ def test_compaction_bounds_manifest_growth(spark, tmp_path):
     expect = {(i, 3, i % 4) if i % 5 == 0 else (i, 0, i % 4)
               for i in range(40)}
     assert _rows(snapshot_read(spark, t)) == expect
+
+
+def test_pruned_read_typed_partition_values(spark, tmp_path):
+    """partitions= must normalize requested values with the SAME
+    engine-side CAST(value AS STRING) the manifest stores (r10 advice):
+    Python str(True) is "True" but the manifest holds "true", so a
+    boolean-partitioned read silently pruned EVERY file. Same family of
+    drift exists for dates/floats — cover bool + date."""
+    t = str(tmp_path / "bool_tbl")
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(20)], "k bigint, flag boolean"
+    )
+    snapshot_write(spark, t, df, partition_col="flag")
+    got = snapshot_read(spark, t, partitions=[True])
+    assert _rows(got) == {(i, True) for i in range(0, 20, 2)}
+    # date-typed partition: str(date(...)) happens to match Spark's
+    # cast, but go through the engine-side path to keep it that way
+    import datetime as dt
+
+    t2 = str(tmp_path / "date_tbl")
+    df2 = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 3)) for i in range(9)],
+        "k bigint, d date",
+    )
+    snapshot_write(spark, t2, df2, partition_col="d")
+    got2 = snapshot_read(spark, t2, partitions=[dt.date(2024, 1, 2)])
+    assert got2.count() == 3
+    assert {r["d"] for r in got2.collect()} == {dt.date(2024, 1, 2)}
