@@ -237,8 +237,12 @@ def wav_autocorr(
                     ids.append(doc_id)
                     ls.append(lag)
                     ns.append(n)
+                    # slice with [:n], NOT [:-lag]: at lag=0 the
+                    # latter is samples[:-0] == empty, silently
+                    # reporting autocorr=0 for the signal's energy
+                    # (r10 advice)
                     acs.append(
-                        int((samples[:-lag] * samples[lag:]).sum())
+                        int((samples[:n] * samples[lag:]).sum())
                         if n > 0
                         else 0
                     )

@@ -903,9 +903,17 @@ def kneser_ney_bigram_score(
         .crossJoin(F.broadcast(ntypes))
         .select(
             "_id",
+            # decimal(38,0) widening (r10 advice, the q111/x9/x6
+            # contract): bigint (4*c2-3)*1e6 wraps silently past
+            # ~2.3e12 occurrences of one bigram under non-ANSI Spark —
+            # at the stated 100 TB scale a stopword bigram gets there.
             F.expr(
-                "((4*c2 - 3) * 1000000L) div (4*c1)"
-                " + (3 * n1f * ((nc * 1000000L) div _nt)) div (4*c1)"
+                "cast(((cast(c2 as decimal(38,0)) * 4 - 3) * 1000000)"
+                " div (cast(c1 as decimal(38,0)) * 4) as bigint)"
+                " + cast((cast(n1f as decimal(38,0)) * 3 *"
+                " ((cast(nc as decimal(38,0)) * 1000000)"
+                " div cast(_nt as decimal(38,0))))"
+                " div (cast(c1 as decimal(38,0)) * 4) as bigint)"
             ).alias("pk_micro"),
         )
     )
@@ -929,6 +937,7 @@ def misra_gries_topk(
     k_counters: int = 256,
     top: int = 20,
     text_col: str = "text",
+    guaranteed_only: bool = True,
 ) -> DataFrame:
     """Heavy hitters via a MERGEABLE bounded-state Misra-Gries sketch —
     the streaming/batched alternative to t15's exact vocabulary census
@@ -948,7 +957,19 @@ def misra_gries_topk(
     is <= N/k), so rows flagged TRUE are provably identical to the
     exact top-k's rows. No full-vocab shuffle anywhere: the shuffle
     carries only sketch survivors (<= k per batch) and their exact
-    counts."""
+    counts.
+
+    ``guaranteed_only`` (default True, r10 advice): restrict the
+    emitted top-``top`` to mg_ok rows. A token with global frequency
+    <= N/k has NO survival guarantee, so without the filter a true
+    top-``top`` row could be absent from the candidate set on an
+    adversarial distribution — a data-dependent hole the flag cannot
+    signal because the row is missing, not marked false. Filtered,
+    the emitted set is PROVABLY the exact top-``top`` of all tokens
+    with freq > N/k (guarantee above gives candidates ⊇ that set;
+    the predicate is evaluated on exact re-counts). Pass False for
+    the best-effort surface (rows beyond the guarantee included,
+    flagged mg_ok=false)."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
@@ -983,16 +1004,16 @@ def misra_gries_topk(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     n_total = toks.agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        exact.crossJoin(F.broadcast(n_total))
-        .select(
-            "token",
-            "freq",
-            (F.col("freq") * F.lit(k) > F.col("_n")).alias("mg_ok"),
-        )
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(top)
+    flagged = exact.crossJoin(F.broadcast(n_total)).select(
+        "token",
+        "freq",
+        (F.col("freq") * F.lit(k) > F.col("_n")).alias("mg_ok"),
     )
+    if guaranteed_only:
+        flagged = flagged.filter(F.col("mg_ok"))
+    return flagged.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).limit(top)
 
 
 def bpe_encode_census(

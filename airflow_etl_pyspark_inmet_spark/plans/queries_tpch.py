@@ -930,26 +930,40 @@ def q102_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nc = counts.toDF("t", "c", "n_child")
     np_ = counts.toDF("t", "c", "n_parent")
+    # LEFT joins + coalesce-to-0 (r10 advice): a candidate whose child
+    # or parent sketch column yields ZERO distinct rows has no (t, c)
+    # row in ``counts`` — an inner join would silently drop the
+    # candidate from the report, where the pre-fusion per-pair code
+    # emitted it with n_child=0 (mirrors the n_contained handling).
     return (
         cand_df.join(
             F.broadcast(nc),
             (F.col("ct") == nc.t) & (F.col("cc") == nc.c),
+            "left",
         )
         .join(
             F.broadcast(np_),
             (F.col("pt") == np_.t) & (F.col("pc") == np_.c),
+            "left",
         )
         .join(F.broadcast(contained), "pid", "left")
         .select(
             "child_col",
             "parent_col",
-            F.col("n_child").cast("bigint").alias("n_child"),
-            F.col("n_parent").cast("bigint").alias("n_parent"),
+            F.coalesce(F.col("n_child"), F.lit(0))
+            .cast("bigint")
+            .alias("n_child"),
+            F.coalesce(F.col("n_parent"), F.lit(0))
+            .cast("bigint")
+            .alias("n_parent"),
             F.coalesce(F.col("n_contained"), F.lit(0))
             .cast("bigint")
             .alias("n_contained"),
+            # empty-child guard: ANSI div throws on a 0 divisor
             F.expr(
-                "coalesce(n_contained, 0) * 1000000 div n_child"
+                "CASE WHEN coalesce(n_child, 0) = 0 THEN 0"
+                " ELSE coalesce(n_contained, 0) * 1000000 div n_child"
+                " END"
             ).alias("containment_ppm"),
         )
         .orderBy("child_col", "parent_col")

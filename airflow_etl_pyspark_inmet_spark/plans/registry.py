@@ -4087,8 +4087,10 @@ LIMIT 50
 QUERIES["q111_assoc_rules"] = R.q111_assoc_rules
 
 # t28 — Misra-Gries heavy hitters: the emitted surface is the exact
-# top-20 (candidates re-counted exactly), so the oracle computes it
-# directly; mg_ok replays the freq*k > N certificate.
+# top-20 OF THE GUARANTEED tier (freq*k > N — tokens below it have no
+# sketch-survival guarantee, so including them would make the
+# comparison data-dependent; r10 advice). The oracle computes the same
+# provable set directly; mg_ok replays the certificate (always true).
 ORACLES["t28_heavy_hitters"] = """
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -4100,6 +4102,7 @@ n AS (SELECT COUNT(*) AS total FROM tk)
 SELECT token, CAST(freq AS BIGINT) AS freq,
        freq * 256 > total AS mg_ok
 FROM counts CROSS JOIN n
+WHERE freq * 256 > total
 ORDER BY freq DESC, token ASC
 LIMIT 20
 """

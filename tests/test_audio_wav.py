@@ -138,3 +138,24 @@ def test_wav_autocorr_roundtrip(spark):
         (2, 1): (1, int((s2[:-1] * s2[1:]).sum())),
         (2, 4): (0, 0),
     }
+
+
+def test_wav_autocorr_lag_zero_is_energy(spark):
+    """lag=0 must return the signal's energy sum(s[i]^2) with
+    n_terms=len — the old samples[:-0] slice was empty, silently
+    reporting autocorr=0 (r10 advice)."""
+    import numpy as np
+
+    from airflow_etl_pyspark_inmet_spark.operators.audio import (
+        text_to_wav_payload,
+        wav_autocorr,
+    )
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id bigint, text string")
+    out = wav_autocorr(text_to_wav_payload(docs), lags=(0,)).collect()
+    s = np.array(
+        [((ord(c) & 0xFF) - 128) * 256 for c in "abcd"], dtype=np.int64
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_terms"], r["autocorr"]) == (4, int((s * s).sum()))

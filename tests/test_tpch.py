@@ -404,3 +404,32 @@ def test_c6_incremental_equals_full_recompute(spark):
     )
     want = {(r.ano, r.mes): (r.pc, r.n) for r in full.collect()}
     assert got == want and len(want) > 0
+
+
+def test_q102_emits_candidate_with_empty_child_column(spark, tmp_path):
+    """r10 advice: a candidate whose sketch column yields ZERO rows
+    (empty table) must still appear in the report with n_child=0 —
+    the fused inner join used to silently drop it."""
+    import pyspark.sql.types as T
+
+    from airflow_etl_pyspark_inmet_spark.plans.queries_tpch import (
+        q102_join_discovery,
+    )
+
+    d = str(tmp_path)
+    mk = spark.createDataFrame
+    mk([(1, 10, 100)], "l_orderkey bigint, l_partkey bigint, l_suppkey bigint").write.parquet(f"{d}/lineitem.parquet")
+    mk([(1, 7)], "o_orderkey bigint, o_custkey bigint").write.parquet(f"{d}/orders.parquet")
+    mk([(10,)], "p_partkey bigint").write.parquet(f"{d}/part.parquet")
+    mk([(100,)], "s_suppkey bigint").write.parquet(f"{d}/supplier.parquet")
+    mk([(7,)], "c_custkey bigint").write.parquet(f"{d}/customer.parquet")
+    # events: EMPTY — its user_id candidate used to vanish
+    mk([], T.StructType([T.StructField("user_id", T.LongType())])).write.parquet(f"{d}/events.parquet")
+
+    rows = {r["child_col"]: r for r in q102_join_discovery(spark, d).collect()}
+    assert "events.user_id" in rows
+    ev = rows["events.user_id"]
+    assert (ev["n_child"], ev["n_contained"], ev["containment_ppm"]) == (0, 0, 0)
+    assert ev["n_parent"] == 1
+    assert rows["lineitem.l_orderkey"]["containment_ppm"] == 1000000
+    assert len(rows) == 6
