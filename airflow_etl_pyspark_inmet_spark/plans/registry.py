@@ -4510,6 +4510,70 @@ _R10_WINDOW = [
     "q51_approx_quantiles",
 ]
 assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(QUERIES)
-QUERIES = {k: QUERIES[k] for k in _R10_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R10_WINDOW)
+
+
+# ---- round-11 driver correctness-window rotation ----------------------
+# Oldest-first (VERDICT r10 item 3): all 19 queries whose last driver
+# row is r6 (the q02-q09 relational block, q61-q66 SQL-surface block,
+# st1-st6 streaming suite), then 31 of the 50 r7-stale — the remaining
+# streaming pair st7/st8, the heavy composites c4/c5/c6, the dedup
+# family d3/d4/d7/d8/d12/d15/d17, g1, the multimodal m13-m15, the
+# text/curation t22/t24/t25/t26/x5/x7/x8, s5, and q10/q78-q83.
+# Remaining r7-stale after this round (19, front of the r12 window):
+# q84-q101 (TPC-H block + profiling) and q102.
+_R11_WINDOW = [
+    "q02_daily_supplier_agg",
+    "q04_minmax_bounds",
+    "q05_calendar_dim",
+    "q06_surrogate_dim",
+    "q07_decimal_comma_roundtrip",
+    "q08_dayfirst_dates",
+    "q09_union_by_name",
+    "q61_listagg",
+    "q62_try_arithmetic",
+    "q63_bitmap_distinct",
+    "q64_recursive_cte",
+    "q65_map_type",
+    "q66_array_analytics",
+    "st1_stream_tumbling",
+    "st2_stream_sessions",
+    "st3_stream_stateful",
+    "st4_stream_static_join",
+    "st5_stream_dedup",
+    "st6_stream_stream_join",
+    "st7_stream_ohlc",
+    "st8_stream_daily_uniques",
+    "c4_pretraining_pipeline",
+    "c5_multimodal_pipeline",
+    "c6_incremental_refresh",
+    "d3_dedup_minhash",
+    "d4_dedup_simhash",
+    "d7_segment_dedup",
+    "d8_semantic_keeper",
+    "d12_image_neardup",
+    "d15_fuzzy_name_pairs",
+    "d17_semantic_clusters",
+    "g1_pagerank",
+    "m13_multimodal_pack",
+    "m14_av_alignment",
+    "m15_keyframes",
+    "t22_bpe_train",
+    "t24_leakage_safe_split",
+    "t25_interp_bigram",
+    "t26_jaccard_search",
+    "x5_curriculum_order",
+    "x7_weighted_sample",
+    "x8_epoch_reshuffle",
+    "s5_pq_topk",
+    "q10_semi_join",
+    "q78_cdc_apply",
+    "q79_ratio_to_report",
+    "q80_ohlc_bars",
+    "q81_basket_pairs",
+    "q82_running_balance_floor",
+    "q83_basket_pairs_capped",
+]
+assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
