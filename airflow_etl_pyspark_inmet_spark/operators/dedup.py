@@ -1679,3 +1679,62 @@ def corpus_shingle_overlap(
             ).alias("est_ok"),
         )
     )
+
+
+def cross_doc_dup_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per-document cross-corpus duplication fraction — the
+    RefinedWeb/MassiveText-style memorization-risk signal that sits
+    between span surgery (repeated_spans, d9) and whole-doc dedup: for
+    each document, the fraction of its ``ngram``-token positions whose
+    n-gram also occurs in AT LEAST ONE OTHER document, as exact integer
+    ppm. Curation pipelines threshold it ("drop docs >30% duplicated")
+    without needing the span geometry d9 computes.
+
+    Plan (linear, three hash-aggs + one join, no self-join anywhere):
+    positions per (doc, gram-hash) [one agg over the exploded gram
+    stream]; distinct-doc frequency per gram [one agg over the per-doc
+    frame — already deduped, so no count_distinct expansion]; join the
+    per-doc frame to the gram df (the join is keyed on the gram hash;
+    fan-out is exactly the per-doc frame's row count — each row meets
+    ONE df row); per-doc rollup. Grams travel as 64-bit xxhash64, never
+    strings (collision odds ~n²/2⁶⁵ — the d2/d3 shingle contract).
+    Short docs (< ngram tokens) emit n_grams=0 with dup_ppm=0 (ANSI
+    div-by-zero guarded).
+    """
+    from .text import exploded_ngrams
+
+    grams = exploded_ngrams(df, id_col, text_col, ngram).select(
+        "_id", F.xxhash64("g").alias("gh")
+    )
+    per_doc = grams.groupBy("_id", "gh").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    dfreq = per_doc.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
+    rolled = (
+        per_doc.join(dfreq, "gh")
+        .groupBy("_id")
+        .agg(
+            F.sum("n_pos").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, F.col("n_pos")).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(rolled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN 0"
+                " ELSE coalesce(n_dup, 0) * 1000000 div n_grams END"
+            ).cast("bigint").alias("dup_ppm"),
+        )
+    )

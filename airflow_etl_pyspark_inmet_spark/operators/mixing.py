@@ -479,3 +479,40 @@ def dsir_importance(
             F.sum("_r_ppm").alias("dsir_score_ppm"),
         )
     )
+
+
+def stratified_consistent_sample(
+    df: DataFrame,
+    strat_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample by CONSISTENT hashing: within
+    each stratum keep the ``k`` rows with the smallest
+    ``md5(cast(id as string))`` — the hash plays the role of a frozen
+    uniform draw, so the sample is (a) uniform within each stratum,
+    (b) bit-reproducible across runs, engines, and cluster layouts
+    (md5 is engine-portable, unlike xxhash64 which DuckDB cannot
+    replay), and (c) STABLE UNDER CORPUS GROWTH: a doc's hash never
+    changes, so adding new docs only ever displaces the current
+    largest-hash members — the property that makes the scheme the
+    standard train/eval holdout splitter (a grown corpus keeps >= the
+    old sample minus displacements, never reshuffles it wholesale).
+
+    Plan shape at 100 TB: the rank-filter over
+    ``Window.partitionBy(stratum).orderBy(hash)`` compiles to
+    WindowGroupLimit (Spark 3.5+): every map task pre-keeps only k
+    rows per stratum BEFORE the shuffle, so the exchange carries
+    ~k * strata * partitions rows, not the corpus. One shuffle on the
+    stratum key, no global sort, no driver state.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strat_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(strat_col, id_col, h.alias("_h"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .select(strat_col, id_col, F.col("_h").alias("sample_key"), "sample_rank")
+    )

@@ -2438,3 +2438,31 @@ def c8_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "pkn_avg_micro", "thr_micro")
     )
+
+
+def x10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-per-language holdout sample via consistent
+    hashing (operators.mixing.stratified_consistent_sample): smallest
+    md5(doc_id) per lang stratum — uniform-within-stratum,
+    growth-stable, and engine-portable (DuckDB replays md5 exactly, so
+    the oracle is the same draw bit for bit). Plan: WindowGroupLimit
+    pre-keeps k rows per stratum map-side; the shuffle carries
+    ~k * strata rows, never the corpus."""
+    from ..operators.mixing import stratified_consistent_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_consistent_sample(docs, strat_col="lang", k=10)
+
+
+def t31_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplication fraction
+    (operators.dedup.cross_doc_dup_ratio): the ppm of each doc's
+    8-gram positions whose 8-gram occurs in >= 2 documents — the
+    RefinedWeb-style curation signal between intra-doc repetition
+    (Gopher, t16) and whole-doc dedup (d1-d5). Exact integers; the
+    oracle replays the census on gram STRINGS (the engine moves
+    xxhash64 keys — the d2/d3 shingle-collision contract)."""
+    from ..operators.dedup import cross_doc_dup_ratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cross_doc_dup_ratio(docs, ngram=8)

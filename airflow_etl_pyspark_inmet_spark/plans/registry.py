@@ -4512,16 +4512,68 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(QUERIES)
 
 
+# x10 — consistent per-stratum holdout sample: md5 is engine-portable,
+# so the oracle IS the same deterministic draw (no envelope needed).
+ORACLES["x10_stratified_sample"] = """
+WITH h AS (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+)
+SELECT lang, doc_id, sample_key,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lang ORDER BY sample_key ASC, doc_id ASC
+       ) AS INTEGER) AS sample_rank
+FROM h
+QUALIFY sample_rank <= 10
+"""
+QUERIES["x10_stratified_sample"] = L.x10_stratified_sample
+
+# t31 — per-doc cross-corpus duplication ppm: census on gram STRINGS
+# here, xxhash64 keys in the engine (the d2/d3 collision contract).
+ORACLES["t31_dup_ratio"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS g
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-7, 0))) AS i) u
+),
+per_doc AS (SELECT doc_id, g, COUNT(*) AS n_pos FROM grams GROUP BY 1, 2),
+dfq AS (SELECT g, COUNT(*) AS dfd FROM per_doc GROUP BY 1),
+rolled AS (
+  SELECT doc_id, SUM(n_pos) AS n_grams,
+         SUM(CASE WHEN dfd >= 2 THEN n_pos ELSE 0 END) AS n_dup
+  FROM per_doc JOIN dfq USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+                 ELSE COALESCE(n_dup, 0) * 1000000 // n_grams
+            END AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN rolled USING (doc_id)
+"""
+QUERIES["t31_dup_ratio"] = L.t31_dup_ratio
+
+
 # ---- round-11 driver correctness-window rotation ----------------------
-# Oldest-first (VERDICT r10 item 3): all 19 queries whose last driver
-# row is r6 (the q02-q09 relational block, q61-q66 SQL-surface block,
-# st1-st6 streaming suite), then 31 of the 50 r7-stale — the remaining
-# streaming pair st7/st8, the heavy composites c4/c5/c6, the dedup
-# family d3/d4/d7/d8/d12/d15/d17, g1, the multimodal m13-m15, the
-# text/curation t22/t24/t25/t26/x5/x7/x8, s5, and q10/q78-q83.
-# Remaining r7-stale after this round (19, front of the r12 window):
-# q84-q101 (TPC-H block + profiling) and q102.
+# Oldest-first (VERDICT r10 item 3), never-checked first (the r10
+# precedent): the 2 queries added this round (x10/t31), then all 19
+# queries whose last driver row is r6 (the q02-q09 relational block,
+# q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
+# 50 r7-stale — the remaining streaming pair st7/st8, the heavy
+# composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
+# the multimodal m13-m15, the text/curation t22/t24/t25/t26/x5/x7/x8,
+# s5, and q10/q78-q81.
+# Remaining r7-stale after this round (21, front of the r12 window):
+# q82/q83, q84-q101 (TPC-H block + profiling) and q102.
 _R11_WINDOW = [
+    "x10_stratified_sample",
+    "t31_dup_ratio",
     "q02_daily_supplier_agg",
     "q04_minmax_bounds",
     "q05_calendar_dim",
@@ -4570,8 +4622,6 @@ _R11_WINDOW = [
     "q79_ratio_to_report",
     "q80_ohlc_bars",
     "q81_basket_pairs",
-    "q82_running_balance_floor",
-    "q83_basket_pairs_capped",
 ]
 assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {

@@ -15,8 +15,25 @@ outputs are DENSER than a true sfK corpus; dedup ratios measured on this
 data are upper bounds.
 
 Pure DuckDB (no Spark session): one COPY ... TO parquet per table.
-Usage: python scripts/gen_scale.py [out_dir] [factor] [src_dir]
+Usage: python scripts/gen_scale.py [out_dir] [factor] [src_dir] [--mutate]
   defaults: /tmp/sf1 10 /root/testdata/sf0.1
+
+``--mutate`` — TRUE-CORPUS emulation for the content tables (the sf10
+tier, VERDICT r10 item 7): verbatim clones make every dedup-family cost
+quadratic in the copy factor BY CONSTRUCTION (each shingle's document
+frequency is exactly K-x, so the postings join's sum C(df,2) term grows
+~K² — measured 109x at K=10, SCALING.md), which says nothing about the
+engine. A real K-x corpus brings NEW content: df stays ~constant and
+the same term grows ~K. Mutation reproduces that:
+  - documents: copy 0 keeps the original text; copy i>0 suffixes every
+    token with ``_ci`` — shingle SETS are disjoint across copies, so
+    vocabulary grows ~K and per-shingle df is copy-invariant.
+  - embeddings: copy i rotates the vector by ``i mod dim`` positions
+    and negates it for i >= dim — rotated/negated copies are not
+    near-dups (cosine ~0 / -1), while each copy's internal cluster
+    structure is preserved (labels rotate consistently), exactly like
+    K independent shards of one corpus.
+Key-offset FK consistency is identical to the unmutated mode.
 """
 
 from __future__ import annotations
@@ -57,7 +74,34 @@ PK = {
 }
 
 
-def generate(out_dir: str, factor: int, src_dir: str) -> None:
+def _mutated(col: str, table: str, dim: int = 64) -> str:
+    """SQL for a content column under --mutate (see module docstring)."""
+    if table == "documents" and col == "text":
+        return (
+            "CASE WHEN _copy = 0 THEN text ELSE "
+            "regexp_replace(text, '(\\S+)', '\\1_c' || _copy, 'g') "
+            f"END AS {col}"
+        )
+    if table == "embeddings" and col == "embedding":
+        # rotate by (_copy mod dim); negate the second dim-cycle so a
+        # rotation collision (copies i and i+dim) is anti-parallel
+        # (cosine -1), never a verbatim clone
+        rot = (
+            f"CASE WHEN _copy % {dim} = 0 THEN embedding "
+            f"ELSE list_concat(embedding[(_copy % {dim}) + 1:], "
+            f"embedding[1:(_copy % {dim})]) END"
+        )
+        return (
+            f"CAST(CASE WHEN _copy < {dim} THEN {rot} "
+            f"ELSE list_transform({rot}, x -> -x) END "
+            f"AS FLOAT[]) AS {col}"
+        )
+    return col
+
+
+def generate(
+    out_dir: str, factor: int, src_dir: str, mutate: bool = False
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     strides = {
@@ -76,7 +120,9 @@ def generate(out_dir: str, factor: int, src_dir: str) -> None:
         cols = [c[0] for c in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         offsets = {col: strides[st] for col, st in keys}
         select = ", ".join(
-            f"({c} + _copy * {offsets[c]})::BIGINT AS {c}" if c in offsets else c
+            f"({c} + _copy * {offsets[c]})::BIGINT AS {c}"
+            if c in offsets
+            else (_mutated(c, table) if mutate else c)
             for c in cols
         )
         con.sql(
@@ -88,9 +134,11 @@ def generate(out_dir: str, factor: int, src_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    generate(out, k, src)
+    args = [a for a in sys.argv[1:] if a != "--mutate"]
+    mutate = "--mutate" in sys.argv[1:]
+    out = args[0] if len(args) > 0 else "/tmp/sf1"
+    k = int(args[1]) if len(args) > 1 else 10
+    src = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
+    generate(out, k, src, mutate=mutate)
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0]
     print(f"generated {out} (factor {k}, lineitem rows {n})")

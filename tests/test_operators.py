@@ -2514,3 +2514,105 @@ def test_sq8_identical_vector_is_top_neighbor(spark):
     out = sq_refine_topk(df, qs, k=3, shortlist=20)
     top = [r.item_id for r in out.collect() if r.rank == 1]
     assert top == [39]
+
+
+def test_stratified_consistent_sample_hand_case(spark):
+    """k smallest md5(id) per stratum, growth-stable: adding rows never
+    reshuffles the survivors' relative order."""
+    import hashlib
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        stratified_consistent_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_consistent_sample(
+        df, strat_col="lang", k=3, id_col="doc_id"
+    ).collect()
+    got = {
+        (r["lang"], r["sample_rank"]): (r["doc_id"], r["sample_key"])
+        for r in out
+    }
+    for lang in ("a", "b"):
+        ids = [i for i, l in rows if l == lang]
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:3]
+        for rk, i in enumerate(ranked, start=1):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            assert got[(lang, rk)] == (i, h)
+    assert len(out) == 6
+    # growth stability: doubling the corpus can only DISPLACE survivors
+    # (new smaller hashes enter), never reorder the retained ones
+    df2 = spark.createDataFrame(
+        rows + [(i, "a" if i % 2 == 0 else "b") for i in range(40, 80)],
+        "doc_id bigint, lang string",
+    )
+    out2 = stratified_consistent_sample(
+        df2, strat_col="lang", k=3, id_col="doc_id"
+    ).collect()
+    kept_order = {
+        lang: [r["doc_id"] for r in sorted(out, key=lambda r: r["sample_rank"])
+               if r["lang"] == lang]
+        for lang in ("a", "b")
+    }
+    new_order = {
+        lang: [r["doc_id"] for r in sorted(out2, key=lambda r: r["sample_rank"])
+               if r["lang"] == lang]
+        for lang in ("a", "b")
+    }
+    for lang in ("a", "b"):
+        survivors = [i for i in kept_order[lang] if i in new_order[lang]]
+        filtered = [i for i in new_order[lang] if i in kept_order[lang]]
+        assert survivors == filtered
+
+
+def test_stratified_sample_plan_uses_window_group_limit(spark):
+    """The rank<=k filter must compile to WindowGroupLimit so map tasks
+    pre-keep k rows per stratum before the shuffle — the property that
+    makes the sampler corpus-safe."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        stratified_consistent_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(100)], "doc_id bigint, lang string"
+    )
+    out = stratified_consistent_sample(df, strat_col="lang", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cross_doc_dup_ratio_hand_case(spark):
+    """3 docs, 2-grams: doc1 'a b c' (grams: 'a b','b c'), doc2
+    'a b x' (grams 'a b','b x'), doc3 'z z' (gram 'z z'), doc4 'q'
+    (no grams). 'a b' is cross-doc duplicated; everything else unique."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        cross_doc_dup_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "z z"), (4, "q")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_ppm"])
+        for r in cross_doc_dup_ratio(df, ngram=2).collect()
+    }
+    assert got == {
+        1: (2, 1, 500000),
+        2: (2, 1, 500000),
+        3: (1, 0, 0),
+        4: (0, 0, 0),
+    }
+    # intra-doc repeats of a CROSS-doc gram count every position
+    df2 = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    got2 = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_ppm"])
+        for r in cross_doc_dup_ratio(df2, ngram=2).collect()
+    }
+    # doc1 grams: 'a b','b a','a b' -> 3 positions, 'a b' twice shared
+    assert got2 == {1: (3, 2, 666666), 2: (1, 1, 1000000)}
