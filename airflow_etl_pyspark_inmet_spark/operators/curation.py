@@ -312,3 +312,68 @@ def strip_boilerplate(
         n_runs.cast("bigint").alias("n_punct_runs"),
         cleaned.alias("clean_text"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact 2-criteria Pareto frontier (skyline), both MAXIMIZED — the
+    multi-objective selection step of a curation pipeline ("keep docs
+    no other doc beats on BOTH quality axes"): a row survives iff no
+    row has >= on both columns with > on at least one. Equal (x, y)
+    points are mutually non-dominating and all survive.
+
+    Distributed shape (the classic two-phase skyline): a LOCAL frontier
+    per partition via one Arrow-batched kernel — dominance is
+    transitive, so any point dominated within its partition is
+    dominated globally and can be dropped map-side — then the pruned
+    union (bounded by the frontier size, <= distinct x values) goes
+    through one single-partition exact pass whose kernel drains the
+    whole partition iterator before emitting, so Arrow batch splits
+    cannot fake a merely-local answer. Work is O(n log n) per
+    partition + O(frontier) at the merge; the corpus is never sorted
+    globally and never collected.
+
+    The kernel reduces per-x groups to their max-y rows, then keeps the
+    strictly-increasing-y prefix over descending x — the standard
+    sweep, exact under ties on either axis (proof in the test's
+    brute-force cross-check).
+    """
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    cols = [id_col, x_col, y_col]
+    slim = df.select(*cols)
+    schema = slim.schema
+
+    def _frontier(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf
+        ymax = pdf.groupby(x_col)[y_col].transform("max")
+        cand = pdf[pdf[y_col] == ymax]
+        # per distinct x (desc), keep x whose ymax strictly exceeds
+        # every greater-x group's ymax
+        g = (
+            cand[[x_col, y_col]]
+            .drop_duplicates()
+            .sort_values(x_col, ascending=False)
+        )
+        run = g[y_col].cummax()
+        keep_x = g[x_col][(run.shift(1).isna()) | (g[y_col] > run.shift(1))]
+        return cand[cand[x_col].isin(set(keep_x))]
+
+    def local_kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            yield _frontier(pdf)
+
+    def merge_kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        parts = [p for p in batches]
+        if parts:
+            yield _frontier(pd.concat(parts, ignore_index=True))
+
+    pruned = slim.mapInPandas(local_kernel, schema)
+    return pruned.repartition(1).mapInPandas(merge_kernel, schema)

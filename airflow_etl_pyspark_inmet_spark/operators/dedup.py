@@ -702,6 +702,14 @@ def embedding_lsh_pairs(
         )
     base_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, False)
     probe_udf = sign_lsh_bucket_udf(dim, n_planes, n_tables, multiprobe)
+    # CANDIDATES-THEN-VERIFY, id-only (r11 A/B, BASELINE.md): the
+    # tempting "carry vectors through the bucket join and verify
+    # inline" rewrite was built and MEASURED SLOWER both small and
+    # large (sf0.1 ~3x, sf10 timed out vs 541 s): without the
+    # pair-dedup the JVM cosine fold runs once per candidate SLOT
+    # (~N*occ*L*(1+planes) zip_with array allocations — 1.9e9 at 500k
+    # vectors) instead of once per distinct pair, and that fold — not
+    # the candidate shuffle — is the wall. Dedup-first stays.
     base = base_side.select(
         F.col(id_col).alias("id_b"),
         F.explode(base_udf(F.col(vec_col))).alias("_bkt"),
@@ -710,12 +718,25 @@ def embedding_lsh_pairs(
         F.col(id_col).alias("id_a"),
         F.explode(probe_udf(F.col(vec_col))).alias("_bkt"),
     )
-    # Hamming-1 is symmetric, so probing one side of the join covers
-    # both orientations of every candidate pair.
     cand = probe.join(base, "_bkt")
     if index_df is None:
         cand = cand.filter(F.col("id_a") < F.col("id_b"))
-    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    cand = cand.select("id_a", "id_b")
+    # spill guard for the id-only tier: size the dedup exchange from
+    # the estimated candidate volume (~4M rows per task) instead of
+    # the static session shuffle-partition count
+    if n_planes >= 10:
+        probe_factor = (1 + n_planes) if multiprobe else 1
+        est_cand = (
+            (1 << n_planes)
+            * target_occupancy
+            * target_occupancy
+            * n_tables
+            * probe_factor
+        )
+        n_part = max(32, min(4096, est_cand // 4_000_000))
+        cand = cand.repartition(n_part, "id_a", "id_b")
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),

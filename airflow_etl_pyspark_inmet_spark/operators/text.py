@@ -1077,3 +1077,94 @@ def bpe_encode_census(
             ),
         )
     )
+
+
+def count_min_census(
+    df: DataFrame,
+    k_top: int = 20,
+    width: int = 512,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch token census with an ENGINE-PORTABLE hash
+    family — the fixed-state companion to misra_gries_topk: where MG
+    keeps k candidate counters, CMS keeps a depth x width counter
+    MATRIX (here 4 x 512 = 2 KB of state) that answers point
+    frequency queries for EVERY token with one-sided error
+    (est >= true; est <= true + collisions).
+
+    Hash family: h_j(token) = int(md5(j || ':' || token)[:8 hex], 16)
+    mod width — md5 is bit-identical in Spark (md5 + conv), DuckDB
+    (md5 + hex cast) and Python (hashlib), so unlike xxhash64 sketches
+    the ESTIMATES themselves are replayable cross-engine: the oracle
+    rebuilds the same sketch and hash-matches est values exactly, not
+    just an envelope boolean.
+
+    Plan shape at 100 TB: the build explodes each token occurrence
+    into ``depth`` (row, cell) pairs and hash-aggregates — map-side
+    combine collapses each partition to <= depth*width partial cells,
+    so the shuffle carries O(partitions * depth * width) fixed-width
+    rows regardless of corpus size, and the final sketch is ~2k rows
+    (mergeable: sketches of shards ADD). No full-vocabulary shuffle in
+    the sketch path. The emitted surface joins the exact top-``k_top``
+    (the exact census is the oracle companion, one hash-agg) against
+    the broadcast sketch cells to surface est vs truth; ``cms_ok``
+    certifies the one-sided bound per row.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+    def cell(tok_col, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), tok_col).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cell(F.col("token"), j).alias("c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc")
+    ).select("jc.j", "jc.c")
+    sketch = cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k_top)
+    )
+    est = None
+    q = exact
+    for j in range(depth):
+        s_j = sketch.filter(F.col("j") == j).select(
+            F.col("c").alias(f"_c{j}"), F.col("cnt").alias(f"_e{j}")
+        )
+        q = q.join(
+            F.broadcast(s_j), cell(F.col("token"), j) == F.col(f"_c{j}")
+        )
+        e_j = F.col(f"_e{j}")
+        est = e_j if est is None else F.least(est, e_j)
+    return q.select(
+        "token",
+        "freq",
+        est.cast("bigint").alias("cms_est"),
+        (est - F.col("freq")).cast("bigint").alias("cms_over"),
+        (est >= F.col("freq")).alias("cms_ok"),
+    ).orderBy(F.col("freq").desc(), F.col("token").asc())

@@ -2466,3 +2466,48 @@ def t31_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return cross_doc_dup_ratio(docs, ngram=8)
+
+
+def t32_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch census (operators.text.count_min_census):
+    4 x 512 mergeable counter matrix over the token stream with the
+    engine-portable md5 hash family — unlike the xxhash sketches, the
+    ESTIMATES are replayable, so the oracle rebuilds the identical
+    sketch and the hash match covers est/over values exactly, plus the
+    one-sided cms_ok bound per row."""
+    from ..operators.text import count_min_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return count_min_census(docs, k_top=20, width=512, depth=4)
+
+
+def x11_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective curation skyline
+    (operators.curation.pareto_frontier_2d): the documents no other doc
+    beats on BOTH length (n_chars) and lexical diversity (distinct
+    whitespace tokens per token, exact integer ppm) — the Pareto
+    selection step between scalar quality filters (t19/c8) and mixture
+    quotas (x1/x9). Metrics are one map-only pass; the frontier is the
+    two-phase local-prune + bounded-merge skyline. Oracle: NOT EXISTS
+    dominance replay on the same integer metrics."""
+    from ..operators.curation import pareto_frontier_2d
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.filter(ws, lambda t: t != "")
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_nu"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CASE WHEN _nt <= 0 THEN 0"
+            " ELSE _nu * 1000000 div _nt END"
+        ).cast("bigint").alias("uniq_ppm"),
+    )
+    return pareto_frontier_2d(
+        m, x_col="n_chars", y_col="uniq_ppm", id_col="doc_id"
+    )

@@ -4560,20 +4560,86 @@ FROM documents d LEFT JOIN rolled USING (doc_id)
 QUERIES["t31_dup_ratio"] = L.t31_dup_ratio
 
 
+
+# t32 — Count-Min sketch census: md5 hash family is engine-portable,
+# so the oracle rebuilds the SAME sketch — est/over hash-match exactly.
+ORACLES["t32_count_min"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+d AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j,
+         CAST(('0x' || left(md5(CAST(j AS VARCHAR) || ':' || token), 8))
+              AS UBIGINT) % 512 AS c
+  FROM tk CROSS JOIN d
+),
+sketch AS (SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT token, COUNT(*) AS freq FROM tk GROUP BY 1
+  ORDER BY freq DESC, token ASC LIMIT 20
+),
+est AS (
+  SELECT e.token, e.freq, MIN(s.cnt) AS cms_est
+  FROM exact e CROSS JOIN d
+  JOIN sketch s ON s.j = d.j
+   AND s.c = CAST(('0x' || left(md5(CAST(d.j AS VARCHAR) || ':' || e.token), 8))
+                  AS UBIGINT) % 512
+  GROUP BY 1, 2
+)
+SELECT token, CAST(freq AS BIGINT) AS freq,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - freq AS BIGINT) AS cms_over,
+       cms_est >= freq AS cms_ok
+FROM est ORDER BY freq DESC, token ASC
+"""
+QUERIES["t32_count_min"] = L.t32_count_min
+
+
+
+# x11 — Pareto curation skyline: NOT EXISTS dominance replay on the
+# same exact-integer metrics.
+ORACLES["x11_pareto_frontier"] = """
+WITH m AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CASE WHEN len(tk) = 0 THEN 0
+                   ELSE len(list_distinct(tk)) * 1000000 // len(tk)
+              END AS BIGINT) AS uniq_ppm
+  FROM (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> t <> '') AS tk
+    FROM documents
+  )
+)
+SELECT doc_id, n_chars, uniq_ppm FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars >= a.n_chars AND b.uniq_ppm >= a.uniq_ppm
+    AND (b.n_chars > a.n_chars OR b.uniq_ppm > a.uniq_ppm)
+)
+"""
+QUERIES["x11_pareto_frontier"] = L.x11_pareto_frontier
+
+
 # ---- round-11 driver correctness-window rotation ----------------------
 # Oldest-first (VERDICT r10 item 3), never-checked first (the r10
-# precedent): the 2 queries added this round (x10/t31), then all 19
+# precedent): the 3 queries added this round (x10/t31/t32), then all 19
 # queries whose last driver row is r6 (the q02-q09 relational block,
 # q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
 # 50 r7-stale — the remaining streaming pair st7/st8, the heavy
 # composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
 # the multimodal m13-m15, the text/curation t22/t24/t25/t26/x5/x7/x8,
-# s5, and q10/q78-q81.
-# Remaining r7-stale after this round (21, front of the r12 window):
-# q82/q83, q84-q101 (TPC-H block + profiling) and q102.
+# s5, and q10/q78/q79.
+# Remaining r7-stale after this round (23, front of the r12 window):
+# q80-q83, q84-q101 (TPC-H block + profiling) and q102.
 _R11_WINDOW = [
     "x10_stratified_sample",
     "t31_dup_ratio",
+    "t32_count_min",
+    "x11_pareto_frontier",
     "q02_daily_supplier_agg",
     "q04_minmax_bounds",
     "q05_calendar_dim",
@@ -4620,8 +4686,6 @@ _R11_WINDOW = [
     "q10_semi_join",
     "q78_cdc_apply",
     "q79_ratio_to_report",
-    "q80_ohlc_bars",
-    "q81_basket_pairs",
 ]
 assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {

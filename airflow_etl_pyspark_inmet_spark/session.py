@@ -42,6 +42,17 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start AQE shuffles WIDE and let coalescing shrink them to the
+        # 64 MB advisory size: with only the static 32, a 30 GB shuffle
+        # stage (the sf10 LSH candidate dedup / verify joins) runs
+        # ~1 GB-per-task hash tables and spills (BENCH_sf10 flag, r11).
+        # Small stages coalesce back to a handful of tasks, so sf0.01
+        # oracle runs keep their latency. This is the standard
+        # large-cluster setting — the one you'd ship at 100 TB.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "1024",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -2616,3 +2616,86 @@ def test_cross_doc_dup_ratio_hand_case(spark):
     }
     # doc1 grams: 'a b','b a','a b' -> 3 positions, 'a b' twice shared
     assert got2 == {1: (3, 2, 666666), 2: (1, 1, 1000000)}
+
+
+def test_count_min_census_matches_python_replay(spark):
+    """The md5 hash family is engine-portable: replay the sketch in
+    pure Python/hashlib and the engine's estimates must match EXACTLY
+    (not just satisfy the envelope); cms_ok must hold on every row."""
+    import hashlib
+    from collections import Counter
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        count_min_census,
+    )
+
+    texts = [
+        "a a a b b c",
+        "a b d e",
+        "c c f",
+        "",
+        "  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    W, D = 8, 4  # tiny width to force real collisions
+    out = count_min_census(df, k_top=10, width=W, depth=D).collect()
+
+    toks = [t for s in texts for t in s.split() if t]
+    exact = Counter(toks)
+    sketch = [Counter() for _ in range(D)]
+    for t in toks:
+        for j in range(D):
+            c = int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % W
+            sketch[j][c] += 1
+
+    def est(t):
+        return min(
+            sketch[j][
+                int(hashlib.md5(f"{j}:{t}".encode()).hexdigest()[:8], 16) % W
+            ]
+            for j in range(D)
+        )
+
+    assert len(out) == len(exact)
+    for r in out:
+        assert r["freq"] == exact[r["token"]]
+        assert r["cms_est"] == est(r["token"])
+        assert r["cms_over"] == r["cms_est"] - r["freq"]
+        assert r["cms_ok"] and r["cms_est"] >= r["freq"]
+    # the tiny width must actually have produced at least one collision,
+    # otherwise the exact-replay assertion proves nothing
+    assert any(r["cms_over"] > 0 for r in out)
+
+
+def test_pareto_frontier_brute_force_with_ties(spark):
+    """Two-phase skyline == O(n^2) dominance brute force, including
+    tie rows on each axis and duplicate points (which all survive)."""
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        pareto_frontier_2d,
+    )
+
+    pts = [
+        (1, 5, 5), (2, 5, 5),   # duplicate frontier points: both live
+        (3, 5, 3),              # dominated by (5,5) via equal x
+        (4, 4, 5),              # dominated by (5,5) via equal y
+        (5, 6, 1), (6, 1, 7),   # frontier extremes
+        (7, 3, 6),              # frontier (beats nothing, beaten by none)
+        (8, 3, 6),              # duplicate of 7
+        (9, 2, 2), (10, 0, 0),  # interior
+        (11, 6, 0),             # dominated by (6,1)
+    ]
+    df = spark.createDataFrame(pts, "doc_id bigint, x bigint, y bigint").repartition(4)
+    got = {
+        r["doc_id"]
+        for r in pareto_frontier_2d(df, "x", "y", id_col="doc_id").collect()
+    }
+    expect = {
+        i
+        for i, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in pts
+        )
+    }
+    assert got == expect == {1, 2, 5, 6, 7, 8}
