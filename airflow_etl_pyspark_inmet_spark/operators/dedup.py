@@ -664,8 +664,13 @@ def embedding_lsh_pairs(
     count is derived from the corpus size so that EXPECTED BUCKET
     OCCUPANCY stays ~``target_occupancy`` — buckets per table
     2^planes ~ N/B, so per-bucket pair work is ~B^2 and TOTAL work is
-    ~N * B * L(1+planes): LINEAR in the corpus, against the label
-    tier's N^2/cardinality. The bucket join shuffles N * L * (1+planes)
+    ~N * B * L(1+planes): QUASI-LINEAR in the corpus — the Hamming-1
+    multiprobe factor (1+planes) grows with log N, so the pass is
+    N log N, against the label tier's N^2/cardinality (the r11 sf10
+    gate measured the log term directly: 100x data -> planes 8 -> 14
+    -> candidate rows ~160x; BASELINE.md r11). Callers needing
+    strictly linear growth pin ``n_planes`` or disable ``multiprobe``
+    and compensate with ``n_tables``. The bucket join shuffles N * L * (1+planes)
     fixed-width (id, bucket) rows; the verify joins shuffle candidate
     ids + one pass of the corpus vectors. Nothing is broadcast and no
     driver-side state exists beyond the (planes x dim) hyperplane
