@@ -870,3 +870,161 @@ def hierarchy_root_depth(
             "fix the cycle."
         )
     return cur.select("node", F.col("anc").alias("root"), "depth")
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    partition_cols: list[str],
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner (Delta/Iceberg ``OPTIMIZE``-style
+    bin packing): group each table partition's files into rewrite bins
+    of roughly ``target_bytes`` so a maintenance job can coalesce the
+    long tail of small files that kills scan throughput at scale (one
+    task + one open/close per file; 100 TB tables routinely hold 1e6+
+    files).
+
+    Deterministic sequential packing — files ordered largest-first
+    (size desc, name asc tiebreak), exclusive running sum divided by
+    ``target_bytes`` gives the bin id. Largest-first mirrors the
+    greedy-FFD shape real OPTIMIZE implementations use while staying a
+    pure window expression any engine replays bit for bit.
+
+    Scale: the input is the FILE MANIFEST — one row per file, metadata
+    ~1e-6 of the data — so the windows here are cheap no matter the
+    table size; partitions bound each window's width. Output: one row
+    per file with its assigned ``bin_id`` plus per-bin file count /
+    byte totals (a bin with one file and >= target bytes is already
+    compact — callers skip single-file bins).
+    """
+    size = F.col(size_col).cast("bigint")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(size.desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # `div` = exact bigint division (no double rounding at any size)
+    binned = manifest.withColumn(
+        "_cum_excl", F.sum(size).over(w) - size
+    ).withColumn(
+        "bin_id", F.expr(f"_cum_excl div {int(target_bytes)}")
+    ).drop("_cum_excl")
+    wb = Window.partitionBy(*partition_cols, "bin_id")
+    return (
+        binned.withColumn("bin_files", F.count(F.lit(1)).over(wb))
+        .withColumn("bin_bytes", F.sum(size).over(wb))
+        .withColumn("size_bytes", size)
+    )
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns — the space-filling-curve key behind
+    multi-column data clustering (``OPTIMIZE ZORDER BY``): sorting by
+    the interleaved key co-locates rows close in BOTH dimensions, so
+    per-file min/max zone maps prune scans filtered on either column.
+
+    Pure integer arithmetic (((x >> i) & 1) * 2^(2i) terms), fully
+    inside whole-stage codegen and bit-replayable by any engine — no
+    UDF, no lookup table.
+    """
+    xb = x.cast("bigint")
+    yb = y.cast("bigint")
+    z: Column = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftright(xb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(yb, i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    tiebreak: list[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Plan a Z-ordered file layout and report its zone-map quality:
+    assign every row to one of ``n_files`` equal-size output files by
+    global ntile over the Morton key (exactly how an OPTIMIZE ZORDER
+    write range-partitions by curve position), then emit ONE ROW PER
+    FILE with its zone map — min/max of both clustering columns plus
+    the covered curve range — the statistics a scan planner would use
+    to skip files.
+
+    The global sort is by :func:`global_ntile` (range partition +
+    per-partition offsets — no single-partition WindowExec), i.e. the
+    same shuffle an actual Z-ordered write performs; everything after
+    is a file-count-sized aggregate. Inputs are masked to the low
+    ``bits`` bits so the key stays dense; ``tiebreak`` must make the
+    total order unique.
+    """
+    mask = (1 << bits) - 1
+    keyed = df.select(
+        F.col(x_col).cast("bigint").bitwiseAND(F.lit(mask)).alias("zx"),
+        F.col(y_col).cast("bigint").bitwiseAND(F.lit(mask)).alias("zy"),
+        *[F.col(c) for c in tiebreak],
+    ).withColumn("zval", zorder_value(F.col("zx"), F.col("zy"), bits))
+    order = [F.col("zval").asc()] + [F.col(c).asc() for c in tiebreak]
+    filed = global_ntile(keyed, order, n_files, out_col="file_id")
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def zonemap_prune_stats(
+    df: DataFrame,
+    file_expr: Column,
+    value_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Zone-map (file min/max statistics) pruning simulation: bucket
+    rows into pseudo-files by ``file_expr``, build each file's min/max
+    zone map over ``value_col``, and evaluate how a range predicate
+    ``value BETWEEN lo AND hi`` would prune — the planner-side half of
+    parquet row-group / Delta file skipping, measured instead of
+    assumed.
+
+    ONE summary row: total files/rows, files a zone map rules out
+    (max < lo or min > hi), rows in surviving files (what a pruned scan
+    reads), and true matching rows (what the query needs) — the gap
+    between the last two is the false-positive I/O the layout costs;
+    comparing layouts (e.g. :func:`zorder_layout` vs insertion order)
+    is comparing that gap. Two map-side-combining aggregates, no joins,
+    no window.
+    """
+    v = F.col(value_col)
+    files = df.groupBy(file_expr.alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(F.when(v.between(lo, hi), 1).otherwise(0)).alias("n_match"),
+    )
+    pruned = (F.col("vmax") < lo) | (F.col("vmin") > hi)
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(pruned, 1).otherwise(0)).alias("files_pruned"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(~pruned, F.col("n_rows")).otherwise(0)).alias(
+            "rows_scanned"
+        ),
+        F.sum("n_match").alias("rows_matching"),
+    )

@@ -1168,3 +1168,93 @@ def count_min_census(
         (est - F.col("freq")).cast("bigint").alias("cms_over"),
         (est >= F.col("freq")).alias("cms_ok"),
     ).orderBy(F.col("freq").desc(), F.col("token").asc())
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct whitespace-token
+    vocabulary size and cumulative token count after each 1/N-th of the
+    corpus in ``id_col`` order — the corpus-diversity diagnostic that
+    tells a data-mixing pipeline whether new shards still contribute
+    new types or the vocabulary has saturated (sub-linear growth is
+    healthy natural text; near-linear growth flags boilerplate/ID-heavy
+    shards).
+
+    Distributed shape: ONE corpus-wide shuffle (token -> MIN(doc_id),
+    the first-occurrence frame — vocabulary membership at checkpoint k
+    is exactly ``first_doc <= threshold_k``); checkpoint thresholds come
+    from a distributed rank over the id column (range shuffle of the id
+    column only, via :func:`~..relational.global_rank`'s machinery, no
+    single-partition window); then every token/doc is bucketed to its
+    EARLIEST containing checkpoint by a broadcast CASE (N bounded
+    rows, collected as a bounded probe) and partial-aggregated map-side
+    to <= N rows, so the curve costs one extra map pass — never an
+    N-fold data blowup. The final cumulative sum is a window over the
+    N-row checkpoint frame.
+    """
+    from .relational import _global_rank_with_total
+
+    P = int(n_checkpoints)
+    t = F.col(text_col)
+    toks_arr = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    firsts = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(toks_arr).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.min("did").alias("first_doc"))
+    )
+    doc_tok = df.select(
+        F.col(id_col).alias("did"),
+        F.size(toks_arr).cast("bigint").alias("n_tok"),
+    )
+    ranked, total = _global_rank_with_total(
+        df.select(F.col(id_col).alias("did")), [F.col("did").asc()], "rn"
+    )
+    cps = [(p, max(1, (total * p) // P)) for p in range(1, P + 1)]
+    spark = df.sparkSession
+    cp_df = spark.createDataFrame(cps, "decile int, n_docs bigint")
+    th_rows = (
+        ranked.join(F.broadcast(cp_df), F.col("rn") == F.col("n_docs"))
+        .select("decile", F.col("did").alias("tdoc"))
+        .collect()  # bounded probe: exactly n_checkpoints rows
+    )
+    th = sorted((int(r["decile"]), int(r["tdoc"])) for r in th_rows)
+
+    def first_cp(col: Column) -> Column:
+        # earliest checkpoint whose threshold covers this id
+        expr: Column = F.lit(None).cast("int")
+        for dec, tdoc in reversed(th):
+            expr = F.when(col <= F.lit(tdoc), F.lit(dec)).otherwise(expr)
+        return expr
+
+    new_types = firsts.groupBy(
+        first_cp(F.col("first_doc")).alias("decile")
+    ).agg(F.count(F.lit(1)).alias("_new_types"))
+    new_toks = doc_tok.groupBy(first_cp(F.col("did")).alias("decile")).agg(
+        F.sum("n_tok").alias("_new_toks")
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # bounded frame: n_checkpoints rows
+    return (
+        cp_df.join(new_types, "decile", "left")
+        .join(new_toks, "decile", "left")
+        .withColumn(
+            "vocab_size",
+            F.sum(F.coalesce("_new_types", F.lit(0))).over(wc).cast("bigint"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.sum(F.coalesce("_new_toks", F.lit(0))).over(wc).cast("bigint"),
+        )
+        .select("decile", "n_docs", "vocab_size", "n_tokens")
+        .orderBy("decile")
+    )

@@ -2511,3 +2511,63 @@ def x11_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(
         m, x_col="n_chars", y_col="uniq_ppm", id_col="doc_id"
     )
+
+
+def c9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning
+    (operators.relational.compaction_plan): the events log as a
+    date-partitioned file manifest (one pseudo-file per (day, type),
+    size = payload bytes), binned largest-first into ~1500-byte rewrite
+    groups — the OPTIMIZE bin-packing step a lakehouse maintenance job
+    runs over table metadata. Window work is manifest-sized (metadata,
+    ~1e-6 of the data at 100 TB); the oracle replays the exclusive
+    running sum and integer division bit for bit."""
+    from ..operators.relational import compaction_plan
+
+    ev = _t(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("event_type").alias("file_name"),
+    ).agg(F.sum(F.length("props")).cast("bigint").alias("size_bytes"))
+    plan = compaction_plan(
+        manifest, ["event_date"], "file_name", "size_bytes", 1500
+    )
+    return plan.select(
+        "event_date", "file_name", "size_bytes", "bin_id", "bin_files",
+        "bin_bytes",
+    ).orderBy(
+        "event_date", "bin_id", F.col("size_bytes").desc(), "file_name"
+    )
+
+
+def x12_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout + zone-map audit
+    (operators.relational.zorder_layout): lineitem range-partitioned
+    into 64 files by the Morton interleave of (l_partkey, l_suppkey),
+    one row per file with its min/max zone map on both axes — the
+    OPTIMIZE ZORDER write path (a curve-ordered global ntile, done with
+    the distributed rank machinery, no single-partition window) plus
+    the statistics that make either-column filters prunable. Oracle
+    replays the bit-interleave arithmetic and SQL ntile fill rule
+    exactly."""
+    from ..operators.relational import zorder_layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return zorder_layout(
+        li, "l_partkey", "l_suppkey", 64, ["l_orderkey", "l_linenumber"]
+    )
+
+
+def t33_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve
+    (operators.text.vocab_growth): distinct-token vocabulary and
+    cumulative token count at each corpus decile (doc_id order) — the
+    diversity-saturation diagnostic for shard mixing. One corpus-wide
+    token->MIN(doc_id) shuffle + a bounded checkpoint CASE bucket;
+    exact integers replayed by the oracle's first-occurrence join."""
+    from ..operators.text import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_growth(docs)

@@ -2140,3 +2140,26 @@ def q111_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(50)
+
+
+def q112_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit (operators.relational.zonemap_prune_stats):
+    lineitem bucketed into insertion-order pseudo-files (l_orderkey div
+    1024), per-file min/max zone maps on ship_date, and the one-row
+    skip report for a 1997 range predicate — measuring what file-level
+    data skipping actually saves under the table's native layout (the
+    planner-side half of parquet row-group pruning; contrast with the
+    x12 Z-order layout). Two map-side-combining aggregates, no joins."""
+    from ..operators.relational import zonemap_prune_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey div 1024").alias("file_id"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    return zonemap_prune_stats(
+        li,
+        F.col("file_id"),
+        "ship_date",
+        F.lit("1997-01-01").cast("date"),
+        F.lit("1997-12-31").cast("date"),
+    )

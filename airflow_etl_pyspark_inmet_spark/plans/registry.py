@@ -4624,6 +4624,142 @@ WHERE NOT EXISTS (
 QUERIES["x11_pareto_frontier"] = L.x11_pareto_frontier
 
 
+# c9 — lakehouse compaction planning: exclusive running sum + exact
+# integer division over the file manifest, replayed as window SQL.
+ORACLES["c9_compaction_plan"] = """
+WITH manifest AS (
+  SELECT CAST(ts AS DATE) AS event_date, event_type AS file_name,
+         CAST(SUM(length(props)) AS BIGINT) AS size_bytes
+  FROM events GROUP BY 1, 2
+),
+binned AS (
+  SELECT event_date, file_name, size_bytes,
+         (SUM(size_bytes) OVER (
+            PARTITION BY event_date
+            ORDER BY size_bytes DESC, file_name ASC
+            ROWS UNBOUNDED PRECEDING) - size_bytes) // 1500 AS bin_id
+  FROM manifest
+)
+SELECT event_date, file_name, size_bytes,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) OVER (PARTITION BY event_date, bin_id) AS BIGINT)
+         AS bin_files,
+       CAST(SUM(size_bytes) OVER (PARTITION BY event_date, bin_id)
+            AS BIGINT) AS bin_bytes
+FROM binned
+ORDER BY event_date, bin_id, size_bytes DESC, file_name
+"""
+QUERIES["c9_compaction_plan"] = L.c9_compaction_plan
+
+
+# x12 — Z-order layout: the Morton interleave is pure integer
+# arithmetic, generated term-by-term so DuckDB replays it bit for bit;
+# NTILE's SQL fill rule matches global_ntile's closed form.
+_Z16_TERMS = " + ".join(
+    f"(((zx >> {i}) & 1) * {1 << (2 * i)})"
+    f" + (((zy >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(16)
+)
+ORACLES["x12_zorder_layout"] = f"""
+WITH k AS (
+  SELECT l_partkey & 65535 AS zx, l_suppkey & 65535 AS zy,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+z AS (
+  SELECT zx, zy, l_orderkey, l_linenumber,
+         CAST({_Z16_TERMS} AS BIGINT) AS zval
+  FROM k
+),
+f AS (
+  SELECT zx, zy, zval,
+         NTILE(64) OVER (ORDER BY zval, l_orderkey, l_linenumber)
+           AS file_id
+  FROM z
+)
+SELECT CAST(file_id AS INT) AS file_id, COUNT(*) AS n_rows,
+       MIN(zx) AS min_x, MAX(zx) AS max_x,
+       MIN(zy) AS min_y, MAX(zy) AS max_y,
+       MIN(zval) AS min_z, MAX(zval) AS max_z
+FROM f GROUP BY 1 ORDER BY 1
+"""
+QUERIES["x12_zorder_layout"] = L.x12_zorder_layout
+
+
+# t33 — Heaps'-law curve: vocabulary membership at checkpoint k is
+# first_occurrence <= threshold_k, so the oracle joins the
+# first-occurrence frame to rank-derived thresholds.
+ORACLES["t33_vocab_growth"] = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM tk GROUP BY 1),
+dt AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents
+),
+dr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS c FROM documents),
+cp AS (
+  SELECT CAST(p AS INT) AS decile,
+         GREATEST(1, (SELECT c FROM n) * p // 10) AS n_docs
+  FROM (SELECT unnest(range(1, 11)) AS p)
+),
+th AS (
+  SELECT decile, n_docs, dr.doc_id AS tdoc
+  FROM cp JOIN dr ON dr.rn = cp.n_docs
+),
+vocab AS (
+  SELECT th.decile, COUNT(*) AS vocab_size
+  FROM th JOIN firsts f ON f.first_doc <= th.tdoc GROUP BY 1
+),
+toks AS (
+  SELECT th.decile, SUM(dt.n_tok) AS n_tokens
+  FROM th JOIN dt ON dt.doc_id <= th.tdoc GROUP BY 1
+)
+SELECT th.decile, CAST(th.n_docs AS BIGINT) AS n_docs,
+       CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens
+FROM th JOIN vocab v USING (decile) JOIN toks t USING (decile)
+ORDER BY decile
+"""
+QUERIES["t33_vocab_growth"] = L.t33_vocab_growth
+
+
+# q112 — zone-map pruning audit: per-file min/max + range predicate,
+# folded to one summary row. All counts exact bigint.
+ORACLES["q112_zonemap_prune"] = """
+WITH files AS (
+  SELECT l_orderkey // 1024 AS file_id, COUNT(*) AS n_rows,
+         MIN(CAST(l_shipdate AS DATE)) AS vmin,
+         MAX(CAST(l_shipdate AS DATE)) AS vmax,
+         SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                       BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN vmax < DATE '1997-01-01'
+                       OR vmin > DATE '1997-12-31'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN NOT (vmax < DATE '1997-01-01'
+                                OR vmin > DATE '1997-12-31')
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM files
+"""
+QUERIES["q112_zonemap_prune"] = R.q112_zonemap_prune
+
+
 # ---- round-11 driver correctness-window rotation ----------------------
 # Oldest-first (VERDICT r10 item 3), never-checked first (the r10
 # precedent): the 3 queries added this round (x10/t31/t32), then all 19
@@ -4631,11 +4767,14 @@ QUERIES["x11_pareto_frontier"] = L.x11_pareto_frontier
 # q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
 # 50 r7-stale — the remaining streaming pair st7/st8, the heavy
 # composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
-# the multimodal m13-m15, the text/curation t22/t24/t25/t26/x5/x7/x8,
-# s5, and q10/q78/q79.
-# Remaining r7-stale after this round (23, front of the r12 window):
-# q80-q83, q84-q101 (TPC-H block + profiling) and q102.
+# the multimodal m13-m15, and the text/curation t22/t24/t25/t26/x5/x7/x8.
+# Remaining r7-stale after this round (27, front of the r12 window):
+# s5, q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
 _R11_WINDOW = [
+    "c9_compaction_plan",
+    "x12_zorder_layout",
+    "t33_vocab_growth",
+    "q112_zonemap_prune",
     "x10_stratified_sample",
     "t31_dup_ratio",
     "t32_count_min",
@@ -4682,10 +4821,6 @@ _R11_WINDOW = [
     "x5_curriculum_order",
     "x7_weighted_sample",
     "x8_epoch_reshuffle",
-    "s5_pq_topk",
-    "q10_semi_join",
-    "q78_cdc_apply",
-    "q79_ratio_to_report",
 ]
 assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {

@@ -2699,3 +2699,126 @@ def test_pareto_frontier_brute_force_with_ties(spark):
         )
     }
     assert got == expect == {1, 2, 5, 6, 7, 8}
+
+
+def test_compaction_plan_hand_case(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        compaction_plan,
+    )
+
+    manifest = spark.createDataFrame(
+        [("a", "f1", 900), ("a", "f2", 800), ("a", "f3", 500),
+         ("a", "f4", 300), ("a", "f5", 100), ("b", "g1", 2500)],
+        "part string, file_name string, size_bytes long",
+    )
+    out = compaction_plan(
+        manifest, ["part"], "file_name", "size_bytes", 1000
+    )
+    rows = {
+        (r["part"], r["file_name"]): r
+        for r in out.collect()
+    }
+    # largest-first exclusive cumsum // 1000:
+    # 900 -> 0//1000=0, 800 -> 900//1000=0, 500 -> 1700//1000=1,
+    # 300 -> 2200//1000=2, 100 -> 2500//1000=2
+    assert [rows[("a", f)]["bin_id"] for f in
+            ["f1", "f2", "f3", "f4", "f5"]] == [0, 0, 1, 2, 2]
+    assert rows[("a", "f1")]["bin_files"] == 2
+    assert rows[("a", "f1")]["bin_bytes"] == 1700
+    assert rows[("a", "f4")]["bin_bytes"] == 400
+    # single huge file lands alone in bin 0 (already compact)
+    assert rows[("b", "g1")]["bin_id"] == 0
+    assert rows[("b", "g1")]["bin_files"] == 1
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        zorder_value,
+    )
+    from pyspark.sql import functions as F
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+             for _ in range(50)] + [(0, 0), (65535, 65535), (3, 5)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_value(F.col("x"), F.col("y"))
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in pairs:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_zorder_layout_partitions_curve_contiguously(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        zorder_layout,
+    )
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "x long, y long, rid long")
+    out = zorder_layout(df, "x", "y", 8, ["rid"]).collect()
+    assert len(out) == 8
+    assert sum(r["n_rows"] for r in out) == 400
+    assert {r["n_rows"] for r in out} == {50}  # 400/8 exact fill
+    # files cover contiguous, non-overlapping curve ranges
+    by_id = sorted(out, key=lambda r: r["file_id"])
+    for a, b in zip(by_id, by_id[1:]):
+        assert a["max_z"] <= b["min_z"]
+    for r in out:
+        assert r["min_x"] <= r["max_x"] and r["min_y"] <= r["max_y"]
+
+
+def test_zonemap_prune_stats_hand_case(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        zonemap_prune_stats,
+    )
+    from pyspark.sql import functions as F
+
+    # file 0: all below range; file 1: straddles; file 2: all above
+    rows = [(0, 5), (0, 8), (1, 15), (1, 25), (1, 40), (2, 90), (2, 95)]
+    df = spark.createDataFrame(rows, "file_id long, v long")
+    out = zonemap_prune_stats(
+        df, F.col("file_id"), "v", 20, 50
+    ).collect()[0]
+    assert out["n_files"] == 3
+    assert out["files_pruned"] == 2
+    assert out["rows_total"] == 7
+    assert out["rows_scanned"] == 3  # only file 1 survives the zone map
+    assert out["rows_matching"] == 2  # 25, 40
+
+
+def test_vocab_growth_matches_bruteforce(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import vocab_growth
+
+    docs = [
+        (1, "a b c"),
+        (2, "b c d d"),
+        (3, "e"),
+        (4, "a e f g"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["decile"]: r for r in
+           vocab_growth(df, n_checkpoints=4).collect()}
+    toks = {d: t.split() for d, t in docs}
+    for p in range(1, 5):
+        k = max(1, (4 * p) // 4)
+        first_k = sorted(toks)[:k]
+        vocab = set().union(*(toks[d] for d in first_k))
+        ntok = sum(len(toks[d]) for d in first_k)
+        assert out[p]["n_docs"] == k
+        assert out[p]["vocab_size"] == len(vocab), p
+        assert out[p]["n_tokens"] == ntok, p
