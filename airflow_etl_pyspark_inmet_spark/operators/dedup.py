@@ -1764,3 +1764,47 @@ def cross_doc_dup_ratio(
             ).cast("bigint").alias("dup_ppm"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, n_rounds: int = 4
+) -> DataFrame:
+    """Bounded-round breadth-first distances from a source set — the
+    fifth iterative-graph primitive (after PageRank, label propagation,
+    pointer-jumping CC, k-core peel): hop distance to every node
+    reachable within ``n_rounds`` — the neighborhood-expansion /
+    multi-hop-reach query (e.g. "everything within 3 links of a seed
+    page" in a crawl-frontier or contamination-spread audit).
+
+    ``edges`` is the directed (src, dst) frame (emit both directions
+    for undirected graphs); ``sources`` a (node) frame at distance 0.
+
+    Distributed shape: classic frontier expansion — each round joins
+    the CURRENT frontier (not the visited set) to the edge list,
+    anti-joins out already-visited nodes, and the new frontier is
+    lineage-truncated (``localCheckpoint``, the d5/g1 iterative idiom)
+    so plans stay flat. Per-round cost is O(edges incident to the
+    frontier); the visited set only ever unions bounded-lineage
+    frames. Rounds are bounded by contract — the oracle unrolls the
+    same rounds as SQL bit for bit (the t22/g4 contract).
+    """
+    dist = sources.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=False)
+    frontier = dist.select("node")
+    e = edges.select(F.col("src").alias("node"), F.col("dst"))
+    for r in range(1, n_rounds + 1):
+        reached = (
+            frontier.join(e, "node")
+            .select(F.col("dst").cast("bigint").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionAll(new)
+        frontier = new.select("node")
+    return dist

@@ -957,3 +957,88 @@ def gram_partials(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return src.mapInPandas(
         kernel, "dim_i int, dim_j int, smoment_q bigint, n_vectors bigint"
     )
+
+
+def mmr_select(
+    items: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    w_rel: int = 7,
+    w_div: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection: greedily pick
+    ``k`` items maximizing ``w_rel * cos(item, query) - w_div *
+    max_{s in selected} cos(item, s)`` — the classic
+    relevance-vs-redundancy re-ranker (Carbonell & Goldstein) used to
+    pick diverse few-shot examples / RAG passages / curation seeds
+    from a retrieval shortlist instead of k near-duplicates of the top
+    hit. Weights are INTEGERS (w_rel : w_div ~ lambda : 1-lambda) so
+    the score arithmetic is two IEEE multiply-adds any engine replays
+    identically; ties break on id.
+
+    Greedy is inherently sequential in k, so the loop is driver-side
+    over BOUNDED rounds (the t22/g1 iterative contract — the oracle
+    unrolls the same rounds), but each round's work is distributed:
+    relevance is computed ONCE (checkpointed, reused by every round),
+    each round broadcast-joins the <= k selected vectors against the
+    remaining candidates (an O(n * |selected|) JVM-side cosine pass,
+    no shuffle wider than the candidate pool) and takes the argmax via
+    TakeOrdered. ``items`` is the SHORTLIST an ANN tier produced
+    (s1/s2/s3...), not the corpus — MMR over 100 TB is always
+    rerank-after-retrieve.
+    """
+    q = query.select(F.col(vec_col).alias("_qvec"))
+    cand = (
+        items.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "_id",
+            "_vec",
+            cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("_rel"),
+        )
+        .localCheckpoint(eager=False)  # reused by every round
+    )
+    selected: DataFrame | None = None
+    for step in range(1, k + 1):
+        if selected is None:
+            pick = (
+                cand.orderBy(F.col("_rel").desc(), F.col("_id").asc())
+                .limit(1)
+                .select(F.lit(step).alias("step"), "_id", "_vec")
+            )
+        else:
+            s = selected.select(F.col("_vec").alias("_svec"))
+            remaining = cand.join(
+                selected.select("_id"), "_id", "left_anti"
+            )
+            maxsim = (
+                remaining.crossJoin(F.broadcast(s))
+                .select(
+                    "_id",
+                    cosine_similarity(
+                        F.col("_vec"), F.col("_svec")
+                    ).alias("_sim"),
+                )
+                .groupBy("_id")
+                .agg(F.max("_sim").alias("_maxsim"))
+            )
+            pick = (
+                remaining.join(maxsim, "_id")
+                .withColumn(
+                    "_score",
+                    F.lit(float(w_rel)) * F.col("_rel")
+                    - F.lit(float(w_div)) * F.col("_maxsim"),
+                )
+                .orderBy(F.col("_score").desc(), F.col("_id").asc())
+                .limit(1)
+                .select(F.lit(step).alias("step"), "_id", "_vec")
+            )
+        pick = pick.localCheckpoint(eager=False)  # flat lineage per round
+        selected = pick if selected is None else selected.unionAll(pick)
+    assert selected is not None
+    return selected.select(
+        F.col("step").cast("int").alias("step"),
+        F.col("_id").alias(id_col),
+    ).orderBy("step")

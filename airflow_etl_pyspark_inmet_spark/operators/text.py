@@ -1079,6 +1079,54 @@ def bpe_encode_census(
     )
 
 
+def _cms_cell(tok_col: Column, j: int, width: int) -> Column:
+    """Engine-portable CMS hash: int(md5(j ':' token)[:8 hex], 16) mod
+    width — bit-identical in Spark (md5+conv), DuckDB (md5+hex cast)
+    and Python (hashlib)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), tok_col).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    width: int = 512,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The un-aggregated CMS update stream: one (j, c) row per (token
+    occurrence, hash row) — ``depth`` rows per token. GROUP BY (j, c)
+    COUNT(*) of this frame IS the sketch; because the cells are plain
+    additive counts, any partition of this stream (shards,
+    micro-batches) folds to the identical sketch — the mergeability
+    that makes CMS streamable (st12) and shardable."""
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_cell(F.col("token"), j, width).alias("c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jc")
+    ).select("jc.j", "jc.c")
+
+
 def count_min_census(
     df: DataFrame,
     k_top: int = 20,
@@ -1116,32 +1164,9 @@ def count_min_census(
     ).filter(F.col("token") != "")
 
     def cell(tok_col, j: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), tok_col).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        )
+        return _cms_cell(tok_col, j, width)
 
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        cell(F.col("token"), j).alias("c"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("jc")
-    ).select("jc.j", "jc.c")
+    cells = count_min_cells(df, width, depth, text_col)
     sketch = cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
 
     exact = (
@@ -1257,4 +1282,58 @@ def vocab_growth(
         )
         .select("decile", "n_docs", "vocab_size", "n_tokens")
         .orderBy("decile")
+    )
+
+
+def zipf_coverage(
+    df: DataFrame, k_top: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency curve with cumulative corpus coverage: the
+    top ``k_top`` whitespace tokens by frequency, each with its rank,
+    count, running total, and the exact ppm of all token occurrences
+    the top-r types cover — the head-coverage diagnostic behind
+    tokenizer vocabulary sizing and stopword lists (natural text
+    saturates fast: a heavy head + long tail; flat coverage growth
+    flags synthetic/ID-heavy corpora).
+
+    Plan: one token hash-agg (map-side combined), total tokens derived
+    from the SAME aggregated vocab frame (no second corpus scan),
+    top-k via TakeOrdered (never a global sort of the vocabulary), and
+    the running sum over the bounded k-row frame. Coverage widens
+    through decimal(38,0) before the exact integer division, so the
+    ppm cannot wrap at any corpus size (the x6/t30 contract).
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq")
+    ).localCheckpoint(eager=False)  # feeds top-k AND the total
+    tot = cnt.agg(F.sum("freq").alias("total_tokens"))
+    top = cnt.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
+        k_top
+    )
+    from pyspark.sql import Window
+
+    worder = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))  # bounded frame: k_top rows
+        .withColumn("rank", F.row_number().over(worder).cast("int"))
+        .withColumn("cum_freq", F.sum("freq").over(wcum).cast("bigint"))
+        .withColumn(
+            "coverage_ppm",
+            F.expr(
+                "CAST(CAST(cum_freq AS DECIMAL(38,0)) * 1000000"
+                " div total_tokens AS BIGINT)"
+            ),
+        )
+        .select(
+            "rank",
+            "token",
+            F.col("freq").cast("bigint").alias("freq"),
+            "cum_freq",
+            "coverage_ppm",
+        )
+        .orderBy("rank")
     )

@@ -2571,3 +2571,75 @@ def t33_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return vocab_growth(docs)
+
+
+def g5_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS hop distances (operators.dedup.bfs_distances)
+    from the smallest node of the g1/g2/g4 co-purchase graph — the
+    multi-hop-reach primitive (crawl frontiers, contamination-spread
+    audits). Frontier-expansion joins with per-round lineage
+    truncation; the edge frame is checkpointed once and reused by all
+    rounds. Oracle unrolls the 4 rounds as anti-joined SQL bit for
+    bit (the t22/g4 iterative-replay contract)."""
+    from ..operators.dedup import bfs_distances
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    src = edges.agg(F.min("src").alias("node"))
+    return bfs_distances(edges, src, n_rounds=4).orderBy("dist", "node")
+
+
+def t34_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head-coverage curve (operators.text.zipf_coverage): top-100
+    tokens with rank, frequency, and exact cumulative coverage ppm —
+    the tokenizer-vocabulary / stopword-sizing diagnostic. One
+    map-side-combined token census; total tokens derived from the
+    census itself (no second corpus pass); decimal-widened exact
+    division. Oracle replays census + running sum + integer ppm."""
+    from ..operators.text import zipf_coverage
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return zipf_coverage(docs, k_top=100)
+
+
+def st12_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch maintenance — t32's 4 x 512 counter
+    matrix kept current by folding each micro-batch's cell partials
+    into the running sketch through the st9 foreachBatch machinery
+    (operators.text.count_min_cells -> streaming_incremental_refresh).
+    CMS cells are plain additive counts, so the streamed fold is
+    split-invariant and the final state equals the batch sketch bit
+    for bit — the oracle rebuilds the same sketch from the full
+    corpus. This is how a live token firehose keeps frequency
+    estimates current with O(sketch) state and no history rescans."""
+    from ..operators.text import count_min_cells
+    from ..streaming.windows import streaming_incremental_refresh
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    cells = count_min_cells(docs).withColumn("cnt", F.lit(1))
+    empty_mv = (
+        cells.filter(F.lit(False))
+        .groupBy("j", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    out = streaming_incremental_refresh(
+        spark, empty_mv, cells, keys=["j", "c"], vals=["cnt"]
+    )
+    return out.orderBy("j", "c")
+
+
+def x13_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified selection (operators.similarity.mmr_select):
+    8 picks from the vec_id<200 shortlist, query = vector 0, weights
+    7:3 (lambda=0.7) — the relevance-vs-redundancy re-ranker between
+    raw ANN top-k (s1-s8, which return near-duplicates of the top hit)
+    and the dedup keepers (d8/d20). Greedy rounds are bounded and
+    driver-sequenced with per-round checkpoints; the oracle unrolls
+    the same 8 argmax rounds as SQL (selection ORDER is the emitted,
+    engine-portable surface — the s1 rank contract)."""
+    from ..operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pool = emb.filter(F.col("vec_id") < 200)
+    query = pool.filter(F.col("vec_id") == 0)
+    items = pool.filter(F.col("vec_id") != 0)
+    return mmr_select(items, query, k=8, w_rel=7, w_div=3)

@@ -4760,6 +4760,165 @@ FROM files
 QUERIES["q112_zonemap_prune"] = R.q112_zonemap_prune
 
 
+# g5 — bounded-round BFS: same edge CTEs as g1/g2/g4, frontier
+# expansion unrolled round by round (anti-join = NOT IN over the
+# visited set; integer-exact, bit-for-bit replay).
+_G5_ROUND = """
+r{r} AS (
+  SELECT DISTINCT e.dst AS node FROM e0 e JOIN f{p} f ON e.src = f.node
+),
+n{r} AS (
+  SELECT r{r}.node, {r} AS dist FROM r{r}
+  WHERE r{r}.node NOT IN (SELECT node FROM d{p})
+),
+d{r} AS (SELECT * FROM d{p} UNION ALL SELECT * FROM n{r}),
+f{r} AS (SELECT node FROM n{r})"""
+
+
+def _g5_bfs_sql(n_rounds: int = 4) -> str:
+    return (
+        """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p),
+r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+),
+top AS (SELECT o, p FROM r WHERE rk <= 5),
+pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+e0 AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+f0 AS (SELECT MIN(src) AS node FROM e0),
+d0 AS (SELECT node, 0 AS dist FROM f0),"""
+        + ",".join(
+            _G5_ROUND.format(r=i + 1, p=i) for i in range(n_rounds)
+        )
+        + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist
+FROM d{n_rounds} ORDER BY dist, node
+"""
+    )
+
+
+ORACLES["g5_bfs_distances"] = _g5_bfs_sql(4)
+QUERIES["g5_bfs_distances"] = L.g5_bfs_distances
+
+
+# t34 — Zipf head coverage: token census + running sum + exact ppm
+# (HUGEINT-widened division mirrors the engine's decimal(38,0) `div`).
+ORACLES["t34_zipf_coverage"] = """
+WITH tk AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+t2 AS (SELECT token FROM tk WHERE token <> ''),
+cnt AS (SELECT token, COUNT(*) AS freq FROM t2 GROUP BY 1),
+tot AS (SELECT SUM(freq) AS total FROM cnt),
+top AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM cnt ORDER BY freq DESC, token ASC LIMIT 100
+)
+SELECT CAST(rank AS INT) AS rank, token, CAST(freq AS BIGINT) AS freq,
+       CAST(SUM(freq) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_freq,
+       CAST(CAST(SUM(freq) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                 AS HUGEINT) * 1000000 // (SELECT total FROM tot)
+            AS BIGINT) AS coverage_ppm
+FROM top ORDER BY rank
+"""
+QUERIES["t34_zipf_coverage"] = L.t34_zipf_coverage
+
+
+# st12 — streaming CMS maintenance: additive cells make the streamed
+# fold split-invariant, so the oracle rebuilds the identical sketch
+# from the full corpus (t32's hash family).
+ORACLES["st12_stream_count_min"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tk AS (SELECT token FROM toks WHERE token <> ''),
+d AS (SELECT unnest(range(4)) AS j),
+cells AS (
+  SELECT j,
+         CAST(('0x' || left(md5(CAST(j AS VARCHAR) || ':' || token), 8))
+              AS UBIGINT) % 512 AS c
+  FROM tk CROSS JOIN d
+)
+SELECT CAST(j AS INT) AS j, CAST(c AS BIGINT) AS c,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["st12_stream_count_min"] = L.st12_stream_count_min
+
+
+# x13 — MMR diversified selection: the greedy argmax rounds unrolled
+# (the t22/g4/g5 iterative-replay contract); each round = max-sim vs
+# the selected set, integer-weighted score, argmax with id tiebreak.
+# The emitted surface is the selection ORDER (the s1 rank contract).
+# sel/rel CTEs are MATERIALIZED: DuckDB inlines CTEs by default, and
+# the sel chain re-inlined into every round is exponential (measured:
+# >420 s plain, 0.07 s materialized).
+_X13_STEP = """
+m{t} AS (
+  SELECT r.vec_id, r.rel,
+         MAX(list_dot_product(r.v, s.v)
+             / (sqrt(list_dot_product(r.v, r.v))
+                * sqrt(list_dot_product(s.v, s.v)))) AS maxsim
+  FROM rel r, sel{p} s
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY r.vec_id, r.rel
+),
+s{t} AS (
+  SELECT m.vec_id FROM m{t} m
+  ORDER BY (7 * m.rel - 3 * m.maxsim) DESC, m.vec_id ASC LIMIT 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT vec_id, v FROM sel{p}
+  UNION ALL SELECT e.vec_id, e.v FROM e JOIN s{t} USING (vec_id)
+)"""
+
+
+def _x13_mmr_sql(k: int = 8) -> str:
+    steps = ",".join(_X13_STEP.format(t=t, p=t - 1) for t in range(2, k + 1))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS step, vec_id FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 200
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+rel AS MATERIALIZED (
+  SELECT vec_id, v,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v))
+              * sqrt(list_dot_product(qv, qv))) AS rel
+  FROM e, q WHERE vec_id != 0
+),
+s1 AS (SELECT vec_id FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 1),
+sel1 AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN s1 USING (vec_id)),"""
+        + steps
+        + "\nSELECT step, vec_id FROM (\n"
+        + finals
+        + "\n) ORDER BY step\n"
+    )
+
+
+ORACLES["x13_mmr_diverse_topk"] = _x13_mmr_sql(8)
+QUERIES["x13_mmr_diverse_topk"] = L.x13_mmr_diverse_topk
+
+
 # ---- round-11 driver correctness-window rotation ----------------------
 # Oldest-first (VERDICT r10 item 3), never-checked first (the r10
 # precedent): the 3 queries added this round (x10/t31/t32), then all 19
@@ -4767,10 +4926,17 @@ QUERIES["q112_zonemap_prune"] = R.q112_zonemap_prune
 # q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
 # 50 r7-stale — the remaining streaming pair st7/st8, the heavy
 # composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
-# the multimodal m13-m15, and the text/curation t22/t24/t25/t26/x5/x7/x8.
-# Remaining r7-stale after this round (27, front of the r12 window):
-# s5, q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
+# the multimodal m13-m15, and the text/curation t22/t24/t25.
+# The 8 queries ADDED this round (c9/x12/t33/q112/g5/t34/st12/x13)
+# enter at the front (never-checked first, the r10 precedent).
+# Remaining r7-stale after this round (31, front of the r12 window):
+# t26, x5/x7/x8, s5, q10/q78/q79, q80-q83, q84-q101 (TPC-H block +
+# profiling), q102.
 _R11_WINDOW = [
+    "x13_mmr_diverse_topk",
+    "g5_bfs_distances",
+    "t34_zipf_coverage",
+    "st12_stream_count_min",
     "c9_compaction_plan",
     "x12_zorder_layout",
     "t33_vocab_growth",
@@ -4817,10 +4983,6 @@ _R11_WINDOW = [
     "t22_bpe_train",
     "t24_leakage_safe_split",
     "t25_interp_bigram",
-    "t26_jaccard_search",
-    "x5_curriculum_order",
-    "x7_weighted_sample",
-    "x8_epoch_reshuffle",
 ]
 assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {

@@ -156,6 +156,10 @@ def main() -> None:
             "d5_dedup_clusters",
             "s3_ivf_topk",
             "t8_tfidf_top_terms",
+            # r11 additions: the corpus-wide token shuffles (vocab
+            # first-occurrence; census + head coverage)
+            "t33_vocab_growth",
+            "t34_zipf_coverage",
             "op:embedding_lsh_pairs",
             "op:minhash_lsh_pairs",
         ]

@@ -2822,3 +2822,112 @@ def test_vocab_growth_matches_bruteforce(spark):
         assert out[p]["n_docs"] == k
         assert out[p]["vocab_size"] == len(vocab), p
         assert out[p]["n_tokens"] == ntok, p
+
+
+def test_bfs_distances_chain_and_cycle(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bfs_distances,
+    )
+
+    # chain 1-2-3-4-5 (undirected) plus a 6<->7 island
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, src, n_rounds=3).collect()}
+    # 5 is 4 hops away -> outside the 3-round horizon; island unreached
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # rerun with a cycle: distances are still shortest-path
+    cyc = [(1, 2), (2, 3), (3, 1)]
+    edges2 = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src long, dst long"
+    )
+    got2 = {r["node"]: r["dist"]
+            for r in bfs_distances(edges2, src, n_rounds=3).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 1}
+
+
+def test_zipf_coverage_hand_case(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        zipf_coverage,
+    )
+
+    # 10 tokens total: a x5, b x3, c x1, d x1
+    df = spark.createDataFrame(
+        [("a a a b b",), ("a a b c",), ("d",)], "text string"
+    )
+    rows = zipf_coverage(df, k_top=3).collect()
+    assert [(r["rank"], r["token"], r["freq"]) for r in rows] == [
+        (1, "a", 5), (2, "b", 3), (3, "c", 1)  # c before d: token asc tie
+    ]
+    assert [r["cum_freq"] for r in rows] == [5, 8, 9]
+    assert [r["coverage_ppm"] for r in rows] == [500000, 800000, 900000]
+
+
+def test_count_min_cells_merge_invariance(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        count_min_cells,
+    )
+    from pyspark.sql import functions as F
+
+    full = spark.createDataFrame(
+        [("x y z x",), ("y y w",), ("z q",)], "text string"
+    )
+    halves = [
+        spark.createDataFrame([("x y z x",)], "text string"),
+        spark.createDataFrame([("y y w",), ("z q",)], "text string"),
+    ]
+
+    def sketch(df):
+        return {
+            (r["j"], r["c"]): r["cnt"]
+            for r in count_min_cells(df)
+            .groupBy("j", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    merged: dict = {}
+    for h in halves:
+        for k, v in sketch(h).items():
+            merged[k] = merged.get(k, 0) + v
+    assert sketch(full) == merged  # shard sketches ADD
+
+
+def test_mmr_select_matches_bruteforce_greedy(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        mmr_select,
+    )
+    import math
+    import random
+
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    query = df.filter("vec_id = 0")
+    items = df.filter("vec_id != 0")
+    got = [(r["step"], r["vec_id"])
+           for r in mmr_select(items, query, k=5).collect()]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    rel = {i: cos(v, vecs[0]) for i, v in vecs.items() if i != 0}
+    sel: list = []
+    for _ in range(5):
+        best = None
+        for i, r in sorted(rel.items()):
+            if i in sel:
+                continue
+            pen = max((cos(vecs[i], vecs[s]) for s in sel), default=None)
+            sc = 7 * r if pen is None else 7 * r - 3 * pen
+            if best is None or sc > best[1]:
+                best = (i, sc)
+        sel.append(best[0])
+    assert got == [(s + 1, v) for s, v in enumerate(sel)]
