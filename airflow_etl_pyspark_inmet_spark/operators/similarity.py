@@ -1042,3 +1042,124 @@ def mmr_select(
         F.col("step").cast("int").alias("step"),
         F.col("_id").alias(id_col),
     ).orderBy("step")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd k-means with EXACT integer semantics — the
+    oracle-checkable clustering tier next to the float codebook
+    trainers (:func:`_ivf_train`, :func:`_pq_train`).
+
+    Everything that could drift between engines is pinned to integer
+    arithmetic:
+
+    - vectors are milli-quantized up front (``floor(x * scale)`` as
+      int64 — exact on IEEE doubles for these magnitudes),
+    - squared-Euclidean distances are integer sums (computed via three
+      dot products whose terms stay < 2^53, so the double fold is
+      exact),
+    - the argmin tiebreak is ``dist * 16 + cid`` (k <= 16), and
+    - centroid updates are element-wise FLOOR division
+      ``(sum - pmod(sum, n)) / n`` so centroids remain int64 and the
+      whole trajectory is replayable bit for bit (empty clusters keep
+      their previous centroid).
+
+    Scale shape: per round, ONE distributed job — a map-only argmin
+    against the k broadcast-literal centroids (pure codegen: the k x
+    dim centroid matrix is folded into the plan as array literals, no
+    join, no shuffle for assignment) followed by a ``groupBy(cid)``
+    of ``dim`` SUM columns (map-side partial combine reduces the
+    exchange to ~k x partitions rows); the driver collects exactly k
+    (cid, n, sums...) rows per round — the FAISS-style bounded
+    codebook collect, independent of corpus size. The quantized frame
+    is lineage-truncated once and re-scanned n_rounds+1 times; at
+    100 TB you'd persist it to storage instead, but the per-round
+    plan is already the one you'd ship: Lloyd on a 1000-executor
+    cluster IS k broadcast literals + one combine-heavy agg per
+    round. Iterative contract (g1/g4/t22): rounds are driver-bounded,
+    the oracle unrolls the same rounds as SQL.
+
+    Returns the final assignment under the post-round-``n_rounds``
+    centroids: (id_col, cluster, dist_q) — ``dist_q`` the exact
+    integer squared distance in quanta^2.
+    """
+    if k > 16:
+        raise ValueError("tiebreak key packs cid into dist*16: k <= 16")
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("_qv"),
+    ).localCheckpoint(eager=False)
+
+    seed_rows = q.orderBy(id_col).limit(k).collect()  # bounded: k rows
+    centroids: list[list[int]] = [
+        list(r["_qv"]) for r in sorted(seed_rows, key=lambda r: r[id_col])
+    ]
+
+    def _dist_expr(cvec: list[int]) -> Column:
+        carr = F.array(*[F.lit(int(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        key = F.array_min(
+            F.array(
+                *[
+                    _dist_expr(cvec) * F.lit(16) + F.lit(cid)
+                    for cid, cvec in enumerate(centroids)
+                ]
+            )
+        )
+        return frame.withColumn("_key", key).select(
+            id_col,
+            "_qv",
+            F.pmod(F.col("_key"), F.lit(16)).cast("int").alias("cluster"),
+            ((F.col("_key") - F.pmod(F.col("_key"), F.lit(16))) / F.lit(16))
+            .cast("long")
+            .alias("dist_q"),
+        )
+
+    for _ in range(n_rounds):
+        sums = (
+            _assign(q)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_qv", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # bounded: k rows of dim+2 scalars
+        )
+        new = {
+            int(r["cluster"]): [
+                (int(r[f"_s{i}"]) - (int(r[f"_s{i}"]) % int(r["_n"])))
+                // int(r["_n"])
+                for i in range(dim)
+            ]
+            for r in sums
+        }
+        # Python % matches pmod (non-negative remainder for n > 0), so
+        # this floor-div is the same one the oracle replays engine-side.
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+
+    return _assign(q).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        "cluster",
+        "dist_q",
+    )

@@ -2643,3 +2643,21 @@ def x13_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = pool.filter(F.col("vec_id") == 0)
     items = pool.filter(F.col("vec_id") != 0)
     return mmr_select(items, query, k=8, w_rel=7, w_div=3)
+
+
+def s9_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means with exact integer semantics
+    (operators.similarity.kmeans_lloyd): k=8 centroids seeded from the
+    8 lowest vec_ids, 3 assign/update rounds, milli-quantized vectors,
+    floor-division centroid updates — the oracle-checked clustering
+    tier next to the float codebook trainers the ANN family uses
+    internally (s3's IVF Lloyd step is the same algorithm, trained for
+    recall, not checkable; this one's whole trajectory replays bit for
+    bit). Per round: one map-only argmin against broadcast-literal
+    centroids + one combine-heavy groupBy — the plan Lloyd compiles to
+    on a 1000-executor cluster. The oracle unrolls the same 3 rounds
+    as SQL (the g1/g4/t22 iterative contract)."""
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_lloyd(emb, k=8, n_rounds=3, scale=1000, dim=64)

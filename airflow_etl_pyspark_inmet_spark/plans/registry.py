@@ -4988,3 +4988,75 @@ assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
+
+
+# ---- round-11 additions past the window (enter the r12 window first,
+# never-checked precedent) ---------------------------------------------
+
+# s9 — exact integer Lloyd k-means, rounds unrolled (g1/g4/t22 contract).
+# Quantization, distances, argmin tiebreak (dist*16+cid) and the
+# floor-div centroid update are all integer-exact, so DuckDB replays
+# the full 3-round trajectory bit for bit; empty clusters keep the
+# previous centroid (COALESCE in each update CTE).
+def _s9_kmeans_sql(k: int, n_rounds: int, dim: int, scale: int) -> str:
+    assign = """
+a{r} AS (
+  SELECT vec_id, min_by(cid, dist * 16 + cid) AS cluster
+  FROM (
+    SELECT q.vec_id, c.cid,
+           CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+              - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+              + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+             AS BIGINT) AS dist
+    FROM q, {prev} c)
+  GROUP BY vec_id
+)"""
+    update = """
+c{r} AS (
+  SELECT p.cid, COALESCE(nc.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+    FROM (
+      SELECT a.cluster AS cid, u.i, sum(u.v) AS s, count(*) AS n
+      FROM a{r} a JOIN q USING (vec_id),
+           LATERAL (SELECT unnest(qv) AS v,
+                           unnest(range(1, {dim1})) AS i) u
+      GROUP BY a.cluster, u.i) GROUP BY cid) nc
+  ON p.cid = nc.cid
+)"""
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    prev = "c0"
+    for r in range(1, n_rounds + 1):
+        parts.append(assign.format(r=r, prev=prev))
+        parts.append(update.format(r=r, prev=prev, dim1=dim + 1))
+        prev = f"c{r}"
+    final = f"""
+SELECT vec_id,
+       CAST(key % 16 AS INTEGER) AS cluster,
+       key // 16 AS dist_q
+FROM (
+  SELECT q.vec_id, min(
+           CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+              - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+              + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+             AS BIGINT) * 16 + cid) AS key
+  FROM q, {prev} c
+  GROUP BY q.vec_id)
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+ORACLES["s9_kmeans"] = _s9_kmeans_sql(8, 3, 64, 1000)
+QUERIES["s9_kmeans"] = L.s9_kmeans

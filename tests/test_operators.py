@@ -2931,3 +2931,86 @@ def test_mmr_select_matches_bruteforce_greedy(spark):
                 best = (i, sc)
         sel.append(best[0])
     assert got == [(s + 1, v) for s, v in enumerate(sel)]
+
+
+def test_kmeans_lloyd_matches_python_replay(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim, k, rounds, scale = 6, 3, 3, 1000
+    vecs = {i: [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+            for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_lloyd(
+            df, k=k, n_rounds=rounds, scale=scale, dim=dim
+        ).collect()
+    }
+
+    # pure-python replay of the integer contract
+    q = {i: [math.floor(x * scale) for x in v] for i, v in vecs.items()}
+    cents = [q[i] for i in sorted(q)[:k]]
+
+    def assign(c):
+        out = {}
+        for i, v in q.items():
+            key = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cv)) * 16 + cid)
+                for cid, cv in enumerate(c)
+            )
+            out[i] = (key % 16, key // 16)
+        return out
+
+    for _ in range(rounds):
+        a = assign(cents)
+        new = []
+        for cid, cv in enumerate(cents):
+            members = [q[i] for i, (c, _) in a.items() if c == cid]
+            if not members:
+                new.append(cv)  # empty cluster keeps previous centroid
+                continue
+            n = len(members)
+            new.append(
+                [(sum(col) - (sum(col) % n)) // n for col in zip(*members)]
+            )
+        cents = new
+    assert got == assign(cents)
+
+
+def test_kmeans_lloyd_empty_cluster_and_tiebreak(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    # seeds 0 and 1 are IDENTICAL vectors -> identical centroids, so
+    # every nearby vector ties between cid 0 and cid 1 and the
+    # dist*16+cid key must send all of them to the LOWER cid; cluster 1
+    # is then empty every round and must keep its previous centroid
+    # (rather than crash or emit NULLs).
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [1.0, 1.0]),
+        (5, [0.004, 0.0]),
+        (20, [1.002, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(df, k=3, n_rounds=2, scale=1000, dim=2).collect()
+    }
+    # Round 1: ties send v0/v1/v5 to cid 0 (lower cid), c1 starves and
+    # must KEEP [0,0]; c0 drifts to the mean [1,0]. Round 2: the kept
+    # centroid re-acquires v0/v1 (dist 0 beats c0's 1) while v5=[4,0]
+    # stays with c0; update pins c0=[4,0], c1=[0,0]. Final assignment:
+    assert out[0] == out[1] == 1  # starved centroid persisted AND won back
+    assert out[5] == 0
+    assert out[2] == out[20] == 2
