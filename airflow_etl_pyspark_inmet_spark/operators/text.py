@@ -1337,3 +1337,90 @@ def zipf_coverage(
         )
         .orderBy("rank")
     )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    n_phrases: int = 3,
+    phrase_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional PHRASE SEARCH over an inverted index — the
+    search-engine primitive t26's set-based Jaccard search cannot
+    express (it ignores order): count, per document, the exact
+    occurrences of the corpus's top-``n_phrases`` most frequent
+    ``phrase_len``-token phrases.
+
+    Two stages, both declarative:
+
+    1. Phrase DISCOVERY: an n-gram census (explode each doc's
+       ``phrase_len``-grams, one hash-agg with map-side combine) takes
+       the global top-``n_phrases`` by (count desc, phrase asc) — a
+       bounded TakeOrdered, no global sort.
+    2. Positional MATCH via the ANCHOR join, the plan that generalizes
+       to any phrase length without materializing longer n-grams: the
+       phrase table explodes to (phrase, slot, token) — ``n_phrases *
+       phrase_len`` rows, broadcast — and joins the positional postings
+       (doc, pos, token) on token alone. Each hit votes for anchor =
+       pos - slot; an anchor position with ``phrase_len`` DISTINCT
+       slot hits is a complete occurrence (DISTINCT, not COUNT: a
+       repeated token like "a b a" fills slots 0 and 2 from different
+       positions and must not double-count one of them). The broadcast
+       token filter prunes the postings stream BEFORE the shuffle, so
+       the match stage shuffles only occurrences of the searched
+       tokens — at 100 TB that is the selectivity of the phrase
+       vocabulary, not the corpus.
+
+    Emits one row per (phrase, matched doc): exact occurrence count.
+    Docs with fewer than ``phrase_len`` tokens produce no postings
+    anchors and fall out naturally.
+    """
+    toks_arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks_arr.alias("_toks"))
+
+    gram_parts = " , ".join(f"_toks[i + {j}]" for j in range(phrase_len))
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= phrase_len,
+                F.expr(
+                    f"transform(slice(_toks, 1, size(_toks) - {phrase_len - 1}),"
+                    f" (x, i) -> concat_ws(' ', {gram_parts}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram"),
+    )
+    top = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_gram").asc())
+        .limit(n_phrases)
+        .select(F.col("_gram").alias("phrase"))
+    )
+    slots = top.select(
+        "phrase",
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("_slot", "_tok"),
+    )
+    postings = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    hits = postings.join(F.broadcast(slots), "_tok").select(
+        F.col(id_col),
+        "phrase",
+        (F.col("_pos") - F.col("_slot")).alias("_anchor"),
+        "_slot",
+    )
+    occ = (
+        hits.groupBy(id_col, "phrase", "_anchor")
+        .agg(F.countDistinct("_slot").alias("_n_slots"))
+        .filter(
+            (F.col("_n_slots") == phrase_len) & (F.col("_anchor") >= 0)
+        )
+    )
+    return occ.groupBy(id_col, "phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )

@@ -2661,3 +2661,18 @@ def s9_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_lloyd(emb, k=8, n_rounds=3, scale=1000, dim=64)
+
+
+def t35_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators.text.phrase_occurrences):
+    per-doc exact occurrence counts of the corpus's top-3 trigram
+    phrases via the anchor join over positional postings — the
+    inverted-index primitive t26's set-based search cannot express
+    (order matters). The oracle counts the same occurrences through
+    the independent n-gram-instance formulation, so a hash match
+    proves the anchor-join algebra (pos - slot grouping + distinct
+    slot completeness) equals naive n-gram matching bit for bit."""
+    from ..operators.text import phrase_occurrences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_occurrences(docs, n_phrases=3, phrase_len=3)

@@ -5060,3 +5060,31 @@ FROM (
 
 ORACLES["s9_kmeans"] = _s9_kmeans_sql(8, 3, 64, 1000)
 QUERIES["s9_kmeans"] = L.s9_kmeans
+
+
+# t35 — positional phrase search. The Spark side matches via the anchor
+# join (generalizes to any phrase length); the oracle uses the
+# INDEPENDENT n-gram-instance formulation — a hash match proves the two
+# algebras agree, a stronger check than replaying the same plan.
+ORACLES["t35_phrase_search"] = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM base, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+  WHERE len(toks) >= 3
+),
+top AS (
+  SELECT gram AS phrase FROM (
+    SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+    ORDER BY cnt DESC, gram ASC LIMIT 3)
+)
+SELECT g.doc_id, t.phrase, CAST(count(*) AS BIGINT) AS n_occ
+FROM g JOIN top t ON g.gram = t.phrase
+GROUP BY 1, 2
+"""
+QUERIES["t35_phrase_search"] = L.t35_phrase_search

@@ -3014,3 +3014,43 @@ def test_kmeans_lloyd_empty_cluster_and_tiebreak(spark):
     assert out[0] == out[1] == 1  # starved centroid persisted AND won back
     assert out[5] == 0
     assert out[2] == out[20] == 2
+
+
+def test_phrase_occurrences_anchor_join(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        phrase_occurrences,
+    )
+
+    # "a b a" repeats a token across slots (distinct-slot completeness
+    # must not double-count), "a a a a" contains OVERLAPPING occurrences
+    # of "a a a" (anchors 0 and 1), and doc 4 is shorter than the
+    # phrase. Corpus frequencies make the top-3 phrases deterministic.
+    rows = [
+        (1, "a b a x a b a"),       # "a b a" twice (anchors 0, 4)
+        (2, "a a a a"),             # "a a a" twice (overlap)
+        (3, "a b a y a a a z a b a"),
+        (4, "a b"),
+        (5, "c c c c c"),           # "c c c" three overlapping times
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_occ"]
+        for r in phrase_occurrences(df, n_phrases=3, phrase_len=3).collect()
+    }
+
+    # brute force over every doc and every top phrase
+    def grams(s):
+        t = s.split()
+        return [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+
+    from collections import Counter
+    census = Counter(g for _, s in rows for g in grams(s))
+    top3 = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    expect = {}
+    for did, s in rows:
+        for ph, _ in top3:
+            n = sum(1 for g in grams(s) if g == ph)
+            if n:
+                expect[(did, ph)] = n
+    assert got == expect
+    assert got[(2, "a a a")] == 2  # overlapping anchors both counted
