@@ -1808,3 +1808,67 @@ def bfs_distances(
         dist = dist.unionAll(new)
         frontier = new.select("node")
     return dist
+
+
+def sssp_distances(
+    edges: DataFrame, sources: DataFrame, n_rounds: int = 4
+) -> DataFrame:
+    """Bounded-round single-source(-set) shortest paths over WEIGHTED
+    edges — synchronous Bellman-Ford, the sixth iterative-graph
+    primitive: where :func:`bfs_distances` counts hops, this minimizes
+    an integer edge-cost sum (link strength, latency, toll), the
+    weighted-reach query behind influence radii and cost-bounded
+    crawl planning.
+
+    ``edges`` is (src, dst, w) with INTEGER non-negative weights (both
+    directions for undirected graphs); ``sources`` a (node) frame at
+    distance 0. After round r every node holds the exact minimum-cost
+    path using <= r edges.
+
+    Distributed shape: FRONTIER-OPTIMIZED relaxation — each round
+    joins only the nodes whose distance IMPROVED last round against
+    the edge list, takes the per-target min of (dist + w), and merges
+    it into the standing distance frame with a full-outer least()
+    merge; both frames are lineage-truncated per round (the d5/g1
+    idiom). This is provably equivalent to relaxing EVERY settled
+    node each round (an unchanged node's candidates were already
+    beaten in the round its distance settled — the delta-stepping
+    argument), which is exactly the simpler algebra the oracle
+    replays: the hash match proves the frontier optimization lossless.
+    Per-round cost is O(edges incident to improved nodes) — at scale
+    the frontier shrinks geometrically on expander-ish graphs while
+    the naive form re-scans all edges every round.
+    """
+    dist = sources.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    e = edges.select(
+        F.col("src").cast("bigint").alias("node"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("w").cast("bigint").alias("w"),
+    )
+    for _ in range(n_rounds):
+        cand = (
+            frontier.join(e, "node")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("_nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("_nd").alias("_nd"))
+        )
+        merged = dist.join(cand, "node", "full_outer").select(
+            "node",
+            F.least(
+                F.coalesce(F.col("dist"), F.col("_nd")),
+                F.coalesce(F.col("_nd"), F.col("dist")),
+            ).alias("dist"),
+            (
+                F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
+            ).alias("_improved"),
+        ).localCheckpoint(eager=False)
+        frontier = merged.filter(F.col("_improved")).select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist

@@ -2676,3 +2676,29 @@ def t35_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_occurrences(docs, n_phrases=3, phrase_len=3)
+
+
+def g6_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths (operators.dedup.
+    sssp_distances) from the smallest node of the g1-g5 co-purchase
+    graph — synchronous Bellman-Ford with frontier optimization, the
+    weighted companion to g5's hop-count BFS. Edge weights are the
+    deterministic integer 1 + (src + dst) % 5 (symmetric, so the
+    undirected contract holds). The oracle replays the SIMPLER
+    relax-every-node algebra for the same 4 rounds — the hash match
+    proves the frontier optimization lossless (the delta-stepping
+    argument in the operator docstring)."""
+    from ..operators.dedup import sssp_distances
+
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .select(
+            "src",
+            "dst",
+            (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+            .alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    src = edges.agg(F.min("src").alias("node"))
+    return sssp_distances(edges, src, n_rounds=4).orderBy("node")

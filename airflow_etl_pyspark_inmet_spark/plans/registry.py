@@ -5088,3 +5088,51 @@ FROM g JOIN top t ON g.gram = t.phrase
 GROUP BY 1, 2
 """
 QUERIES["t35_phrase_search"] = L.t35_phrase_search
+
+
+# g6 — weighted SSSP, 4 synchronous Bellman-Ford rounds unrolled. The
+# oracle relaxes EVERY settled node per round (the naive algebra); the
+# Spark side relaxes only the improved frontier — equivalence is the
+# delta-stepping argument, and the hash match proves it on this graph.
+def _g6_sssp_sql(n_rounds: int) -> str:
+    parts = [
+        """d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        """s AS (SELECT p, COUNT(*) AS support FROM d GROUP BY p)""",
+        """r AS (
+  SELECT o, p,
+         ROW_NUMBER() OVER (PARTITION BY o ORDER BY support DESC, p ASC)
+           AS rk
+  FROM d JOIN s USING (p)
+)""",
+        """top AS (SELECT o, p FROM r WHERE rk <= 5)""",
+        """pairs AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+)""",
+        """ew AS (
+  SELECT src, dst, 1 + ((src + dst) % 5) AS w FROM (
+    SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)
+)""",
+        """d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist
+  FROM (SELECT MIN(src) AS node FROM ew)
+)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""d{r} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, x.dist + e.w AS dist
+    FROM d{r - 1} x JOIN ew e ON x.node = e.src
+  ) GROUP BY node
+)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{n_rounds}"
+    )
+
+
+ORACLES["g6_sssp"] = _g6_sssp_sql(4)
+QUERIES["g6_sssp"] = L.g6_sssp

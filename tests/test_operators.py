@@ -3054,3 +3054,32 @@ def test_phrase_occurrences_anchor_join(spark):
                 expect[(did, ph)] = n
     assert got == expect
     assert got[(2, "a a a")] == 2  # overlapping anchors both counted
+
+
+def test_sssp_distances_weighted_and_frontier_reimprovement(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        sssp_distances,
+    )
+
+    # 1 -10-> 2 but also 1 -1-> 3 -1-> 2: node 2 settles at 10 in round
+    # 1 and must RE-IMPROVE to 2 in round 2 (exercises the frontier
+    # merge path, not just first-touch). Chain 1->4->5->6->7 (w=1)
+    # checks the round horizon: with 3 rounds node 7 is unreached.
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),
+            (1, 3, 1),
+            (3, 2, 1),
+            (1, 4, 1),
+            (4, 5, 1),
+            (5, 6, 1),
+            (6, 7, 1),
+        ],
+        "src long, dst long, w int",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges, src, n_rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 1, 4: 1, 5: 2, 6: 3}
