@@ -2702,3 +2702,20 @@ def g6_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = edges.agg(F.min("src").alias("node"))
     return sssp_distances(edges, src, n_rounds=4).orderBy("node")
+
+
+def st13_stream_growing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup with a SELF-GROWING LSH index
+    (streaming.windows.streaming_growing_lsh_dedup): each micro-batch
+    probes the standing MinHash band table for cross-epoch duplicates,
+    dedups against itself, then appends its own bands/docs to the
+    state — the live-ingest tier above st10's static-corpus probe and
+    d10's batch delta. Every pair surfaces exactly once (at its later
+    member's epoch), so the accumulated set is split-invariant and
+    equals the one-shot batch LSH run — the oracle IS d3's exact-
+    Jaccard SQL, making the growing-state streaming path bit-equal to
+    the batch tier."""
+    from ..streaming.windows import streaming_growing_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return streaming_growing_lsh_dedup(spark, docs)

@@ -5136,3 +5136,10 @@ def _g6_sssp_sql(n_rounds: int) -> str:
 
 ORACLES["g6_sssp"] = _g6_sssp_sql(4)
 QUERIES["g6_sssp"] = L.g6_sssp
+
+
+# st13 — the streamed growing-index pair set equals the batch LSH run
+# (split-invariance argument in the operator docstring), so the oracle
+# is d3's exact-Jaccard formulation, unchanged.
+ORACLES["st13_stream_growing_dedup"] = ORACLES["d3_dedup_minhash"]
+QUERIES["st13_stream_growing_dedup"] = L.st13_stream_growing_dedup

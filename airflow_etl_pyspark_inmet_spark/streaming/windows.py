@@ -793,3 +793,135 @@ def streaming_embedding_dedup(
     finally:
         q.stop()
     return spark.table(name).dropDuplicates(["id_a", "id_b"])
+
+
+def streaming_growing_lsh_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 30,
+    bands: int = 10,
+    threshold: float = 0.5,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING near-dup detection against a SELF-GROWING index — the
+    missing tier between st10 (stream probes a STATIC corpus index) and
+    d10 (batch delta-vs-corpus): here the stream both probes AND
+    maintains the MinHash band table, which is how a live ingest
+    pipeline dedups against everything previously ingested without a
+    nightly rebuild.
+
+    Per micro-batch (foreachBatch, the st9/st11/st12 machinery):
+
+    1. sign the batch once (:func:`~..operators.dedup.minhash_band_table`),
+    2. CROSS pairs: batch bands equi-join the STANDING band table,
+       exact-Jaccard-verified against the standing doc store
+       (:func:`~..operators.dedup.incremental_lsh_pairs` — corpus text
+       is touched only for candidate docs),
+    3. INTRA pairs: the batch deduped against itself
+       (:func:`~..operators.dedup.minhash_lsh_pairs` on the batch), and
+    4. the batch's bands/docs are APPENDED to the standing state
+       (eager localCheckpoint per epoch, the d5/g1 idiom — on a real
+       cluster these are Delta MERGE/appends and the per-epoch algebra
+       is unchanged).
+
+    Every pair {a, b} is found EXACTLY once — at the epoch of its later
+    member (cross) or its shared epoch (intra) — so the accumulated
+    pair SET is split-invariant and equals the one-shot batch LSH
+    result (d3's oracle) bit for bit: band collisions depend only on
+    per-doc signatures, never on batch boundaries, and the exact
+    verify recomputes the same integer shingle counts either way.
+    State is index-sized (bands x 16 B/doc + the doc store), per-epoch
+    work is O(batch + collisions) — history is never re-signed.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="st13_docs_")
+    try:
+        src = docs.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(text_col).alias(text_col),
+        )
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty_docs = src.filter(F.lit(False))
+        state = {
+            "docs": empty_docs.localCheckpoint(eager=True),
+            "bands": minhash_band_table(
+                empty_docs, id_col, text_col, ngram, num_hashes, bands
+            ).localCheckpoint(eager=True),
+            "pairs": spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            ).localCheckpoint(eager=True),
+            "epochs": 0,
+        }
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            batch = batch_df.localCheckpoint(eager=True)
+            batch_bands = minhash_band_table(
+                batch, id_col, text_col, ngram, num_hashes, bands
+            ).localCheckpoint(eager=True)
+            cross = incremental_lsh_pairs(
+                batch,
+                state["docs"],
+                id_col,
+                text_col,
+                ngram,
+                num_hashes,
+                bands,
+                threshold,
+                corpus_bands=state["bands"],
+            ).select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "jaccard",
+            )
+            intra = minhash_lsh_pairs(
+                batch, id_col, text_col, ngram, num_hashes, bands,
+                threshold,
+            )
+            state["pairs"] = (
+                state["pairs"]
+                .unionByName(cross)
+                .unionByName(intra)
+                .localCheckpoint(eager=True)
+            )
+            state["docs"] = (
+                state["docs"].unionByName(batch).localCheckpoint(eager=True)
+            )
+            state["bands"] = (
+                state["bands"]
+                .unionByName(batch_bands)
+                .localCheckpoint(eager=True)
+            )
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_growing_lsh_dedup expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the growing-state fold is the "
+                "point of the streaming tier."
+            )
+        return state["pairs"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -3083,3 +3083,36 @@ def test_sssp_distances_weighted_and_frontier_reimprovement(spark):
         for r in sssp_distances(edges, src, n_rounds=3).collect()
     }
     assert got == {1: 0, 2: 2, 3: 1, 4: 1, 5: 2, 6: 3}
+
+
+def test_streaming_growing_lsh_dedup_equals_batch(spark):
+    """The self-growing streamed index finds the SAME pair set as the
+    one-shot batch LSH run — split-invariance across micro-batches —
+    and emits each pair exactly once (cross pairs at the later
+    member's epoch, intra pairs at the shared epoch)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_growing_lsh_dedup,
+    )
+
+    base = "one two three four five six seven eight nine ten"
+    rows = []
+    for i in range(24):
+        if i % 5 == 0:
+            text = base + f" clone{i % 2}"          # planted near-dups
+        else:
+            text = f"unique{i} " + " ".join(f"w{i}{j}" for j in range(9))
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    streamed = streaming_growing_lsh_dedup(spark, docs, n_files=4).collect()
+    batch = minhash_lsh_pairs(docs, threshold=0.5).collect()
+
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert len({key(r) for r in streamed}) == len(streamed)  # no dup emits
+    assert {(key(r), r["jaccard"]) for r in streamed} == {
+        (key(r), r["jaccard"]) for r in batch
+    }
+    assert len(batch) >= 3  # the planted clones actually collide
