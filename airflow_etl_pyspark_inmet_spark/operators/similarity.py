@@ -1163,3 +1163,78 @@ def kmeans_lloyd(
         "cluster",
         "dist_q",
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    the Gonzalez 2-approximation): pick ``k`` maximally-SPREAD vectors
+    — the diversity-based data-pruning primitive (coreset seeding,
+    diverse eval-set selection) complementing :func:`mmr_select`
+    (which is relevance-anchored to a query; this is metric coverage
+    of the whole pool).
+
+    Integer contract (the s9 k-means conventions): milli-quantized
+    vectors, exact int64 squared distances, (min-dist DESC, id ASC)
+    argmax tiebreak — the full trajectory replays in any engine.
+
+    Distributed shape: the standing state is the (id, qv, min-dist)
+    frame — one row per pool vector, lineage-truncated per round.
+    Each of the ``k-1`` greedy rounds is ONE map-only pass (distance
+    to the newly selected vector folded in as a broadcast-literal
+    expression, exactly s9's argmin idiom) plus ONE TakeOrdered(1)
+    for the farthest point — a bounded 1-row collect; selected rows
+    leave the frame so degenerate duplicate-heavy pools cannot
+    re-pick a center. Emits (step, id, radius_q): radius_q is the
+    picked point's distance to the prior selection — the k-center
+    covering-radius curve, monotonically non-increasing.
+    """
+    q = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("_qv"),
+    )
+
+    def _dist_to(cvec: list[int]) -> Column:
+        carr = F.array(*[F.lit(int(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = q.orderBy(id_col).limit(1).collect()[0]  # bounded: 1 row
+    picks = [(1, int(seed[id_col]), 0)]
+    state = (
+        q.filter(F.col(id_col) != int(seed[id_col]))
+        .withColumn("_md", _dist_to(list(seed["_qv"])))
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        far = state.orderBy(
+            F.col("_md").desc(), F.col(id_col).asc()
+        ).limit(1).collect()  # bounded: 1 row (TakeOrdered)
+        if not far:
+            break  # pool exhausted (k > pool size)
+        p = far[0]
+        picks.append((step, int(p[id_col]), int(p["_md"])))
+        state = (
+            state.filter(F.col(id_col) != int(p[id_col]))
+            .withColumn(
+                "_md", F.least(F.col("_md"), _dist_to(list(p["_qv"])))
+            )
+            .localCheckpoint(eager=False)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picks, "step int, " + f"{id_col} bigint, " + "radius_q bigint"
+    )

@@ -2719,3 +2719,18 @@ def st13_stream_growing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return streaming_growing_lsh_dedup(spark, docs)
+
+
+def x15_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the full embedding pool
+    (operators.similarity.kcenter_coreset): 8 maximally-spread vectors
+    by farthest-point traversal with exact integer distances — the
+    diversity-pruning companion to x13's query-anchored MMR. Emits
+    the selection order AND the covering-radius curve (radius_q is
+    the picked point's distance to the prior selection). The oracle
+    unrolls the same greedy rounds as SQL (the x13/s9 iterative
+    contract)."""
+    from ..operators.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kcenter_coreset(emb, k=8, scale=1000)

@@ -5143,3 +5143,59 @@ QUERIES["g6_sssp"] = L.g6_sssp
 # is d3's exact-Jaccard formulation, unchanged.
 ORACLES["st13_stream_growing_dedup"] = ORACLES["d3_dedup_minhash"]
 QUERIES["st13_stream_growing_dedup"] = L.st13_stream_growing_dedup
+
+
+# x15 — greedy k-center, 8 rounds unrolled. Same quantization/distance
+# algebra as s9; selected rows leave the pool each round, and the
+# radius curve is part of the checked surface.
+def _x15_kcenter_sql(k: int, scale: int) -> str:
+    dist = (
+        "CAST(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        """s1 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)""",
+        f"""m1 AS MATERIALIZED (
+  SELECT q.vec_id, q.qv,
+         {dist.format(a='q.qv', b='s.qv')} AS md
+  FROM q, s1 s
+  WHERE q.vec_id <> (SELECT vec_id FROM s1)
+)""",
+    ]
+    for step in range(2, k + 1):
+        parts.append(
+            f"""p{step} AS MATERIALIZED (
+  SELECT vec_id, qv, md FROM m{step - 1}
+  ORDER BY md DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        if step < k:
+            parts.append(
+                f"""m{step} AS MATERIALIZED (
+  SELECT m.vec_id, m.qv,
+         LEAST(m.md, {dist.format(a='m.qv', b='p.qv')}) AS md
+  FROM m{step - 1} m, p{step} p
+  WHERE m.vec_id <> (SELECT vec_id FROM p{step})
+)"""
+            )
+    finals = [
+        "SELECT CAST(1 AS INTEGER) AS step, vec_id,"
+        " CAST(0 AS BIGINT) AS radius_q FROM s1"
+    ] + [
+        f"SELECT CAST({s} AS INTEGER) AS step, vec_id,"
+        f" CAST(md AS BIGINT) AS radius_q FROM p{s}"
+        for s in range(2, k + 1)
+    ]
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+ORACLES["x15_kcenter_coreset"] = _x15_kcenter_sql(8, 1000)
+QUERIES["x15_kcenter_coreset"] = L.x15_kcenter_coreset

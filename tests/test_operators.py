@@ -3116,3 +3116,39 @@ def test_streaming_growing_lsh_dedup_equals_batch(spark):
         (key(r), r["jaccard"]) for r in batch
     }
     assert len(batch) >= 3  # the planted clones actually collide
+
+
+def test_kcenter_coreset_matches_bruteforce_greedy(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+    import math
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-0.5, 0.5) for _ in range(5)] for i in range(25)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["step"], r["vec_id"], r["radius_q"])
+        for r in kcenter_coreset(df, k=6, scale=1000).collect()
+    ]
+
+    q = {i: [math.floor(x * 1000) for x in v] for i, v in vecs.items()}
+    d = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))
+    seed = min(q)
+    expect = [(1, seed, 0)]
+    md = {i: d(v, q[seed]) for i, v in q.items() if i != seed}
+    for step in range(2, 7):
+        pick = max(md, key=lambda i: (md[i], -i))
+        expect.append((step, pick, md[pick]))
+        pv = q[pick]
+        md = {
+            i: min(m, d(q[i], pv)) for i, m in md.items() if i != pick
+        }
+    assert got == expect
+    # covering radius is monotonically non-increasing
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
