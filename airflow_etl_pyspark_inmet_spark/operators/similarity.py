@@ -1238,3 +1238,53 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picks, "step int, " + f"{id_col} bigint, " + "radius_q bigint"
     )
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion of two per-query rank lists (Cormack et
+    al.) — the standard hybrid-retrieval merge: each list contributes
+    ``unit div (c + rank)`` (EXACT integer division, engine-portable —
+    the float 1/(c+r) formulation would hash-drift) and items missing
+    from a list contribute 0; final ranking is (fused score DESC, item
+    ASC). Both inputs are (query_id, item_id, rank) frames — any
+    rankers compose (dense vs lexical, multiple ANN tiers, ...).
+
+    Scale shape: one full-outer join on (query, item) over two
+    frames that are already top-k-bounded (queries x k rows each —
+    retrieval shortlists, not corpora), then a per-query window top-k.
+    The expensive work happened in the upstream rankers; fusion is
+    rank algebra only.
+    """
+    a = ranks_a.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("_ra")
+    )
+    b = ranks_b.select(
+        "query_id", "item_id", F.col("rank").cast("long").alias("_rb")
+    )
+    j = a.join(b, ["query_id", "item_id"], "full_outer")
+    scored = j.select(
+        "query_id",
+        "item_id",
+        (
+            F.coalesce(
+                F.expr(f"{unit} div ({c} + _ra)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr(f"{unit} div ({c} + _rb)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rrf_score", "rank")
+    )

@@ -2734,3 +2734,25 @@ def x15_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kcenter_coreset(emb, k=8, scale=1000)
+
+
+def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: dense cosine ranks (s1's exact scorer, k=20)
+    fused with lexical 3-gram-Jaccard ranks (t26's inverted-index
+    scorer, k=20) by Reciprocal-Rank Fusion in exact integer units
+    (operators.similarity.rrf_fuse) — the dense+sparse ensemble every
+    modern retrieval stack ships, composed from two already-proven
+    rankers over the aligned doc_id == vec_id corpus. The oracle
+    rebuilds both rank lists (s1's and t26's own algebra) and fuses
+    with the same integer division — bit for bit."""
+    from ..operators.dedup import jaccard_search_topk
+    from ..operators.similarity import cosine_topk, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, queries, k=20)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lexical = jaccard_search_topk(docs, query_ids=[0, 1, 2], k=20)
+    return rrf_fuse(dense, lexical, k=10)

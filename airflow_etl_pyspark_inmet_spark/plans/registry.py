@@ -5199,3 +5199,76 @@ def _x15_kcenter_sql(k: int, scale: int) -> str:
 
 ORACLES["x15_kcenter_coreset"] = _x15_kcenter_sql(8, 1000)
 QUERIES["x15_kcenter_coreset"] = L.x15_kcenter_coreset
+
+
+# s10 — hybrid dense+lexical RRF. Reuses s1's cosine algebra and t26's
+# inverted-index Jaccard algebra verbatim (both independently proven),
+# fused with exact integer division so the ensemble replays bit for bit.
+ORACLES["s10_hybrid_rrf"] = r"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+cscored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id
+),
+rv AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS r
+  FROM cscored
+),
+va AS (SELECT query_id, item_id, r FROM rv WHERE r <= 20),
+grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0)))
+                AS i) u
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS item_id, COUNT(*) AS inter
+  FROM grams q JOIN grams c ON q.g = c.g
+  WHERE q.doc_id IN (0, 1, 2) AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+jscored AS (
+  SELECT query_id, item_id,
+         CAST(inter * 1000000 // (sq.n + si.n - inter) AS BIGINT)
+           AS jaccard_ppm
+  FROM inter
+  JOIN sizes sq ON sq.doc_id = query_id
+  JOIN sizes si ON si.doc_id = item_id
+),
+rl AS (
+  SELECT query_id, item_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jaccard_ppm DESC, item_id ASC) AS r
+  FROM jscored
+),
+vb AS (SELECT query_id, item_id, r FROM rl WHERE r <= 20),
+fused AS (
+  SELECT COALESCE(va.query_id, vb.query_id) AS query_id,
+         COALESCE(va.item_id, vb.item_id) AS item_id,
+         COALESCE(1000000000 // (60 + va.r), 0)
+           + COALESCE(1000000000 // (60 + vb.r), 0) AS rrf_score
+  FROM va FULL OUTER JOIN vb
+    ON va.query_id = vb.query_id AND va.item_id = vb.item_id
+)
+SELECT query_id, item_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, item_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, item_id ASC) AS rank
+  FROM fused)
+WHERE rank <= 10
+"""
+QUERIES["s10_hybrid_rrf"] = L.s10_hybrid_rrf

@@ -3152,3 +3152,38 @@ def test_kcenter_coreset_matches_bruteforce_greedy(spark):
     # covering radius is monotonically non-increasing
     radii = [r for _, _, r in got[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_rrf_fuse_matches_python_replay(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    # one item in both lists, one in A only, one in B only; query 2
+    # exists in B only (full-outer semantics on the query axis too)
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, item_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 10, 1)],
+        "query_id long, item_id long, rank int",
+    )
+    got = {
+        (r["query_id"], r["item_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_fuse(a, b, k=10).collect()
+    }
+    U = 1_000_000_000
+    s11 = U // 62 + U // 61          # both lists
+    s10 = U // 61                    # A only, rank 1
+    s12 = U // 63                    # A only, rank 3
+    s13 = U // 62                    # B only, rank 2
+    order = sorted(
+        [(10, s10), (11, s11), (12, s12), (13, s13)],
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    expect = {
+        (1, item): (score, i + 1) for i, (item, score) in enumerate(order)
+    }
+    expect[(2, 10)] = (U // 61, 1)
+    assert got == expect
