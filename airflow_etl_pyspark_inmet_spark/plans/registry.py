@@ -4919,79 +4919,10 @@ ORACLES["x13_mmr_diverse_topk"] = _x13_mmr_sql(8)
 QUERIES["x13_mmr_diverse_topk"] = L.x13_mmr_diverse_topk
 
 
-# ---- round-11 driver correctness-window rotation ----------------------
-# Oldest-first (VERDICT r10 item 3), never-checked first (the r10
-# precedent): the 3 queries added this round (x10/t31/t32), then all 19
-# queries whose last driver row is r6 (the q02-q09 relational block,
-# q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
-# 50 r7-stale — the remaining streaming pair st7/st8, the heavy
-# composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
-# the multimodal m13-m15, and the text/curation t22/t24/t25.
-# The 8 queries ADDED this round (c9/x12/t33/q112/g5/t34/st12/x13)
-# enter at the front (never-checked first, the r10 precedent).
-# Remaining r7-stale after this round (31, front of the r12 window):
-# t26, x5/x7/x8, s5, q10/q78/q79, q80-q83, q84-q101 (TPC-H block +
-# profiling), q102.
-_R11_WINDOW = [
-    "x13_mmr_diverse_topk",
-    "g5_bfs_distances",
-    "t34_zipf_coverage",
-    "st12_stream_count_min",
-    "c9_compaction_plan",
-    "x12_zorder_layout",
-    "t33_vocab_growth",
-    "q112_zonemap_prune",
-    "x10_stratified_sample",
-    "t31_dup_ratio",
-    "t32_count_min",
-    "x11_pareto_frontier",
-    "q02_daily_supplier_agg",
-    "q04_minmax_bounds",
-    "q05_calendar_dim",
-    "q06_surrogate_dim",
-    "q07_decimal_comma_roundtrip",
-    "q08_dayfirst_dates",
-    "q09_union_by_name",
-    "q61_listagg",
-    "q62_try_arithmetic",
-    "q63_bitmap_distinct",
-    "q64_recursive_cte",
-    "q65_map_type",
-    "q66_array_analytics",
-    "st1_stream_tumbling",
-    "st2_stream_sessions",
-    "st3_stream_stateful",
-    "st4_stream_static_join",
-    "st5_stream_dedup",
-    "st6_stream_stream_join",
-    "st7_stream_ohlc",
-    "st8_stream_daily_uniques",
-    "c4_pretraining_pipeline",
-    "c5_multimodal_pipeline",
-    "c6_incremental_refresh",
-    "d3_dedup_minhash",
-    "d4_dedup_simhash",
-    "d7_segment_dedup",
-    "d8_semantic_keeper",
-    "d12_image_neardup",
-    "d15_fuzzy_name_pairs",
-    "d17_semantic_clusters",
-    "g1_pagerank",
-    "m13_multimodal_pack",
-    "m14_av_alignment",
-    "m15_keyframes",
-    "t22_bpe_train",
-    "t24_leakage_safe_split",
-    "t25_interp_bigram",
-]
-assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
-QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
-}
 
 
-# ---- round-11 additions past the window (enter the r12 window first,
-# never-checked precedent) ---------------------------------------------
+# ---- late round-11 additions (front of the window below,
+# never-checked-first precedent) ---------------------------------------
 
 # s9 — exact integer Lloyd k-means, rounds unrolled (g1/g4/t22 contract).
 # Quantization, distances, argmin tiebreak (dist*16+cid) and the
@@ -5272,3 +5203,77 @@ FROM (
 WHERE rank <= 10
 """
 QUERIES["s10_hybrid_rrf"] = L.s10_hybrid_rrf
+
+
+# ---- round-11 driver correctness-window rotation ----------------------
+# Oldest-first (VERDICT r10 item 3), never-checked first (the r10
+# precedent): the 3 queries added this round (x10/t31/t32), then all 19
+# queries whose last driver row is r6 (the q02-q09 relational block,
+# q61-q66 SQL-surface block, st1-st6 streaming suite), then 29 of the
+# 50 r7-stale — the remaining streaming pair st7/st8, the heavy
+# composites c4/c5/c6, the dedup family d3/d4/d7/d8/d12/d15/d17, g1,
+# the multimodal m13-m15, and the text/curation t22/t24/t25.
+# The 18 queries ADDED this round (c9/x12/t33/q112/x10/t31/t32/x11/
+# g5/t34/st12/x13/s9/t35/g6/st13/x15/s10) enter at the front
+# (never-checked first, the r10 precedent); to make room, six
+# r7-stale entries are deferred to the r12 front (m13/t22 were
+# judge-re-verified green on the r10 closing code; m14/m15/t24/t25
+# join them). Remaining r7-stale after this round (37, front of the
+# r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
+# q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
+_R11_WINDOW = [
+    "s9_kmeans",
+    "t35_phrase_search",
+    "g6_sssp",
+    "st13_stream_growing_dedup",
+    "x15_kcenter_coreset",
+    "s10_hybrid_rrf",
+    "x13_mmr_diverse_topk",
+    "g5_bfs_distances",
+    "t34_zipf_coverage",
+    "st12_stream_count_min",
+    "c9_compaction_plan",
+    "x12_zorder_layout",
+    "t33_vocab_growth",
+    "q112_zonemap_prune",
+    "x10_stratified_sample",
+    "t31_dup_ratio",
+    "t32_count_min",
+    "x11_pareto_frontier",
+    "q02_daily_supplier_agg",
+    "q04_minmax_bounds",
+    "q05_calendar_dim",
+    "q06_surrogate_dim",
+    "q07_decimal_comma_roundtrip",
+    "q08_dayfirst_dates",
+    "q09_union_by_name",
+    "q61_listagg",
+    "q62_try_arithmetic",
+    "q63_bitmap_distinct",
+    "q64_recursive_cte",
+    "q65_map_type",
+    "q66_array_analytics",
+    "st1_stream_tumbling",
+    "st2_stream_sessions",
+    "st3_stream_stateful",
+    "st4_stream_static_join",
+    "st5_stream_dedup",
+    "st6_stream_stream_join",
+    "st7_stream_ohlc",
+    "st8_stream_daily_uniques",
+    "c4_pretraining_pipeline",
+    "c5_multimodal_pipeline",
+    "c6_incremental_refresh",
+    "d3_dedup_minhash",
+    "d4_dedup_simhash",
+    "d7_segment_dedup",
+    "d8_semantic_keeper",
+    "d12_image_neardup",
+    "d15_fuzzy_name_pairs",
+    "d17_semantic_clusters",
+    "g1_pagerank",
+]
+assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
+}
