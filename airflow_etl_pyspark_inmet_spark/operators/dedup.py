@@ -1566,6 +1566,53 @@ def triangle_counts(
     )
 
 
+def clustering_coefficients(
+    pairs: DataFrame,
+    a_col: str = "p1",
+    b_col: str = "p2",
+) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = 2*T(v) /
+    (deg(v)*(deg(v)-1)) in exact integer ppm over an undirected graph
+    given as distinct unordered pairs (``a < b``) — the ego-net
+    cohesion metric layered on :func:`triangle_counts` (same
+    degree-ordered-orientation wedge bound, O(|E|^1.5) under skew).
+    The edge list feeds two consumers (triangles + degrees), so the
+    caller-supplied frame is checkpointed once here rather than
+    re-derived per consumer. The 2*T*1e6 numerator is widened to
+    decimal(38,0) before the floor division (a 100 TB hub node's
+    triangle count times 1e6 overflows bigint). Nodes with degree < 2
+    (undefined coefficient) are excluded; triangle-free nodes emit
+    cc_ppm = 0. Returns (node, degree, n_triangles, cc_ppm)."""
+    p = (
+        pairs.select(F.col(a_col).alias("p1"), F.col(b_col).alias("p2"))
+        .localCheckpoint(eager=False)
+    )
+    tri = triangle_counts(p)
+    deg = (
+        p.select(F.col("p1").alias("node"))
+        .unionAll(p.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "cc_ppm",
+            F.expr(
+                "cast((cast(n_triangles as decimal(38,0)) * 2 * 1000000)"
+                " div (cast(degree as decimal(38,0)) * (degree - 1))"
+                " as bigint)"
+            ),
+        )
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 3,

@@ -2756,3 +2756,31 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     lexical = jaccard_search_topk(docs, query_ids=[0, 1, 2], k=20)
     return rrf_fuse(dense, lexical, k=10)
+
+
+def g7_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the g1/g3 capped
+    co-purchase graph — cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) in exact
+    integer ppm, the community-density / ego-net-cohesion metric that
+    sits on top of triangle counting (reference parity: the reference
+    has no graph surface; this extends the §2 aggregate family to
+    graph-shaped corpus signals). Triangles come from the
+    degree-ordered-orientation tier (operators.dedup.triangle_counts,
+    O(|E|^1.5) wedge bound under skew); degrees are one hash-agg over
+    the same checkpointed edge list, so the graph is materialized
+    once for both consumers (the repo's multi-consumer checkpoint
+    contract). The numerator is widened to decimal(38,0) before the
+    floor division (the q111/x6/t30 overflow contract — at 100 TB a
+    hub node's 2*T*1e6 overflows bigint). Nodes with degree < 2 have
+    an undefined coefficient and are excluded; triangle-free nodes
+    emit cc_ppm = 0. Top-100 by (cc_ppm DESC, degree DESC, node ASC).
+    The oracle recounts triangles with the direct a<b<c triple join
+    (orientation-invisibility, the g3 proof) and replays the same
+    widened division."""
+    from ..operators.dedup import clustering_coefficients
+
+    pairs = _capped_copurchase_pairs(spark, sf_dir)
+    out = clustering_coefficients(pairs)
+    return out.orderBy(
+        F.col("cc_ppm").desc(), F.col("degree").desc(), F.col("node").asc()
+    ).limit(100)

@@ -5204,6 +5204,49 @@ WHERE rank <= 10
 """
 QUERIES["s10_hybrid_rrf"] = L.s10_hybrid_rrf
 
+# g7 — local clustering coefficient: triangles recounted with the
+# direct a<b<c triple join (orientation-invisibility, the g3 proof),
+# degrees one hash-agg over the same pairs, and the identical
+# decimal-widened floor division. DuckDB's // on the small sf0.01
+# counts needs no widening (the Spark side widens for 100 TB hubs).
+ORACLES["g7_clustering_coeff"] = f"""
+WITH {_CAPPED_BASKETS_SQL},
+pairs AS (
+  SELECT DISTINCT a.p AS p1, b.p AS p2
+  FROM top a JOIN top b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.p1 = e1.p2
+  JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+tcount AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY 1
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT p1 AS node FROM pairs UNION ALL SELECT p2 FROM pairs)
+  GROUP BY 1
+)
+SELECT node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST((COALESCE(n_triangles, 0) * 2 * 1000000)
+            // (degree * (degree - 1)) AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tcount USING (node)
+WHERE degree >= 2
+ORDER BY cc_ppm DESC, degree DESC, node ASC
+LIMIT 100
+"""
+QUERIES["g7_clustering_coeff"] = L.g7_clustering_coeff
+
 
 # ---- round-11 driver correctness-window rotation ----------------------
 # Oldest-first (VERDICT r10 item 3), never-checked first (the r10
@@ -5221,6 +5264,8 @@ QUERIES["s10_hybrid_rrf"] = L.s10_hybrid_rrf
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
+# g7 (added after this rotation landed) is never-checked and also
+# enters the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",
     "t35_phrase_search",

@@ -3187,3 +3187,43 @@ def test_rrf_fuse_matches_python_replay(spark):
     }
     expect[(2, 10)] = (U // 61, 1)
     assert got == expect
+
+
+def test_clustering_coefficients_square_with_diagonal(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        clustering_coefficients,
+    )
+
+    # square 1-2-3-4-1 plus diagonal 1-3: triangles {1,2,3} and
+    # {1,3,4}; cc(1)=cc(3)=2/3, cc(2)=cc(4)=1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "p1 int, p2 int"
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["cc_ppm"])
+        for r in clustering_coefficients(pairs).collect()
+    }
+    assert got == {
+        1: (3, 2, 666666),
+        2: (2, 1, 1000000),
+        3: (3, 2, 666666),
+        4: (2, 1, 1000000),
+    }
+
+
+def test_clustering_coefficients_triangle_free_and_pendant(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        clustering_coefficients,
+    )
+
+    # path 1-2-3 plus pendant 4 on node 2: no triangles anywhere;
+    # degree-1 nodes (1, 3, 4) are excluded, node 2 emits cc_ppm=0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "p1 int, p2 int"
+    )
+    rows = clustering_coefficients(pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node"], r["degree"], r["n_triangles"], r["cc_ppm"]) == (
+        2, 3, 0, 0,
+    )
