@@ -789,6 +789,87 @@ def sq_refine_topk(
     )
 
 
+def matryoshka_refine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    prefix_dim: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka / truncated-dimension two-stage retrieval — the
+    dimension-pruning tier of the ANN family next to the code-
+    compression tiers (PQ :func:`pq_refine_topk`, SQ8
+    :func:`sq_refine_topk`): stage 1 scores every candidate with the
+    cosine over only the FIRST ``prefix_dim`` coordinates (MRL-style
+    embeddings front-load semantic mass, so the prefix is a usable
+    coarse ranker), stage 2 re-ranks the per-query top ``shortlist``
+    with the exact full-dimension cosine.
+
+    Scale design: unlike PQ/SQ8 this tier needs NO training pass, no
+    codebook, and no Python anywhere — the prefix is ``slice(vec, 1,
+    prefix_dim)`` and the scoring is the same JVM-side
+    aggregate/zip_with algebra as the exact scan, so the whole coarse
+    pass stays inside Catalyst. At 100 TB the stage-1 scan moves
+    prefix_dim/dim of the vector bytes (4x fewer at 16/64) and the
+    stage-2 join moves shortlist x Q rows, never corpus-sized —
+    the cheapest ANN tier to operate because there is nothing to
+    retrain when the corpus drifts."""
+    from .util import ensure_parallelism
+
+    pfx = lambda c: F.slice(c, 1, prefix_dim)  # noqa: E731
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        pfx(F.col(vec_col)).alias("_qpfx"),
+    )
+    coarse = (
+        ensure_parallelism(
+            items.select(
+                F.col(id_col).alias("item_id"),
+                pfx(F.col(vec_col)).alias("_ipfx"),
+            )
+        )
+        .crossJoin(F.broadcast(q.select(query_id_col, "_qpfx")))
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "item_id",
+            cosine_similarity(F.col("_ipfx"), F.col("_qpfx")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_c").desc(), F.col("item_id").asc()
+    )
+    cand = (
+        coarse.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .select(query_id_col, "item_id")
+    )
+    vecs = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_fvec")
+    )
+    refined = (
+        vecs.join(F.broadcast(cand), "item_id")
+        .join(F.broadcast(q.select(query_id_col, "_qvec")), query_id_col)
+        .select(
+            query_id_col,
+            "item_id",
+            cosine_similarity(F.col("_fvec"), F.col("_qvec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank", "score")
+    )
+
+
 def ivf_pq_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -2784,3 +2784,30 @@ def g7_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("cc_ppm").desc(), F.col("degree").desc(), F.col("node").asc()
     ).limit(100)
+
+
+def s11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (Matryoshka) ANN
+    (operators.similarity.matryoshka_refine_topk): coarse cosine over
+    the first 32 of 64 coordinates — a pure-Catalyst slice, no
+    training pass, no codebook, no Python — then exact full-dim
+    rerank of the per-query top-200 shortlist. The dimension-pruning
+    tier next to the code-compression tiers (s5 PQ, s8 SQ8): stage 1
+    moves 2x fewer vector bytes, and there is nothing to retrain when
+    the corpus drifts. (The synthetic corpus is NOT MRL-trained, so
+    the prefix carries only its proportional share of variance — a
+    production MRL embedder front-loads it; prefix/shortlist are the
+    recall knobs.) Oracle-checkable like s2/s3/s5/s8: emits the exact
+    top-k plus a per-query recall envelope boolean (envelope 0.5,
+    measured floor 0.9 at sf0.01; broken slicing scores ~0)."""
+    from ..operators.similarity import (
+        ann_with_recall_check,
+        matryoshka_refine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = matryoshka_refine_topk(emb, qs, k=10, prefix_dim=32, shortlist=200)
+    return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.5)

@@ -5248,6 +5248,13 @@ LIMIT 100
 QUERIES["g7_clustering_coeff"] = L.g7_clustering_coeff
 
 
+# s11 — Matryoshka truncated-dim ANN: the s2/s3/s5/s8 exact-companion
+# contract (exact top-k + literal TRUE recall envelope; the ANN tier's
+# recall is measured engine-side against the same exact frame).
+ORACLES["s11_matryoshka_topk"] = ORACLES["s8_sq8_topk"]
+QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
+
+
 # ---- round-11 driver correctness-window rotation ----------------------
 # Oldest-first (VERDICT r10 item 3), never-checked first (the r10
 # precedent): the 3 queries added this round (x10/t31/t32), then all 19
@@ -5264,8 +5271,8 @@ QUERIES["g7_clustering_coeff"] = L.g7_clustering_coeff
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7 (added after this rotation landed) is never-checked and also
-# enters the r12 front.
+# g7/s11 (added after this rotation landed) are never-checked and
+# also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",
     "t35_phrase_search",

@@ -3227,3 +3227,70 @@ def test_clustering_coefficients_triangle_free_and_pendant(spark):
     assert (r["node"], r["degree"], r["n_triangles"], r["cc_ppm"]) == (
         2, 3, 0, 0,
     )
+
+
+def test_matryoshka_recall_vs_exact(emb):
+    """Prefix-32-of-64 coarse pass + top-200 exact rerank recovers the
+    exact top-10 with recall >= 0.8 on the (non-MRL) synthetic corpus;
+    the s11 envelope (0.5) sits well below this floor."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_refine_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.item_id) for r in cosine_topk(emb, qs, 10).collect()}
+    mat = {
+        (r.query_id, r.item_id)
+        for r in matryoshka_refine_topk(
+            emb, qs, 10, prefix_dim=32, shortlist=200
+        ).collect()
+    }
+    assert len(mat & exact) / len(exact) >= 0.8
+
+
+def test_matryoshka_identical_vector_is_top_neighbor(spark):
+    """A planted exact twin shares the query's prefix, so it must
+    survive the coarse pass and rank first after the exact refine."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        matryoshka_refine_topk,
+    )
+
+    base = [float((5 * 37 + j * 11) % 17 - 8) for j in range(64)]
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(64)])
+            for i in range(40)]
+    rows[0] = (0, base)
+    rows[39] = (39, base)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = matryoshka_refine_topk(df, qs, k=3, prefix_dim=16, shortlist=10)
+    top = [r.item_id for r in out.collect() if r.rank == 1]
+    assert top == [39]
+
+
+def test_matryoshka_full_prefix_equals_exact(emb):
+    """prefix_dim == full dim makes the coarse pass the exact ranking,
+    so the refined top-k must equal cosine_topk exactly."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_refine_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        (r.query_id, r.item_id, r.rank)
+        for r in cosine_topk(emb, qs, 10).collect()
+    )
+    mat = sorted(
+        (r.query_id, r.item_id, r.rank)
+        for r in matryoshka_refine_topk(
+            emb, qs, 10, prefix_dim=64, shortlist=50
+        ).collect()
+    )
+    assert mat == exact
