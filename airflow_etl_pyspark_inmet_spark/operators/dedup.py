@@ -1919,3 +1919,82 @@ def sssp_distances(
         frontier = merged.filter(F.col("_improved")).select("node", "dist")
         dist = merged.select("node", "dist")
     return dist
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    tau: float = 0.35,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    CLUSTER BLOCKING — the third blocking family next to the label
+    blocks (:func:`embedding_cosine_pairs`) and sign-LSH buckets
+    (:func:`embedding_lsh_pairs`). The corpus is clustered with the
+    exact-integer Lloyd tier (operators.similarity.kmeans_lloyd, the
+    s9 trajectory), pairs are formed only WITHIN a cluster (one
+    equi-join on the cluster id), pairs with exact cosine >= ``tau``
+    are duplicates, and each pair drops its member CLOSER to the
+    centroid (the paper keeps low-centroid-similarity examples —
+    here: smaller integer ``dist_q`` loses; ties drop the smaller
+    id). A vector is dropped if it loses ANY pair — deterministic
+    set semantics, equivalent to the paper's keep-one-per-group when
+    duplicate groups are cliques (the common case).
+
+    Scale design: pair work is sum over clusters of n_c^2, so ``k``
+    is the blocking knob — the paper runs k ~ sqrt(N) (50k clusters
+    on LAION) so clusters stay bounded; the per-round Lloyd cost is
+    one map-only broadcast-literal argmin + one combine-heavy agg
+    (see kmeans_lloyd). Everything that decides keep/drop is integer
+    (dist_q, ids); only the tau crossing is float — the d6 contract.
+    Returns every vector: (id, cluster, dist_q, dropped)."""
+    from .similarity import _dot, _norm, kmeans_lloyd
+
+    assign = kmeans_lloyd(
+        df, k=k, n_rounds=n_rounds, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=False)
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    fa = assign.toDF("id_a", "cluster", "dist_a")
+    fb = assign.toDF("id_b", "cluster", "dist_b")
+    pairs = (
+        fa.join(fb, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(e.toDF("id_a", "_va", "_na"), "id_a")
+        .join(e.toDF("id_b", "_vb", "_nb"), "id_b")
+        .filter(
+            _dot(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb"))
+            >= F.lit(tau)
+        )
+    )
+    losers = pairs.select(
+        F.when(
+            (F.col("dist_a") < F.col("dist_b"))
+            | (
+                (F.col("dist_a") == F.col("dist_b"))
+                & (F.col("id_a") < F.col("id_b"))
+            ),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias("_loser")
+    ).distinct()
+    return (
+        assign.join(
+            losers, assign[id_col] == losers["_loser"], "left"
+        )
+        .select(
+            assign[id_col],
+            "cluster",
+            F.col("dist_q"),
+            F.col("_loser").isNotNull().alias("dropped"),
+        )
+    )

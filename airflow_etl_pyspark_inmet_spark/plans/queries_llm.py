@@ -2811,3 +2811,19 @@ def s11_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = matryoshka_refine_topk(emb, qs, k=10, prefix_dim=32, shortlist=200)
     return ann_with_recall_check(emb, qs, ann, k=10, min_recall=0.5)
+
+
+def d25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup by k-means cluster blocking
+    (operators.dedup.semdedup): the s9 exact-integer Lloyd trajectory
+    assigns clusters, duplicates are intra-cluster pairs with cosine
+    >= 0.35, and each pair drops its member closer to the centroid
+    (keep-diverse, the paper's rule) — the third blocking family next
+    to d6's label blocks and d19's LSH buckets, with k as the
+    100 TB knob (paper: k ~ sqrt(N)). Keep/drop decisions are pure
+    integer (dist_q, ids); the oracle replays the full clustering
+    trajectory (the s9 SQL) plus the same pair/loser algebra."""
+    from ..operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, n_rounds=3, tau=0.35, scale=1000)

@@ -4929,6 +4929,12 @@ QUERIES["x13_mmr_diverse_topk"] = L.x13_mmr_diverse_topk
 # floor-div centroid update are all integer-exact, so DuckDB replays
 # the full 3-round trajectory bit for bit; empty clusters keep the
 # previous centroid (COALESCE in each update CTE).
+# (parts, final-centroid-CTE-name) per parameterization — the s9 CTE
+# chain is shared by the d25 SemDeDup oracle, which extends the same
+# clustering trajectory with pair/loser CTEs.
+_S9_PARTS: dict = {}
+
+
 def _s9_kmeans_sql(k: int, n_rounds: int, dim: int, scale: int) -> str:
     assign = """
 a{r} AS (
@@ -4973,6 +4979,7 @@ c{r} AS (
         parts.append(assign.format(r=r, prev=prev))
         parts.append(update.format(r=r, prev=prev, dim1=dim + 1))
         prev = f"c{r}"
+    _S9_PARTS[(k, n_rounds, dim, scale)] = (list(parts), prev)
     final = f"""
 SELECT vec_id,
        CAST(key % 16 AS INTEGER) AS cluster,
@@ -4991,6 +4998,60 @@ FROM (
 
 ORACLES["s9_kmeans"] = _s9_kmeans_sql(8, 3, 64, 1000)
 QUERIES["s9_kmeans"] = L.s9_kmeans
+
+
+# d25 — SemDeDup: the full s9 clustering trajectory (same CTE chain,
+# via _S9_PARTS) extended with the intra-cluster pair + closer-to-
+# centroid-loses algebra. Keep/drop is pure integer (dist_q, ids);
+# only the tau crossing is float (the d6 contract).
+def _d25_semdedup_sql(k: int, n_rounds: int, dim: int, scale: int,
+                      tau: float) -> str:
+    parts, prev = _S9_PARTS[(k, n_rounds, dim, scale)]
+    fin = f"""
+fin AS (
+  SELECT vec_id,
+         CAST(key % 16 AS INTEGER) AS cluster,
+         key // 16 AS dist_q
+  FROM (
+    SELECT q.vec_id, min(
+             CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               AS BIGINT) * 16 + cid) AS key
+    FROM q, {prev} c
+    GROUP BY q.vec_id)
+)"""
+    rest = f""",
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+         fa.dist_q AS dist_a, fb.dist_q AS dist_b
+  FROM fin fa JOIN fin fb
+    ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  JOIN ev a ON a.vec_id = fa.vec_id
+  JOIN ev b ON b.vec_id = fb.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {tau}
+),
+losers AS (
+  SELECT DISTINCT CASE
+    WHEN dist_a < dist_b OR (dist_a = dist_b AND id_a < id_b)
+    THEN id_a ELSE id_b END AS vec_id
+  FROM p
+)
+SELECT f.vec_id, f.cluster, f.dist_q,
+       (l.vec_id IS NOT NULL) AS dropped
+FROM fin f LEFT JOIN losers l USING (vec_id)
+"""
+    return "WITH " + ",".join(parts + [fin]) + rest
+
+
+ORACLES["d25_semdedup"] = _d25_semdedup_sql(8, 3, 64, 1000, 0.35)
+QUERIES["d25_semdedup"] = L.d25_semdedup
 
 
 # t35 — positional phrase search. The Spark side matches via the anchor
@@ -5271,7 +5332,7 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11 (added after this rotation landed) are never-checked and
+# g7/s11/d25 (added after this rotation landed) are never-checked and
 # also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",

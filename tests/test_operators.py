@@ -3294,3 +3294,32 @@ def test_matryoshka_full_prefix_equals_exact(emb):
         ).collect()
     )
     assert mat == exact
+
+
+def test_semdedup_drops_twin_closer_to_centroid(spark):
+    """An exact twin pair shares a cluster and cosine 1.0; identical
+    dist_q ties drop the smaller id. tau above every non-twin cosine
+    isolates the twin pair."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import semdedup
+
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(64)])
+            for i in range(10)]
+    rows[9] = (9, rows[3][1])  # plant an exact twin of vec 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(
+        df, k=2, n_rounds=2, tau=0.99, scale=1000).collect()}
+    assert len(out) == 10
+    assert out[3]["cluster"] == out[9]["cluster"]
+    assert out[3]["dist_q"] == out[9]["dist_q"]
+    dropped = {v for v, r in out.items() if r["dropped"]}
+    assert dropped == {3}
+
+
+def test_semdedup_no_pairs_above_tau_drops_nothing(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import semdedup
+
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(64)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, k=2, n_rounds=2, tau=1.5, scale=1000).collect()
+    assert len(out) == 8 and not any(r["dropped"] for r in out)
