@@ -2827,3 +2827,23 @@ def d25_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return semdedup(emb, k=8, n_rounds=3, tau=0.35, scale=1000)
+
+
+def st14_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING continuous k-NN serving
+    (streaming.windows.streaming_topk_maintenance): the embedding
+    corpus ARRIVES as micro-batches, each batch is scored against the
+    standing 5-query broadcast set (the s1 algebra on the batch only)
+    and refolded into the per-query top-10 state by union-then-
+    truncate — the serving-side companion to st10/st13's index-side
+    maintenance. Top-k under the total order (score DESC, item ASC)
+    is an associative split-invariant fold, so the final state equals
+    the one-shot batch scan and the oracle IS s1's SQL — bit for
+    bit, regardless of micro-batch boundaries."""
+    from ..streaming.windows import streaming_topk_maintenance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return streaming_topk_maintenance(spark, emb, qs, k=10)

@@ -5053,6 +5053,13 @@ FROM fin f LEFT JOIN losers l USING (vec_id)
 ORACLES["d25_semdedup"] = _d25_semdedup_sql(8, 3, 64, 1000, 0.35)
 QUERIES["d25_semdedup"] = L.d25_semdedup
 
+# st14 — streaming top-k maintenance: union-then-truncate is an
+# associative fold under the (score DESC, item ASC) total order, so
+# the streamed state equals the one-shot batch scan — the oracle IS
+# s1's SQL (the st13/d3 equality pattern on the serving side).
+ORACLES["st14_stream_topk"] = ORACLES["s1_cosine_topk"]
+QUERIES["st14_stream_topk"] = L.st14_stream_topk
+
 
 # t35 — positional phrase search. The Spark side matches via the anchor
 # join (generalizes to any phrase length); the oracle uses the
@@ -5332,7 +5339,7 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11/d25 (added after this rotation landed) are never-checked and
+# g7/s11/d25/st14 (added after this rotation landed) are never-checked and
 # also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",

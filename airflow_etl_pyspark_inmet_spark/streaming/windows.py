@@ -925,3 +925,112 @@ def streaming_growing_lsh_dedup(
         return state["pairs"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_topk_maintenance(
+    spark: SparkSession,
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_files: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """STREAMING per-query exact top-k maintenance — continuous k-NN
+    serving over an ARRIVING corpus: vectors stream in, each
+    micro-batch is scored against the standing broadcast query set
+    (the s1 algebra restricted to the batch), and the per-query top-k
+    state is refolded as union-then-truncate. Top-k under a total
+    order (score DESC, item_id ASC) is an associative, split-invariant
+    fold — max-k(A ∪ B) = max-k(max-k(A) ∪ B) — and each row's score
+    is the same JVM expression on the same values either way, so the
+    final state equals the one-shot batch scan (the s1 oracle) bit
+    for bit, regardless of how ingest was micro-batched.
+
+    Per-epoch work is O(batch x Q) scoring plus a (Q x 2k)-row
+    truncation; standing state is exactly Q x k rows (eager
+    localCheckpoint per epoch, the st9-st13 idiom — on a real cluster
+    the state row set lives in the sink table and the per-epoch
+    algebra is unchanged). History is never re-scored: this is the
+    serving-side companion to st10/st13's index-side maintenance."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_similarity
+
+    tmp = tempfile.mkdtemp(prefix="st14_vecs_")
+    try:
+        src = items.select(
+            F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col)
+        )
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col("item_id").asc()
+        )
+
+        def _truncate(frame: DataFrame) -> DataFrame:
+            return (
+                frame.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .select(query_id_col, "item_id", "score")
+            )
+
+        state = {
+            "topk": spark.createDataFrame(
+                [], f"{query_id_col} bigint, item_id bigint, score double"
+            ).localCheckpoint(eager=True),
+            "epochs": 0,
+        }
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            scored = (
+                batch_df.select(
+                    F.col(id_col).alias("item_id"),
+                    F.col(vec_col).alias("_ivec"),
+                )
+                .crossJoin(F.broadcast(q))
+                .filter(F.col("item_id") != F.col(query_id_col))
+                .select(
+                    query_id_col,
+                    "item_id",
+                    cosine_similarity(
+                        F.col("_ivec"), F.col("_qvec")
+                    ).alias("score"),
+                )
+            )
+            state["topk"] = _truncate(
+                state["topk"].unionByName(_truncate(scored))
+            ).localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        sq = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_topk_maintenance expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the incremental refold is the "
+                "point of the streaming tier."
+            )
+        return (
+            state["topk"]
+            .withColumn("rank", F.row_number().over(w))
+            .select(query_id_col, "item_id", "rank")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

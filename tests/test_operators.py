@@ -3323,3 +3323,51 @@ def test_semdedup_no_pairs_above_tau_drops_nothing(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semdedup(df, k=2, n_rounds=2, tau=1.5, scale=1000).collect()
     assert len(out) == 8 and not any(r["dropped"] for r in out)
+
+
+def test_streaming_topk_maintenance_equals_batch(spark):
+    """The streamed union-then-truncate fold lands on exactly the
+    one-shot batch top-k (rank for rank), however ingest was split
+    into micro-batches — top-k is associative under the (score DESC,
+    item ASC) total order."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_topk_maintenance,
+    )
+
+    rows = [(i, [float((i * 29 + j * 13) % 19 - 9) for j in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = sorted(
+        (r["query_id"], r["item_id"], r["rank"])
+        for r in cosine_topk(df, qs, 5).collect()
+    )
+    for n_files in (2, 4):
+        streamed = sorted(
+            (r["query_id"], r["item_id"], r["rank"])
+            for r in streaming_topk_maintenance(
+                spark, df, qs, k=5, n_files=n_files
+            ).collect()
+        )
+        assert streamed == batch
+    assert len(batch) == 15  # 3 queries x k=5
+
+
+def test_streaming_topk_requires_multiple_epochs(spark):
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_topk_maintenance,
+    )
+    import pytest as _pytest
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(RuntimeError, match="micro-batches"):
+        streaming_topk_maintenance(spark, df, qs, k=3, n_files=1)
