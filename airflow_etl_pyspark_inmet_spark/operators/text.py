@@ -1424,3 +1424,51 @@ def phrase_occurrences(
     return occ.groupBy(id_col, "phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occ")
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch-style readability in EXACT integer milli-units — the
+    classic reading-ease curation filter next to :func:`quality_score`'s
+    surface ratios and the perplexity tier (c8). Counts are plain
+    regexes (words = whitespace tokens, sentences = terminator runs
+    ``[.!?]+`` clamped to >= 1, syllables ~ vowel-group runs — the
+    standard cheap proxy), and the score is the Flesch formula with
+    every coefficient scaled x1000 and floor-divided:
+
+        flesch_milli = 206835 - (1015 * words) div sentences
+                              - (84600 * vgroups) div words
+
+    so two engines agree bit for bit (no float path anywhere). The
+    whole operator is one projection over the corpus scan — zero
+    shuffles, zero Python; at 100 TB it rides the same map stage as
+    any other per-doc feature. Products stay < 2^53 for any document
+    under ~10^12 words, far past a single row's practical bound."""
+    t = F.col(text_col)
+    words = F.greatest(
+        F.size(F.split(F.trim(t), r"\s+")), F.lit(1)
+    ).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    vgroups = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        vgroups.alias("n_vowel_groups"),
+    )
+    return base.withColumn(
+        "flesch_milli",
+        F.expr(
+            "cast(206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_vowel_groups) div n_words as bigint)"
+        ),
+    )

@@ -2847,3 +2847,17 @@ def st14_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return streaming_topk_maintenance(spark, emb, qs, k=10)
+
+
+def t36_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring in exact integer milli-units
+    (operators.text.readability_scores): words / sentence-terminator
+    runs / vowel-group syllable proxy counted by plain regexes, the
+    formula floor-divided with x1000 coefficients so DuckDB replays
+    it bit for bit — the classic reading-ease curation filter next to
+    t2's surface ratios and c8's perplexity tier. One projection over
+    the corpus scan: zero shuffles, zero Python."""
+    from ..operators.text import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_scores(docs)

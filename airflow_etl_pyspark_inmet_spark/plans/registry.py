@@ -5060,6 +5060,28 @@ QUERIES["d25_semdedup"] = L.d25_semdedup
 ORACLES["st14_stream_topk"] = ORACLES["s1_cosine_topk"]
 QUERIES["st14_stream_topk"] = L.st14_stream_topk
 
+# t36 — readability: same regex counts + floor-divided Flesch formula.
+# greatest(..., 1) guards empty docs on both sides.
+ORACLES["t36_readability"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(string_split_regex(trim(text), '\s+')), 1) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+           AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_vowel_groups AS BIGINT) AS n_vowel_groups,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_vowel_groups) // n_words
+            AS BIGINT) AS flesch_milli
+FROM c
+"""
+QUERIES["t36_readability"] = L.t36_readability
+
 
 # t35 — positional phrase search. The Spark side matches via the anchor
 # join (generalizes to any phrase length); the oracle uses the
@@ -5339,7 +5361,7 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11/d25/st14 (added after this rotation landed) are never-checked and
+# g7/s11/d25/st14/t36 (added after this rotation landed) are never-checked and
 # also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",

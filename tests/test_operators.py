@@ -3371,3 +3371,37 @@ def test_streaming_topk_requires_multiple_epochs(spark):
     )
     with _pytest.raises(RuntimeError, match="micro-batches"):
         streaming_topk_maintenance(spark, df, qs, k=3, n_files=1)
+
+
+def test_readability_scores_hand_case(spark):
+    import re as _re
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        readability_scores,
+    )
+
+    texts = {
+        1: "Hello world. It is sunny today!",
+        2: "One... two?! three",
+        3: "",  # empty doc: all counts clamp to 1
+        4: "xyz qqq zzz",  # no vowels, no terminators
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    for d, t in texts.items():
+        w = max(len([x for x in _re.split(r"\s+", t.strip()) if x != ""])
+                if t.strip() else 1, 1)
+        # Spark split('', '\s+') yields [''] -> size 1, so the empty doc
+        # clamps to 1 via the size itself
+        if t.strip() == "":
+            w = 1
+        s = max(len(_re.findall(r"[.!?]+", t)), 1)
+        v = max(len(_re.findall(r"[aeiouyAEIOUY]+", t)), 1)
+        assert got[d]["n_words"] == w, (d, got[d])
+        assert got[d]["n_sentences"] == s
+        assert got[d]["n_vowel_groups"] == v
+        assert got[d]["flesch_milli"] == (
+            206835 - (1015 * w) // s - (84600 * v) // w
+        )
