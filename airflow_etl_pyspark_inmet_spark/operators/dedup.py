@@ -1951,12 +1951,36 @@ def semdedup(
     (see kmeans_lloyd). Everything that decides keep/drop is integer
     (dist_q, ids); only the tau crossing is float — the d6 contract.
     Returns every vector: (id, cluster, dist_q, dropped)."""
-    from .similarity import _dot, _norm, kmeans_lloyd
+    from .similarity import kmeans_lloyd
 
     assign = kmeans_lloyd(
         df, k=k, n_rounds=n_rounds, scale=scale,
         id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=False)
+    )
+    return semdedup_from_assignment(
+        df, assign, tau=tau, id_col=id_col, vec_col=vec_col
+    )
+
+
+def semdedup_from_assignment(
+    df: DataFrame,
+    assign: DataFrame,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup pair/loser algebra over ANY blocking assignment —
+    ``assign`` is (id, cluster, dist_q) from whichever assigner fits
+    the scale: :func:`~.similarity.kmeans_lloyd` for the k <= 16
+    oracle-exact tier (:func:`semdedup`), or the IVF trained-centroid
+    assigner (operators.similarity._ivf_train / _assign_udf, the s3
+    machinery) when production k ~ sqrt(N) runs to the thousands —
+    the algebra below is identical either way: intra-cluster pairs,
+    cosine >= tau, the member closer to its centroid loses, ties drop
+    the smaller id, a vector is dropped if it loses any pair."""
+    from .similarity import _dot, _norm
+
+    assign = assign.localCheckpoint(eager=False)
     e = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),

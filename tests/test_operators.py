@@ -3405,3 +3405,33 @@ def test_readability_scores_hand_case(spark):
         assert got[d]["flesch_milli"] == (
             206835 - (1015 * w) // s - (84600 * v) // w
         )
+
+
+def test_semdedup_from_assignment_any_blocker(spark):
+    """The pair/loser algebra is assigner-agnostic: a hand-built
+    blocking assignment (standing in for an IVF large-k assigner)
+    drives the same keep/drop decisions — closer-to-centroid loses,
+    ties drop the smaller id, cross-cluster twins are never paired."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        semdedup_from_assignment,
+    )
+
+    twin = [1.0] * 8
+    other = [float(j % 3 - 1) for j in range(8)]
+    rows = [
+        (0, twin), (1, twin), (2, other),      # cluster 0
+        (3, twin), (4, twin), (5, other),      # cluster 1 (twins of 0/1
+    ]                                          #  but blocked apart)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assign = spark.createDataFrame(
+        [(0, 0, 5), (1, 0, 3), (2, 0, 9),
+         (3, 1, 4), (4, 1, 4), (5, 1, 2)],
+        "vec_id long, cluster int, dist_q long",
+    )
+    out = {r["vec_id"]: r["dropped"] for r in semdedup_from_assignment(
+        df, assign, tau=0.99).collect()}
+    # cluster 0: pair (0,1) cos=1.0 -> 1 loses (dist 3 < 5)
+    # cluster 1: pair (3,4) cos=1.0 -> tie dist 4 == 4 -> 3 loses
+    # 0/1 vs 3/4 are identical vectors but in different blocks: no pair
+    assert out == {0: False, 1: True, 2: False, 3: True, 4: False,
+                   5: False}
