@@ -2022,3 +2022,41 @@ def semdedup_from_assignment(
             F.col("_loser").isNotNull().alias("dropped"),
         )
     )
+
+
+def semdedup_ivf(
+    df: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.35,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup on the PRODUCTION large-k blocking path: clusters come
+    from the IVF coarse quantizer (operators.similarity._ivf_train —
+    the s3 machinery, whose training cost does not grow with k the way
+    the broadcast-literal Lloyd tier's plan does), the trained float
+    centroids are quantized onto the same integer grid as the vectors,
+    and assignment + keep/drop run the IDENTICAL exact algebra as
+    :func:`semdedup` (assign_to_centroids -> semdedup_from_assignment).
+    Blocking differs from the k-means tier only in WHERE the centroids
+    come from, so drop decisions agree wherever the two Voronoi
+    partitions agree — the d26 envelope measures exactly that."""
+    import math
+
+    from .similarity import _ivf_train, assign_to_centroids
+
+    base = df.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("_ivec"),
+    ).localCheckpoint(eager=False)
+    C = _ivf_train(base, n_cells)
+    centroids = [
+        [int(math.floor(x * scale)) for x in row] for row in C.tolist()
+    ]
+    assign = assign_to_centroids(
+        df, centroids, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+    return semdedup_from_assignment(
+        df, assign, tau=tau, id_col=id_col, vec_col=vec_col
+    )

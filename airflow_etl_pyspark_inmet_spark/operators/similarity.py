@@ -1246,6 +1246,62 @@ def kmeans_lloyd(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Broadcast-literal integer argmin assignment of every vector to
+    the nearest of <= 16 INTEGER-QUANTIZED centroids — the
+    :func:`kmeans_lloyd` assignment step exposed standalone, so any
+    centroid source (a Lloyd trajectory, an IVF-trained codebook
+    quantized onto the same grid, a fixed taxonomy) can drive the
+    blocking tiers (e.g. operators.dedup.semdedup_from_assignment).
+    Same exact semantics as kmeans_lloyd's final assignment: vectors
+    are milli-quantized ``floor(x * scale)``, squared-Euclidean
+    distances are exact int64 folds, and the argmin tiebreak packs the
+    centroid id into ``dist * 16 + cid``. Map-only: the k x dim
+    centroid matrix folds into the plan as array literals — no join,
+    no shuffle. Returns (id, cluster, dist_q)."""
+    if len(centroids) > 16:
+        raise ValueError("tiebreak key packs cid into dist*16: <= 16")
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+                "long"
+            ),
+        ).alias("_qv"),
+    )
+
+    def _dist_expr(cvec) -> Column:
+        carr = F.array(*[F.lit(int(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    key = F.array_min(
+        F.array(
+            *[
+                _dist_expr(cvec) * F.lit(16) + F.lit(cid)
+                for cid, cvec in enumerate(centroids)
+            ]
+        )
+    )
+    return q.withColumn("_key", key).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.pmod(F.col("_key"), F.lit(16)).cast("int").alias("cluster"),
+        ((F.col("_key") - F.pmod(F.col("_key"), F.lit(16))) / F.lit(16))
+        .cast("long")
+        .alias("dist_q"),
+    )
+
+
 def kcenter_coreset(
     df: DataFrame,
     k: int = 8,

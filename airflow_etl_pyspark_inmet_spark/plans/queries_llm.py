@@ -2861,3 +2861,45 @@ def t36_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return readability_scores(docs)
+
+
+def d26_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the PRODUCTION blocking path (operators.dedup.
+    semdedup_ivf): clusters from the IVF coarse quantizer (the s3
+    training machinery, whose cost does not grow with k the way the
+    broadcast-literal Lloyd plan does) quantized onto the same integer
+    grid, driving the IDENTICAL pair/loser algebra as d25. Emitted
+    surface is the d19/s2 envelope contract: the ORACLE-EXACT tier's
+    rows (d25's k-means SemDeDup, bit-reproducible) plus a
+    `blocking_recall_ok` scalar — the IVF-blocked drop set must
+    recover >= 0.4 of the exact tier's drops (measured 0.63 at
+    sf0.01 / 0.73 at sf0.1; a broken blocking scores ~0; the two
+    Voronoi partitions legitimately differ at cluster boundaries,
+    which is the paper's own blocking sensitivity). Production runs
+    semdedup_ivf alone; this query pins its algebra to ground truth
+    in the driver gate."""
+    from ..operators.dedup import semdedup, semdedup_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = semdedup(
+        emb, k=8, n_rounds=3, tau=0.35, scale=1000
+    ).localCheckpoint(eager=False)
+    ivf = semdedup_ivf(emb, n_cells=8, tau=0.35, scale=1000)
+    ex_drops = exact.filter(F.col("dropped")).select("vec_id")
+    iv_drops = ivf.filter(F.col("dropped")).select(
+        F.col("vec_id").alias("_iv_id")
+    )
+    recall = (
+        ex_drops.join(
+            F.broadcast(iv_drops),
+            ex_drops["vec_id"] == F.col("_iv_id"),
+            "left",
+        )
+        .agg(
+            (
+                F.count("_iv_id") / F.greatest(F.count(F.lit(1)), F.lit(1))
+            ).alias("_recall")
+        )
+        .select((F.col("_recall") >= F.lit(0.4)).alias("blocking_recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(recall))

@@ -5082,6 +5082,17 @@ FROM c
 """
 QUERIES["t36_readability"] = L.t36_readability
 
+# d26 — SemDeDup on IVF blocking: the d19/s2 envelope contract. The
+# emitted rows are d25's oracle-exact tier; the IVF tier's drop-set
+# recall vs it is measured engine-side and asserted via the envelope
+# scalar (oracle emits literal TRUE).
+ORACLES["d26_semdedup_ivf"] = (
+    "SELECT *, TRUE AS blocking_recall_ok FROM ("
+    + ORACLES["d25_semdedup"]
+    + ")"
+)
+QUERIES["d26_semdedup_ivf"] = L.d26_semdedup_ivf
+
 
 # t35 — positional phrase search. The Spark side matches via the anchor
 # join (generalizes to any phrase length); the oracle uses the
@@ -5361,7 +5372,7 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11/d25/st14/t36 (added after this rotation landed) are never-checked and
+# g7/s11/d25/d26/st14/t36 (added after this rotation landed) are never-checked and
 # also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",

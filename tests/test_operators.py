@@ -3435,3 +3435,25 @@ def test_semdedup_from_assignment_any_blocker(spark):
     # 0/1 vs 3/4 are identical vectors but in different blocks: no pair
     assert out == {0: False, 1: True, 2: False, 3: True, 4: False,
                    5: False}
+
+
+def test_semdedup_ivf_same_algebra_reasonable_overlap(emb):
+    """The IVF-blocked tier runs the identical pair/loser algebra, so
+    its drop set must substantially overlap the exact k-means tier's
+    (blockings differ only at Voronoi boundaries); a broken blocking
+    (everything scattered / everything together) lands near 0 recall
+    or an exploded drop count."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        semdedup,
+        semdedup_ivf,
+    )
+
+    ex = {r["vec_id"] for r in semdedup(
+        emb, k=8, n_rounds=3, tau=0.35, scale=1000).collect()
+        if r["dropped"]}
+    iv = {r["vec_id"] for r in semdedup_ivf(
+        emb, n_cells=8, tau=0.35, scale=1000).collect() if r["dropped"]}
+    assert len(ex) > 0 and len(iv) > 0
+    assert len(ex & iv) / len(ex) >= 0.4
+    # drop volumes are the same order of magnitude
+    assert 0.5 <= len(iv) / len(ex) <= 2.0
