@@ -2903,3 +2903,83 @@ def d26_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("_recall") >= F.lit(0.4)).alias("blocking_recall_ok"))
     )
     return exact.crossJoin(F.broadcast(recall))
+
+
+def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-ENSEMBLE report: every document scored by all four dedup
+    families at once — exact text (d1's group), text near-dup (d3's
+    production MinHash-LSH pair tier), embedding near-dup (d6's
+    blocked cosine pairs), and SemDeDup drop (d25's cluster-blocked
+    keeper rule) — plus the tier-agreement count. This is the
+    curation dashboard a 100 TB pipeline runs before choosing a drop
+    policy: docs every tier flags are safe deletions, single-tier
+    flags are the policy boundary. Composition only — each tier is
+    the already-audited operator, the assembly is four left joins on
+    doc_id against de-duplicated flag sets (each a fraction of the
+    corpus), and the ensemble count is integer. The oracle nests each
+    tier's own SQL as a subquery — the c2/c4 composite contract."""
+    from ..operators.dedup import (
+        embedding_cosine_pairs,
+        minhash_lsh_pairs,
+        semdedup,
+    )
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    exact = docs.select(
+        "doc_id",
+        (F.count(F.lit(1)).over(W.partitionBy("text")) > 1).alias(
+            "exact_dup"
+        ),
+    )
+    # both pair frames feed two union legs (id_a / id_b) — checkpoint
+    # so each tier's pipeline materializes once (the q111 lesson)
+    tp = minhash_lsh_pairs(
+        docs, ngram=3, threshold=0.5, broadcast_sizes=True
+    ).localCheckpoint(eager=False)
+    text_ids = (
+        tp.select(F.col("id_a").alias("doc_id"))
+        .unionAll(tp.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_tf", F.lit(True))
+    )
+    ep = embedding_cosine_pairs(emb, "label", 0.35).localCheckpoint(
+        eager=False
+    )
+    emb_ids = (
+        ep.select(F.col("id_a").alias("doc_id"))
+        .unionAll(ep.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_ef", F.lit(True))
+    )
+    sd = semdedup(emb, k=8, n_rounds=3, tau=0.35, scale=1000).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("dropped").alias("semdedup_dropped"),
+    )
+    out = (
+        exact.join(text_ids, "doc_id", "left")
+        .join(emb_ids, "doc_id", "left")
+        .join(sd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("_tf"), F.lit(False)).alias("text_neardup"),
+            F.coalesce(F.col("_ef"), F.lit(False)).alias(
+                "embedding_neardup"
+            ),
+            F.coalesce(F.col("semdedup_dropped"), F.lit(False)).alias(
+                "semdedup_dropped"
+            ),
+        )
+    )
+    return out.withColumn(
+        "n_tiers",
+        (
+            F.col("exact_dup").cast("int")
+            + F.col("text_neardup").cast("int")
+            + F.col("embedding_neardup").cast("int")
+            + F.col("semdedup_dropped").cast("int")
+        ).cast("bigint"),
+    )

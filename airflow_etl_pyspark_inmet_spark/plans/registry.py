@@ -5093,6 +5093,49 @@ ORACLES["d26_semdedup_ivf"] = (
 )
 QUERIES["d26_semdedup_ivf"] = L.d26_semdedup_ivf
 
+# c10 — dedup-ensemble report: each tier's OWN oracle nested as a
+# subquery (the c2/c4 composite contract); flags are set-membership
+# over those tiers' pair/drop sets.
+ORACLES["c10_dedup_ensemble"] = f"""
+WITH ex AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY text) > 1 AS exact_dup
+  FROM documents
+),
+tf AS (
+  SELECT DISTINCT id AS doc_id FROM (
+    SELECT id_a AS id FROM ({_JACCARD_SQL})
+    UNION ALL
+    SELECT id_b AS id FROM ({_JACCARD_SQL})
+  )
+),
+ef AS (
+  SELECT DISTINCT id AS doc_id FROM (
+    SELECT id_a AS id FROM ({ORACLES["d6_dedup_embedding"]})
+    UNION ALL
+    SELECT id_b AS id FROM ({ORACLES["d6_dedup_embedding"]})
+  )
+),
+sd AS (
+  SELECT vec_id AS doc_id, dropped FROM ({ORACLES["d25_semdedup"]})
+)
+SELECT ex.doc_id,
+       ex.exact_dup,
+       (tf.doc_id IS NOT NULL) AS text_neardup,
+       (ef.doc_id IS NOT NULL) AS embedding_neardup,
+       COALESCE(sd.dropped, FALSE) AS semdedup_dropped,
+       CAST(CAST(ex.exact_dup AS INT)
+            + CAST(tf.doc_id IS NOT NULL AS INT)
+            + CAST(ef.doc_id IS NOT NULL AS INT)
+            + CAST(COALESCE(sd.dropped, FALSE) AS INT) AS BIGINT)
+         AS n_tiers
+FROM ex
+LEFT JOIN tf USING (doc_id)
+LEFT JOIN ef USING (doc_id)
+LEFT JOIN sd USING (doc_id)
+"""
+QUERIES["c10_dedup_ensemble"] = L.c10_dedup_ensemble
+
 
 # t35 — positional phrase search. The Spark side matches via the anchor
 # join (generalizes to any phrase length); the oracle uses the
@@ -5372,7 +5415,7 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11/d25/d26/st14/t36 (added after this rotation landed) are never-checked and
+# g7/s11/d25/d26/st14/t36/c10 (added after this rotation landed) are never-checked and
 # also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",

@@ -3457,3 +3457,36 @@ def test_semdedup_ivf_same_algebra_reasonable_overlap(emb):
     assert len(ex & iv) / len(ex) >= 0.4
     # drop volumes are the same order of magnitude
     assert 0.5 <= len(iv) / len(ex) <= 2.0
+
+
+def test_dedup_ensemble_flags_consistent_with_tiers(spark, sf_small):
+    """c10's per-doc flags must agree row-for-row with the standalone
+    tiers it composes, and n_tiers must be the exact boolean sum."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        semdedup,
+    )
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import (
+        c10_dedup_ensemble,
+    )
+
+    out = {r["doc_id"]: r for r in c10_dedup_ensemble(
+        spark, sf_small).collect()}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert len(out) == docs.count()
+    for r in out.values():
+        assert r["n_tiers"] == (
+            int(r["exact_dup"]) + int(r["text_neardup"])
+            + int(r["embedding_neardup"]) + int(r["semdedup_dropped"])
+        )
+    tp = minhash_lsh_pairs(
+        docs.select("doc_id", "text"), ngram=3, threshold=0.5,
+        broadcast_sizes=True,
+    ).collect()
+    text_ids = {r["id_a"] for r in tp} | {r["id_b"] for r in tp}
+    assert {d for d, r in out.items() if r["text_neardup"]} == text_ids
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    sd_drops = {r["vec_id"] for r in semdedup(
+        emb, k=8, n_rounds=3, tau=0.35, scale=1000).collect()
+        if r["dropped"]}
+    assert {d for d, r in out.items() if r["semdedup_dropped"]} == sd_drops
