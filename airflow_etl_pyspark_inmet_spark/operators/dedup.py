@@ -1985,7 +1985,11 @@ def semdedup_from_assignment(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         _norm(F.col(vec_col)).alias("_nrm"),
-    )
+    ).filter(F.col("_nrm") > 0)
+    # zero-norm vectors have an undefined cosine: they can never pair
+    # (so never drop) and, under ANSI mode, would otherwise throw
+    # DIVIDE_BY_ZERO inside the join condition — found by the
+    # hypothesis pair/loser property.
     fa = assign.toDF("id_a", "cluster", "dist_a")
     fb = assign.toDF("id_b", "cluster", "dist_b")
     pairs = (

@@ -549,3 +549,84 @@ def test_containment_pairs_equals_bruteforce_property(spark, texts):
                     inter * 1_000_000 // len(gj),
                 )
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_clustering_coefficient_bounds_property(spark, raw_edges):
+    """For ANY undirected graph: 0 <= cc_ppm <= 1_000_000, the
+    triangle credit never exceeds deg*(deg-1)/2, and degree-1 nodes
+    never appear."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        clustering_coefficients,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "p1 int, p2 int")
+    for r in clustering_coefficients(df).collect():
+        assert r["degree"] >= 2
+        assert 0 <= r["cc_ppm"] <= 1_000_000
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=8, max_size=8),
+        min_size=4,
+        max_size=24,
+    ),
+    st.integers(2, 4),
+)
+def test_semdedup_pair_loser_property(spark, vecs, k):
+    """For ANY corpus: every duplicate pair has its loser dropped (so a
+    kept vector won every pair it was in), drops only happen to
+    vectors that appear in >= 1 pair, and the output covers the corpus
+    exactly once."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        semdedup_from_assignment,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # deterministic synthetic assignment: round-robin clusters, dist = id
+    assign = spark.createDataFrame(
+        [(i, i % k, (i * 7) % 11) for i in range(len(rows))],
+        "vec_id long, cluster int, dist_q long",
+    )
+    out = {r["vec_id"]: r["dropped"] for r in semdedup_from_assignment(
+        df, assign, tau=0.95).collect()}
+    assert set(out) == set(range(len(rows)))
+    # recompute pairs + losers in python
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return float("-inf")  # zero-norm vectors never pair
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    dist = {i: (i * 7) % 11 for i in range(len(rows))}
+    losers = set()
+    in_pair = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if i % k != j % k:
+                continue
+            if cos(vecs[i], vecs[j]) >= 0.95:
+                in_pair |= {i, j}
+                if (dist[i], i) < (dist[j], j):
+                    losers.add(i)
+                else:
+                    losers.add(j)
+    assert {v for v, d in out.items() if d} == losers
+    assert losers <= in_pair
