@@ -630,3 +630,80 @@ def test_semdedup_pair_loser_property(spark, vecs, k):
                     losers.add(j)
     assert {v for v, d in out.items() if d} == losers
     assert losers <= in_pair
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=15, unique=True),
+    st.integers(1, 8),
+)
+def test_rrf_fuse_matches_replay_property(spark, items_a, items_b, k):
+    """For ANY pair of rank lists (including disjoint ones): fused
+    score is exactly unit div (c+ra) + unit div (c+rb) with missing
+    legs contributing 0, and the emitted order is (score DESC, item
+    ASC) truncated to k."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    ra = [(0, it, r + 1) for r, it in enumerate(items_a)]
+    rb = [(0, it, r + 1) for r, it in enumerate(items_b)]
+    schema = "query_id long, item_id long, rank int"
+    out = rrf_fuse(
+        spark.createDataFrame(ra, schema),
+        spark.createDataFrame(rb, schema),
+        k=k,
+    ).collect()
+    # python replay
+    unit, c = 1_000_000_000, 60
+    sa = {it: r for _, it, r in ra}
+    sb = {it: r for _, it, r in rb}
+    score = {
+        it: (unit // (c + sa[it]) if it in sa else 0)
+        + (unit // (c + sb[it]) if it in sb else 0)
+        for it in set(sa) | set(sb)
+    }
+    expect = sorted(score.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = [(r["item_id"], r["rrf_score"]) for r in sorted(
+        out, key=lambda r: r["rank"])]
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", categories=("L", "N", "P", "Z")
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_readability_matches_replay_property(spark, texts):
+    """For ANY ASCII text (empty, punctuation-only, vowel-free): the
+    emitted counts and flesch_milli equal the regex/floor-div replay."""
+    import re as _re
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        readability_scores,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    for i, t in rows:
+        toks = _re.split(r"\s+", t.strip())
+        w = max(len(toks), 1) if toks != [""] else 1
+        s = max(len(_re.findall(r"[.!?]+", t)), 1)
+        v = max(len(_re.findall(r"[aeiouyAEIOUY]+", t)), 1)
+        r = got[i]
+        assert (r["n_words"], r["n_sentences"], r["n_vowel_groups"]) == (
+            w, s, v,
+        ), (t,)
+        assert r["flesch_milli"] == 206835 - (1015 * w) // s - (
+            84600 * v
+        ) // w
