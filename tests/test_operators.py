@@ -3490,3 +3490,29 @@ def test_dedup_ensemble_flags_consistent_with_tiers(spark, sf_small):
         emb, k=8, n_rounds=3, tau=0.35, scale=1000).collect()
         if r["dropped"]}
     assert {d for d, r in out.items() if r["semdedup_dropped"]} == sd_drops
+
+
+def test_assign_to_centroids_argmin_and_tiebreak(spark):
+    """Exact integer assignment semantics: milli-quantized squared
+    distance, nearest centroid wins, equidistant vectors break ties
+    toward the LOWER centroid id (the dist*16+cid pack)."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    centroids = [[0, 0], [4000, 0]]  # already on the x1000 grid
+    rows = [
+        (0, [0.0, 0.0]),   # on c0 -> cluster 0, dist 0
+        (1, [4.0, 0.0]),   # on c1 -> cluster 1, dist 0
+        (2, [2.0, 0.0]),   # equidistant (2000^2 each) -> tie -> c0
+        (3, [3.0, 1.0]),   # closer to c1: 1000^2+1000^2 < 3000^2+1000^2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster"], r["dist_q"]) for r in
+           assign_to_centroids(df, centroids, scale=1000).collect()}
+    assert got == {
+        0: (0, 0),
+        1: (1, 0),
+        2: (0, 2000 * 2000),
+        3: (1, 1000 * 1000 + 1000 * 1000),
+    }
