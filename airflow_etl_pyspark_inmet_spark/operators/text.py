@@ -1472,3 +1472,55 @@ def readability_scores(
             " - (84600 * n_vowel_groups) div n_words as bigint)"
         ),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document CHARACTER-level Shannon entropy in mean micro-nats
+    — the random-bytes / encoded-blob / boilerplate detector of the
+    quality family (very low entropy = repeated filler, very high =
+    base64/binary paste), complementing token-level repetition (t10)
+    and corpus-LM surprise (t17). Engine-portable by the t17 contract:
+    each character's -ln(c/n) is quantized to integer micro-nats
+    BEFORE the cross-row sum (one correctly-rounded ln + round per
+    (doc, char) pair), and the mean is one exact-integer-ratio IEEE
+    division at the end. Plan: explode to characters, one (doc, char)
+    hash agg, one per-doc agg — both map-side-combinable, no joins,
+    no Python; the (doc, char) key space is docs x alphabet."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    # cnt feeds both the per-doc total and the scored join — checkpoint
+    # so the explode + first agg materialize once (the q111 lesson)
+    cnt = chars.groupBy(id_col, "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).localCheckpoint(eager=False)
+    w_n = (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )
+    scored = cnt.join(w_n, id_col).select(
+        F.col(id_col),
+        "_c",
+        "_n",
+        "n_distinct_chars",
+        F.round(
+            -F.log(F.col("_c") / F.col("_n").cast("double")) * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("_nl_u"),
+    )
+    return scored.groupBy(id_col, "n_distinct_chars").agg(
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        (
+            F.sum(F.col("_c") * F.col("_nl_u")).cast("double")
+            / (F.sum("_c") * F.lit(1e6))
+        ).alias("entropy_nats"),
+    ).select(id_col, "n_chars", "n_distinct_chars", "entropy_nats")

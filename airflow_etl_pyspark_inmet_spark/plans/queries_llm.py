@@ -2983,3 +2983,18 @@ def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("semdedup_dropped").cast("int")
         ).cast("bigint"),
     )
+
+
+def t37_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document
+    (operators.text.char_entropy) in mean micro-nat-quantized nats —
+    the random-bytes / encoded-blob / filler detector next to t10's
+    repetition and t17's corpus-LM surprise. The t17 determinism
+    contract: per-(doc, char) -ln(p) quantized to integer micro-nats
+    before any cross-row sum, one exact-integer IEEE division at the
+    end. Two map-side-combinable hash aggs, no joins reading storage
+    twice, no Python."""
+    from ..operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(docs)

@@ -5136,6 +5136,36 @@ LEFT JOIN sd USING (doc_id)
 """
 QUERIES["c10_dedup_ensemble"] = L.c10_dedup_ensemble
 
+# t37 — char entropy: the t17 ln contract (micro-nat quantization
+# before the sum); both engines split to chars identically (probed:
+# string_split(text, '') == split(text, ''), empty docs -> [''],
+# filtered on both sides).
+ORACLES["t37_char_entropy"] = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents
+),
+ch2 AS (SELECT doc_id, c FROM ch WHERE c <> ''),
+cnt AS (SELECT doc_id, c, COUNT(*) AS n_c FROM ch2 GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, SUM(n_c) AS n, COUNT(*) AS n_distinct_chars
+  FROM cnt GROUP BY 1
+),
+scored AS (
+  SELECT cnt.doc_id, cnt.n_c, tot.n, tot.n_distinct_chars,
+         CAST(round(-ln(cnt.n_c / CAST(tot.n AS DOUBLE)) * 1e6)
+              AS BIGINT) AS nl_u
+  FROM cnt JOIN tot USING (doc_id)
+)
+SELECT doc_id,
+       CAST(SUM(n_c) AS BIGINT) AS n_chars,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(n_c * nl_u) AS DOUBLE) / (SUM(n_c) * 1e6)
+         AS entropy_nats
+FROM scored GROUP BY doc_id, n_distinct_chars
+"""
+QUERIES["t37_char_entropy"] = L.t37_char_entropy
+
 
 # t35 — positional phrase search. The Spark side matches via the anchor
 # join (generalizes to any phrase length); the oracle uses the
@@ -5415,8 +5445,8 @@ QUERIES["s11_matryoshka_topk"] = L.s11_matryoshka_topk
 # join them). Remaining r7-stale after this round (37, front of the
 # r12 window): m13, m14, m15, t22, t24, t25, t26, x5/x7/x8, s5,
 # q10/q78/q79, q80-q83, q84-q101 (TPC-H block + profiling), q102.
-# g7/s11/d25/d26/st14/t36/c10 (added after this rotation landed) are never-checked and
-# also enter the r12 front.
+# g7/s11/d25/d26/st14/t36/c10/t37 (added after this rotation landed)
+# are never-checked and also enter the r12 front.
 _R11_WINDOW = [
     "s9_kmeans",
     "t35_phrase_search",

@@ -3516,3 +3516,28 @@ def test_assign_to_centroids_argmin_and_tiebreak(spark):
         2: (0, 2000 * 2000),
         3: (1, 1000 * 1000 + 1000 * 1000),
     }
+
+
+def test_char_entropy_hand_cases(spark):
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert 4 not in got  # empty doc has no characters
+    # uniform single char: entropy 0
+    assert got[1]["n_chars"] == 4 and got[1]["n_distinct_chars"] == 1
+    assert got[1]["entropy_nats"] == 0.0
+    # two chars 50/50: ln 2
+    nl = round(-math.log(0.5) * 1e6)
+    assert got[2]["entropy_nats"] == (4 * nl) / (4 * 1e6)
+    # four distinct: ln 4
+    nl4 = round(-math.log(0.25) * 1e6)
+    assert got[3]["n_distinct_chars"] == 4
+    assert got[3]["entropy_nats"] == (4 * nl4) / (4 * 1e6)
