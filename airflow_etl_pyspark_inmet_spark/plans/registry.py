@@ -5503,3 +5503,68 @@ assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
+
+# --- r12 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 8 queries never driver-checked (registered after the r11 window
+# landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
+# Staleness computed from CORRECTNESS_r{1..11}.json (oldest evidence first).
+# Remaining r8-stale queries are pre-verified locally for r13 (BASELINE.md).
+_R12_WINDOW = [
+    # never driver-checked (judge-verified green in r11; hard signal now)
+    "g7_clustering_coeff",
+    "s11_matryoshka_topk",
+    "d25_semdedup",
+    "d26_semdedup_ivf",
+    "st14_stream_topk",
+    "t36_readability",
+    "c10_dedup_ensemble",
+    "t37_char_entropy",
+    # r7-stale (37)
+    "m13_multimodal_pack",
+    "m14_av_alignment",
+    "m15_keyframes",
+    "t22_bpe_train",
+    "t24_leakage_safe_split",
+    "t25_interp_bigram",
+    "t26_jaccard_search",
+    "x5_curriculum_order",
+    "x7_weighted_sample",
+    "x8_epoch_reshuffle",
+    "s5_pq_topk",
+    "q10_semi_join",
+    "q78_cdc_apply",
+    "q79_ratio_to_report",
+    "q80_ohlc_bars",
+    "q81_basket_pairs",
+    "q82_running_balance_floor",
+    "q83_basket_pairs_capped",
+    "q84_tpch_q6",
+    "q85_tpch_q7",
+    "q86_tpch_q8",
+    "q87_tpch_q10",
+    "q88_tpch_q13",
+    "q89_tpch_q14",
+    "q90_tpch_q15",
+    "q91_tpch_q19",
+    "q92_tpch_q21",
+    "q93_tpch_q22",
+    "q94_tpch_q4",
+    "q95_bloom_semi",
+    "q96_expectations",
+    "q97_interval_merge",
+    "q98_skew_split_join",
+    "q99_pit_scd2_join",
+    "q100_sliding_distinct",
+    "q101_active_intervals",
+    "q102_join_discovery",
+    # r8-stale fill (5)
+    "c1_curation_chain",
+    "c2_dedup_funnel",
+    "d2_dedup_jaccard",
+    "d5_dedup_clusters",
+    "d16_fuzzy_pairs_segmented",
+]
+assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)
+}
