@@ -1929,6 +1929,7 @@ def semdedup(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     CLUSTER BLOCKING — the third blocking family next to the label
@@ -1946,16 +1947,20 @@ def semdedup(
 
     Scale design: pair work is sum over clusters of n_c^2, so ``k``
     is the blocking knob — the paper runs k ~ sqrt(N) (50k clusters
-    on LAION) so clusters stay bounded; the per-round Lloyd cost is
-    one map-only broadcast-literal argmin + one combine-heavy agg
-    (see kmeans_lloyd). Everything that decides keep/drop is integer
-    (dist_q, ids); only the tau crossing is float — the d6 contract.
+    on LAION) so clusters stay bounded. ``k`` is now UNCAPPED: the
+    per-round Lloyd argmin is either the broadcast-literal struct
+    tiebreak (small k, pure codegen) or the Arrow int64 argmin whose
+    cost is flat in k up to thousands of cells (``assigner``, see
+    kmeans_lloyd) — bit-identical either way, so scaling k with N is
+    a parameter choice, not a code path change. Everything that
+    decides keep/drop is integer (dist_q, ids); only the tau crossing
+    is float — the d6 contract.
     Returns every vector: (id, cluster, dist_q, dropped)."""
     from .similarity import kmeans_lloyd
 
     assign = kmeans_lloyd(
         df, k=k, n_rounds=n_rounds, scale=scale,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, assigner=assigner,
     )
     return semdedup_from_assignment(
         df, assign, tau=tau, id_col=id_col, vec_col=vec_col
@@ -1971,10 +1976,10 @@ def semdedup_from_assignment(
 ) -> DataFrame:
     """The SemDeDup pair/loser algebra over ANY blocking assignment —
     ``assign`` is (id, cluster, dist_q) from whichever assigner fits
-    the scale: :func:`~.similarity.kmeans_lloyd` for the k <= 16
-    oracle-exact tier (:func:`semdedup`), or the IVF trained-centroid
-    assigner (operators.similarity._ivf_train / _assign_udf, the s3
-    machinery) when production k ~ sqrt(N) runs to the thousands —
+    the scale: :func:`~.similarity.kmeans_lloyd` at any k (literal or
+    arrow argmin, both oracle-exact), or the IVF trained-centroid
+    assigner (operators.similarity._ivf_train, the s3 machinery)
+    quantized onto the grid — production k ~ sqrt(N) in the thousands —
     the algebra below is identical either way: intra-cluster pairs,
     cosine >= tau, the member closer to its centroid loses, ties drop
     the smaller id, a vector is dropped if it loses any pair."""
@@ -2035,6 +2040,7 @@ def semdedup_ivf(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "auto",
 ) -> DataFrame:
     """SemDeDup on the PRODUCTION large-k blocking path: clusters come
     from the IVF coarse quantizer (operators.similarity._ivf_train —
@@ -2059,7 +2065,8 @@ def semdedup_ivf(
         [int(math.floor(x * scale)) for x in row] for row in C.tolist()
     ]
     assign = assign_to_centroids(
-        df, centroids, scale=scale, id_col=id_col, vec_col=vec_col
+        df, centroids, scale=scale, id_col=id_col, vec_col=vec_col,
+        assigner=assigner,
     )
     return semdedup_from_assignment(
         df, assign, tau=tau, id_col=id_col, vec_col=vec_col

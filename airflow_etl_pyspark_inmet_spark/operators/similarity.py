@@ -1125,6 +1125,83 @@ def mmr_select(
     ).orderBy("step")
 
 
+def _quantize_expr(vec_col: str, scale: int) -> Column:
+    """Milli-quantization ``floor(x * scale)`` as int64 — exact on IEEE
+    doubles for these magnitudes; shared by every exact-integer
+    clustering tier so the grid is identical everywhere."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _argmin_struct_key(centroids: list) -> Column:
+    """Broadcast-literal exact argmin over ``_qv`` against integer
+    centroids: ``array_min`` over ``struct(dist, cid)`` — structs
+    compare lexicographically, so ties break toward the LOWER centroid
+    id, with NO packing factor (this replaced the historical
+    ``dist * 16 + cid`` int key, which capped k at 16 and recovered
+    dist_q with an IEEE double division). Arbitrary k; both fields
+    stay int64/int end-to-end. The k x dim centroid matrix folds into
+    the plan as array literals — plan size grows O(k * dim), which is
+    the practical bound on this path (use the arrow assigner beyond
+    a few hundred cells)."""
+
+    def _dist_expr(cvec) -> Column:
+        carr = F.array(*[F.lit(int(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist_expr(cvec).alias("d"),
+                    F.lit(cid).cast("int").alias("c"),
+                )
+                for cid, cvec in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def _assign_exact_udf(centroids: list):
+    """Arrow-batched exact-integer argmin against int64-quantized
+    centroids — the SAME semantics as :func:`_argmin_struct_key`
+    (int64 squared distance, ties break toward the lower centroid id
+    via numpy argmin's first-occurrence rule), bit for bit, but the
+    centroid matrix rides the UDF closure instead of the plan, so k
+    can reach the SemDeDup paper's k ~ sqrt(N) (thousands of cells)
+    without exploding codegen. All arithmetic is int64 end-to-end
+    (|v|^2 - 2 v.c + |c|^2 with an integer matmul) — no float fold,
+    no 2^53 caveat. Returns struct<cluster:int, dist_q:long>."""
+    C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+    c2 = np.einsum("ij,ij->i", C, C)  # (k,) int64
+
+    @F.pandas_udf("struct<cluster:int, dist_q:bigint>")
+    def udf(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cluster": [], "dist_q": []})
+        V = np.stack(qv.to_numpy()).astype(np.int64)  # (rows, dim)
+        v2 = np.einsum("ij,ij->i", V, V)  # (rows,) int64
+        d = v2[:, None] - 2 * (V @ C.T) + c2[None, :]  # (rows, k) int64
+        cid = np.argmin(d, axis=1)  # first occurrence = lowest cid
+        return pd.DataFrame(
+            {
+                "cluster": cid.astype(np.int32),
+                "dist_q": d[np.arange(len(cid)), cid],
+            }
+        )
+
+    return udf
+
+
+_LITERAL_ASSIGN_MAX_K = 32
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -1133,6 +1210,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assigner: str = "auto",
 ) -> DataFrame:
     """Distributed Lloyd k-means with EXACT integer semantics — the
     oracle-checkable clustering tier next to the float codebook
@@ -1143,44 +1221,49 @@ def kmeans_lloyd(
 
     - vectors are milli-quantized up front (``floor(x * scale)`` as
       int64 — exact on IEEE doubles for these magnitudes),
-    - squared-Euclidean distances are integer sums (computed via three
-      dot products whose terms stay < 2^53, so the double fold is
-      exact),
-    - the argmin tiebreak is ``dist * 16 + cid`` (k <= 16), and
+    - squared-Euclidean distances are exact int64 sums,
+    - the argmin tiebreak is lexicographic ``(dist, cid)`` — lower
+      centroid id wins ties (``array_min`` over ``struct(dist, cid)``
+      on the literal path; numpy argmin first-occurrence on the arrow
+      path — identical results bit for bit), and
     - centroid updates are element-wise FLOOR division
       ``(sum - pmod(sum, n)) / n`` so centroids remain int64 and the
       whole trajectory is replayable bit for bit (empty clusters keep
       their previous centroid).
 
+    ``assigner`` picks the physical argmin: ``"literal"`` folds the
+    k x dim centroid matrix into the plan as array literals (pure
+    codegen, no Python — best for small k, plan grows O(k * dim));
+    ``"arrow"`` ships the matrix in a pandas-UDF closure
+    (:func:`_assign_exact_udf` — one Arrow pass per round, cost flat
+    in k up to thousands of cells, the SemDeDup paper's k ~ sqrt(N)
+    regime); ``"auto"`` = literal for k <= 32, else arrow. Both paths
+    are exact-integer and interchangeable — the d27 oracle pins the
+    arrow path to the same DuckDB trajectory as the literal tier.
+
     Scale shape: per round, ONE distributed job — a map-only argmin
-    against the k broadcast-literal centroids (pure codegen: the k x
-    dim centroid matrix is folded into the plan as array literals, no
-    join, no shuffle for assignment) followed by a ``groupBy(cid)``
-    of ``dim`` SUM columns (map-side partial combine reduces the
-    exchange to ~k x partitions rows); the driver collects exactly k
-    (cid, n, sums...) rows per round — the FAISS-style bounded
-    codebook collect, independent of corpus size. The quantized frame
-    is lineage-truncated once and re-scanned n_rounds+1 times; at
-    100 TB you'd persist it to storage instead, but the per-round
-    plan is already the one you'd ship: Lloyd on a 1000-executor
-    cluster IS k broadcast literals + one combine-heavy agg per
-    round. Iterative contract (g1/g4/t22): rounds are driver-bounded,
-    the oracle unrolls the same rounds as SQL.
+    against the k broadcast centroids (no join, no shuffle for
+    assignment) followed by a ``groupBy(cid)`` of ``dim`` SUM columns
+    (map-side partial combine reduces the exchange to ~k x partitions
+    rows); the driver collects exactly k (cid, n, sums...) rows per
+    round — the FAISS-style bounded codebook collect, independent of
+    corpus size. The quantized frame is lineage-truncated once and
+    re-scanned n_rounds+1 times; at 100 TB you'd persist it to
+    storage instead, but the per-round plan is already the one you'd
+    ship: Lloyd on a 1000-executor cluster IS k broadcast centroids +
+    one combine-heavy agg per round. Iterative contract (g1/g4/t22):
+    rounds are driver-bounded, the oracle unrolls the same rounds as
+    SQL.
 
     Returns the final assignment under the post-round-``n_rounds``
     centroids: (id_col, cluster, dist_q) — ``dist_q`` the exact
     integer squared distance in quanta^2.
     """
-    if k > 16:
-        raise ValueError("tiebreak key packs cid into dist*16: k <= 16")
+    use_arrow = assigner == "arrow" or (
+        assigner == "auto" and k > _LITERAL_ASSIGN_MAX_K
+    )
     q = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
-                "long"
-            ),
-        ).alias("_qv"),
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
     ).localCheckpoint(eager=False)
 
     seed_rows = q.orderBy(id_col).limit(k).collect()  # bounded: k rows
@@ -1188,30 +1271,21 @@ def kmeans_lloyd(
         list(r["_qv"]) for r in sorted(seed_rows, key=lambda r: r[id_col])
     ]
 
-    def _dist_expr(cvec: list[int]) -> Column:
-        carr = F.array(*[F.lit(int(v)) for v in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     def _assign(frame: DataFrame) -> DataFrame:
-        key = F.array_min(
-            F.array(
-                *[
-                    _dist_expr(cvec) * F.lit(16) + F.lit(cid)
-                    for cid, cvec in enumerate(centroids)
-                ]
+        if use_arrow:
+            key = _assign_exact_udf(centroids)(F.col("_qv"))
+            return frame.withColumn("_key", key).select(
+                id_col,
+                "_qv",
+                F.col("_key.cluster").alias("cluster"),
+                F.col("_key.dist_q").alias("dist_q"),
             )
-        )
+        key = _argmin_struct_key(centroids)
         return frame.withColumn("_key", key).select(
             id_col,
             "_qv",
-            F.pmod(F.col("_key"), F.lit(16)).cast("int").alias("cluster"),
-            ((F.col("_key") - F.pmod(F.col("_key"), F.lit(16))) / F.lit(16))
-            .cast("long")
-            .alias("dist_q"),
+            F.col("_key.c").alias("cluster"),
+            F.col("_key.d").alias("dist_q"),
         )
 
     for _ in range(n_rounds):
@@ -1252,53 +1326,41 @@ def assign_to_centroids(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "auto",
 ) -> DataFrame:
-    """Broadcast-literal integer argmin assignment of every vector to
-    the nearest of <= 16 INTEGER-QUANTIZED centroids — the
-    :func:`kmeans_lloyd` assignment step exposed standalone, so any
-    centroid source (a Lloyd trajectory, an IVF-trained codebook
-    quantized onto the same grid, a fixed taxonomy) can drive the
-    blocking tiers (e.g. operators.dedup.semdedup_from_assignment).
-    Same exact semantics as kmeans_lloyd's final assignment: vectors
-    are milli-quantized ``floor(x * scale)``, squared-Euclidean
-    distances are exact int64 folds, and the argmin tiebreak packs the
-    centroid id into ``dist * 16 + cid``. Map-only: the k x dim
-    centroid matrix folds into the plan as array literals — no join,
-    no shuffle. Returns (id, cluster, dist_q)."""
-    if len(centroids) > 16:
-        raise ValueError("tiebreak key packs cid into dist*16: <= 16")
+    """Exact-integer argmin assignment of every vector to the nearest
+    INTEGER-QUANTIZED centroid — the :func:`kmeans_lloyd` assignment
+    step exposed standalone, so any centroid source (a Lloyd
+    trajectory, an IVF-trained codebook quantized onto the same grid,
+    a fixed taxonomy) can drive the blocking tiers (e.g.
+    operators.dedup.semdedup_from_assignment). Same exact semantics as
+    kmeans_lloyd's final assignment: vectors are milli-quantized
+    ``floor(x * scale)``, squared-Euclidean distances are exact int64,
+    and the argmin tiebreak is lexicographic ``(dist, cid)``.
+    ``assigner``: ``"literal"`` folds centroids into the plan as array
+    literals (map-only codegen, plan grows O(k * dim)); ``"arrow"``
+    ships them in a pandas-UDF closure (:func:`_assign_exact_udf`, k
+    up to thousands — the SemDeDup k ~ sqrt(N) path); ``"auto"`` =
+    literal for k <= 32, else arrow. No join, no shuffle either way.
+    Returns (id, cluster, dist_q)."""
+    use_arrow = assigner == "arrow" or (
+        assigner == "auto" and len(centroids) > _LITERAL_ASSIGN_MAX_K
+    )
     q = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
-                "long"
-            ),
-        ).alias("_qv"),
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
     )
-
-    def _dist_expr(cvec) -> Column:
-        carr = F.array(*[F.lit(int(v)) for v in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("_qv"), carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    if use_arrow:
+        key = _assign_exact_udf(centroids)(F.col("_qv"))
+        return q.withColumn("_key", key).select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("_key.cluster").alias("cluster"),
+            F.col("_key.dist_q").alias("dist_q"),
         )
-
-    key = F.array_min(
-        F.array(
-            *[
-                _dist_expr(cvec) * F.lit(16) + F.lit(cid)
-                for cid, cvec in enumerate(centroids)
-            ]
-        )
-    )
+    key = _argmin_struct_key(centroids)
     return q.withColumn("_key", key).select(
         F.col(id_col).cast("bigint").alias(id_col),
-        F.pmod(F.col("_key"), F.lit(16)).cast("int").alias("cluster"),
-        ((F.col("_key") - F.pmod(F.col("_key"), F.lit(16))) / F.lit(16))
-        .cast("long")
-        .alias("dist_q"),
+        F.col("_key.c").alias("cluster"),
+        F.col("_key.d").alias("dist_q"),
     )
 
 

@@ -2896,13 +2896,41 @@ def d26_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .agg(
+            F.count(F.lit(1)).alias("_n_exact"),
             (
                 F.count("_iv_id") / F.greatest(F.count(F.lit(1)), F.lit(1))
-            ).alias("_recall")
+            ).alias("_recall"),
         )
-        .select((F.col("_recall") >= F.lit(0.4)).alias("blocking_recall_ok"))
+        # empty exact-drop set => recall is vacuously perfect (0/1 would
+        # otherwise fail the gate on duplicate-free corpora)
+        .select(
+            (
+                (F.col("_n_exact") == 0) | (F.col("_recall") >= F.lit(0.4))
+            ).alias("blocking_recall_ok")
+        )
     )
     return exact.crossJoin(F.broadcast(recall))
+
+
+def d27_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the paper's blocking scale — k=64 cells via the
+    Arrow exact-integer assigner (operators.similarity.
+    _assign_exact_udf), the path that stays flat in k up to the
+    k ~ sqrt(N) thousands a 100 TB corpus needs (the old
+    broadcast-literal tier packed cid into dist*16 and capped k at
+    16, making the pair tier quadratic-per-cluster at scale —
+    SCALING.md r11 measured 29x for 10x data at fixed k=8). Same
+    bit-exact algebra as d25 (int64 distances, (dist, cid) tiebreak,
+    floor-div centroid updates), so the oracle replays the identical
+    64-cell 3-round trajectory in DuckDB — the production assigner is
+    oracle-pinned, not just envelope-checked. Pair work drops by
+    ~k/16: blocking cost sum n_c^2 with n_c ~ N/64."""
+    from ..operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, k=64, n_rounds=3, tau=0.35, scale=1000, assigner="arrow"
+    )
 
 
 def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2954,7 +2982,15 @@ def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_ef", F.lit(True))
     )
-    sd = semdedup(emb, k=8, n_rounds=3, tau=0.35, scale=1000).select(
+    # SemDeDup tier at the paper's scale-aware blocking: k ~ sqrt(N)
+    # (clusters stay ~sqrt(N) wide, pair work N^1.5 instead of N^2/8
+    # at fixed k — the r11 19.4x sf1 curve was this tier at k=8). The
+    # count is a cheap parquet-metadata job; the oracle replays the
+    # trajectory at k = max(8, isqrt(N_sf0.01)) = 22.
+    import math
+
+    k_sd = max(8, math.isqrt(emb.count()))
+    sd = semdedup(emb, k=k_sd, n_rounds=3, tau=0.35, scale=1000).select(
         F.col("vec_id").alias("doc_id"),
         F.col("dropped").alias("semdedup_dropped"),
     )

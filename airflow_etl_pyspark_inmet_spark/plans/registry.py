@@ -4936,9 +4936,14 @@ _S9_PARTS: dict = {}
 
 
 def _s9_kmeans_sql(k: int, n_rounds: int, dim: int, scale: int) -> str:
+    # The oracle's argmin tiebreak packs (dist, cid) into dist*pack+cid;
+    # any pack >= k preserves the lexicographic order (the engine side
+    # uses an unpacked struct argmin — same order, no factor). pack=16
+    # for k <= 16 keeps historical oracle text byte-identical.
+    pack = max(16, 1 << max(k - 1, 1).bit_length())
     assign = """
 a{r} AS (
-  SELECT vec_id, min_by(cid, dist * 16 + cid) AS cluster
+  SELECT vec_id, min_by(cid, dist * {pack} + cid) AS cluster
   FROM (
     SELECT q.vec_id, c.cid,
            CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
@@ -4976,20 +4981,20 @@ c{r} AS (
     ]
     prev = "c0"
     for r in range(1, n_rounds + 1):
-        parts.append(assign.format(r=r, prev=prev))
+        parts.append(assign.format(r=r, prev=prev, pack=pack))
         parts.append(update.format(r=r, prev=prev, dim1=dim + 1))
         prev = f"c{r}"
-    _S9_PARTS[(k, n_rounds, dim, scale)] = (list(parts), prev)
+    _S9_PARTS[(k, n_rounds, dim, scale)] = (list(parts), prev, pack)
     final = f"""
 SELECT vec_id,
-       CAST(key % 16 AS INTEGER) AS cluster,
-       key // 16 AS dist_q
+       CAST(key % {pack} AS INTEGER) AS cluster,
+       key // {pack} AS dist_q
 FROM (
   SELECT q.vec_id, min(
            CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
               - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
               + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
-             AS BIGINT) * 16 + cid) AS key
+             AS BIGINT) * {pack} + cid) AS key
   FROM q, {prev} c
   GROUP BY q.vec_id)
 """
@@ -5006,18 +5011,20 @@ QUERIES["s9_kmeans"] = L.s9_kmeans
 # only the tau crossing is float (the d6 contract).
 def _d25_semdedup_sql(k: int, n_rounds: int, dim: int, scale: int,
                       tau: float) -> str:
-    parts, prev = _S9_PARTS[(k, n_rounds, dim, scale)]
+    if (k, n_rounds, dim, scale) not in _S9_PARTS:
+        _s9_kmeans_sql(k, n_rounds, dim, scale)
+    parts, prev, pack = _S9_PARTS[(k, n_rounds, dim, scale)]
     fin = f"""
 fin AS (
   SELECT vec_id,
-         CAST(key % 16 AS INTEGER) AS cluster,
-         key // 16 AS dist_q
+         CAST(key % {pack} AS INTEGER) AS cluster,
+         key // {pack} AS dist_q
   FROM (
     SELECT q.vec_id, min(
              CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
                 - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
                 + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
-               AS BIGINT) * 16 + cid) AS key
+               AS BIGINT) * {pack} + cid) AS key
     FROM q, {prev} c
     GROUP BY q.vec_id)
 )"""
@@ -5117,7 +5124,7 @@ ef AS (
   )
 ),
 sd AS (
-  SELECT vec_id AS doc_id, dropped FROM ({ORACLES["d25_semdedup"]})
+  SELECT vec_id AS doc_id, dropped FROM ({_d25_semdedup_sql(22, 3, 64, 1000, 0.35)})
 )
 SELECT ex.doc_id,
        ex.exact_dup,
@@ -5135,6 +5142,14 @@ LEFT JOIN ef USING (doc_id)
 LEFT JOIN sd USING (doc_id)
 """
 QUERIES["c10_dedup_ensemble"] = L.c10_dedup_ensemble
+
+# d27 — SemDeDup at the paper's blocking scale: k=64 cells through the
+# Arrow exact-integer assigner (the production k ~ sqrt(N) path, which
+# the old dist*16+cid packing capped at 16 cells). The oracle replays
+# the identical 64-cell 3-round trajectory (pack factor 64) — the
+# large-k assigner is pinned bit for bit, not just envelope-checked.
+ORACLES["d27_semdedup_scaled"] = _d25_semdedup_sql(64, 3, 64, 1000, 0.35)
+QUERIES["d27_semdedup_scaled"] = L.d27_semdedup_scaled
 
 # t37 — char entropy: the t17 ln contract (micro-nat quantization
 # before the sum); both engines split to chars identically (probed:

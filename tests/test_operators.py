@@ -3486,8 +3486,12 @@ def test_dedup_ensemble_flags_consistent_with_tiers(spark, sf_small):
     text_ids = {r["id_a"] for r in tp} | {r["id_b"] for r in tp}
     assert {d for d, r in out.items() if r["text_neardup"]} == text_ids
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    # mirror c10's scale-aware blocking: k = max(8, isqrt(N))
+    import math
+
+    k_sd = max(8, math.isqrt(emb.count()))
     sd_drops = {r["vec_id"] for r in semdedup(
-        emb, k=8, n_rounds=3, tau=0.35, scale=1000).collect()
+        emb, k=k_sd, n_rounds=3, tau=0.35, scale=1000).collect()
         if r["dropped"]}
     assert {d for d, r in out.items() if r["semdedup_dropped"]} == sd_drops
 
@@ -3541,3 +3545,73 @@ def test_char_entropy_hand_cases(spark):
     nl4 = round(-math.log(0.25) * 1e6)
     assert got[3]["n_distinct_chars"] == 4
     assert got[3]["entropy_nats"] == (4 * nl4) / (4 * 1e6)
+
+
+def test_assign_literal_arrow_equivalence_k64(spark):
+    """The broadcast-literal struct argmin and the Arrow int64 argmin
+    are the SAME function bit for bit — same quantization grid, same
+    exact squared distances, same (dist, cid) lexicographic tiebreak —
+    at a k far beyond the old 16-cell packing cap."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    rng = random.Random(12)
+    dim = 8
+    centroids = [
+        [rng.randint(-5000, 5000) for _ in range(dim)] for _ in range(64)
+    ]
+    # duplicate a few centroids so the cid tiebreak actually fires
+    centroids[40] = list(centroids[3])
+    centroids[63] = list(centroids[0])
+    rows = [
+        (i, [rng.uniform(-5.0, 5.0) for _ in range(dim)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in assign_to_centroids(
+            df, centroids, scale=1000, assigner="literal"
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in assign_to_centroids(
+            df, centroids, scale=1000, assigner="arrow"
+        ).collect()
+    }
+    assert lit == arr and len(lit) == 200
+    # ties on duplicated centroids resolved toward the lower cid
+    assert all(c not in (40, 63) for c, _ in arr.values())
+
+
+def test_kmeans_lloyd_arrow_matches_literal(spark):
+    """Full Lloyd trajectory equality across assigners: seeds, per-round
+    integer centroid updates, and the final assignment agree exactly,
+    so the arrow path inherits the literal tier's DuckDB oracle."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(34)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(6)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_lloyd(
+            df, k=10, n_rounds=2, scale=1000, dim=6, assigner="literal"
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_lloyd(
+            df, k=10, n_rounds=2, scale=1000, dim=6, assigner="arrow"
+        ).collect()
+    }
+    assert lit == arr and len(lit) == 120
