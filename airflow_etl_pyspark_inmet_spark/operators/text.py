@@ -937,7 +937,7 @@ def misra_gries_topk(
     k_counters: int = 256,
     top: int = 20,
     text_col: str = "text",
-    guaranteed_only: bool = True,
+    guaranteed_only: bool = False,
 ) -> DataFrame:
     """Heavy hitters via a MERGEABLE bounded-state Misra-Gries sketch —
     the streaming/batched alternative to t15's exact vocabulary census
@@ -959,17 +959,19 @@ def misra_gries_topk(
     carries only sketch survivors (<= k per batch) and their exact
     counts.
 
-    ``guaranteed_only`` (default True, r10 advice): restrict the
-    emitted top-``top`` to mg_ok rows. A token with global frequency
-    <= N/k has NO survival guarantee, so without the filter a true
-    top-``top`` row could be absent from the candidate set on an
-    adversarial distribution — a data-dependent hole the flag cannot
-    signal because the row is missing, not marked false. Filtered,
-    the emitted set is PROVABLY the exact top-``top`` of all tokens
-    with freq > N/k (guarantee above gives candidates ⊇ that set;
-    the predicate is evaluated on exact re-counts). Pass False for
-    the best-effort surface (rows beyond the guarantee included,
-    flagged mg_ok=false)."""
+    ``guaranteed_only=True`` restricts the emitted top-``top`` to
+    mg_ok rows. A token with global frequency <= N/k has NO survival
+    guarantee, so without the filter a true top-``top`` row could be
+    absent from the candidate set on an adversarial distribution — a
+    data-dependent hole the flag cannot signal because the row is
+    missing, not marked false. Filtered, the emitted set is PROVABLY
+    the exact top-``top`` of all tokens with freq > N/k (guarantee
+    above gives candidates ⊇ that set; the predicate is evaluated on
+    exact re-counts). The default is False — the historical
+    best-effort surface (rows beyond the guarantee included, flagged
+    mg_ok=false) — so existing callers keep their rows; the t28
+    driver query opts in to the certified tier explicitly (r11
+    advice: flipping the default silently shrank callers' output)."""
     from collections.abc import Iterator as _It
 
     import pandas as pd

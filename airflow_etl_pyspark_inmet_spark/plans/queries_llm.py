@@ -2227,7 +2227,11 @@ def t28_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import misra_gries_topk
 
     docs = _t(spark, sf_dir, "documents")
-    return misra_gries_topk(docs, k_counters=256, top=20)
+    # certified tier only: the emitted set is provably the exact
+    # top-20 of tokens above N/k (guaranteed_only is opt-in, r11
+    # advice — the operator default stays best-effort)
+    return misra_gries_topk(docs, k_counters=256, top=20,
+                            guaranteed_only=True)
 
 
 def x6_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

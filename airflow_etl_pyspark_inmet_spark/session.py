@@ -86,7 +86,14 @@ def _silence_bounded_window_warning(spark: SparkSession) -> None:
     lever. Unbounded-window mistakes in NEW code are still caught by
     the plan audit (scripts/dump_plans.py red-flags + per-query review
     in PLANS.md), which is the guard that matters at 100 TB — a log
-    line on a 32-thread local run never was."""
+    line on a 32-thread local run never was.
+
+    Scoped, not unconditional (r11 advice): set
+    ``SPARK_GRAFT_KEEP_WINDOW_WARN=1`` to leave WindowExec at WARN —
+    the runtime signal for unpartitioned-window regressions in new
+    code — e.g. while developing a new operator or auditing plans."""
+    if os.environ.get("SPARK_GRAFT_KEEP_WINDOW_WARN") == "1":
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -2224,11 +2224,14 @@ def test_misra_gries_survives_planted_heavy_hitter(spark):
 
     rows = [("hot",)] * 50 + [(f"rare{i}",) for i in range(100)]
     docs = spark.createDataFrame(rows, "text string").coalesce(1)
-    # default (guaranteed_only=True): ONLY the certified tier — the
-    # emitted set is provably exact, rare tokens are excluded even
-    # though top=5 has room (r10 advice: below N/k there is no
-    # survival guarantee, so emitting them is data-dependent)
-    out = misra_gries_topk(docs, k_counters=8, top=5).collect()
+    # guaranteed_only=True: ONLY the certified tier — the emitted set
+    # is provably exact, rare tokens are excluded even though top=5
+    # has room (below N/k there is no survival guarantee, so emitting
+    # them is data-dependent). Opt-in since r12 (r11 advice: the True
+    # default silently shrank existing callers' output).
+    out = misra_gries_topk(
+        docs, k_counters=8, top=5, guaranteed_only=True
+    ).collect()
     assert [(r["token"], r["freq"], r["mg_ok"]) for r in out] == [
         ("hot", 50, True)  # 50*8 > 150
     ]
