@@ -2937,6 +2937,24 @@ def d27_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d28_blocked_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector embedding near-dup FLAGS over label blocks in one
+    exact-integer Gram matmul per block (operators.dedup.
+    embedding_blocked_neardup_flags) — the existence reduction of
+    d6's pair tier for when the consumer is a per-doc drop policy,
+    not a pair list. Vectors ride the d25 milli-quantized grid and
+    the tau=7/20 crossing is decided rationally in int64
+    (400*dot^2 vs 49*|a|^2*|b|^2), so the flag set is bit-exact in
+    DuckDB; the pair self-join's per-pair JVM fold (133 s on sf1's
+    20M intra-label pairs) collapses to chunked numpy integer MACs
+    (seconds). Every vector is emitted with its boolean — the c10
+    ensemble consumes exactly this surface."""
+    from ..operators.dedup import embedding_blocked_neardup_flags
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_blocked_neardup_flags(emb, "label")
+
+
 def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP-ENSEMBLE report: every document scored by all four dedup
     families at once — exact text (d1's group), text near-dup (d3's
@@ -2951,7 +2969,7 @@ def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), and the ensemble count is integer. The oracle nests each
     tier's own SQL as a subquery — the c2/c4 composite contract."""
     from ..operators.dedup import (
-        embedding_cosine_pairs,
+        embedding_blocked_neardup_flags,
         minhash_lsh_pairs,
         semdedup,
     )
@@ -2977,13 +2995,15 @@ def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_tf", F.lit(True))
     )
-    ep = embedding_cosine_pairs(emb, "label", 0.35).localCheckpoint(
-        eager=False
-    )
+    # embedding tier: the d28 exact-integer Gram flag kernel, not the
+    # d6 pair self-join — the flag only needs EXISTENCE, and the pair
+    # enumeration priced sf1's 20M intra-label pairs at 133 s of JVM
+    # dot folds (r12 decomposition) where one chunked int64 matmul
+    # per block costs seconds and stays oracle-exact
     emb_ids = (
-        ep.select(F.col("id_a").alias("doc_id"))
-        .unionAll(ep.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+        embedding_blocked_neardup_flags(emb, "label")
+        .filter(F.col("neardup"))
+        .select(F.col("vec_id").alias("doc_id"))
         .withColumn("_ef", F.lit(True))
     )
     # SemDeDup tier at the paper's scale-aware blocking: k ~ sqrt(N)

@@ -5100,6 +5100,34 @@ ORACLES["d26_semdedup_ivf"] = (
 )
 QUERIES["d26_semdedup_ivf"] = L.d26_semdedup_ivf
 
+_D28_FLAGS_SQL = """
+WITH qe AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, label, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+              AS BIGINT) AS n2
+  FROM qe
+)
+SELECT a.vec_id,
+       COALESCE(bool_or(
+         a.n2 > 0 AND b.n2 > 0 AND d.dot >= 0
+         AND 400 * (CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT))
+             >= 49 * (CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT))
+       ), FALSE) AS neardup
+FROM qn a
+LEFT JOIN qn b ON a.label = b.label AND a.vec_id <> b.vec_id
+LEFT JOIN LATERAL (
+  SELECT CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                               CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+) d ON TRUE
+GROUP BY a.vec_id
+"""
+
 # c10 — dedup-ensemble report: each tier's OWN oracle nested as a
 # subquery (the c2/c4 composite contract); flags are set-membership
 # over those tiers' pair/drop sets.
@@ -5117,11 +5145,7 @@ tf AS (
   )
 ),
 ef AS (
-  SELECT DISTINCT id AS doc_id FROM (
-    SELECT id_a AS id FROM ({ORACLES["d6_dedup_embedding"]})
-    UNION ALL
-    SELECT id_b AS id FROM ({ORACLES["d6_dedup_embedding"]})
-  )
+  SELECT vec_id AS doc_id FROM ({_D28_FLAGS_SQL}) WHERE neardup
 ),
 sd AS (
   SELECT vec_id AS doc_id, dropped FROM ({_d25_semdedup_sql(22, 3, 64, 1000, 0.35)})
@@ -5150,6 +5174,14 @@ QUERIES["c10_dedup_ensemble"] = L.c10_dedup_ensemble
 # large-k assigner is pinned bit for bit, not just envelope-checked.
 ORACLES["d27_semdedup_scaled"] = _d25_semdedup_sql(64, 3, 64, 1000, 0.35)
 QUERIES["d27_semdedup_scaled"] = L.d27_semdedup_scaled
+
+# d28 — blocked near-dup flags: the existence reduction of d6's pair
+# tier on the d25 integer grid; tau = 7/20 decided rationally
+# (dot >= 0 AND 400*dot^2 >= 49*|a|^2*|b|^2, HUGEINT-widened), zero-
+# norm vectors never flag. The engine computes the same decision with
+# one chunked int64 Gram matmul per block.
+ORACLES["d28_blocked_neardup_flags"] = _D28_FLAGS_SQL
+QUERIES["d28_blocked_neardup_flags"] = L.d28_blocked_neardup_flags
 
 # t37 — char entropy: the t17 ln contract (micro-nat quantization
 # before the sum); both engines split to chars identically (probed:

@@ -3618,3 +3618,57 @@ def test_kmeans_lloyd_arrow_matches_literal(spark):
         ).collect()
     }
     assert lit == arr and len(lit) == 120
+
+
+def test_blocked_neardup_flags_python_replay(spark):
+    """The chunked int64 Gram kernel decides exactly the rational
+    crossing 400*dot^2 >= 49*|a|^2*|b|^2 (dot >= 0) per pair within a
+    block — replayed here with exact Python ints over random vectors,
+    plus: zero-norm vectors never flag, singleton blocks never flag,
+    and a vector is never its own duplicate."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_blocked_neardup_flags,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vecs = {}
+    for i in range(60):
+        v = [rng.randint(-600, 600) / 1000.0 for _ in range(8)]
+        rows.append((i, i % 3, v))
+        vecs[i] = v
+    rows.append((60, 0, [0.0] * 8))  # zero-norm: undefined cosine
+    vecs[60] = [0.0] * 8
+    rows.append((61, 9, [0.5] * 8))  # singleton block
+    vecs[61] = [0.5] * 8
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["neardup"]
+        for r in embedding_blocked_neardup_flags(df, "label").collect()
+    }
+
+    import math
+
+    q = {i: [math.floor(x * 1000) for x in v] for i, v in vecs.items()}
+    n2 = {i: sum(c * c for c in qv) for i, qv in q.items()}
+    blocks = {}
+    for i, blk, _ in rows:
+        blocks.setdefault(blk, []).append(i)
+    want = {}
+    for i, blk, _ in rows:
+        flag = False
+        for j in blocks[blk]:
+            if j == i or n2[i] == 0 or n2[j] == 0:
+                continue
+            dot = sum(a * b for a, b in zip(q[i], q[j]))
+            if dot >= 0 and 400 * dot * dot >= 49 * n2[i] * n2[j]:
+                flag = True
+                break
+        want[i] = flag
+    assert got == want
+    assert got[60] is False and got[61] is False
+    assert any(got.values())  # random 8-dim ints do produce some flags
