@@ -5604,12 +5604,15 @@ _R12_WINDOW = [
     "q100_sliding_distinct",
     "q101_active_intervals",
     "q102_join_discovery",
-    # r8-stale fill (5)
+    # new this round, never driver-checked (take the last two fill
+    # slots from r8-stale d5/d16, which are pre-verified locally
+    # instead — BASELINE.md r12 staleness note)
+    "d27_semdedup_scaled",
+    "d28_blocked_neardup_flags",
+    # r8-stale fill (3)
     "c1_curation_chain",
     "c2_dedup_funnel",
     "d2_dedup_jaccard",
-    "d5_dedup_clusters",
-    "d16_fuzzy_pairs_segmented",
 ]
 assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {

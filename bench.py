@@ -145,6 +145,24 @@ def main() -> None:
             docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
             return minhash_lsh_pairs(docs, threshold=0.5)
 
+        def _op_semdedup_sqrtn(spark_, sf_dir_):
+            # the production SemDeDup configuration: k scales with the
+            # corpus (paper contract), so the gate measures the curve a
+            # 100 TB deployment actually rides — fixed-k d27 is the
+            # oracle-pinned parity query, not the scale config
+            import math
+
+            from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+                semdedup,
+            )
+
+            emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+            k = max(8, math.isqrt(emb.count()))
+            return semdedup(
+                emb, k=k, n_rounds=3, tau=0.35, scale=1000,
+                assigner="arrow",
+            )
+
         subset = [
             "q01_pricing_summary",
             "q02_daily_supplier_agg",
@@ -160,13 +178,21 @@ def main() -> None:
             # first-occurrence; census + head coverage)
             "t33_vocab_growth",
             "t34_zipf_coverage",
+            # r12 additions: the scale-aware SemDeDup production path
+            # and the blocked Gram flag kernel (the c10 embedding tier)
+            "op:semdedup_sqrtn",
+            "d28_blocked_neardup_flags",
             "op:embedding_lsh_pairs",
             "op:minhash_lsh_pairs",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
             "op:minhash_lsh_pairs": _op_minhash_lsh,
+            "op:semdedup_sqrtn": _op_semdedup_sqrtn,
         }
+        env_subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET")
+        if env_subset:
+            subset = [s.strip() for s in env_subset.split(",") if s.strip()]
         n_sc = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
         def run_at(name: str, sf_dir: str) -> float:
