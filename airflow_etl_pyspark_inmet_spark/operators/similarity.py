@@ -1487,3 +1487,128 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "rrf_score", "rank")
     )
+
+
+def nn_descent_knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_rounds: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed NN-Descent k-NN GRAPH construction (Dong et al.,
+    WWW'11) with EXACT integer semantics — the INDEX-BUILD side of the
+    ANN family: s2/s3/s5/s6/s8/s11 serve queries against an existing
+    layout, while graph-ANN systems (HNSW / DiskANN class) bootstrap
+    from exactly this neighbor graph, and NN-Descent is the standard
+    distributed way to build it without an N^2 join.
+
+    Deterministic, oracle-replayable algebra (the g1/t22 unrolled-
+    rounds contract):
+
+    - vectors ride the d25 milli-quantized grid; dist_q is the exact
+      int64 squared Euclidean distance, ordered (dist_q, nbr_id) so
+      every top-k cut is total.
+    - init: ids are bucketed by ``id % B`` with B = (N + k) // (k+1)
+      (balanced ~k+1 wide, one equi-join, no global sort/window);
+      each node's round-0 neighbors are its bucket's other members,
+      top-k.
+    - round: candidates(u) = { w : w ∈ B(v), v ∈ B(u) } where B(u) is
+      u's forward neighbors UNION its reverse neighbors CAPPED at the
+      top-k by (dist_q, id) (the rho*k reverse-sample of the paper
+      made deterministic — hub in-degrees stay bounded); new
+      neighbors = top-k of old ∪ candidates. The local join property
+      that makes NN-Descent converge: neighbors-of-neighbors are
+      likely neighbors.
+
+    Scale shape: per round, |B| <= 2kN rows, candidate pairs <=
+    (2k)^2 N — LINEAR in the corpus for fixed k (vs the N^2/bucket
+    cost any exact build pays), all equi-joins on 8-byte keys + one
+    per-node window top-k (partitioned by node — never global). Each
+    round is lineage-truncated. The graph after 2-3 rounds is the
+    warm-start a production index build refines; recall against true
+    k-NN is the planted-twin unit-test contract, not an envelope —
+    the emitted rows themselves replay bit for bit in SQL.
+
+    Returns (id_col, nbr_id, dist_q, rank) with rank 1..k per node.
+    """
+    q = df.select(
+        F.col(id_col).cast("bigint").alias("node"),
+        _quantize_expr(vec_col, scale).alias("_qv"),
+    ).localCheckpoint(eager=False)
+    n = q.count()  # bounded driver scalar (the A1 min/max pattern)
+    b_count = max(1, (n + k) // (k + 1))
+
+    qa = q.toDF("node", "_qa")
+    qb = q.toDF("nbr_id", "_qb")
+
+    def _dist() -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_qa"), F.col("_qb"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _with_dist(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(qa, "node")
+            .join(qb, "nbr_id")
+            .select("node", "nbr_id", _dist().alias("dist_q"))
+        )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("node").orderBy(
+            F.col("dist_q").asc(), F.col("nbr_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    init_pairs = (
+        q.select("node", (F.col("node") % F.lit(b_count)).alias("_bk"))
+        .join(
+            q.select(
+                F.col("node").alias("nbr_id"),
+                (F.col("node") % F.lit(b_count)).alias("_bk"),
+            ),
+            "_bk",
+        )
+        .filter(F.col("node") != F.col("nbr_id"))
+        .select("node", "nbr_id")
+    )
+    fwd = _topk(_with_dist(init_pairs)).select(
+        "node", "nbr_id", "dist_q"
+    ).localCheckpoint(eager=False)
+
+    for _ in range(n_rounds):
+        rev = _topk(
+            fwd.select(
+                F.col("nbr_id").alias("node"),
+                F.col("node").alias("nbr_id"),
+                "dist_q",
+            )
+        ).select("node", "nbr_id", "dist_q")
+        b = fwd.select("node", "nbr_id").unionAll(
+            rev.select("node", "nbr_id")
+        ).distinct()
+        cand = (
+            b.toDF("node", "_via")
+            .join(b.toDF("_via", "nbr_id"), "_via")
+            .filter(F.col("node") != F.col("nbr_id"))
+            .select("node", "nbr_id")
+            .distinct()
+        )
+        scored = _with_dist(cand).unionAll(fwd).groupBy(
+            "node", "nbr_id"
+        ).agg(F.min("dist_q").alias("dist_q"))
+        fwd = _topk(scored).select(
+            "node", "nbr_id", "dist_q"
+        ).localCheckpoint(eager=False)
+
+    return _topk(fwd).select(
+        F.col("node").alias(id_col), "nbr_id", "dist_q", "rank"
+    )

@@ -3058,3 +3058,22 @@ def t37_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return char_entropy(docs)
+
+
+def s12_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent k-NN graph construction
+    (operators.similarity.nn_descent_knn_graph): the INDEX-BUILD side
+    of the ANN family — s2/s3/s5/s6/s8/s11 serve queries, graph-ANN
+    systems (HNSW/DiskANN class) bootstrap from exactly this neighbor
+    graph. Two neighbors-of-neighbors refinement rounds over a
+    deterministic id-modulo bucket init, all on the d25 integer grid
+    (exact int64 squared distances, (dist_q, id) total order,
+    reverse-neighbor sets capped top-k so hub in-degrees stay
+    bounded) — per-round cost LINEAR in the corpus at fixed k where
+    any exact build pays N^2/bucket. The oracle unrolls the identical
+    rounds in SQL (the g1/t22 contract) — bit for bit, not an
+    envelope."""
+    from ..operators.similarity import nn_descent_knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return nn_descent_knn_graph(emb, k=5, n_rounds=2, scale=1000)

@@ -5551,6 +5551,85 @@ QUERIES = {k: QUERIES[k] for k in _R11_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)
 }
 
+
+# s12 — NN-Descent k-NN graph build: deterministic id-modulo bucket
+# init + unrolled neighbors-of-neighbors rounds on the d25 integer
+# grid; every top-k cut is row_number over (dist_q, id). The engine
+# replays the identical algebra with per-node windows and equi-joins.
+def _s12_nn_descent_sql(k: int, n_rounds: int, scale: int) -> str:
+    dist = (
+        "CAST(list_dot_product(CAST(qa.qv AS DOUBLE[]), CAST(qa.qv AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(qa.qv AS DOUBLE[]), CAST(qb.qv AS DOUBLE[]))"
+        " + list_dot_product(CAST(qb.qv AS DOUBLE[]), CAST(qb.qv AS DOUBLE[]))"
+        " AS BIGINT)"
+    )
+    parts = [f"""q AS (
+  SELECT vec_id AS node,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+)""", f"""nb AS (
+  SELECT CAST(greatest(1, (count(*) + {k}) // {k + 1}) AS BIGINT) AS b FROM q
+)""", f"""f0 AS (
+  SELECT node, nbr_id, dist_q FROM (
+    SELECT qa.node, qb.node AS nbr_id, {dist} AS dist_q,
+           row_number() OVER (PARTITION BY qa.node
+                              ORDER BY {dist} ASC, qb.node ASC) AS rk
+    FROM q qa JOIN q qb
+      ON qa.node % (SELECT b FROM nb) = qb.node % (SELECT b FROM nb)
+     AND qa.node <> qb.node
+  ) WHERE rk <= {k}
+)"""]
+    prev = "f0"
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""rev{r} AS (
+  SELECT node, nbr_id, dist_q FROM (
+    SELECT f.nbr_id AS node, f.node AS nbr_id, f.dist_q,
+           row_number() OVER (PARTITION BY f.nbr_id
+                              ORDER BY f.dist_q ASC, f.node ASC) AS rk
+    FROM {prev} f) WHERE rk <= {k}
+)""")
+        parts.append(f"""b{r} AS (
+  SELECT DISTINCT node, nbr_id FROM (
+    SELECT node, nbr_id FROM {prev}
+    UNION ALL SELECT node, nbr_id FROM rev{r})
+)""")
+        parts.append(f"""cand{r} AS (
+  SELECT DISTINCT x.node, y.nbr_id
+  FROM b{r} x JOIN b{r} y ON x.nbr_id = y.node
+  WHERE x.node <> y.nbr_id
+)""")
+        parts.append(f"""sc{r} AS (
+  SELECT node, nbr_id, min(dist_q) AS dist_q FROM (
+    SELECT c.node, c.nbr_id, {dist} AS dist_q
+    FROM cand{r} c JOIN q qa ON qa.node = c.node
+                   JOIN q qb ON qb.node = c.nbr_id
+    UNION ALL SELECT node, nbr_id, dist_q FROM {prev}
+  ) GROUP BY node, nbr_id
+)""")
+        parts.append(f"""f{r} AS (
+  SELECT node, nbr_id, dist_q FROM (
+    SELECT node, nbr_id, dist_q,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY dist_q ASC, nbr_id ASC) AS rk
+    FROM sc{r}) WHERE rk <= {k}
+)""")
+        prev = f"f{r}"
+    final = f"""
+SELECT node AS vec_id, nbr_id, dist_q, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT node, nbr_id, dist_q,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY dist_q ASC, nbr_id ASC) AS rk
+  FROM {prev})
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+ORACLES["s12_nn_descent"] = _s12_nn_descent_sql(5, 2, 1000)
+QUERIES["s12_nn_descent"] = L.s12_nn_descent
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

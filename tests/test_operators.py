@@ -3672,3 +3672,46 @@ def test_blocked_neardup_flags_python_replay(spark):
     assert got == want
     assert got[60] is False and got[61] is False
     assert any(got.values())  # random 8-dim ints do produce some flags
+
+
+def test_nn_descent_finds_planted_twin(spark):
+    """Convergence contract on a clustered fixture: vectors come in
+    tight planted pairs placed in DIFFERENT init buckets (the twin is
+    never a round-0 neighbor), so only the neighbors-of-neighbors
+    rounds can surface it; after 2 rounds every node's rank-1
+    neighbor must be its twin. Also checks the emitted shape: k rows
+    per node, ranks 1..k, dist_q exact on the quantized grid."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        nn_descent_knn_graph,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    # 12 cluster centers; twin ids i and i+60 -> different id%B buckets
+    for i in range(12):
+        base = [rng.uniform(-3, 3) for _ in range(6)]
+        rows.append((i, [x + 0.001 for x in base]))
+        rows.append((i + 60, [x + 0.002 for x in base]))
+        # two mid-distance satellites per cluster to populate rounds
+        rows.append((i + 24, [x + 0.5 for x in base]))
+        rows.append((i + 36, [x - 0.5 for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = nn_descent_knn_graph(df, k=3, n_rounds=2, scale=1000).collect()
+    by_node = {}
+    for r in out:
+        by_node.setdefault(r["vec_id"], []).append(r)
+    assert set(by_node) == {r[0] for r in rows}
+    for node, nbrs in by_node.items():
+        assert sorted(r["rank"] for r in nbrs) == list(
+            range(1, len(nbrs) + 1)
+        )
+        assert len(nbrs) <= 3
+    twin = {i: i + 60 for i in range(12)} | {i + 60: i for i in range(12)}
+    hits = 0
+    for node, mate in twin.items():
+        rank1 = min(by_node[node], key=lambda r: r["rank"])
+        if rank1["nbr_id"] == mate:
+            hits += 1
+    assert hits == len(twin), f"only {hits}/{len(twin)} twins at rank 1"
