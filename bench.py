@@ -182,6 +182,7 @@ def main() -> None:
             # and the blocked Gram flag kernel (the c10 embedding tier)
             "op:semdedup_sqrtn",
             "d28_blocked_neardup_flags",
+            "s12_nn_descent",
             "op:embedding_lsh_pairs",
             "op:minhash_lsh_pairs",
         ]
