@@ -1526,3 +1526,130 @@ def char_entropy(
             / (F.sum("_c") * F.lit(1e6))
         ).alias("entropy_nats"),
     ).select(id_col, "n_chars", "n_distinct_chars", "entropy_nats")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive hashes over each document, and select the
+    minimum hash per window (ties -> RIGHTMOST position, the "robust"
+    variant). The selected set is guaranteed to detect any shared
+    substring of at least ``w + k - 1`` words while keeping only about
+    ``2 / (w + 1)`` of all positions — the density/guarantee trade the
+    paper proves.
+
+    Everything is engine-portable and exact: md5 hex strings ordered
+    lexicographically are the hash, and the rightmost-min tiebreak is
+    encoded in the sort key itself — ``md5(gram) || lpad(99999999 - pos)``
+    — so a plain windowed ``min`` picks the right fingerprint with no
+    argmin UDF on either engine.
+
+    Scale shape: map-only gram fan-out (the t5/chunk posexplode pattern)
+    plus ONE per-document window (partitioned by ``id_col``, never
+    global) and a distinct — winnowing 100 TB is an embarrassingly
+    parallel per-doc pass whose output is ~2/(w+1) the gram count.
+
+    Returns (id_col, fp_hash, fp_pos): the distinct selected
+    fingerprints with their 0-based gram positions.
+    """
+    from pyspark.sql import Window
+
+    from .util import ensure_parallelism
+
+    d = ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    d = d.select("_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(-1)))
+    grams = F.transform(idx, lambda i: _gram_at(ws, i, k))
+    g = d.select(
+        "_id",
+        F.posexplode(
+            F.when(F.size(ws) >= k, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pos", "g"),
+    )
+    # Sort key: min over the window picks the smallest hash; among equal
+    # hashes the smaller (99999999 - pos) suffix wins = the LARGEST pos
+    # = rightmost occurrence (robust winnowing's tiebreak).
+    key = F.concat(
+        F.md5(F.col("g")),
+        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        g.withColumn("_key", key)
+        .withColumn("_wk", F.min("_key").over(win))
+        .where(F.col("pos") >= w - 1)  # full windows only
+    )
+    return sel.select(
+        F.col("_id").alias(id_col),
+        F.substring("_wk", 1, 32).alias("fp_hash"),
+        (F.lit(99999999) - F.substring("_wk", 33, 8).cast("int"))
+        .cast("int")
+        .alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs from winnowing fingerprints: documents
+    sharing >= ``min_shared`` distinct selected hashes, with the shared
+    count and an exact containment ratio in ppm. This is MOSS's pairing
+    stage — the detector that catches verbatim PASSAGES (w + k - 1 words
+    or longer) that whole-document MinHash/SimHash dilute away.
+
+    ``max_fp_df`` is the d3-style hot-fingerprint guard: when set,
+    fingerprints appearing in more than that many documents are dropped
+    before pairing (boilerplate hashes otherwise fan out quadratically).
+    Left ``None`` the pairing is exact — the oracle-checked
+    configuration.
+
+    Scale shape: the pair join is bucketed by fp_hash over the ~2/(w+1)-
+    sparse winnowed subset (the d2 gram-join shape on far fewer rows);
+    per-doc sizes join back as equi-joins on ``id_col``. overlap_ppm =
+    shared * 1e6 div min(|A|, |B|) stays in int64 (counts are gram-
+    bounded, products < 2^43).
+    """
+    s = fp.select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    if max_fp_df is not None:
+        hot = s.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_df"))
+        s = (
+            s.join(hot, "fp_hash")
+            .filter(F.col("_df") <= max_fp_df)
+            .select("_id", "fp_hash")
+        )
+    s = s.localCheckpoint(eager=False)  # 3 consumers below
+    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, "fp_hash")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_fp", "fp_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_fp", "fp_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            F.expr("n_shared * 1000000 div least(fp_a, fp_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+    )

@@ -3077,3 +3077,23 @@ def s12_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return nn_descent_knn_graph(emb, k=5, n_rounds=2, scale=1000)
+
+
+def d29_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing near-dup detection
+    (operators.text.winnow_fingerprints + winnow_pairs): hash every
+    4-gram, keep the rightmost-min hash of each 4-window (robust
+    winnowing, Schleimer et al. SIGMOD'03 — guaranteed to catch any
+    shared passage of >= 7 words at ~2/5 the gram density), then pair
+    documents sharing >= 3 selected fingerprints with an exact
+    containment ppm. The PASSAGE-level detector next to d2's whole-doc
+    Jaccard and d9's repeated spans: winnowing's selection guarantee is
+    position-robust (insertions shift grams but local minima survive),
+    which MinHash's global signature can't offer. All md5/lpad/window
+    algebra replays in DuckDB bit for bit."""
+    from ..operators.text import winnow_fingerprints, winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_pairs(
+        winnow_fingerprints(docs, k=4, w=4), min_shared=3
+    )

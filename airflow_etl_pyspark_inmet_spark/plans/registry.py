@@ -5630,6 +5630,58 @@ ORACLES["s12_nn_descent"] = _s12_nn_descent_sql(5, 2, 1000)
 QUERIES["s12_nn_descent"] = L.s12_nn_descent
 
 
+# d29 — robust winnowing (MOSS): positional 4-grams, rightmost-min hash
+# per 4-window via the key = md5 || lpad(99999999 - pos) trick (a plain
+# windowed MIN encodes the paper's tiebreak), then set-intersection
+# pairing with exact containment ppm. Mirrors operators/text.py
+# winnow_fingerprints/winnow_pairs clause by clause.
+def _d29_winnow_sql(k: int, w: int, min_shared: int) -> str:
+    lastw = k - 1  # ws[i] .. ws[i + k - 1]
+    gram = " || ' ' || ".join(
+        f"ws[i+{j}]" if j else "ws[i]" for j in range(k)
+    )
+    return f"""
+WITH pg AS (
+  SELECT doc_id, i - 1 AS pos, {gram} AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws
+        FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-{lastw}, 0))) AS i) u
+),
+kq AS (
+  SELECT doc_id, pos,
+         md5(g) || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+  FROM pg
+),
+wmin AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wk
+  FROM kq
+),
+fps AS (
+  SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp_hash
+  FROM wmin WHERE pos >= {w - 1}
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_fp FROM fps GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, CAST(COUNT(*) AS BIGINT) n_shared
+  FROM fps a JOIN fps b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+       CAST(n_shared * 1000000 // least(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS overlap_ppm
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared >= {min_shared}
+"""
+
+
+ORACLES["d29_winnow_pairs"] = _d29_winnow_sql(4, 4, 3)
+QUERIES["d29_winnow_pairs"] = L.d29_winnow_pairs
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -3715,3 +3715,82 @@ def test_nn_descent_finds_planted_twin(spark):
         if rank1["nbr_id"] == mate:
             hits += 1
     assert hits == len(twin), f"only {hits}/{len(twin)} twins at rank 1"
+
+
+# --- winnowing (d29) ----------------------------------------------------------
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The SIGMOD'03 contract: any shared passage of >= w + k - 1 words
+    must yield at least one shared fingerprint, and per-doc selection
+    keeps far fewer positions than the full gram set."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 = w + k - 1
+    rows = [
+        (1, "one two three four five six " + shared + " seven eight nine"),
+        (2, shared + " ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (3, "totally different words with no overlap at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = winnow_fingerprints(df, k=4, w=4)
+    rows_fp = fp.collect()
+    # guarantee: docs 1 and 2 share at least one selected fingerprint
+    h1 = {r["fp_hash"] for r in rows_fp if r["doc_id"] == 1}
+    h2 = {r["fp_hash"] for r in rows_fp if r["doc_id"] == 2}
+    h3 = {r["fp_hash"] for r in rows_fp if r["doc_id"] == 3}
+    assert h1 & h2, "shared 7-word passage produced no shared fingerprint"
+    assert not (h1 & h3) and not (h2 & h3)
+    # density: selected positions are a strict subset of gram positions
+    n_words = len(rows[0][1].split())
+    n_grams = n_words - 3
+    n_sel = len([r for r in rows_fp if r["doc_id"] == 1])
+    assert 0 < n_sel < n_grams
+    pairs = winnow_pairs(fp, min_shared=1).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p["n_shared"] >= 1 and p["overlap_ppm"] > 0
+    assert p["overlap_ppm"] == p["n_shared"] * 1000000 // min(p["fp_a"], p["fp_b"])
+
+
+def test_winnow_rightmost_min_tiebreak(spark):
+    """Repeated identical grams inside one window: the selected position
+    must be the RIGHTMOST minimal hash (robust winnowing), which the
+    99999999 - pos suffix encodes."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import winnow_fingerprints
+
+    # 'a a a a a' -> every 2-gram 'a a' hashes identically
+    df = spark.createDataFrame([(1, "a a a a a")], "doc_id int, text string")
+    fp = winnow_fingerprints(df, k=2, w=3).collect()
+    # windows end at pos 2 and 3; each window's min is the rightmost
+    # 'a a' in that window -> fingerprints at positions 2 and 3
+    assert sorted(r["fp_pos"] for r in fp) == [2, 3]
+    assert len({r["fp_hash"] for r in fp}) == 1
+
+
+def test_winnow_hot_fingerprint_guard(spark):
+    """max_fp_df drops boilerplate hashes shared by too many docs before
+    the pair join (the d3 hot-shingle pattern)."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site today"
+    rows = [(i, boiler) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = winnow_fingerprints(df, k=4, w=4)
+    assert winnow_pairs(fp, min_shared=1).count() == 10  # all 5C2 pairs
+    assert winnow_pairs(fp, min_shared=1, max_fp_df=4).count() == 0
+
+
+def test_winnow_short_doc_empty(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "")], "doc_id int, text string"
+    )
+    assert winnow_fingerprints(df, k=4, w=4).count() == 0
