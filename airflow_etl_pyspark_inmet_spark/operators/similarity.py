@@ -1146,6 +1146,14 @@ def _argmin_struct_key(centroids: list) -> Column:
     the plan as array literals — plan size grows O(k * dim), which is
     the practical bound on this path (use the arrow assigner beyond
     a few hundred cells)."""
+    return F.array_min(_dist_struct_array(centroids))
+
+
+def _dist_struct_array(centroids: list) -> Column:
+    """Array of ``struct(d: int64 squared distance, c: centroid id)``
+    over ``_qv`` — ``array_min`` of it is the Lloyd argmin
+    (:func:`_argmin_struct_key`); ``array_sort`` of it additionally
+    yields the second-closest centroid (:func:`kmeans_silhouette`)."""
 
     def _dist_expr(cvec) -> Column:
         carr = F.array(*[F.lit(int(v)) for v in cvec])
@@ -1155,16 +1163,14 @@ def _argmin_struct_key(centroids: list) -> Column:
             lambda acc, x: acc + x,
         )
 
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist_expr(cvec).alias("d"),
-                    F.lit(cid).cast("int").alias("c"),
-                )
-                for cid, cvec in enumerate(centroids)
-            ]
-        )
+    return F.array(
+        *[
+            F.struct(
+                _dist_expr(cvec).alias("d"),
+                F.lit(cid).cast("int").alias("c"),
+            )
+            for cid, cvec in enumerate(centroids)
+        ]
     )
 
 
@@ -1259,6 +1265,52 @@ def kmeans_lloyd(
     centroids: (id_col, cluster, dist_q) — ``dist_q`` the exact
     integer squared distance in quanta^2.
     """
+    q, centroids, use_arrow = _lloyd_fit(
+        df, k, n_rounds, scale, id_col, vec_col, dim, assigner
+    )
+    return _assign_frame(q, centroids, use_arrow, id_col).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        "cluster",
+        "dist_q",
+    )
+
+
+def _assign_frame(
+    frame: DataFrame, centroids: list, use_arrow: bool, id_col: str
+) -> DataFrame:
+    """One exact-integer argmin pass (the shared Lloyd assignment step):
+    literal struct argmin or the Arrow closure, same bits either way."""
+    if use_arrow:
+        key = _assign_exact_udf(centroids)(F.col("_qv"))
+        return frame.withColumn("_key", key).select(
+            id_col,
+            "_qv",
+            F.col("_key.cluster").alias("cluster"),
+            F.col("_key.dist_q").alias("dist_q"),
+        )
+    key = _argmin_struct_key(centroids)
+    return frame.withColumn("_key", key).select(
+        id_col,
+        "_qv",
+        F.col("_key.c").alias("cluster"),
+        F.col("_key.d").alias("dist_q"),
+    )
+
+
+def _lloyd_fit(
+    df: DataFrame,
+    k: int,
+    n_rounds: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    assigner: str,
+) -> tuple[DataFrame, list, bool]:
+    """The Lloyd training loop shared by :func:`kmeans_lloyd` and
+    :func:`kmeans_silhouette`: returns (quantized frame, final integer
+    centroids, use_arrow). Trajectory identical to the historical
+    inline loop bit for bit (the d25/s9 oracles pin it)."""
     use_arrow = assigner == "arrow" or (
         assigner == "auto" and k > _LITERAL_ASSIGN_MAX_K
     )
@@ -1271,26 +1323,9 @@ def kmeans_lloyd(
         list(r["_qv"]) for r in sorted(seed_rows, key=lambda r: r[id_col])
     ]
 
-    def _assign(frame: DataFrame) -> DataFrame:
-        if use_arrow:
-            key = _assign_exact_udf(centroids)(F.col("_qv"))
-            return frame.withColumn("_key", key).select(
-                id_col,
-                "_qv",
-                F.col("_key.cluster").alias("cluster"),
-                F.col("_key.dist_q").alias("dist_q"),
-            )
-        key = _argmin_struct_key(centroids)
-        return frame.withColumn("_key", key).select(
-            id_col,
-            "_qv",
-            F.col("_key.c").alias("cluster"),
-            F.col("_key.d").alias("dist_q"),
-        )
-
     for _ in range(n_rounds):
         sums = (
-            _assign(q)
+            _assign_frame(q, centroids, use_arrow, id_col)
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
@@ -1313,10 +1348,102 @@ def kmeans_lloyd(
         # this floor-div is the same one the oracle replays engine-side.
         centroids = [new.get(c, centroids[c]) for c in range(k)]
 
-    return _assign(q).select(
-        F.col(id_col).cast("bigint").alias(id_col),
+    return q, centroids, use_arrow
+
+
+def _assign2_exact_udf(centroids: list):
+    """Arrow variant of the two-distance assignment: (cluster, dist to
+    own centroid, min dist to any OTHER centroid) — the simplified-
+    silhouette inputs, same int64 grid and first-occurrence tiebreak as
+    :func:`_assign_exact_udf`."""
+    C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+    c2 = np.einsum("ij,ij->i", C, C)  # (k,) int64
+
+    @F.pandas_udf("struct<cluster:int, dist_q:bigint, dist2_q:bigint>")
+    def udf(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"cluster": [], "dist_q": [], "dist2_q": []})
+        V = np.stack(qv.to_numpy()).astype(np.int64)  # (rows, dim)
+        v2 = np.einsum("ij,ij->i", V, V)  # (rows,) int64
+        d = v2[:, None] - 2 * (V @ C.T) + c2[None, :]  # (rows, k) int64
+        rows = np.arange(len(v2))
+        cid = np.argmin(d, axis=1)  # first occurrence = lowest cid
+        a = d[rows, cid].copy()
+        d[rows, cid] = np.iinfo(np.int64).max
+        b = d.min(axis=1)
+        return pd.DataFrame(
+            {"cluster": cid.astype(np.int32), "dist_q": a, "dist2_q": b}
+        )
+
+    return udf
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    assigner: str = "auto",
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over the exact-integer Lloyd
+    clustering (:func:`kmeans_lloyd` via the shared :func:`_lloyd_fit`
+    trajectory): for every vector, ``a`` = squared distance to its own
+    centroid, ``b`` = min squared distance to any OTHER centroid, and
+    the per-point score is ``(b - a) * 1000 div max(b, 1)`` in exact
+    integer milli-units (``b >= a`` always, since the assignment IS the
+    argmin, so scores sit in [0, 1000)). This is the centroid-based
+    simplification (Hruschka et al.) the full O(N^2) silhouette reduces
+    to at corpus scale — the standard "did the clustering separate?"
+    gate a SemDeDup/curation pipeline runs before trusting d25's
+    blocking.
+
+    Scale shape: identical to one Lloyd round — a MAP-ONLY two-distance
+    argmin against the k broadcast centroids (literal struct sort for
+    small k, the Arrow closure beyond ``_LITERAL_ASSIGN_MAX_K``)
+    followed by ONE combine-heavy groupBy(cluster) of three int64
+    aggregates. No joins, no window, no extra shuffle: silhouette at
+    100 TB costs exactly one extra assignment pass.
+
+    Returns (cluster, n_points, sum_sil_milli, mean_sil_milli), all
+    exact int64 — the oracle replays the trajectory and the floor
+    divisions bit for bit.
+    """
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2 (no 'other' centroid at k=1)")
+    q, centroids, use_arrow = _lloyd_fit(
+        df, k, n_rounds, scale, id_col, vec_col, dim, assigner
+    )
+    if use_arrow:
+        key = _assign2_exact_udf(centroids)(F.col("_qv"))
+        two = q.withColumn("_key", key).select(
+            F.col("_key.cluster").alias("cluster"),
+            F.col("_key.dist_q").alias("_a"),
+            F.col("_key.dist2_q").alias("_b"),
+        )
+    else:
+        srt = F.array_sort(_dist_struct_array(centroids))
+        two = q.withColumn("_srt", srt).select(
+            F.element_at("_srt", 1)["c"].alias("cluster"),
+            F.element_at("_srt", 1)["d"].alias("_a"),
+            # second element = min over the remaining k-1 structs = min
+            # squared distance to any non-assigned centroid
+            F.element_at("_srt", 2)["d"].alias("_b"),
+        )
+    sil = two.select(
         "cluster",
-        "dist_q",
+        F.expr("(_b - _a) * 1000 div greatest(_b, 1)").alias("_sil"),
+    )
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_sil").alias("sum_sil_milli"),
+    ).select(
+        "cluster",
+        "n_points",
+        "sum_sil_milli",
+        F.expr("sum_sil_milli div n_points").alias("mean_sil_milli"),
     )
 
 

