@@ -1028,3 +1028,44 @@ def zonemap_prune_stats(
         ),
         F.sum("n_match").alias("rows_matching"),
     )
+
+
+def partition_manifest(
+    df: DataFrame,
+    partition_col: Column,
+    row_repr: Column,
+    partition_name: str = "part",
+) -> DataFrame:
+    """Order-invariant partition-level integrity manifest: per partition,
+    the row count plus TWO commutative folds of a 32-bit per-row hash —
+    ``sum`` and ``bit_xor`` of ``int(md5(row_repr)[:8 hex], 16)``. Any
+    row added, dropped, or mutated flips at least one channel, while
+    shuffles/reorderings (every Spark rewrite reorders) flip none — the
+    Delta/Iceberg-style checksum a 100 TB pipeline records after each
+    compaction/migration to verify the rewrite byte-preserved content,
+    and diffs partition-by-partition to find WHERE a mismatch lives
+    without re-reading both copies row by row.
+
+    ``row_repr`` must be an engine-portable string (int/string/date
+    casts only — caller's contract); the md5-prefix hash replays in
+    DuckDB (`('0x' || left(md5(x), 8))::UBIGINT`) and Python
+    (hashlib) — the t32 portable-hash idiom.
+
+    Scale shape: map-only hash + ONE combine-heavy hash aggregate
+    (sum/xor/count are all map-side partial); the manifest is
+    O(partitions), not O(rows). No joins, no windows, no Python.
+    """
+    h = (
+        F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("_h")
+    )
+    return (
+        df.select(partition_col.alias(partition_name), h)
+        .groupBy(partition_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_h").alias("hash_sum"),
+            F.bit_xor("_h").alias("hash_xor"),
+        )
+    )

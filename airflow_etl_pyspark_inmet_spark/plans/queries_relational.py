@@ -2163,3 +2163,30 @@ def q112_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1997-01-01").cast("date"),
         F.lit("1997-12-31").cast("date"),
     )
+
+
+def q113_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant integrity manifest of the orders table by month
+    (operators.relational.partition_manifest): per yyyy-MM partition,
+    row count + sum and bit_xor folds of a portable 32-bit md5-prefix
+    row hash over (orderkey, custkey, status, date, priority). The
+    checksum a 100 TB pipeline records after every compaction/rewrite
+    (c9/x12 produce exactly such rewrites) and diffs per partition to
+    localize corruption without re-reading both copies. Map-only hash +
+    one combine-heavy agg; output is O(months), not O(rows)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import partition_manifest
+
+    o = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return partition_manifest(
+        o, F.date_format("o_orderdate", "yyyy-MM"), row, "order_month"
+    )

@@ -5726,6 +5726,26 @@ ORACLES["s13_silhouette"] = _s13_silhouette_sql(8, 3, 64, 1000)
 QUERIES["s13_silhouette"] = L.s13_silhouette
 
 
+# q113 — order-invariant partition manifest: t32's portable md5-prefix
+# hash per row, commutative sum/xor folds per month. Mirrors
+# operators/relational.py partition_manifest.
+ORACLES["q113_partition_manifest"] = """
+WITH h AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(('0x' || left(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus || '|' || strftime(o_orderdate, '%Y-%m-%d')
+             || '|' || o_orderpriority), 8)) AS UBIGINT) AS rh
+  FROM orders
+)
+SELECT order_month, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rh) AS BIGINT) AS hash_sum,
+       CAST(bit_xor(rh) AS BIGINT) AS hash_xor
+FROM h GROUP BY 1
+"""
+QUERIES["q113_partition_manifest"] = R.q113_partition_manifest
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

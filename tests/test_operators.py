@@ -3841,3 +3841,48 @@ def test_silhouette_score_bounds_and_exactness(spark):
     out = kmeans_silhouette(df, k=2, n_rounds=2, scale=1000, dim=4).collect()
     assert sum(r["n_points"] for r in out) == 6
     assert all(r["sum_sil_milli"] == 0 and r["mean_sil_milli"] == 0 for r in out)
+
+
+# --- partition manifest (q113) -------------------------------------------------
+
+
+def test_partition_manifest_order_invariant_and_sensitive(spark):
+    """Reordering rows leaves every channel unchanged; mutating one row
+    flips sum and xor; dropping one row flips n_rows."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        partition_manifest,
+    )
+
+    rows = [("p1", "a"), ("p1", "b"), ("p1", "c"), ("p2", "d")]
+    mk = lambda rs: spark.createDataFrame(rs, "part string, v string")
+
+    def manifest(rs):
+        out = partition_manifest(mk(rs), F.col("part"), F.col("v"))
+        return {r["part"]: (r["n_rows"], r["hash_sum"], r["hash_xor"]) for r in out.collect()}
+
+    base = manifest(rows)
+    assert base == manifest(list(reversed(rows)))  # order-invariant
+    mut = manifest([("p1", "a"), ("p1", "B"), ("p1", "c"), ("p2", "d")])
+    assert mut["p2"] == base["p2"]  # other partitions untouched
+    assert mut["p1"][0] == base["p1"][0] and mut["p1"][1] != base["p1"][1]
+    assert mut["p1"][2] != base["p1"][2]
+    drop = manifest(rows[1:])
+    assert drop["p1"][0] == base["p1"][0] - 1
+
+
+def test_partition_manifest_python_replay(spark):
+    """The 32-bit md5-prefix hash replays in hashlib — the t32 portable
+    contract that lets an external auditor verify the manifest."""
+    import hashlib
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        partition_manifest,
+    )
+
+    rows = [("p", "hello"), ("p", "world")]
+    df = spark.createDataFrame(rows, "part string, v string")
+    got = partition_manifest(df, F.col("part"), F.col("v")).collect()[0]
+    hs = [int(hashlib.md5(v.encode()).hexdigest()[:8], 16) for _, v in rows]
+    assert got["n_rows"] == 2
+    assert got["hash_sum"] == sum(hs)
+    assert got["hash_xor"] == hs[0] ^ hs[1]
