@@ -185,6 +185,11 @@ def main() -> None:
             "s12_nn_descent",
             "op:embedding_lsh_pairs",
             "op:minhash_lsh_pairs",
+            # r12 late additions: winnowing pair join, the extra
+            # assignment pass silhouette costs, the manifest agg
+            "d29_winnow_pairs",
+            "s13_silhouette",
+            "q113_partition_manifest",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
