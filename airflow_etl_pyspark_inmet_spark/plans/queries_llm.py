@@ -3114,3 +3114,35 @@ def s13_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_silhouette(emb, k=8, n_rounds=3, scale=1000, dim=64)
+
+
+def st15_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the q113 partition integrity manifest
+    (streaming.windows.streaming_manifest_maintenance): the orders feed
+    folds per-micro-batch (count, hash_sum, hash_xor) partials into the
+    running per-month manifest — sums by addition, the xor channel by
+    bit_xor (a commutative monoid the SUM-only st9 machinery can't
+    express). All channels are associative + commutative, so the
+    streamed state equals the batch manifest bit for bit; the oracle
+    recomputes q113's manifest from the full table. O(partitions)
+    state, no history rescans — live integrity checksums on ingest."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.windows import streaming_manifest_maintenance
+
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ).alias("row_repr"),
+    )
+    out = streaming_manifest_maintenance(
+        spark, rows, "order_month", "row_repr"
+    )
+    return out.withColumnRenamed("part", "order_month")

@@ -5746,6 +5746,13 @@ FROM h GROUP BY 1
 QUERIES["q113_partition_manifest"] = R.q113_partition_manifest
 
 
+# st15 — streaming manifest maintenance: all three channels are
+# commutative monoids (sum, sum, xor), so the streamed fold equals the
+# batch manifest — the oracle IS q113's full-table recompute.
+ORACLES["st15_stream_manifest"] = ORACLES["q113_partition_manifest"]
+QUERIES["st15_stream_manifest"] = L.st15_stream_manifest
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -1034,3 +1034,93 @@ def streaming_topk_maintenance(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_manifest_maintenance(
+    spark: SparkSession,
+    rows: DataFrame,
+    partition_col: str,
+    repr_col: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of q113's order-invariant partition
+    manifest: each micro-batch computes its own (count, hash_sum,
+    hash_xor) partials distributed-side, then folds them into the
+    running manifest — sum/count by addition, the xor channel by
+    ``bit_xor`` (a commutative monoid the generic SUM-only st9
+    machinery can't fold, which is exactly why this fold exists).
+    All three channels are associative + commutative, so the finite-
+    input result is independent of how the feed splits into micro-
+    batches and equals the batch manifest bit for bit — the oracle
+    recomputes it from the full table. This is how an ingest pipeline
+    keeps per-partition integrity checksums current (and diffs them
+    against a replica's) without ever rescanning history.
+
+    Same harness as st9/st11/st12: the feed spills to ``n_files``
+    parquet files, streams back under ``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=1`` (so the fold genuinely crosses epochs),
+    and the manifest frame is eagerly checkpointed per epoch to keep
+    lineage flat. Per-epoch work is O(batch + |manifest|); manifest
+    state is O(partitions).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.relational import partition_manifest
+
+    src = rows.select(
+        F.col(partition_col).alias("part"), F.col(repr_col).alias("repr")
+    )
+    tmp = tempfile.mkdtemp(prefix="st15_manifest_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit("").alias("part"),
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.lit(0).cast("bigint").alias("hash_sum"),
+                F.lit(0).cast("bigint").alias("hash_xor"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = partition_manifest(
+                batch_df, F.col("part"), F.col("repr")
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("part")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.sum("hash_sum").cast("bigint").alias("hash_sum"),
+                    F.bit_xor("hash_xor").alias("hash_xor"),
+                )
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                f"streaming_manifest_maintenance expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the point "
+                "of the streaming tier."
+            )
+        return state["mv"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

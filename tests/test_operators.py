@@ -3886,3 +3886,35 @@ def test_partition_manifest_python_replay(spark):
     assert got["n_rows"] == 2
     assert got["hash_sum"] == sum(hs)
     assert got["hash_xor"] == hs[0] ^ hs[1]
+
+
+# --- streaming manifest maintenance (st15) ------------------------------------
+
+
+def test_streaming_manifest_equals_batch_and_split_invariant(spark):
+    """The streamed fold must equal the batch manifest bit for bit,
+    independent of how the feed splits into micro-batches (2 vs 5
+    files), because all three channels are commutative monoids."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        partition_manifest,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_manifest_maintenance,
+    )
+
+    rows = [(f"p{i % 3}", f"row-{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "part string, repr string")
+    batch = {
+        r["part"]: (r["n_rows"], r["hash_sum"], r["hash_xor"])
+        for r in partition_manifest(
+            df, F.col("part"), F.col("repr")
+        ).collect()
+    }
+    for n_files in (2, 5):
+        streamed = {
+            r["part"]: (r["n_rows"], r["hash_sum"], r["hash_xor"])
+            for r in streaming_manifest_maintenance(
+                spark, df, "part", "repr", n_files=n_files
+            ).collect()
+        }
+        assert streamed == batch, f"n_files={n_files}"
