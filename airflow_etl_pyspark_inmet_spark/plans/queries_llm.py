@@ -3146,3 +3146,18 @@ def st15_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rows, "order_month", "row_repr"
     )
     return out.withColumnRenamed("part", "order_month")
+
+
+def t38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents corpus (operators.text.bm25_topk):
+    the classic probabilistic lexical ranker (k1=6/5, b=3/4) with the
+    log-idf replaced by the exact rational RSJ odds weight so every
+    score is an integer ppm replaying bit for bit in DuckDB — the
+    standalone counterpart of s10's lexical tier (which fuses ranks, not
+    scores). Query = the corpus's own top-5 tokens (t15's census cut).
+    One explode, three combine-heavy aggs, broadcast term/df/scalar
+    sides, one global TakeOrderedAndProject — no UDFs."""
+    from ..operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, n_terms=5, top=10)

@@ -5753,6 +5753,52 @@ ORACLES["st15_stream_manifest"] = ORACLES["q113_partition_manifest"]
 QUERIES["st15_stream_manifest"] = L.st15_stream_manifest
 
 
+# t38 — BM25 with the exact rational RSJ odds idf (no transcendental
+# log -> bit-for-bit cross-engine). Same tokenization as t32, the t15
+# census cut as the query, HUGEINT-widened numerator. Mirrors
+# operators/text.py bm25_topk clause by clause.
+ORACLES["t38_bm25"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM tk2 GROUP BY 1),
+terms AS (
+  SELECT tok FROM (SELECT tok, count(*) freq FROM tk2 GROUP BY 1)
+  ORDER BY freq DESC, tok ASC LIMIT 5
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) tf
+  FROM tk2 JOIN terms USING (tok) GROUP BY 1, 2
+),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) df_t FROM tf GROUP BY 1),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) n_docs,
+         (1000 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_milli
+  FROM dl
+),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(CAST((s.n_docs - d.df_t) * 1000000 // d.df_t AS HUGEINT)
+              * 44 * tf.tf * s.avgdl_milli
+              // (20 * tf.tf * s.avgdl_milli + 6 * s.avgdl_milli
+                  + 18 * dl.dl * 1000) AS BIGINT) AS contrib
+  FROM tf JOIN dl USING (doc_id) JOIN dfq d USING (tok) CROSS JOIN scal s
+),
+agg AS (
+  SELECT doc_id, CAST(sum(contrib) AS BIGINT) score_ppm,
+         CAST(count(*) AS BIGINT) n_terms_hit
+  FROM sc GROUP BY 1
+)
+SELECT doc_id, score_ppm, n_terms_hit,
+       CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM agg ORDER BY score_ppm DESC, doc_id ASC LIMIT 10
+"""
+QUERIES["t38_bm25"] = L.t38_bm25
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -3918,3 +3918,76 @@ def test_streaming_manifest_equals_batch_and_split_invariant(spark):
             ).collect()
         }
         assert streamed == batch, f"n_files={n_files}"
+
+
+# --- BM25 (t38) ---------------------------------------------------------------
+
+
+def test_bm25_exact_python_replay(spark):
+    """The rational-idf BM25 replays in plain Python integer arithmetic
+    (the portable contract), and ranking prefers the doc with more
+    query-term mass at equal length."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "apple banana banana banana"),
+        (3, "cherry date elderberry fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(df, n_terms=2, top=3).collect()}
+
+    # replay: top-2 terms by (freq desc, tok asc) -> apple(3), banana(4)
+    # -> banana, apple
+    docs = {i: t.split() for i, t in rows}
+    dl = {i: len(t) for i, t in docs.items()}
+    n_docs, total = len(dl), sum(dl.values())
+    avgdl = 1000 * total // n_docs
+    freqs = {}
+    for t in docs.values():
+        for w in t:
+            freqs[w] = freqs.get(w, 0) + 1
+    terms = sorted(freqs, key=lambda w: (-freqs[w], w))[:2]
+    df_t = {
+        w: sum(1 for t in docs.values() if w in t) for w in terms
+    }
+    exp = {}
+    for i, t in docs.items():
+        s, hit = 0, 0
+        for w in terms:
+            tf = t.count(w)
+            if not tf:
+                continue
+            hit += 1
+            idf = (n_docs - df_t[w]) * 1000000 // df_t[w]
+            s += idf * 44 * tf * avgdl // (
+                20 * tf * avgdl + 6 * avgdl + 18 * dl[i] * 1000
+            )
+        if hit:
+            exp[i] = (s, hit)
+    for i, (s, hit) in exp.items():
+        assert (out[i]["score_ppm"], out[i]["n_terms_hit"]) == (s, hit), i
+    assert 3 not in out  # no query term -> not scored
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in ranked] == sorted(
+        exp, key=lambda i: (-exp[i][0], i)
+    )
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc -> strictly lower score (the b > 0 length
+    penalty BM25 exists for)."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "term " * 2 + "pad " * 2),
+        (2, "term " * 2 + "pad " * 20),
+        (3, "other other other filler filler filler words words"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id int, text string"
+    )
+    # top-2 terms: pad(22), other/filler/words(3) tie -> 'filler';
+    # 'pad' has df=2 < n_docs=3, so its idf is positive
+    out = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(df, n_terms=2, top=3).collect()}
+    assert out[1] > out[2] > 0
