@@ -707,3 +707,40 @@ def test_readability_matches_replay_property(spark, texts):
         assert r["flesch_milli"] == 206835 - (1015 * w) // s - (
             84600 * v
         ) // w
+
+
+@settings(**_SETTINGS)
+@given(
+    st.data(),
+)
+def test_winnow_guarantee_property(spark, data):
+    """SIGMOD'03 theorem, property-checked: for random word documents
+    with a randomly-placed SHARED passage of exactly w + k - 1 words,
+    robust winnowing always selects at least one common fingerprint;
+    and per-doc selection density never exceeds the gram count."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    vocab = [f"w{i}" for i in range(12)]
+    word = st.sampled_from(vocab)
+    passage = data.draw(
+        st.lists(word, min_size=w + k - 1, max_size=w + k - 1)
+    )
+    docs = []
+    for doc_id in (1, 2):
+        pre = data.draw(st.lists(word, min_size=0, max_size=15))
+        post = data.draw(st.lists(word, min_size=0, max_size=15))
+        docs.append((doc_id, " ".join(pre + passage + post)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    fp = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {1: set(), 2: set()}
+    counts = {1: 0, 2: 0}
+    for r in fp:
+        by_doc[r["doc_id"]].add(r["fp_hash"])
+        counts[r["doc_id"]] += 1
+    assert by_doc[1] & by_doc[2], "guarantee violated: no shared fingerprint"
+    for doc_id, text in docs:
+        n_grams = len(text.split()) - k + 1
+        assert counts[doc_id] <= max(n_grams - w + 1, 0) + (w - 1)
