@@ -1554,6 +1554,10 @@ def winnow_fingerprints(
     plus ONE per-document window (partitioned by ``id_col``, never
     global) and a distinct — winnowing 100 TB is an embarrassingly
     parallel per-doc pass whose output is ~2/(w+1) the gram count.
+    The position suffix supports documents up to 10^8 grams (~100M
+    words — far past any sane document bound; chunk with
+    :func:`chunk_documents` first if a corpus can exceed it, since a
+    larger position would break the suffix's lexicographic order).
 
     Returns (id_col, fp_hash, fp_pos): the distinct selected
     fingerprints with their 0-based gram positions.

@@ -163,6 +163,22 @@ def main() -> None:
                 assigner="arrow",
             )
 
+        def _op_silhouette_sqrtn(spark_, sf_dir_):
+            # the production silhouette config: k rides sqrt(N) with
+            # the arrow two-distance assigner (fixed-k s13 is the
+            # oracle-pinned parity query, same as d27 vs semdedup_sqrtn)
+            import math
+
+            from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+                kmeans_silhouette,
+            )
+
+            emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+            k = max(8, math.isqrt(emb.count()))
+            return kmeans_silhouette(
+                emb, k=k, n_rounds=3, scale=1000, assigner="arrow"
+            )
+
         subset = [
             "q01_pricing_summary",
             "q02_daily_supplier_agg",
@@ -186,15 +202,17 @@ def main() -> None:
             "op:embedding_lsh_pairs",
             "op:minhash_lsh_pairs",
             # r12 late additions: winnowing pair join, the extra
-            # assignment pass silhouette costs, the manifest agg
+            # assignment pass silhouette costs (scale-aware k), the
+            # manifest agg
             "d29_winnow_pairs",
-            "s13_silhouette",
+            "op:silhouette_sqrtn",
             "q113_partition_manifest",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
             "op:minhash_lsh_pairs": _op_minhash_lsh,
             "op:semdedup_sqrtn": _op_semdedup_sqrtn,
+            "op:silhouette_sqrtn": _op_silhouette_sqrtn,
         }
         env_subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET")
         if env_subset:

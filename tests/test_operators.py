@@ -3991,3 +3991,28 @@ def test_bm25_length_normalization(spark):
     # 'pad' has df=2 < n_docs=3, so its idf is positive
     out = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(df, n_terms=2, top=3).collect()}
     assert out[1] > out[2] > 0
+
+
+def test_silhouette_literal_arrow_parity_k8(spark):
+    """Literal struct-sort and the Arrow two-distance argmin agree bit
+    for bit at a non-trivial k on irregular data (the d27 parity
+    contract extended to the silhouette's second distance)."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        kmeans_silhouette,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    key = lambda r: (r["cluster"], r["n_points"], r["sum_sil_milli"], r["mean_sil_milli"])
+    lit = sorted(
+        map(key, kmeans_silhouette(df, k=8, n_rounds=3, dim=8, assigner="literal").collect())
+    )
+    arw = sorted(
+        map(key, kmeans_silhouette(df, k=8, n_rounds=3, dim=8, assigner="arrow").collect())
+    )
+    assert lit == arw
