@@ -516,3 +516,59 @@ def stratified_consistent_sample(
         .filter(F.col("sample_rank") <= k)
         .select(strat_col, id_col, F.col("_h").alias("sample_key"), "sample_rank")
     )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> Column | DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the CONSISTENT
+    alternative to :func:`shard_assign`'s mod-hashing: each doc goes to
+    ``argmax over s of md5(s || ':' || id)``, so growing the fleet from
+    n to n+1 shards moves only the ~1/(n+1) fraction of docs whose new
+    shard wins the rendezvous, instead of reshuffling ~everything the
+    way ``hash % n`` does. That minimal-movement property is what makes
+    incremental re-sharding of a 100 TB corpus an append-mostly
+    operation (only the moved slice is rewritten; q113's manifests
+    verify the rest byte-identical in place).
+
+    The argmax is encoded engine-portably as a plain ``max`` over
+    ``md5(s:id) || lpad(s, 4)`` strings (ties — cryptographically
+    negligible — break toward the higher shard id on both engines by
+    the same suffix order). Map-only: the shard candidates fold into
+    the plan as literals, there is NO shuffle, NO join, NO UDF; cost is
+    O(n_shards) hashes per row.
+
+    Returns (id_col, out_col) with the winning shard as int.
+    """
+    return df.select(
+        F.col(id_col),
+        rendezvous_shard_col(id_col, n_shards).alias(out_col),
+    )
+
+
+def rendezvous_shard_col(id_col: str, n_shards: int) -> Column:
+    """The rendezvous argmax as a composable Column (so several fleet
+    sizes can be evaluated in ONE map-only select — the x17 surface):
+    max over ``md5(s:id) || lpad(s, 4)``, winner decoded from the
+    4-char suffix."""
+    if not 1 <= n_shards <= 9999:
+        raise ValueError("n_shards must be in [1, 9999] (lpad-4 suffix)")
+    key = F.array_max(
+        F.array(
+            *[
+                F.concat(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{s}:"), F.col(id_col).cast("string")
+                        ).cast("binary")
+                    ),
+                    F.lit(f"{s:04d}"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    )
+    return F.substring(key, 33, 4).cast("int")

@@ -3161,3 +3161,30 @@ def t38_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, n_terms=5, top=10)
+
+
+def x17_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent re-sharding surface (operators.mixing.rendezvous_shards):
+    every document's rendezvous shard at n=8 AND at n=9, plus the moved
+    flag — the minimal-movement property (only ~1/9 of docs move when a
+    shard joins) exposed as oracle-checked data, not just a docstring
+    claim. Mod-hash sharding (x3) moves ~8/9 of the corpus on the same
+    resize; this is why a 100 TB corpus re-shards with rendezvous.
+    Map-only, zero shuffles, zero joins — the shard candidates are plan
+    literals."""
+    from pyspark.sql import functions as F
+
+    from ..operators.mixing import rendezvous_shard_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", 8).alias("shard_8"),
+        rendezvous_shard_col("doc_id", 9).alias("shard_9"),
+    )
+    return both.select(
+        "doc_id",
+        "shard_8",
+        "shard_9",
+        (F.col("shard_8") != F.col("shard_9")).cast("int").alias("moved"),
+    )

@@ -5799,6 +5799,34 @@ FROM agg ORDER BY score_ppm DESC, doc_id ASC LIMIT 10
 QUERIES["t38_bm25"] = L.t38_bm25
 
 
+# x17 — rendezvous (HRW) sharding at n=8 and n=9 with the moved flag:
+# the same md5(s:id) || lpad(s,4) max-key argmax, decoded from the
+# suffix. Mirrors operators/mixing.py rendezvous_shard_col.
+ORACLES["x17_rendezvous_shards"] = """
+WITH w8 AS (
+  SELECT doc_id,
+         max(md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+             || lpad(CAST(s AS VARCHAR), 4, '0')) AS k
+  FROM documents, LATERAL (SELECT unnest(range(8)) AS s) u
+  GROUP BY doc_id
+),
+w9 AS (
+  SELECT doc_id,
+         max(md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+             || lpad(CAST(s AS VARCHAR), 4, '0')) AS k
+  FROM documents, LATERAL (SELECT unnest(range(9)) AS s) u
+  GROUP BY doc_id
+)
+SELECT w8.doc_id,
+       CAST(right(w8.k, 4) AS INTEGER) AS shard_8,
+       CAST(right(w9.k, 4) AS INTEGER) AS shard_9,
+       CAST(CAST(right(w8.k, 4) AS INTEGER)
+            <> CAST(right(w9.k, 4) AS INTEGER) AS INTEGER) AS moved
+FROM w8 JOIN w9 USING (doc_id)
+"""
+QUERIES["x17_rendezvous_shards"] = L.x17_rendezvous_shards
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

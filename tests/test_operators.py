@@ -4016,3 +4016,56 @@ def test_silhouette_literal_arrow_parity_k8(spark):
         map(key, kmeans_silhouette(df, k=8, n_rounds=3, dim=8, assigner="arrow").collect())
     )
     assert lit == arw
+
+
+# --- rendezvous sharding (x17) --------------------------------------------------
+
+
+def test_rendezvous_minimal_movement_vs_mod(spark):
+    """Growing n -> n+1 moves ~1/(n+1) of docs under rendezvous but
+    ~n/(n+1) under mod-hashing; moved docs all land on the NEW shard;
+    assignment replays in hashlib."""
+    import hashlib
+
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        rendezvous_shard_col,
+        rendezvous_shards,
+    )
+
+    n = 2000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = df.select(
+        "doc_id",
+        rendezvous_shard_col("doc_id", 8).alias("s8"),
+        rendezvous_shard_col("doc_id", 9).alias("s9"),
+    ).collect()
+
+    def hrw(i, ns):
+        return max(
+            range(ns),
+            key=lambda s: hashlib.md5(f"{s}:{i}".encode()).hexdigest()
+            + f"{s:04d}",
+        )
+
+    moved = 0
+    for r in out:
+        assert r["s8"] == hrw(r["doc_id"], 8)
+        assert r["s9"] == hrw(r["doc_id"], 9)
+        if r["s8"] != r["s9"]:
+            moved += 1
+            assert r["s9"] == 8  # movers only ever go TO the new shard
+    # expected movement = n/9 ~ 222; mod-hash moves ~ n*8/9 ~ 1778
+    assert moved < n / 9 * 1.5, moved
+    mod_moved = sum(1 for i in range(n) if i % 8 != i % 9)
+    assert mod_moved > n / 2  # the contrast rendezvous exists for
+
+    # shards are reasonably balanced (hash-uniform)
+    from collections import Counter
+
+    c = Counter(r["s8"] for r in out)
+    assert len(c) == 8 and max(c.values()) < 2.0 * n / 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rendezvous_shards(df, 10000)
