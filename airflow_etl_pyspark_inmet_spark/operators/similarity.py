@@ -1739,3 +1739,64 @@ def nn_descent_knn_graph(
     return _topk(fwd).select(
         F.col("node").alias(id_col), "nbr_id", "dist_q", "rank"
     )
+
+
+def power_iteration_projection(
+    df: DataFrame,
+    n_rounds: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Dominant spectral direction of the embedding corpus by POWER
+    ITERATION on the distributed Gram matrix
+    (:func:`embedding_second_moment`), then the per-vector projection
+    onto it — the "which axis carries the corpus" analysis behind PCA
+    outlier pruning and anisotropy diagnostics (all-but-the-top
+    post-processing). True PCA centers first; this operator runs on the
+    raw second moment (embeddings here are ~zero-mean by construction)
+    and the centered variant is the same algebra on ``qv - mean``.
+
+    Exactness contract: the Gram is s7's micro-quantized exact int64
+    statistic; the iteration runs DRIVER-side on the collected d x d
+    matrix (<= d(d+1)/2 rows — the FAISS-style bounded codebook
+    collect) in arbitrary-precision Python ints, renormalizing each
+    round to ``floor(w * scale / max|w|)`` via the pmod floor-division
+    identity (the kmeans_lloyd centroid-update trick), so the whole
+    trajectory — including signs — replays bit for bit in SQL HUGEINT
+    arithmetic. No float ever touches the path; the eigenvector sign is
+    pinned by the deterministic all-ones start.
+
+    Scale shape: ONE Arrow map pass + one d^2-bounded hash-agg for the
+    Gram (map-side matrix partials — the shuffle carries partials*d^2
+    rows, never corpus*d^2), a driver loop on a 64 x 64 int matrix, and
+    ONE map-only projection against the broadcast-literal direction.
+    Power iteration at 100 TB costs exactly one Gram pass + one scan.
+
+    Returns (id_col, proj_q): exact integer dot products in
+    quanta * scale units.
+    """
+    rows = embedding_second_moment(df, vec_col).collect()  # bounded d^2
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["dim_i"]][r["dim_j"]] = int(r["smoment_q"])
+        G[r["dim_j"]][r["dim_i"]] = int(r["smoment_q"])
+    v = [scale] * dim
+    for _ in range(n_rounds):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        # floor(x * scale / m) via the pmod identity — Python % is
+        # non-negative for m > 0, so this matches the oracle's
+        # (x - ((x % m + m) % m)) // m exactly, signs included
+        v = [((x * scale) - ((x * scale) % m)) // m for x in w]
+    varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    q = df.select(
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
+    )
+    proj = F.aggregate(
+        F.zip_with(F.col("_qv"), varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q.select(F.col(id_col), proj.alias("proj_q"))

@@ -3188,3 +3188,20 @@ def x17_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_9",
         (F.col("shard_8") != F.col("shard_9")).cast("int").alias("moved"),
     )
+
+
+def s14_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant spectral direction + per-vector projection
+    (operators.similarity.power_iteration_projection): 3 power-iteration
+    rounds on s7's exact micro-quantized Gram (driver loop on the
+    64 x 64 collected matrix — the bounded-codebook contract), direction
+    renormalized each round by the pmod floor-division identity so the
+    whole trajectory replays in DuckDB HUGEINT arithmetic bit for bit,
+    then one map-only projection against the broadcast-literal
+    direction. The PCA/anisotropy analysis pass ('all-but-the-top')
+    of an embedding-curation pipeline: one Gram pass + one scan at any
+    corpus size."""
+    from ..operators.similarity import power_iteration_projection
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return power_iteration_projection(emb, n_rounds=3, dim=64)

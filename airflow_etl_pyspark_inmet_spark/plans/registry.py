@@ -5827,6 +5827,55 @@ FROM w8 JOIN w9 USING (doc_id)
 QUERIES["x17_rendezvous_shards"] = L.x17_rendezvous_shards
 
 
+# s14 — power iteration on s7's Gram, unrolled in HUGEINT (the g1/t22
+# iterative contract): v0 = ones * scale, each round w = G v, then
+# v = floor(w * scale / max|w|) via the pmod identity (signs exact).
+# Mirrors operators/similarity.py power_iteration_projection.
+def _s14_power_sql(n_rounds: int, dim: int, scale: int) -> str:
+    parts = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+        f"""q AS (
+  SELECT vec_id, i, CAST(floor(v[i] * {scale}) AS BIGINT) AS qi
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) t
+)""",
+        """g AS (
+  SELECT a.i AS gi, b.i AS gj, CAST(SUM(a.qi * b.qi) AS HUGEINT) AS val
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+)""",
+        f"""v0 AS (
+  SELECT unnest(generate_series(1, {dim})) AS i,
+         CAST({scale} AS HUGEINT) AS v
+)""",
+    ]
+    prev = "v0"
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+w{r} AS (
+  SELECT g.gi AS i, SUM(g.val * p.v) AS w
+  FROM g JOIN {prev} p ON p.i = g.gj GROUP BY 1
+)""")
+        parts.append(f"""
+m{r} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{r})""")
+        parts.append(f"""
+v{r} AS (
+  SELECT i, ((w * {scale}) - (((w * {scale}) % m + m) % m)) // m AS v
+  FROM w{r}, m{r}
+)""")
+        prev = f"v{r}"
+    final = f"""
+SELECT q.vec_id, CAST(SUM(q.qi * p.v) AS BIGINT) AS proj_q
+FROM q JOIN {prev} p ON p.i = q.i
+GROUP BY 1
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+ORACLES["s14_power_iteration"] = _s14_power_sql(3, 64, 1_000_000)
+QUERIES["s14_power_iteration"] = L.s14_power_iteration
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

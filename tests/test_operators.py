@@ -4069,3 +4069,54 @@ def test_rendezvous_minimal_movement_vs_mod(spark):
 
     with _pytest.raises(ValueError):
         rendezvous_shards(df, 10000)
+
+
+# --- power iteration (s14) -----------------------------------------------------
+
+
+def test_power_iteration_python_replay_and_alignment(spark):
+    """Exact pure-Python replay of the whole trajectory (gram ->
+    3 rounds -> projection), and the recovered direction aligns with a
+    planted dominant axis."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        power_iteration_projection,
+    )
+
+    rng = random.Random(11)
+    dim, scale = 6, 1_000_000
+    # dominant variance on axis 2
+    rows = [
+        (
+            i,
+            [
+                rng.uniform(-0.05, 0.05) if d != 2 else rng.uniform(-1.5, 1.5)
+                for d in range(dim)
+            ],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["proj_q"]
+        for r in power_iteration_projection(df, n_rounds=3, dim=dim).collect()
+    }
+
+    import math
+
+    Q = {i: [math.floor(x * scale) for x in v] for i, v in rows}
+    G = [
+        [sum(Q[i][a] * Q[i][b] for i in Q) for b in range(dim)]
+        for a in range(dim)
+    ]
+    v = [scale] * dim
+    for _ in range(3):
+        w = [sum(G[a][b] * v[b] for b in range(dim)) for a in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [((x * scale) - ((x * scale) % m)) // m for x in w]
+    exp = {i: sum(q * c for q, c in zip(Q[i], v)) for i, q in Q.items()}
+    assert got == exp
+    # alignment: the dominant component of v is axis 2
+    assert abs(v[2]) == max(abs(c) for c in v)
+    assert abs(v[2]) == scale  # renormalized so max|v| == scale
