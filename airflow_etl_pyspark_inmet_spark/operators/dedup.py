@@ -2145,3 +2145,73 @@ def semdedup_ivf(
     return semdedup_from_assignment(
         df, assign, tau=tau, id_col=id_col, vec_col=vec_col
     )
+
+
+def prototype_pruning(
+    df,
+    k: int = 8,
+    n_rounds: int = 3,
+    scale: int = 1000,
+    keep_num: int = 7,
+    keep_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    assigner: str = "auto",
+):
+    """SSL-prototypes data pruning (Sorscher et al., 'Beyond neural
+    scaling laws', NeurIPS'22): cluster the corpus, rank every example
+    within its cluster by distance to the centroid, and keep the
+    ``keep_num/keep_den`` fraction of MOST prototypical (closest)
+    examples per cluster — the metric-based pruning rule the paper
+    shows beats random subsetting, applied on d25's exact integer grid
+    so the whole decision (trajectory, ranks, the ceil quota) replays
+    in SQL bit for bit.
+
+    The quota is ``ceil(n_c * keep_num / keep_den)`` per cluster in
+    pure integer arithmetic (``(n_c * keep_num + keep_den - 1) div
+    keep_den``), so every cluster keeps at least one example and the
+    fraction is exact — no float thresholds. Rank ties break by id
+    (the (dist_q, id) total order every exact tier uses).
+
+    Scale shape: the s9/d25 Lloyd cost (map-only assignment rounds +
+    bounded collects) plus ONE per-cluster window — partitioned by
+    cluster, never global, and the rank filter compiles to
+    WindowGroupLimit-eligible shape (map tasks pre-prune below the
+    quota's running max). Returns (id_col, cluster, dist_q,
+    rank_in_cluster, kept) for the full corpus — the curation manifest
+    downstream mixers consume.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import kmeans_lloyd
+
+    assign = kmeans_lloyd(
+        df,
+        k=k,
+        n_rounds=n_rounds,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        assigner=assigner,
+    ).localCheckpoint(eager=False)  # consumers: sizes + ranked rows
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist_q"), F.asc(id_col)
+    )
+    ranked = assign.withColumn(
+        "rank_in_cluster", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.join(F.broadcast(sizes), "cluster").select(
+        F.col(id_col),
+        "cluster",
+        "dist_q",
+        "rank_in_cluster",
+        (
+            F.col("rank_in_cluster")
+            <= F.expr(f"(_n * {keep_num} + {keep_den} - 1) div {keep_den}")
+        )
+        .cast("int")
+        .alias("kept"),
+    )

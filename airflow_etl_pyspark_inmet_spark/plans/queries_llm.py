@@ -3205,3 +3205,18 @@ def s14_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return power_iteration_projection(emb, n_rounds=3, dim=64)
+
+
+def c11_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning manifest (operators.dedup.prototype_pruning):
+    s9's exact Lloyd clustering, every vector ranked within its cluster
+    by centroid distance, keep the most-prototypical 7/10 per cluster
+    with an exact integer ceil quota — the Sorscher et al. metric-based
+    pruning rule as an oracle-checked curation surface (the data-PRUNING
+    complement of d25's near-dup SemDeDup). One per-cluster window on
+    top of the Lloyd cost; the oracle replays trajectory, ranks and
+    quota bit for bit."""
+    from ..operators.dedup import prototype_pruning
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return prototype_pruning(emb, k=8, n_rounds=3, keep_num=7, keep_den=10)

@@ -5876,6 +5876,50 @@ ORACLES["s14_power_iteration"] = _s14_power_sql(3, 64, 1_000_000)
 QUERIES["s14_power_iteration"] = L.s14_power_iteration
 
 
+# c11 — SSL-prototypes pruning: the s9/d25 trajectory (same _S9_PARTS
+# chain), then a per-cluster (dist_q, vec_id) rank and the exact ceil
+# quota (n*keep_num + keep_den - 1) // keep_den. Mirrors
+# operators/dedup.py prototype_pruning.
+def _c11_prototype_sql(k: int, n_rounds: int, dim: int, scale: int,
+                       keep_num: int, keep_den: int) -> str:
+    if (k, n_rounds, dim, scale) not in _S9_PARTS:
+        _s9_kmeans_sql(k, n_rounds, dim, scale)
+    parts, prev, pack = _S9_PARTS[(k, n_rounds, dim, scale)]
+    rest = f""",
+fin AS (
+  SELECT vec_id,
+         CAST(key % {pack} AS INTEGER) AS cluster,
+         key // {pack} AS dist_q
+  FROM (
+    SELECT q.vec_id, min(
+             CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               AS BIGINT) * {pack} + cid) AS key
+    FROM q, {prev} c
+    GROUP BY q.vec_id)
+),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) n FROM fin GROUP BY 1),
+rk AS (
+  SELECT vec_id, cluster, dist_q,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY dist_q ASC, vec_id ASC)
+              AS BIGINT) AS rank_in_cluster
+  FROM fin
+)
+SELECT rk.vec_id, rk.cluster, rk.dist_q, rk.rank_in_cluster,
+       CAST(rk.rank_in_cluster
+            <= (sz.n * {keep_num} + {keep_den} - 1) // {keep_den}
+            AS INTEGER) AS kept
+FROM rk JOIN sz USING (cluster)
+"""
+    return "WITH " + ",".join(parts) + rest
+
+
+ORACLES["c11_prototype_pruning"] = _c11_prototype_sql(8, 3, 64, 1000, 7, 10)
+QUERIES["c11_prototype_pruning"] = L.c11_prototype_pruning
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

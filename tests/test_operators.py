@@ -4120,3 +4120,49 @@ def test_power_iteration_python_replay_and_alignment(spark):
     # alignment: the dominant component of v is axis 2
     assert abs(v[2]) == max(abs(c) for c in v)
     assert abs(v[2]) == scale  # renormalized so max|v| == scale
+
+
+# --- SSL-prototypes pruning (c11) ----------------------------------------------
+
+
+def test_prototype_pruning_quota_and_ranking(spark):
+    """Per-cluster keeps are exactly ceil(n * 7/10), the kept set is the
+    distance-closest prefix, and every cluster keeps >= 1."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        prototype_pruning,
+    )
+
+    rng = random.Random(3)
+    # two separated blobs of different sizes (13 and 7)
+    rows = [
+        (i, [rng.uniform(-0.2, 0.2) for _ in range(4)]) for i in range(13)
+    ] + [
+        (100 + i, [50.0 + rng.uniform(-0.2, 0.2) for _ in range(4)])
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_pruning(
+        df, k=2, n_rounds=3, dim=4, keep_num=7, keep_den=10
+    ).collect()
+    from collections import defaultdict
+
+    by_c = defaultdict(list)
+    for r in out:
+        by_c[r["cluster"]].append(r)
+    assert sum(len(v) for v in by_c.values()) == 20
+    for c, rs in by_c.items():
+        n = len(rs)
+        quota = (n * 7 + 9) // 10
+        kept = [r for r in rs if r["kept"] == 1]
+        assert len(kept) == quota >= 1, (c, n)
+        # kept set = rank prefix = smallest distances
+        max_kept = max((r["dist_q"], r["vec_id"]) for r in kept)
+        dropped = [r for r in rs if r["kept"] == 0]
+        if dropped:
+            min_drop = min((r["dist_q"], r["vec_id"]) for r in dropped)
+            assert max_kept < min_drop
+        assert sorted(r["rank_in_cluster"] for r in rs) == list(
+            range(1, n + 1)
+        )
