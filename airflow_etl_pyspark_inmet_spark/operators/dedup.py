@@ -2215,3 +2215,95 @@ def prototype_pruning(
         .cast("int")
         .alias("kept"),
     )
+
+
+def lsh_threshold_sweep(
+    df,
+    taus: tuple = (7, 9, 11, 13),
+    tau_den: int = 20,
+    scale: int = 1000,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    lsh_floor: float = 0.2,
+):
+    """Threshold-CALIBRATION sweep for the embedding near-dup detector:
+    for each candidate tau (in ``tau_den``-ths), the exact count of
+    block-ground-truth pairs crossing tau — decided rationally on the
+    d25 milli grid (``dot >= 0 AND tau_den^2*dot^2 >= tau^2*|a|^2*|b|^2``,
+    decimal(38,0)-widened) so every count replays in DuckDB — plus the
+    per-tau envelope ``lsh_recall_ok``: every ground-truth pair crossing
+    tau was surfaced by the PRODUCTION sign-LSH candidate tier
+    (:func:`embedding_lsh_pairs` verified at the looser ``lsh_floor``,
+    so the candidate set is tau-independent). This is the "which tau do
+    we ship, and does the prod blocking hold there" dashboard a
+    curation pipeline runs before committing a drop policy — the
+    sweep's exact tier is the d19-family ground truth (the testdata's
+    cluster ``block_col`` standing in for the offline-eval sample a
+    100 TB deployment would label).
+
+    Scale shape: ONE block-bounded exact pair pass (linear in block
+    width — the eval harness premise; production corpora sweep on a
+    sampled/labeled slice), ONE LSH candidate pass, one left join, and
+    a |taus|-row broadcast cross join folded by a single count_if agg.
+    Returns (tau_twentieths, n_pairs_exact, lsh_recall_ok).
+    """
+    from .similarity import _quantize_expr
+
+    spark = df.sparkSession
+    qn = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        _quantize_expr(vec_col, scale).alias("_qv"),
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            F.transform(F.col("_qv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = qn.toDF("id_a", "_blk", "_qa", "_n2a")
+    b = qn.toDF("id_b", "_blk", "_qb", "_n2b")
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_n2a", "_n2b", dot.alias("_dot"))
+        .localCheckpoint(eager=False)  # consumers: every tau row
+    )
+    cand = embedding_lsh_pairs(df, threshold=lsh_floor, dim=dim).select(
+        "id_a", "id_b", F.lit(1).alias("_found")
+    )
+    j = pairs.join(cand, ["id_a", "id_b"], "left")
+    tau_df = spark.createDataFrame(
+        [(int(t),) for t in taus], "tau_twentieths int"
+    )
+    td2 = tau_den * tau_den
+    crossing = F.expr(
+        f"_n2a > 0 AND _n2b > 0 AND _dot >= 0"
+        f" AND {td2} * (cast(_dot as decimal(38,0)) * _dot)"
+        f" >= tau_twentieths * tau_twentieths"
+        f" * (cast(_n2a as decimal(38,0)) * _n2b)"
+    )
+    return (
+        F.broadcast(tau_df)
+        .join(j, F.lit(True), "left")
+        .groupBy("tau_twentieths")
+        .agg(
+            F.sum(F.when(crossing, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_exact"),
+            (
+                F.sum(
+                    F.when(crossing & F.col("_found").isNull(), 1).otherwise(0)
+                )
+                == 0
+            ).alias("lsh_recall_ok"),
+        )
+    )

@@ -3220,3 +3220,18 @@ def c11_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return prototype_pruning(emb, k=8, n_rounds=3, keep_num=7, keep_den=10)
+
+
+def c12_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration dashboard
+    (operators.dedup.lsh_threshold_sweep): exact ground-truth pair
+    counts at tau = 7/9/11/13 twentieths on the rational int grid, plus
+    the per-tau envelope that the PRODUCTION sign-LSH candidate tier
+    (verified at the looser 0.2 floor, tau-independent) recalls every
+    ground-truth crossing pair — the "which tau ships" decision surface
+    run before committing a drop policy. One block-bounded exact pass +
+    one LSH pass + a 4-row broadcast sweep."""
+    from ..operators.dedup import lsh_threshold_sweep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_threshold_sweep(emb, taus=(7, 9, 11, 13))

@@ -5920,6 +5920,46 @@ ORACLES["c11_prototype_pruning"] = _c11_prototype_sql(8, 3, 64, 1000, 7, 10)
 QUERIES["c11_prototype_pruning"] = L.c11_prototype_pruning
 
 
+# c12 — threshold sweep: d28's quantization + exact BIGINT dot, the
+# rational crossing per tau in HUGEINT, label blocks as ground truth;
+# the LSH recall envelope is TRUE on the oracle side (the d19-family
+# contract). Mirrors operators/dedup.py lsh_threshold_sweep.
+ORACLES["c12_lsh_threshold_sweep"] = """
+WITH qe AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, label, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+              AS BIGINT) AS n2
+  FROM qe
+),
+p AS (
+  SELECT a.vec_id id_a, b.vec_id id_b, a.n2 n2a, b.n2 n2b, d.dot
+  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN LATERAL (
+    SELECT CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                                 CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot
+  ) d ON TRUE
+),
+taus AS (SELECT unnest([7, 9, 11, 13]) AS tau_twentieths)
+SELECT t.tau_twentieths,
+       CAST(count_if(
+         p.n2a > 0 AND p.n2b > 0 AND p.dot >= 0
+         AND 400 * (CAST(p.dot AS HUGEINT) * CAST(p.dot AS HUGEINT))
+             >= t.tau_twentieths * t.tau_twentieths
+                * (CAST(p.n2a AS HUGEINT) * CAST(p.n2b AS HUGEINT))
+       ) AS BIGINT) AS n_pairs_exact,
+       TRUE AS lsh_recall_ok
+FROM taus t LEFT JOIN p ON TRUE
+GROUP BY 1
+"""
+QUERIES["c12_lsh_threshold_sweep"] = L.c12_lsh_threshold_sweep
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

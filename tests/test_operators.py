@@ -4166,3 +4166,37 @@ def test_prototype_pruning_quota_and_ranking(spark):
         assert sorted(r["rank_in_cluster"] for r in rs) == list(
             range(1, n + 1)
         )
+
+
+# --- LSH threshold sweep (c12) -------------------------------------------------
+
+
+def test_lsh_threshold_sweep_counts_and_envelope(spark):
+    """Hand corpus: an identical pair (cos=1) crosses every tau, an
+    orthogonal pair crosses none; the production LSH tier recalls the
+    identical pair so every envelope holds."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        lsh_threshold_sweep,
+    )
+
+    d = 8
+    v = [1.0] * d
+    orth_a = [1.0, 0.0] * (d // 2)
+    orth_b = [0.0, 1.0] * (d // 2)
+    rows = [
+        (1, "A", v),
+        (2, "A", v),  # identical pair in block A
+        (3, "B", orth_a),
+        (4, "B", orth_b),  # orthogonal pair in block B
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {
+        r["tau_twentieths"]: r
+        for r in lsh_threshold_sweep(df, taus=(7, 11, 19), dim=d).collect()
+    }
+    assert set(out) == {7, 11, 19}
+    for t, r in out.items():
+        assert r["n_pairs_exact"] == 1, t  # only the identical pair
+        assert bool(r["lsh_recall_ok"]) is True, t
