@@ -2231,27 +2231,80 @@ def lsh_threshold_sweep(
     """Threshold-CALIBRATION sweep for the embedding near-dup detector:
     for each candidate tau (in ``tau_den``-ths), the exact count of
     block-ground-truth pairs crossing tau — decided rationally on the
-    d25 milli grid (``dot >= 0 AND tau_den^2*dot^2 >= tau^2*|a|^2*|b|^2``,
-    decimal(38,0)-widened) so every count replays in DuckDB — plus the
-    per-tau envelope ``lsh_recall_ok``: every ground-truth pair crossing
-    tau was surfaced by the PRODUCTION sign-LSH candidate tier
+    d25 milli grid (``dot >= 0 AND tau_den^2*dot^2 >= tau^2*|a|^2*|b|^2``)
+    so every count replays in DuckDB — plus the per-tau envelope
+    ``lsh_recall_ok``: every ground-truth pair crossing tau was surfaced
+    by the PRODUCTION sign-LSH candidate tier
     (:func:`embedding_lsh_pairs` verified at the looser ``lsh_floor``,
-    so the candidate set is tau-independent). This is the "which tau do
-    we ship, and does the prod blocking hold there" dashboard a
-    curation pipeline runs before committing a drop policy — the
-    sweep's exact tier is the d19-family ground truth (the testdata's
-    cluster ``block_col`` standing in for the offline-eval sample a
-    100 TB deployment would label).
+    so the candidate set is tau-independent). The sweep range starts at
+    0.35 — the regime where the prod tier's recall envelope is proven
+    (d19); below it sign-LSH legitimately misses weak pairs and the
+    envelope would report the miss. This is the "which tau do we ship,
+    and does the prod blocking hold there" dashboard a curation
+    pipeline runs before committing a drop policy.
 
-    Scale shape: ONE block-bounded exact pair pass (linear in block
-    width — the eval harness premise; production corpora sweep on a
-    sampled/labeled slice), ONE LSH candidate pass, one left join, and
-    a |taus|-row broadcast cross join folded by a single count_if agg.
-    Returns (tau_twentieths, n_pairs_exact, lsh_recall_ok).
+    Scale shape (the d28 lesson, RE-LEARNED by this gate: the first
+    cut enumerated ground-truth pairs through the JVM dot fold and the
+    sf0.1 -> sf1 probe flagged 43.7x): the exact tier never
+    materializes pairs — ONE chunked int64 Gram matmul per block
+    counts the per-tau crossings in numpy (an m x m tile histogram,
+    ~100x cheaper per pair than the JVM fold), and the subset check
+    rides the SPARSE candidate list instead: count(candidates
+    intersect ground truth crossing tau) == count(ground truth
+    crossing tau) iff no miss. Work is sum over blocks of m^2 * dim
+    integer MACs + one pass over the candidate pairs — linear in
+    corpus at bounded block width. Returns (tau_twentieths,
+    n_pairs_exact, lsh_recall_ok).
     """
+    import numpy as np
+    import pandas as pd
+
     from .similarity import _quantize_expr
 
     spark = df.sparkSession
+    taus = tuple(int(t) for t in taus)
+    td2 = tau_den * tau_den
+
+    # exact tier: per-block per-tau crossing histogram, no pair rows
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        Q = np.floor(V * scale).astype(np.int64)  # the d25 grid
+        assert np.abs(Q).max(initial=0) <= 1500, (
+            "quantized coords exceed the int64-exact envelope"
+        )
+        n2 = np.einsum("ij,ij->i", Q, Q)
+        m = len(Q)
+        pos = n2 > 0
+        counts = dict.fromkeys(taus, 0)
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            G = Q[lo:hi] @ Q.T  # (chunk, m) int64
+            lhs = td2 * (G * G)  # <= 8.3e18, in-bounds (the d28 proof)
+            outer = np.outer(n2[lo:hi], n2)
+            base = (G >= 0) & pos[lo:hi, None] & pos[None, :]
+            # strict upper triangle of the GLOBAL matrix: j > global i
+            base &= np.arange(m)[None, :] > np.arange(lo, hi)[:, None]
+            for t in taus:
+                counts[t] += int(((lhs >= (t * t) * outer) & base).sum())
+        return pd.DataFrame(
+            {
+                "tau_twentieths": np.array(taus, dtype=np.int32),
+                "cnt": np.array([counts[t] for t in taus], dtype=np.int64),
+            }
+        )
+
+    exact = (
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .groupBy("_blk")
+        .applyInPandas(kernel, "tau_twentieths int, cnt bigint")
+        .groupBy("tau_twentieths")
+        .agg(F.sum("cnt").cast("bigint").alias("n_pairs_exact"))
+    )
+
+    # candidate tier: the sparse LSH pair list, re-scored exactly
     qn = df.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
@@ -2263,47 +2316,54 @@ def lsh_threshold_sweep(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
+    ).localCheckpoint(eager=False)  # consumers: both candidate sides
+    cand = embedding_lsh_pairs(df, threshold=lsh_floor, dim=dim).select(
+        "id_a", "id_b"
     )
-    a = qn.toDF("id_a", "_blk", "_qa", "_n2a")
-    b = qn.toDF("id_b", "_blk", "_qb", "_n2b")
+    a = qn.toDF("id_a", "_blka", "_qa", "_n2a")
+    b = qn.toDF("id_b", "_blkb", "_qb", "_n2b")
     dot = F.aggregate(
         F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = (
-        a.join(b, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_n2a", "_n2b", dot.alias("_dot"))
-        .localCheckpoint(eager=False)  # consumers: every tau row
+    cpairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_blka") == F.col("_blkb"))  # ground-truth members
+        .select("_n2a", "_n2b", dot.alias("_dot"))
     )
-    cand = embedding_lsh_pairs(df, threshold=lsh_floor, dim=dim).select(
-        "id_a", "id_b", F.lit(1).alias("_found")
-    )
-    j = pairs.join(cand, ["id_a", "id_b"], "left")
     tau_df = spark.createDataFrame(
-        [(int(t),) for t in taus], "tau_twentieths int"
+        [(t,) for t in taus], "tau_twentieths int"
     )
-    td2 = tau_den * tau_den
     crossing = F.expr(
         f"_n2a > 0 AND _n2b > 0 AND _dot >= 0"
         f" AND {td2} * (cast(_dot as decimal(38,0)) * _dot)"
         f" >= tau_twentieths * tau_twentieths"
         f" * (cast(_n2a as decimal(38,0)) * _n2b)"
     )
-    return (
+    cand_counts = (
         F.broadcast(tau_df)
-        .join(j, F.lit(True), "left")
+        .join(cpairs, F.lit(True), "left")
         .groupBy("tau_twentieths")
         .agg(
             F.sum(F.when(crossing, 1).otherwise(0))
             .cast("bigint")
-            .alias("n_pairs_exact"),
+            .alias("_n_cand")
+        )
+    )
+    return (
+        F.broadcast(tau_df)
+        .join(exact, "tau_twentieths", "left")
+        .join(cand_counts, "tau_twentieths", "left")
+        .select(
+            "tau_twentieths",
+            F.coalesce("n_pairs_exact", F.lit(0).cast("bigint")).alias(
+                "n_pairs_exact"
+            ),
             (
-                F.sum(
-                    F.when(crossing & F.col("_found").isNull(), 1).otherwise(0)
-                )
-                == 0
+                F.coalesce("n_pairs_exact", F.lit(0))
+                == F.coalesce("_n_cand", F.lit(0))
             ).alias("lsh_recall_ok"),
         )
     )
