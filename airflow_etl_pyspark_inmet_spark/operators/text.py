@@ -1750,3 +1750,80 @@ def bm25_topk(
     return cut.withColumn("rank", F.row_number().over(w)).select(
         F.col("_id").alias(id_col), "score_ppm", "n_terms_hit", "rank"
     )
+
+
+def greedy_decode(
+    df: DataFrame,
+    n_steps: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GREEDY DECODING from the corpus bigram MLE language model — the
+    generation-side counterpart of :func:`bigram_condprob`'s scoring:
+    start from the corpus's most frequent token and repeatedly follow
+    the argmax continuation ``argmax_w cnt(prev, w)`` (ties -> lexically
+    smallest ``w``, the house total order), up to ``n_steps`` tokens or
+    until a token with no observed continuation. The argmax is encoded
+    the oracle-portable way — ``min(lpad(10^9 - cnt) || w)`` — so the
+    whole generated chain (a pure function of the corpus) replays as a
+    recursive CTE over the same best-continuation table, bit for bit.
+    What it's for: the cheapest possible "what does this corpus sound
+    like" probe — templated corpora decode into their boilerplate,
+    which makes the chain a human-readable contamination/boilerplate
+    signature next to t10/t31's numeric ones.
+
+    Scale shape: the bigram census is one explode + one combine-heavy
+    hash agg; the best-continuation table (|vocab| rows) is eagerly
+    checkpointed and the decode loop runs ``n_steps`` driver-bounded
+    single-row lookups against it (the g1/t22 iterative contract —
+    rounds are driver-bounded and each collects exactly one row). The
+    emitted chain is <= n_steps rows by construction.
+
+    Returns (step, token), step 0-based.
+    """
+    grams = exploded_ngrams(df, id_col, text_col, 2)
+    big = (
+        grams.select(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        big.groupBy("w1")
+        .agg(
+            F.min(
+                F.concat(
+                    F.lpad(
+                        (F.lit(1_000_000_000) - F.col("cnt")).cast("string"),
+                        10,
+                        "0",
+                    ),
+                    F.col("w2"),
+                )
+            ).alias("_k")
+        )
+        .select("w1", F.expr("substring(_k, 11)").alias("nxt"))
+        .localCheckpoint(eager=True)  # n_steps bounded lookups below
+    )
+    uni = exploded_ngrams(df, id_col, text_col, 1)
+    seed_row = (
+        uni.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(1)
+        .collect()
+    )
+    spark = df.sparkSession
+    if not seed_row:
+        return spark.createDataFrame([], "step int, token string")
+    cur = seed_row[0]["g"]
+    path = [(0, cur)]
+    for step in range(1, n_steps):
+        nxt = best.filter(F.col("w1") == cur).collect()  # bounded: 1 row
+        if not nxt:
+            break
+        cur = nxt[0]["nxt"]
+        path.append((step, cur))
+    return spark.createDataFrame(path, "step int, token string")

@@ -3235,3 +3235,19 @@ def c12_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_threshold_sweep(emb, taus=(7, 9, 11, 13))
+
+
+def t39_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM
+    (operators.text.greedy_decode): 20 argmax steps from the most
+    frequent token, ties lexical, the argmax encoded as
+    min(lpad(1e9-cnt) || w) so the chain replays as a DuckDB recursive
+    CTE bit for bit — generation as an oracle-checked query (the
+    human-readable boilerplate signature of the corpus). Bigram census
+    is one explode + one hash agg; the decode loop is n driver-bounded
+    single-row lookups against the checkpointed best-continuation
+    table (the g1/t22 iterative contract)."""
+    from ..operators.text import greedy_decode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_decode(docs, n_steps=20)

@@ -5960,6 +5960,45 @@ GROUP BY 1
 QUERIES["c12_lsh_threshold_sweep"] = L.c12_lsh_threshold_sweep
 
 
+# t39 — greedy decode: the best-continuation table is a plain agg
+# (min over lpad(1e9-cnt) || w2 — aggregates are NOT allowed in a
+# recursive term, which is why the argmax is precomputed), then the
+# chain is a pure-lookup recursive CTE. Mirrors
+# operators/text.py greedy_decode.
+ORACLES["t39_greedy_decode"] = """
+WITH RECURSIVE ws AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+toks AS (
+  SELECT unnest(w) AS token FROM ws
+  WHERE len(w) >= 1 AND w[1] <> ''
+),
+big AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cnt
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS i) u
+  GROUP BY 1, 2
+),
+bn AS (
+  SELECT w1,
+         substr(min(lpad(CAST(1000000000 - cnt AS VARCHAR), 10, '0') || w2),
+                11) AS nxt
+  FROM big GROUP BY 1
+),
+seed AS (
+  SELECT token FROM (SELECT token, count(*) c FROM toks GROUP BY 1)
+  ORDER BY c DESC, token ASC LIMIT 1
+),
+chain AS (
+  SELECT 0 AS step, token FROM seed
+  UNION ALL
+  SELECT c.step + 1, b.nxt FROM chain c JOIN bn b ON b.w1 = c.token
+  WHERE c.step < 19
+)
+SELECT CAST(step AS INTEGER) AS step, token FROM chain
+"""
+QUERIES["t39_greedy_decode"] = L.t39_greedy_decode
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

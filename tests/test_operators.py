@@ -4200,3 +4200,37 @@ def test_lsh_threshold_sweep_counts_and_envelope(spark):
     for t, r in out.items():
         assert r["n_pairs_exact"] == 1, t  # only the identical pair
         assert bool(r["lsh_recall_ok"]) is True, t
+
+
+# --- greedy decode (t39) -------------------------------------------------------
+
+
+def test_greedy_decode_chain_ties_and_deadend(spark):
+    """Known corpus: seed = most frequent token, argmax continuations
+    with lexical tie-break, stop at a token with no continuation."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import greedy_decode
+
+    # 'a' is most frequent; a->b (2) beats a->c (1); b has tie c/d (1
+    # each) -> lexically 'c'; c->end; 'end' has no continuation.
+    rows = [
+        (1, "a b c end"),
+        (2, "a b"),
+        (3, "a c a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = sorted(
+        ((r["step"], r["token"]) for r in greedy_decode(df, n_steps=10).collect())
+    )
+    # a(5) most frequent; a->{b:2, c:1, a:1} -> b; b->{c:1} -> c;
+    # c->{end:1, a:1} -> tie on cnt, lexical min 'a'; a->b loop...
+    # chain: a b c a b c a b c a  (10 steps, cycle)
+    assert out == [
+        (0, "a"), (1, "b"), (2, "c"), (3, "a"), (4, "b"),
+        (5, "c"), (6, "a"), (7, "b"), (8, "c"), (9, "a"),
+    ]
+    # dead-end: corpus whose chain hits a terminal token
+    df2 = spark.createDataFrame([(1, "x y z")], "doc_id int, text string")
+    out2 = sorted(
+        ((r["step"], r["token"]) for r in greedy_decode(df2, n_steps=10).collect())
+    )
+    assert out2 == [(0, "x"), (1, "y"), (2, "z")]  # z has no continuation
