@@ -207,6 +207,9 @@ def main() -> None:
             "d29_winnow_pairs",
             "op:silhouette_sqrtn",
             "q113_partition_manifest",
+            # the Gram-histogram sweep — flagged once (43.7x as a pair
+            # enumeration), fixed to 3.55x; keep it gated
+            "c12_lsh_threshold_sweep",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
