@@ -3251,3 +3251,22 @@ def t39_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return greedy_decode(docs, n_steps=20)
+
+
+def s15_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-10
+    (operators.similarity.late_interaction_topk): 5 query vectors, each
+    vector treated as 4 x 16-dim subvector slices, MaxSim scoring (sum
+    over query slices of the max dot against any doc slice) on the
+    exact milli grid — the multi-vector retrieval operator single-dot
+    rankers can't express. Corpus explodes x4 map-only, query slices
+    broadcast, two combine-heavy aggs + one per-query top-k window; the
+    oracle unnests the same slices and replays dots/max/sum/rank bit
+    for bit."""
+    from ..operators.similarity import late_interaction_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return late_interaction_topk(emb, queries, k=10)

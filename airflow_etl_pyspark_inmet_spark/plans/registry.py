@@ -5999,6 +5999,48 @@ SELECT CAST(step AS INTEGER) AS step, token FROM chain
 QUERIES["t39_greedy_decode"] = L.t39_greedy_decode
 
 
+# s15 — late interaction: the same 4 x 16 milli-grid slices, dot per
+# (doc-slice, query-slice), max per query slice, sum, per-query rank.
+# Mirrors operators/similarity.py late_interaction_topk.
+ORACLES["s15_late_interaction"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dsl AS (
+  SELECT vec_id AS item_id, s AS d_slice, qv[s*16+1 : s*16+16] AS dv
+  FROM q, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) u
+),
+qsl AS (
+  SELECT vec_id AS query_id, s AS q_slice, qv[s*16+1 : s*16+16] AS qsv
+  FROM q, LATERAL (SELECT unnest(generate_series(0, 3)) AS s) u
+  WHERE vec_id < 5
+),
+dots AS (
+  SELECT qsl.query_id, dsl.item_id, qsl.q_slice,
+         max(CAST(list_dot_product(CAST(dsl.dv AS DOUBLE[]),
+                                   CAST(qsl.qsv AS DOUBLE[]))
+                  AS BIGINT)) AS maxdot
+  FROM dsl CROSS JOIN qsl
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT query_id, item_id, CAST(SUM(maxdot) AS BIGINT) AS maxsim_q
+  FROM dots GROUP BY 1, 2
+)
+SELECT query_id, item_id, maxsim_q, rank FROM (
+  SELECT query_id, item_id, maxsim_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY maxsim_q DESC, item_id ASC)
+              AS INTEGER) AS rank
+  FROM sc)
+WHERE rank <= 10
+"""
+QUERIES["s15_late_interaction"] = L.s15_late_interaction
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -4234,3 +4234,59 @@ def test_greedy_decode_chain_ties_and_deadend(spark):
         ((r["step"], r["token"]) for r in greedy_decode(df2, n_steps=10).collect())
     )
     assert out2 == [(0, "x"), (1, "y"), (2, "z")]  # z has no continuation
+
+
+# --- late interaction (s15) ----------------------------------------------------
+
+
+def test_late_interaction_maxsim_vs_bruteforce(spark):
+    """MaxSim replays in pure Python (slice, dot, max, sum, rank), and
+    a doc sharing only ONE slice with the query still scores that
+    slice's full dot (the per-slice max binding s1's single dot
+    can't express)."""
+    import math
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        late_interaction_topk,
+    )
+
+    dim, n_sub, sub = 8, 4, 2
+    rows = [
+        (0, [1.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),   # query
+        (1, [0.0, 0.0, 1.0, 2.0, 0.0, 0.0, 0.0, 0.0]),   # shares slice CONTENT at another position
+        (2, [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0]),   # strong everywhere
+        (3, [-1.0, -2.0, -1.0, -2.0, -1.0, -2.0, -1.0, -2.0]),  # anti
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        r["item_id"]: (r["maxsim_q"], r["rank"])
+        for r in late_interaction_topk(
+            df, queries, k=4, n_sub=n_sub, dim=dim
+        ).collect()
+    }
+
+    def q(v):
+        return [math.floor(x * 1000) for x in v]
+
+    def maxsim(qv, dv):
+        s = 0
+        for i in range(n_sub):
+            qs = qv[i * sub : (i + 1) * sub]
+            s += max(
+                sum(a * b for a, b in zip(qs, dv[j * sub : (j + 1) * sub]))
+                for j in range(n_sub)
+            )
+        return s
+
+    qv = q(rows[0][1])
+    exp = {i: maxsim(qv, q(v)) for i, v in rows}
+    for i, (score, _) in got.items():
+        assert score == exp[i], i
+    # ranking: 2 (strong everywhere) > 0 (self) ... verify order matches scores
+    order = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == sorted(exp, key=lambda i: (-exp[i], i))
+    # doc 1's misplaced slice still earns the full dot via the max
+    assert exp[1] > 0
