@@ -744,3 +744,55 @@ def test_winnow_guarantee_property(spark, data):
     for doc_id, text in docs:
         n_grams = len(text.split()) - k + 1
         assert counts[doc_id] <= max(n_grams - w + 1, 0) + (w - 1)
+
+
+@settings(**_SETTINGS)
+@given(st.data())
+def test_bm25_matches_python_replay_property(spark, data):
+    """For random small corpora (ties, absent terms, skewed lengths),
+    the engine's rational-idf BM25 equals a pure-Python integer replay
+    of the same algebra — scores, hit counts, and ranking."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import bm25_topk
+
+    vocab = [f"w{i}" for i in range(6)]
+    word = st.sampled_from(vocab)
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = {
+        i: data.draw(st.lists(word, min_size=1, max_size=12))
+        for i in range(1, n_docs + 1)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()],
+        "doc_id int, text string",
+    )
+    n_terms, top = 3, n_docs
+    got = {
+        r["doc_id"]: (r["score_ppm"], r["n_terms_hit"])
+        for r in bm25_topk(df, n_terms=n_terms, top=top).collect()
+    }
+
+    dl = {i: len(t) for i, t in docs.items()}
+    total = sum(dl.values())
+    avgdl = 1000 * total // n_docs
+    freqs: dict[str, int] = {}
+    for t in docs.values():
+        for w in t:
+            freqs[w] = freqs.get(w, 0) + 1
+    terms = sorted(freqs, key=lambda w: (-freqs[w], w))[:n_terms]
+    df_t = {w: sum(1 for t in docs.values() if w in t) for w in terms}
+    exp = {}
+    for i, t in docs.items():
+        s, hit = 0, 0
+        for w in terms:
+            tf = t.count(w)
+            if not tf:
+                continue
+            hit += 1
+            idf = (n_docs - df_t[w]) * 1000000 // df_t[w]
+            s += (
+                idf * 44 * tf * avgdl
+                // (20 * tf * avgdl + 6 * avgdl + 18 * dl[i] * 1000)
+            )
+        if hit:
+            exp[i] = (s, hit)
+    assert got == dict(sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top])
