@@ -1069,3 +1069,48 @@ def partition_manifest(
             F.bit_xor("_h").alias("hash_xor"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX of user journeys: for every
+    ordered (event_type -> next event_type) step inside a user's
+    timeline, the transition count and the conditional probability in
+    exact integer ppm (``n * 1e6 div row-total``) — the
+    behavioral-analytics surface funnels (q59) and sessionization (q18)
+    summarize but don't expose. Timeline order is total:
+    (ts, tiebreak_col) — equal timestamps break by id on both engines.
+
+    Scale shape: ONE per-user window (lead over the user partition —
+    users are the natural shard key, never a global sort), then two
+    combine-heavy hash aggs (pair counts, row totals) and a
+    |event_types|-bounded broadcast join for the denominator. The
+    transition matrix is O(|types|^2) rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    steps = (
+        df.select(user_col, ts_col, tiebreak_col, type_col)
+        .withColumn("next_type", F.lead(type_col).over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col(type_col).alias("event_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_trans").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        "n_trans",
+        F.expr("n_trans * 1000000 div _tot").alias("p_ppm"),
+    )

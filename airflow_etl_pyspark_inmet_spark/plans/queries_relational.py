@@ -2190,3 +2190,16 @@ def q113_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_manifest(
         o, F.date_format("o_orderdate", "yyyy-MM"), row, "order_month"
     )
+
+
+def q114_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transition matrix over the events stream
+    (operators.relational.event_transitions): per (event_type -> next)
+    step count and conditional probability in exact ppm, timeline order
+    (ts, event_id). One per-user lead window + two hash aggs + a
+    types-bounded broadcast denominator join — the matrix is
+    O(|types|^2) at any corpus size."""
+    from ..operators.relational import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)

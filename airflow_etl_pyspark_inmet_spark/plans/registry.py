@@ -6041,6 +6041,28 @@ WHERE rank <= 10
 QUERIES["s15_late_interaction"] = L.s15_late_interaction
 
 
+# q114 — event transition matrix: same lead window (total order
+# ts, event_id), pair counts, ppm over the row total. Mirrors
+# operators/relational.py event_transitions.
+ORACLES["q114_event_transitions"] = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) n_trans
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(n_trans) AS BIGINT) tot FROM c GROUP BY 1)
+SELECT c.event_type, c.next_type, c.n_trans,
+       CAST(c.n_trans * 1000000 // t.tot AS BIGINT) AS p_ppm
+FROM c JOIN t USING (event_type)
+"""
+QUERIES["q114_event_transitions"] = R.q114_event_transitions
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

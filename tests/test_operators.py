@@ -4290,3 +4290,37 @@ def test_late_interaction_maxsim_vs_bruteforce(spark):
     assert order == sorted(exp, key=lambda i: (-exp[i], i))
     # doc 1's misplaced slice still earns the full dot via the max
     assert exp[1] > 0
+
+
+# --- event transitions (q114) --------------------------------------------------
+
+
+def test_event_transitions_matrix_and_ppm(spark):
+    """Known timelines: per-user lead pairs, counts, and row-normalized
+    ppm that sums to ~1e6 per source type."""
+    import datetime as dt
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, t0, 1, "a"), (2, t0.replace(hour=1), 1, "b"),
+        (3, t0.replace(hour=2), 1, "a"), (4, t0.replace(hour=3), 1, "c"),
+        # user 2: a -> b  (plus a tie broken by event_id: 5 before 6)
+        (5, t0, 2, "a"), (6, t0, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["event_type"], r["next_type"]): (r["n_trans"], r["p_ppm"])
+        for r in event_transitions(df).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 666666),  # a -> b twice of a's 3 exits
+        ("a", "c"): (1, 333333),
+        ("b", "a"): (1, 1000000),
+    }
