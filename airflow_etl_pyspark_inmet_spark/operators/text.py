@@ -1732,7 +1732,6 @@ def bm25_topk(
         .crossJoin(F.broadcast(scal))
         .select(
             "_id",
-            F.expr("(n_docs - df_t) * 1000000 div df_t").alias("idf_ppm"),
             F.expr(
                 "cast(cast((n_docs - df_t) * 1000000 div df_t as decimal(38,0))"
                 " * 44 * tf * avgdl_milli div cast(20 * tf * avgdl_milli"

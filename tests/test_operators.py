@@ -4332,7 +4332,6 @@ def test_event_transitions_matrix_and_ppm(spark):
 def test_langid_eval_confusion_and_shares(spark):
     """Hand corpus: known predictions -> exact confusion cells, row
     shares summing to 1e6 per gold language, correctness flags."""
-    from airflow_etl_pyspark_inmet_spark.plans.queries_llm import _t  # noqa: F401
     from airflow_etl_pyspark_inmet_spark.operators.text import lang_id
 
     rows = [
