@@ -668,13 +668,20 @@ def embedding_blocked_neardup_flags(
     import numpy as np
     import pandas as pd
 
+    import math
+
     tn2, td2 = tau_num * tau_num, tau_den * tau_den
+    # int64-exactness needs max(td2,tn2) * (dim*maxc^2)^2 <= 2^63-1
+    # (|G| and |n2| are both <= dim*maxc^2), i.e. dim*maxc^2 bounded by:
+    _n2_bound = math.isqrt((2**63 - 1) // max(td2, tn2))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         Q = np.floor(V * scale).astype(np.int64)  # the d25 grid
-        assert np.abs(Q).max(initial=0) <= 1500, (
-            "quantized coords exceed the int64-exact envelope; "
+        # assert the ACTUAL dot bound (covers any dim), not coords alone:
+        # exact python ints, before any int64 arithmetic can wrap
+        assert Q.shape[1] * int(np.abs(Q).max(initial=0)) ** 2 <= _n2_bound, (
+            "dim * max_coord^2 exceeds the int64-exact envelope; "
             "lower `scale` or widen the kernel"
         )
         n2 = np.einsum("ij,ij->i", Q, Q)  # (m,) int64
@@ -693,16 +700,25 @@ def embedding_blocked_neardup_flags(
             flag[lo:hi] = ok.any(axis=1)
         return pd.DataFrame({"vec_id_out": pdf["_id"], "neardup": flag})
 
-    return (
-        df.select(
-            F.col(id_col).cast("bigint").alias("_id"),
-            F.col(block_col).alias("_blk"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
+    # NULL-block contract: a NULL block key means "no block", so the
+    # vector has no same-block partners and never flags — matching the
+    # SQL-oracle join semantics (a.label = b.label drops NULLs) instead
+    # of groupBy's NULLs-are-one-group behavior.
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    flagged = (
+        src.filter(F.col("_blk").isNotNull())
         .groupBy("_blk")
         .applyInPandas(kernel, "vec_id_out bigint, neardup boolean")
         .select(F.col("vec_id_out").alias(id_col), "neardup")
     )
+    unblocked = src.filter(F.col("_blk").isNull()).select(
+        F.col("_id").alias(id_col), F.lit(False).alias("neardup")
+    )
+    return flagged.unionByName(unblocked)
 
 
 def embedding_lsh_pairs(
@@ -2261,16 +2277,23 @@ def lsh_threshold_sweep(
 
     from .similarity import _quantize_expr
 
+    import math
+
     spark = df.sparkSession
     taus = tuple(int(t) for t in taus)
     td2 = tau_den * tau_den
+    # int64-exactness needs max(td2, max tau^2) * (dim*maxc^2)^2 <= 2^63-1
+    _n2_bound = math.isqrt(
+        (2**63 - 1) // max(td2, max(t * t for t in taus))
+    )
 
     # exact tier: per-block per-tau crossing histogram, no pair rows
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         Q = np.floor(V * scale).astype(np.int64)  # the d25 grid
-        assert np.abs(Q).max(initial=0) <= 1500, (
-            "quantized coords exceed the int64-exact envelope"
+        # actual dot bound (covers any dim), exact python ints
+        assert Q.shape[1] * int(np.abs(Q).max(initial=0)) ** 2 <= _n2_bound, (
+            "dim * max_coord^2 exceeds the int64-exact envelope"
         )
         n2 = np.einsum("ij,ij->i", Q, Q)
         m = len(Q)
@@ -2293,11 +2316,15 @@ def lsh_threshold_sweep(
             }
         )
 
+    # NULL-block contract: NULL keys mean "no block" — drop them here so
+    # the exact tier matches the candidate tier's `_blka == _blkb` filter
+    # (which drops NULLs) instead of counting NULLs as one giant block.
     exact = (
         df.select(
             F.col(block_col).alias("_blk"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
+        .filter(F.col("_blk").isNotNull())
         .groupBy("_blk")
         .applyInPandas(kernel, "tau_twentieths int, cnt bigint")
         .groupBy("tau_twentieths")
@@ -2342,9 +2369,13 @@ def lsh_threshold_sweep(
         f" >= tau_twentieths * tau_twentieths"
         f" * (cast(_n2a as decimal(38,0)) * _n2b)"
     )
+    # the 4-row tau frame rides BROADCAST sides only: a left-outer join
+    # can't build its left side, so hinting tau_df there is silently
+    # dropped (HintErrorLogger) — instead cross-join the broadcast taus
+    # onto the pair stream, and broadcast the tiny aggregated frames on
+    # the RIGHT of the keep-all-taus left joins (BuildRight is legal).
     cand_counts = (
-        F.broadcast(tau_df)
-        .join(cpairs, F.lit(True), "left")
+        cpairs.crossJoin(F.broadcast(tau_df))
         .groupBy("tau_twentieths")
         .agg(
             F.sum(F.when(crossing, 1).otherwise(0))
@@ -2353,9 +2384,8 @@ def lsh_threshold_sweep(
         )
     )
     return (
-        F.broadcast(tau_df)
-        .join(exact, "tau_twentieths", "left")
-        .join(cand_counts, "tau_twentieths", "left")
+        tau_df.join(F.broadcast(exact), "tau_twentieths", "left")
+        .join(F.broadcast(cand_counts), "tau_twentieths", "left")
         .select(
             "tau_twentieths",
             F.coalesce("n_pairs_exact", F.lit(0).cast("bigint")).alias(

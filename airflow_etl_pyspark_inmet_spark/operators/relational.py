@@ -1030,6 +1030,22 @@ def zonemap_prune_stats(
     )
 
 
+def wrap_sum_to_i64(c: Column) -> Column:
+    """Reduce an exact decimal(38,0) sum mod 2^64 into signed-bigint
+    range (two's-complement wrap) — the manifest sum-channel contract.
+    pmod keeps negative partials (already-wrapped merge inputs) correct;
+    the literals ride in as decimal so no int64 literal overflow."""
+    import decimal
+
+    u64 = F.lit(decimal.Decimal(2**64))
+    m = F.pmod(c, u64)
+    return (
+        F.when(m >= F.lit(decimal.Decimal(2**63)), m - u64)
+        .otherwise(m)
+        .cast("bigint")
+    )
+
+
 def partition_manifest(
     df: DataFrame,
     partition_col: Column,
@@ -1049,7 +1065,13 @@ def partition_manifest(
     ``row_repr`` must be an engine-portable string (int/string/date
     casts only — caller's contract); the md5-prefix hash replays in
     DuckDB (`('0x' || left(md5(x), 8))::UBIGINT`) and Python
-    (hashlib) — the t32 portable-hash idiom.
+    (hashlib) — the t32 portable-hash idiom. The sum channel is
+    DEFINED as the exact sum reduced mod 2^64 into signed-bigint
+    range: the fold runs in decimal(38,0) (a bare bigint sum of
+    32-bit hashes throws under ANSI / wraps silently non-ANSI past
+    ~2^31 rows per partition) and both engines apply the identical
+    wrap, so the channel is well-defined at any partition
+    cardinality and stays a mappable BIGINT on the wire.
 
     Scale shape: map-only hash + ONE combine-heavy hash aggregate
     (sum/xor/count are all map-side partial); the manifest is
@@ -1065,7 +1087,9 @@ def partition_manifest(
         .groupBy(partition_name)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("_h").alias("hash_sum"),
+            wrap_sum_to_i64(
+                F.sum(F.col("_h").cast("decimal(38,0)"))
+            ).alias("hash_sum"),
             F.bit_xor("_h").alias("hash_xor"),
         )
     )

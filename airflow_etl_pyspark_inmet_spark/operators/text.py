@@ -1806,7 +1806,10 @@ def greedy_decode(
         .select("w1", F.expr("substring(_k, 11)").alias("nxt"))
         .localCheckpoint(eager=True)  # n_steps bounded lookups below
     )
-    uni = exploded_ngrams(df, id_col, text_col, 1)
+    # drop the empty-string token that exploded_ngrams(n=1) emits for
+    # empty/whitespace-only docs (the oracle's toks CTE filters those
+    # docs; '' sorts first, so a frequency tie would diverge the seed)
+    uni = exploded_ngrams(df, id_col, text_col, 1).filter(F.col("g") != "")
     seed_row = (
         uni.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))

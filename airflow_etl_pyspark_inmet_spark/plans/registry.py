@@ -5,10 +5,10 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Queries without an oracle (None) are genuinely non-SQL-expressible or use
-engine-specific hashing (SimHash/sign-LSH); the driver records a weaker
-rows-only check for those, and tests/ cross-check them against their exact
-counterparts instead.
+Every registered query has a real oracle (261/261 since r11; asserted by
+tests/test_plans). Engine-specific hashing families (SimHash/sign-LSH,
+sketches) stay oracle-checkable by emitting exact companion columns and
+provably-exact envelope booleans rather than raw approximate output.
 """
 
 from __future__ import annotations
@@ -5164,6 +5164,15 @@ FROM ex
 LEFT JOIN tf USING (doc_id)
 LEFT JOIN ef USING (doc_id)
 LEFT JOIN sd USING (doc_id)
+-- guard: the SemDeDup tier above is PINNED at k=22 = max(8, isqrt(N));
+-- the engine derives k from the live count, so if the correctness
+-- embeddings are ever regenerated/resized out of isqrt(N)=22 territory
+-- this fails loudly instead of producing a confusing trajectory mismatch
+WHERE (SELECT CASE WHEN count(*) BETWEEN 484 AND 528 THEN TRUE
+       ELSE error('c10 oracle pins SemDeDup k=22=max(8,isqrt(N)); '
+                  || 'embeddings count moved out of [484,528] - '
+                  || 'regenerate the pinned k') END
+       FROM embeddings)
 """
 QUERIES["c10_dedup_ensemble"] = L.c10_dedup_ensemble
 
@@ -5738,8 +5747,15 @@ WITH h AS (
              || '|' || o_orderpriority), 8)) AS UBIGINT) AS rh
   FROM orders
 )
+-- sum channel contract: exact HUGEINT sum reduced mod 2^64 into
+-- signed-bigint range (matches the engine's decimal fold + wrap)
 SELECT order_month, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(rh) AS BIGINT) AS hash_sum,
+       CAST(CASE WHEN sum(rh) % 18446744073709551616::HUGEINT
+                      >= 9223372036854775808::HUGEINT
+             THEN sum(rh) % 18446744073709551616::HUGEINT
+                  - 18446744073709551616::HUGEINT
+             ELSE sum(rh) % 18446744073709551616::HUGEINT END
+            AS BIGINT) AS hash_sum,
        CAST(bit_xor(rh) AS BIGINT) AS hash_xor
 FROM h GROUP BY 1
 """
@@ -6163,4 +6179,71 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R12_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)
+}
+
+
+# --- r13 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 14 queries never driver-checked (registered after the r12
+# window landed; all green in the r12 judge's local oracle replay — the hard
+# CORRECTNESS signal lands now), then 36 of the 47 r8-stale entries.
+# The 11 r8-stale queries that don't fit (q42_histogram .. t1_token_stats in
+# registration order) are pre-verified locally for r14 (BASELINE.md "r13
+# staleness floor").
+_R13_WINDOW = [
+    # never driver-checked (14)
+    "s12_nn_descent",
+    "d29_winnow_pairs",
+    "s13_silhouette",
+    "q113_partition_manifest",
+    "st15_stream_manifest",
+    "t38_bm25",
+    "x17_rendezvous_shards",
+    "s14_power_iteration",
+    "c11_prototype_pruning",
+    "c12_lsh_threshold_sweep",
+    "t39_greedy_decode",
+    "s15_late_interaction",
+    "q114_event_transitions",
+    "t40_langid_eval",
+    # r8-stale fill (36 of 47, registration order)
+    "s6_ivf_pq_topk",
+    "d16_fuzzy_pairs_segmented",
+    "st9_stream_incremental_refresh",
+    "q103_tpch_q2",
+    "q104_tpch_q9",
+    "q105_tpch_q11",
+    "q106_tpch_q12",
+    "q107_tpch_q16",
+    "q108_tpch_q20",
+    "q11_anti_join",
+    "q12_topk_per_group",
+    "q13_running_window",
+    "q14_rollup",
+    "q15_cube",
+    "q16_distinct_agg",
+    "q17_pivot",
+    "q18_sessionize",
+    "q19_tumbling_batch",
+    "q20_json_extract",
+    "q21_three_way_join",
+    "q22_filter_project",
+    "q23_zero_fill",
+    "q24_asof_join",
+    "q25_range_join",
+    "q26_percentiles",
+    "q27_lag_lead",
+    "q28_salted_join",
+    "q29_set_ops",
+    "q30_posexplode",
+    "q31_grouping_sets",
+    "q32_rolling_range_window",
+    "q33_correlated_subquery",
+    "q35_regression_per_group",
+    "q39_tpch_q5",
+    "q40_argmax_per_key",
+    "q41_unpivot",
+]
+assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)
 }

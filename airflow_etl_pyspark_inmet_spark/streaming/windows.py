@@ -1066,7 +1066,7 @@ def streaming_manifest_maintenance(
     import shutil
     import tempfile
 
-    from ..operators.relational import partition_manifest
+    from ..operators.relational import partition_manifest, wrap_sum_to_i64
 
     src = rows.select(
         F.col(partition_col).alias("part"), F.col(repr_col).alias("repr")
@@ -1102,7 +1102,12 @@ def streaming_manifest_maintenance(
                 .groupBy("part")
                 .agg(
                     F.sum("n_rows").cast("bigint").alias("n_rows"),
-                    F.sum("hash_sum").cast("bigint").alias("hash_sum"),
+                    # partials are already mod-2^64-wrapped bigints; an
+                    # exact decimal re-fold + the same wrap is the batch
+                    # sum's wrap (mod arithmetic is a homomorphism)
+                    wrap_sum_to_i64(
+                        F.sum(F.col("hash_sum").cast("decimal(38,0)"))
+                    ).alias("hash_sum"),
                     F.bit_xor("hash_xor").alias("hash_xor"),
                 )
             )

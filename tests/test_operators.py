@@ -3888,6 +3888,105 @@ def test_partition_manifest_python_replay(spark):
     assert got["hash_xor"] == hs[0] ^ hs[1]
 
 
+def test_wrap_sum_to_i64_matches_python_two_complement(spark):
+    """The sum channel is DEFINED as exact-sum mod 2^64 wrapped into
+    signed-bigint range; the wrap must match Python's two's-complement
+    reference for sums far past int64 (where a bare bigint sum would
+    throw under ANSI), including negative (pre-wrapped) merge inputs."""
+    import decimal
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        wrap_sum_to_i64,
+    )
+
+    vals = [2**62, 2**62, 2**62, 123456789, -(2**61), 2**63 - 1]
+
+    def ref(s):
+        m = s % 2**64
+        return m - 2**64 if m >= 2**63 else m
+
+    df = spark.createDataFrame(
+        [(decimal.Decimal(v),) for v in vals], "v decimal(38,0)"
+    )
+    got = df.agg(
+        wrap_sum_to_i64(F.sum("v")).alias("w")
+    ).collect()[0]["w"]
+    assert got == ref(sum(vals))
+    # single-value wraps too (merge inputs arrive pre-wrapped)
+    for v in (0, 1, -1, 2**63 - 1, -(2**63)):
+        one = spark.createDataFrame(
+            [(decimal.Decimal(v),)], "v decimal(38,0)"
+        )
+        assert (
+            one.select(wrap_sum_to_i64(F.col("v")).alias("w"))
+            .collect()[0]["w"]
+            == ref(v)
+        )
+
+
+def test_blocked_neardup_null_blocks_never_flag(spark):
+    """NULL block keys mean "no block": identical vectors sharing a NULL
+    label must NOT flag each other (the SQL-oracle join semantics), but
+    every vector still gets a row; the same vectors under a real label
+    DO flag — so the split isn't just dropping rows."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_blocked_neardup_flags,
+    )
+
+    v = [1.0] + [0.0] * 63
+    rows = [(1, None, v), (2, None, v), (3, "a", v), (4, "a", v)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["neardup"]
+        for r in embedding_blocked_neardup_flags(df).collect()
+    }
+    assert got == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_lsh_threshold_sweep_null_blocks_consistent(spark):
+    """NULL-label near-dup pairs must be excluded from the exact tier
+    (matching the candidate tier's equality filter), so lsh_recall_ok
+    holds on corpora with NULL labels instead of spuriously failing."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        lsh_threshold_sweep,
+    )
+
+    v = [1.0] + [0.0] * 63
+    w = [0.0, 1.0] + [0.0] * 62
+    rows = [(1, None, v), (2, None, v), (3, "a", v), (4, "a", v), (5, "a", w)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+    out = {
+        r["tau_twentieths"]: (r["n_pairs_exact"], r["lsh_recall_ok"])
+        for r in lsh_threshold_sweep(df, taus=(7, 13)).collect()
+    }
+    # only the labeled identical pair (3,4) counts; NULLs contribute none
+    assert out == {7: (1, True), 13: (1, True)}
+
+
+def test_blocked_neardup_dim_guard_rejects_wide_dots(spark):
+    """The in-kernel int64-exactness guard must bound the actual dot
+    (dim * max_coord^2), not coordinates alone: high-magnitude coords
+    that individually look sane but whose Gram products could wrap
+    int64 are rejected loudly instead of silently corrupting flags."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        embedding_blocked_neardup_flags,
+    )
+
+    v = [5.0] * 64  # maxc=5000 at scale=1000: 64*5000^2 = 1.6e9 > bound
+    df = spark.createDataFrame(
+        [(1, "a", v), (2, "a", v)],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="int64-exact envelope"):
+        embedding_blocked_neardup_flags(df).collect()
+
+
 # --- streaming manifest maintenance (st15) ------------------------------------
 
 
