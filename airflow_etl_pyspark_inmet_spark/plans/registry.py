@@ -5579,14 +5579,25 @@ def _s12_nn_descent_sql(k: int, n_rounds: int, scale: int) -> str:
   FROM embeddings
 )""", f"""nb AS (
   SELECT CAST(greatest(1, (count(*) + {k}) // {k + 1}) AS BIGINT) AS b FROM q
+)""", f"""p0 AS (
+  -- init: union of TWO overlapping bucket families (one alone is
+  -- disjoint cliques, closed under neighbor-of-neighbor — degenerate);
+  -- DISTINCT so a pair in both families feeds row_number once
+  SELECT DISTINCT qa.node, qb.node AS nbr_id
+  FROM q qa JOIN q qb
+    ON (qa.node % (SELECT b FROM nb) = qb.node % (SELECT b FROM nb)
+        OR (((qa.node % 2147483647) * 2654435761) % 2147483647)
+             % (SELECT b FROM nb)
+           = (((qb.node % 2147483647) * 2654435761) % 2147483647)
+             % (SELECT b FROM nb))
+   AND qa.node <> qb.node
 )""", f"""f0 AS (
   SELECT node, nbr_id, dist_q FROM (
-    SELECT qa.node, qb.node AS nbr_id, {dist} AS dist_q,
-           row_number() OVER (PARTITION BY qa.node
-                              ORDER BY {dist} ASC, qb.node ASC) AS rk
-    FROM q qa JOIN q qb
-      ON qa.node % (SELECT b FROM nb) = qb.node % (SELECT b FROM nb)
-     AND qa.node <> qb.node
+    SELECT p.node, p.nbr_id, {dist} AS dist_q,
+           row_number() OVER (PARTITION BY p.node
+                              ORDER BY {dist} ASC, p.nbr_id ASC) AS rk
+    FROM p0 p JOIN q qa ON qa.node = p.node
+              JOIN q qb ON qb.node = p.nbr_id
   ) WHERE rk <= {k}
 )"""]
     prev = "f0"
@@ -6111,6 +6122,13 @@ SELECT c.lang, c.lang_pred, c.n_docs,
 FROM c JOIN t USING (lang)
 """
 QUERIES["t40_langid_eval"] = L.t40_langid_eval
+
+
+# s16 — graph-ANN serving over the s12 NN-Descent index: engine-specific
+# walk, so the emitted surface is the s2 contract (exact top-k rows +
+# recall envelope TRUE) — the oracle is byte-identical to s2's.
+ORACLES["s16_graph_ann_topk"] = ORACLES["s2_lsh_topk"]
+QUERIES["s16_graph_ann_topk"] = L.s16_graph_ann_topk
 
 
 # --- r12 driver-window rotation (keep this block at the END of the file) ---

@@ -3717,6 +3717,85 @@ def test_nn_descent_finds_planted_twin(spark):
     assert hits == len(twin), f"only {hits}/{len(twin)} twins at rank 1"
 
 
+def test_nn_descent_init_escapes_buckets(spark):
+    """Regression for the degenerate single-family init: modulo buckets
+    alone are disjoint (k+1)-cliques, CLOSED under the
+    neighbor-of-neighbor expansion, so rounds could never escape them.
+    With the two-family init the symmetrized graph must span the whole
+    corpus as one component, and some emitted edge must cross mod-B
+    bucket boundaries."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        nn_descent_knn_graph,
+    )
+
+    rng = random.Random(11)
+    n, k = 60, 3
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(6)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = nn_descent_knn_graph(df, k=k, n_rounds=2, scale=1000).collect()
+    b = max(1, (n + k) // (k + 1))
+    assert any(r["vec_id"] % b != r["nbr_id"] % b for r in out)
+    adj = {}
+    for r in out:
+        adj.setdefault(r["vec_id"], set()).add(r["nbr_id"])
+        adj.setdefault(r["nbr_id"], set()).add(r["vec_id"])
+    seen, frontier = {0}, [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    assert len(seen) == n, f"graph fragmented: component {len(seen)}/{n}"
+
+
+def test_graph_ann_walk_finds_twin_and_is_deterministic(spark):
+    """The beam walk over the NN-Descent graph must surface a planted
+    twin at rank 1 for every query (the twin is the nearest neighbor
+    and the graph is connected), and two runs must emit identical rows
+    (deterministic entries, tie-breaks, and hop order)."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        graph_ann_topk,
+        nn_descent_knn_graph,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(12):
+        base = [rng.uniform(-3, 3) for _ in range(6)]
+        rows.append((i, [x + 0.001 for x in base]))
+        rows.append((i + 60, [x + 0.002 for x in base]))
+        rows.append((i + 24, [x + 0.5 for x in base]))
+        rows.append((i + 36, [x - 0.5 for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = nn_descent_knn_graph(df, k=3, n_rounds=2, scale=1000)
+    ann = graph_ann_topk(df, queries, graph, k=5, beam=8, n_hops=3)
+    got = sorted(
+        (r["query_id"], r["item_id"], r["rank"]) for r in ann.collect()
+    )
+    for q in range(4):
+        rank1 = [i for qq, i, rk in got if qq == q and rk == 1]
+        assert rank1 == [q + 60], f"query {q}: rank-1 {rank1}"
+    again = sorted(
+        (r["query_id"], r["item_id"], r["rank"])
+        for r in graph_ann_topk(
+            df, queries, graph, k=5, beam=8, n_hops=3
+        ).collect()
+    )
+    assert got == again
+
+
 # --- winnowing (d29) ----------------------------------------------------------
 
 
