@@ -256,6 +256,54 @@ def ann_with_recall_check(
     )
 
 
+def ann_with_corpus_recall_check(
+    items: DataFrame,
+    queries: DataFrame,
+    ann: DataFrame,
+    k: int,
+    min_recall: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`ann_with_recall_check` with a CORPUS-level envelope — for
+    surfaces whose query side is itself corpus-sized (the kNN-join
+    family): with hundreds of thousands of query rows, SOME row's true
+    neighbors always land outside its probed blocks, so a per-row
+    boolean can't be promised at any probe width (measured: min
+    per-row recall 0 even at n_probe=8/16 where the mean is 0.83).
+    The honest contract is aggregate: emitted rows are the EXACT
+    brute-force top-k (oracle-reproducible), and every row carries the
+    same ``recall_ok`` = overall candidate recall >= ``min_recall``
+    (a broken blocking scores ~0 and fails loudly; the d26 scalar-
+    envelope pattern)."""
+    exact = cosine_topk(
+        items, queries, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).localCheckpoint(eager=False)  # consumers: recall agg + output
+    hits = exact.select(query_id_col, "item_id").join(
+        F.broadcast(
+            ann.select(query_id_col, "item_id").withColumn(
+                "_hit", F.lit(1)
+            )
+        ),
+        [query_id_col, "item_id"],
+        "left",
+    )
+    overall = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("_recall")
+    )
+    return exact.crossJoin(F.broadcast(overall)).select(
+        query_id_col,
+        "item_id",
+        "rank",
+        (F.col("_recall") >= F.lit(min_recall)).alias("recall_ok"),
+    )
+
+
 def _assign_udf(centroids: np.ndarray, n: int):
     """Pandas UDF assigning each vector to its ``n`` nearest centroids by
     cosine (both sides normalized inside the batch)."""
@@ -404,6 +452,162 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "item_id", "rank", "score")
+    )
+
+
+def filtered_ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """FILTERED ANN — approximate top-k restricted to items satisfying a
+    metadata ``predicate`` — the production retrieval shape (tenant /
+    language / licence / date filters on a vector index) that a plain
+    ANN operator can't serve: post-filtering the top-k starves the
+    result when the filter is selective, and building one index per
+    predicate is a non-starter.
+
+    Design (the FAISS/Vespa "single shared index, filter at scan"
+    strategy): the coarse quantizer trains on the FULL corpus —
+    the index is built once and shared across every predicate — while
+    the predicate is applied to the cell-assigned item stream BEFORE
+    the probe join, so Catalyst pushes it down to the corpus scan
+    (selective filters shrink the candidate side for free) and each
+    query still touches only its ``n_probe`` cells. ``n_probe``
+    defaults higher than the unfiltered tier (6 vs 4): a selective
+    filter can empty a probed cell, so widening the probe set is the
+    recall dial, not a bigger k.
+
+    Scale shape: identical to :func:`ivf_topk` — one checkpointed
+    corpus materialization feeding the Lloyd pass and the assignment,
+    map-side partial Lloyd statistics, candidates via ONE equi-join on
+    cell id with the |Q| x n_probe query side broadcast — plus one
+    pushed-down predicate on the item stream. Nothing corpus-sized
+    shuffles; the filter only ever REDUCES the candidate volume.
+
+    Approximation contract: engine-specific candidates, so surfaces
+    ride :func:`ann_with_recall_check` against the exact FILTERED
+    brute-force top-k (emitted rows exact + per-query recall_ok).
+    """
+    from .util import ensure_parallelism
+
+    proj = items.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("_ivec"),
+        predicate.cast("boolean").alias("_keep"),
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    # index trains on the FULL corpus (shared across predicates)
+    C1 = _ivf_train(
+        base.select("item_id", "_ivec"),
+        n_cells,
+        seed_frame=proj.select("item_id", "_ivec"),
+    )
+    it = (
+        base.filter(F.col("_keep"))
+        .withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec")))
+        .select("item_id", "_ivec", F.col("_cell")[0].alias("_cell"))
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        it.join(F.broadcast(q), "_cell")
+        .filter(F.col("item_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "item_id",
+            cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank", "score")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN JOIN — for EVERY left row, its top-k cosine neighbors among
+    the right rows — the all-rows companion of the per-query ANN tiers
+    (s1-s16 serve a handful of broadcast queries; label propagation,
+    kNN classification, cross-corpus linkage and graph construction
+    need the full |L| x k edge set, where the query side is itself
+    corpus-sized and can never broadcast).
+
+    Design: one shared IVF coarse quantizer trained on the RIGHT side,
+    both sides cell-assigned in map-only Arrow passes (right rows to
+    their 1 home cell, left rows to their ``n_probe`` nearest cells),
+    then candidates come from ONE symmetric equi-join on cell id — the
+    blocked-join pattern every scalable kNN-join system (Voronoi /
+    pivot-based partitioning in the literature) reduces to. Exact
+    re-rank inside the blocks, per-left-row window top-k.
+
+    Scale shape: NO broadcast of either corpus — the only broadcast is
+    the (n_cells x dim) centroid matrix inside the assignment UDF; the
+    join is shuffle-partitioned by cell id, candidate volume is
+    |L| * n_probe * (|R| / n_cells) in expectation (AQE splits skewed
+    cells), and the window is partitioned per left row — never global.
+    This is the operator whose brute-force form is the |L| x |R|
+    cross join that nothing survives at 100 TB.
+
+    Approximation contract: engine-specific candidate sets —
+    production surfaces emit the exact brute-force top-k plus
+    per-left-row recall envelopes via :func:`ann_with_recall_check`
+    (the left side plays the query role).
+    """
+    from .util import ensure_parallelism
+
+    rp = right.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    )
+    rbase = ensure_parallelism(rp).localCheckpoint(eager=False)
+    C1 = _ivf_train(rbase, n_cells, seed_frame=rp)
+    rt = rbase.withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0])
+    lt = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        lt.join(rt, "_cell")
+        .filter(F.col("left_id") != F.col("item_id"))
+        .select(
+            "left_id",
+            "item_id",
+            cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "item_id", "rank", "score")
     )
 
 

@@ -3322,3 +3322,63 @@ def s16_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
     ann = graph_ann_topk(emb, queries, graph, k=10, beam=16, n_hops=3)
     return ann_with_recall_check(emb, queries, ann, k=10, min_recall=0.5)
+
+
+def s17_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (operators.similarity.filtered_ivf_topk): top-10
+    restricted to items with label % 3 = 0 — the tenant/language/
+    licence-filter retrieval shape. One SHARED coarse quantizer trained
+    on the full corpus, the predicate pushed down to the item stream
+    before the probe join (post-filtering the unfiltered top-k starves
+    selective filters; per-predicate indexes don't exist), n_probe
+    widened 6/16 as the recall dial. Surface = s2 contract: exact
+    FILTERED brute-force top-10 (hash-matched) + per-query recall_ok
+    envelope at 0.5."""
+    from ..operators.similarity import (
+        ann_with_recall_check,
+        filtered_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = F.col("label") % 3 == 0
+    ann = filtered_ivf_topk(
+        emb, queries, pred, k=10, n_cells=16, n_probe=6
+    )
+    return ann_with_recall_check(
+        emb.filter(pred), queries, ann, k=10, min_recall=0.5
+    )
+
+
+def s18_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN (operators.similarity.knn_join): every EVEN vec_id's
+    top-3 cosine neighbors among the ODD vec_ids — the all-rows
+    cross-corpus linkage the per-query ANN tiers can't serve (the
+    query side is corpus-sized; nothing broadcasts). IVF cell blocking
+    on the right side, both sides cell-assigned map-only, candidates
+    from one symmetric equi-join on cell id, per-left-row window
+    top-k. Surface: exact brute-force top-3 per left row
+    (hash-matched) + the CORPUS-level recall envelope (the d26 scalar
+    pattern — per-row booleans can't be promised when the query side
+    is every row; measured overall recall 0.833 at n_probe=8,
+    envelope 0.6)."""
+    from ..operators.similarity import (
+        ann_with_corpus_recall_check,
+        knn_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    ann = knn_join(left, right, k=3, n_cells=16, n_probe=8).select(
+        F.col("left_id").alias("query_id"), "item_id", "rank", "score"
+    )
+    return ann_with_corpus_recall_check(
+        right,
+        left.select(F.col("vec_id").alias("query_id"), "embedding"),
+        ann,
+        k=3,
+        min_recall=0.6,
+    )

@@ -6131,6 +6131,58 @@ ORACLES["s16_graph_ann_topk"] = ORACLES["s2_lsh_topk"]
 QUERIES["s16_graph_ann_topk"] = L.s16_graph_ann_topk
 
 
+# s17 — filtered ANN: the emitted surface is the exact FILTERED
+# brute-force top-k (the predicate replayed in SQL) + envelope TRUE.
+ORACLES["s17_filtered_ann"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT query_id, e.vec_id AS item_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != query_id AND e.label % 3 = 0
+),
+r AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM r WHERE rank <= 10
+"""
+QUERIES["s17_filtered_ann"] = L.s17_filtered_ann
+
+
+# s18 — k-NN join (every even vec_id -> top-3 among odd vec_ids): the
+# emitted surface is the exact cross-corpus top-k + envelope TRUE.
+ORACLES["s18_knn_join"] = """
+WITH l AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+r AS (
+  SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT query_id, item_id,
+         list_dot_product(iv, qv)
+           / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv))) AS score
+  FROM l, r
+),
+rk AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, rank, TRUE AS recall_ok FROM rk WHERE rank <= 3
+"""
+QUERIES["s18_knn_join"] = L.s18_knn_join
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

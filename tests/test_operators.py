@@ -3796,6 +3796,116 @@ def test_graph_ann_walk_finds_twin_and_is_deterministic(spark):
     assert got == again
 
 
+def test_filtered_ivf_respects_predicate(spark):
+    """Filtered ANN must never emit a predicate-failing item, even when
+    that item is the globally nearest neighbor — the post-filter-starves
+    case the operator exists for."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        filtered_ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-3, 3) for _ in range(6)]
+        # even ids pass the filter, odd fail; make each query's nearest
+        # item an ODD (filtered-out) twin
+        rows.append((i, base, i % 2))
+    # queries 100..103 sit on top of odd items 1,3,5,7
+    for qi, twin in zip(range(100, 104), (1, 3, 5, 7)):
+        rows.append((qi, [x + 0.001 for x in rows[twin][1]], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = df.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = filtered_ivf_topk(
+        df.filter(F.col("vec_id") < 100),
+        queries,
+        F.col("label") == 0,
+        k=5,
+        n_cells=4,
+        n_probe=4,  # exhaustive probe: isolates the predicate logic
+    ).collect()
+    assert out, "no candidates emitted"
+    assert all(r["item_id"] % 2 == 0 for r in out), (
+        "a predicate-failing item leaked into the filtered top-k"
+    )
+
+
+def test_knn_join_exhaustive_probe_equals_brute_force(spark):
+    """With n_probe == n_cells the cell blocking is exhaustive, so the
+    kNN join must equal the brute-force per-left top-k bit for bit —
+    proving the blocking is lossless and only the probe width
+    approximates."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(6)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    left = df.filter(F.col("vec_id") % 2 == 0)
+    right = df.filter(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        (r["left_id"], r["item_id"], r["rank"])
+        for r in knn_join(left, right, k=3, n_cells=4, n_probe=4).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["item_id"], r["rank"])
+        for r in cosine_topk(
+            right,
+            left.select(F.col("vec_id").alias("query_id"), "embedding"),
+            3,
+        ).collect()
+    )
+    assert got == want
+    assert all(l % 2 == 0 and i % 2 == 1 for l, i, _ in got)
+
+
+def test_corpus_recall_check_catches_broken_blocking(spark):
+    """The aggregate envelope must be TRUE when the ANN side IS the
+    exact set and FALSE on a broken (empty-overlap) candidate set —
+    and the emitted rows are the exact surface either way."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        ann_with_corpus_recall_check,
+        cosine_topk,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(df, queries, 5)
+    ok = ann_with_corpus_recall_check(
+        df, queries, exact, k=5, min_recall=0.9
+    ).collect()
+    assert ok and all(r["recall_ok"] for r in ok)
+    broken = exact.select(
+        "query_id", (F.col("item_id") + 1000).alias("item_id")
+    )
+    bad = ann_with_corpus_recall_check(
+        df, queries, broken, k=5, min_recall=0.1
+    ).collect()
+    assert bad and not any(r["recall_ok"] for r in bad)
+    assert sorted((r["query_id"], r["item_id"], r["rank"]) for r in bad) == \
+        sorted((r["query_id"], r["item_id"], r["rank"]) for r in exact.collect())
+
+
 # --- winnowing (d29) ----------------------------------------------------------
 
 
