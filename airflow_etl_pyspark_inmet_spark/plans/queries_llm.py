@@ -3382,3 +3382,19 @@ def s18_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         min_recall=0.6,
     )
+
+
+def st16_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact deduplication
+    (streaming.windows.streaming_exact_dedup): the ingest-side twin of
+    d1 — as documents arrive, fold the per-content-hash dedup manifest
+    (keeper = min doc_id so far, n_copies so far). MIN and SUM are
+    commutative monoids over the md5 content hash, so the streamed
+    state is split-invariant and equals the batch group-by bit for
+    bit; the oracle recomputes it from the full table. O(distinct
+    contents) state, no history rescans — live dedup on a crawl
+    feed."""
+    from ..streaming.windows import streaming_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return streaming_exact_dedup(spark, docs, "doc_id", "text")

@@ -6183,6 +6183,16 @@ SELECT query_id, item_id, rank, TRUE AS recall_ok FROM rk WHERE rank <= 3
 QUERIES["s18_knn_join"] = L.s18_knn_join
 
 
+# st16 — streaming exact dedup: MIN/SUM monoid fold over the content
+# hash, so stream == batch; oracle recomputes from the full table.
+ORACLES["st16_stream_dedup"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+QUERIES["st16_stream_dedup"] = L.st16_stream_dedup
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

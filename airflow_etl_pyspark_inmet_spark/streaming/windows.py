@@ -1129,3 +1129,93 @@ def streaming_manifest_maintenance(
         return state["mv"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    rows: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING exact deduplication — the ingest-side twin of d1: as
+    documents arrive, maintain the per-content-hash dedup manifest
+    (keeper = minimum id seen so far, n_copies = copies seen so far).
+    Both channels are commutative monoids (MIN and SUM over the md5
+    content hash), so the finite-input state is independent of how the
+    feed splits into micro-batches and equals the batch group-by bit
+    for bit — the oracle recomputes it from the full table. This is
+    how a crawl/ingest pipeline keeps "which doc wins, how many copies
+    exist" current without rescanning history; the keeper-id-min rule
+    is d1's deterministic winner.
+
+    Same harness as st9/st15: the feed spills to ``n_files`` parquet
+    files, streams back under ``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=1`` (the fold genuinely crosses epochs), the
+    manifest is eagerly checkpointed per epoch. Per-epoch work is
+    O(batch + |manifest|); state is O(distinct contents) — at 100 TB
+    the state itself shards by content hash (it is a hash-keyed agg,
+    map-side combinable).
+
+    Returns (id_col, n_copies): one row per distinct content, id =
+    the keeper.
+    """
+    import shutil
+    import tempfile
+
+    src = rows.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_h"),
+    )
+    tmp = tempfile.mkdtemp(prefix="st16_dedup_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit("").alias("_h"),
+                F.lit(0).cast("bigint").alias("_id"),
+                F.lit(0).cast("bigint").alias("n_copies"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = batch_df.groupBy("_h").agg(
+                F.min("_id").alias("_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("_h")
+                .agg(
+                    F.min("_id").alias("_id"),
+                    F.sum("n_copies").cast("bigint").alias("n_copies"),
+                )
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                f"streaming_exact_dedup expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return state["mv"].select(F.col("_id").alias(id_col), "n_copies")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

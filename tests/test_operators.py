@@ -4208,6 +4208,32 @@ def test_streaming_manifest_equals_batch_and_split_invariant(spark):
         assert streamed == batch, f"n_files={n_files}"
 
 
+def test_streaming_dedup_equals_batch_and_split_invariant(spark):
+    """The streamed dedup manifest must equal the batch group-by bit for
+    bit regardless of micro-batch splits (MIN/SUM are commutative
+    monoids), with planted duplicates straddling batch boundaries."""
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_exact_dedup,
+    )
+
+    rows = [(i, f"text-{i % 7}") for i in range(40)]  # 7 contents
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["text"]: (min(i for i, t in rows if t == r["text"]),
+                    sum(1 for _, t in rows if t == r["text"]))
+        for r in df.select("text").distinct().collect()
+    }
+    want = sorted(batch.values())
+    for n_files in (2, 5):
+        got = sorted(
+            (r["doc_id"], r["n_copies"])
+            for r in streaming_exact_dedup(
+                spark, df, "doc_id", "text", n_files=n_files
+            ).collect()
+        )
+        assert got == want, f"n_files={n_files}"
+
+
 # --- BM25 (t38) ---------------------------------------------------------------
 
 
