@@ -210,6 +210,9 @@ def main() -> None:
             # the Gram-histogram sweep — flagged once (43.7x as a pair
             # enumeration), fixed to 3.55x; keep it gated
             "c12_lsh_threshold_sweep",
+            # r13 addition: the kNN join's symmetric cell-blocked
+            # equi-join is the family's only no-broadcast shuffle shape
+            "s18_knn_join",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
