@@ -544,10 +544,11 @@ def knn_join(
     left: DataFrame,
     right: DataFrame,
     k: int,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_occupancy: int = 64,
 ) -> DataFrame:
     """k-NN JOIN — for EVERY left row, its top-k cosine neighbors among
     the right rows — the all-rows companion of the per-query ANN tiers
@@ -572,6 +573,20 @@ def knn_join(
     This is the operator whose brute-force form is the |L| x |R|
     cross join that nothing survives at 100 TB.
 
+    Cell-count contract (the op:semdedup_sqrtn lesson, re-learned by
+    this operator's own scale gate): a FIXED ``n_cells`` makes the
+    candidate volume quadratic in the corpus (|R|/n_cells grows
+    linearly and |L| does too — the first gate run measured exactly
+    that). The default derives cells from ``target_occupancy``:
+    ``n_cells = max(16, |R| // target_occupancy)``, so cells stay
+    ~occupancy wide and candidate volume is |L| * n_probe * occupancy
+    — LINEAR in data at fixed probe count. The trade is that a fixed
+    ``n_probe`` covers a shrinking fraction of cells as the corpus
+    grows, so measured recall decays with scale (the dial every
+    bounded-occupancy tier rides — raise n_probe, or serve from the
+    s16 graph walk, when the envelope matters more than cost); pass
+    an explicit ``n_cells`` to pin the geometry instead.
+
     Approximation contract: engine-specific candidate sets —
     production surfaces emit the exact brute-force top-k plus
     per-left-row recall envelopes via :func:`ann_with_recall_check`
@@ -583,6 +598,9 @@ def knn_join(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
     rbase = ensure_parallelism(rp).localCheckpoint(eager=False)
+    if n_cells is None:
+        # bounded-occupancy cells: the linear-volume production default
+        n_cells = max(16, rbase.count() // target_occupancy)
     C1 = _ivf_train(rbase, n_cells, seed_frame=rp)
     rt = rbase.withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0])
     lt = left.select(

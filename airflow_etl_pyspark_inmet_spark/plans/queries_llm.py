@@ -3359,11 +3359,13 @@ def s18_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query side is corpus-sized; nothing broadcasts). IVF cell blocking
     on the right side, both sides cell-assigned map-only, candidates
     from one symmetric equi-join on cell id, per-left-row window
-    top-k. Surface: exact brute-force top-3 per left row
-    (hash-matched) + the CORPUS-level recall envelope (the d26 scalar
-    pattern — per-row booleans can't be promised when the query side
-    is every row; measured overall recall 0.833 at n_probe=8,
-    envelope 0.6)."""
+    top-k. Cells are occupancy-derived (max(16, N/64)) so candidate
+    volume stays LINEAR in data — a fixed cell count is quadratic, the
+    lesson this operator's own scale gate taught. Surface: exact
+    brute-force top-3 per left row (hash-matched) + the CORPUS-level
+    recall envelope (the d26 scalar pattern — per-row booleans can't
+    be promised when the query side is every row; measured overall
+    recall 0.833 at n_probe=8/16 cells at sf0.01, envelope 0.6)."""
     from ..operators.similarity import (
         ann_with_corpus_recall_check,
         knn_join,
@@ -3372,7 +3374,7 @@ def s18_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") % 2 == 0)
     right = emb.filter(F.col("vec_id") % 2 == 1)
-    ann = knn_join(left, right, k=3, n_cells=16, n_probe=8).select(
+    ann = knn_join(left, right, k=3, n_probe=8).select(
         F.col("left_id").alias("query_id"), "item_id", "rank", "score"
     )
     return ann_with_corpus_recall_check(
