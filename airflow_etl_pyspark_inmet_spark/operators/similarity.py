@@ -608,22 +608,68 @@ def knn_join(
         F.col(vec_col).alias("_qvec"),
         F.explode(_assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
     )
-    scored = (
-        lt.join(rt, "_cell")
-        .filter(F.col("left_id") != F.col("item_id"))
-        .select(
-            "left_id",
-            "item_id",
-            cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias(
-                "score"
-            ),
+
+    # Per-cell Arrow kernel instead of per-pair JVM cosine folds (the
+    # d28 lesson, re-applied: ~6 us/pair through zip_with+aggregate vs
+    # one numpy matmul per cell) — AND a per-cell top-k pre-reduction,
+    # so the global window sees <= |L| * n_probe * k rows instead of
+    # the full |L| * n_probe * occupancy candidate volume.
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lm = pdf["_side"].to_numpy() == 0
+        if not lm.any() or lm.all():
+            return pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "item_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        L = np.stack(pdf["_v"].to_numpy()[lm]).astype(np.float64)
+        R = np.stack(pdf["_v"].to_numpy()[~lm]).astype(np.float64)
+        lid = pdf["_id"].to_numpy()[lm]
+        rid = pdf["_id"].to_numpy()[~lm]
+        Ln = L / np.maximum(np.linalg.norm(L, axis=1, keepdims=True), 1e-300)
+        Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-300)
+        S = Ln @ Rn.T  # (a, b)
+        S[lid[:, None] == rid[None, :]] = -np.inf  # no self-pairs
+        kk = min(k, S.shape[1])
+        # per-left top-k by (score desc, item_id asc): argsort on the
+        # composite (-score, rid) lexsort per row
+        order = np.lexsort((rid[None, :].repeat(len(lid), 0), -S), axis=1)
+        top = order[:, :kk]
+        return pd.DataFrame(
+            {
+                "left_id": np.repeat(lid, kk),
+                "item_id": rid[top].ravel(),
+                "score": np.take_along_axis(S, top, axis=1).ravel(),
+            }
         )
+
+    both = lt.select(
+        "_cell",
+        F.col("left_id").alias("_id"),
+        F.col("_qvec").cast("array<double>").alias("_v"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        rt.select(
+            "_cell",
+            F.col("item_id").alias("_id"),
+            F.col("_ivec").cast("array<double>").alias("_v"),
+            F.lit(1).alias("_side"),
+        )
+    )
+    scored = (
+        both.groupBy("_cell")
+        .applyInPandas(
+            cell_topk, "left_id bigint, item_id bigint, score double"
+        )
+        .filter(~F.col("score").eqNullSafe(float("-inf")))
     )
     w = Window.partitionBy("left_id").orderBy(
         F.col("score").desc(), F.col("item_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.groupBy("left_id", "item_id")
+        .agg(F.max("score").alias("score"))  # a pair can meet in 2 cells
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("left_id", "item_id", "rank", "score")
     )
