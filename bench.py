@@ -163,6 +163,24 @@ def main() -> None:
                 assigner="arrow",
             )
 
+        def _op_knn_join(spark_, sf_dir_):
+            # the PRODUCTION kNN-join path (occupancy-derived cells,
+            # per-cell matmul kernel). The registered s18 query wraps
+            # it in ann_with_corpus_recall_check, whose exact tier is
+            # the |L| x |R| brute force — a ground-truth harness,
+            # quadratic BY DEFINITION (the d6 precedent), so the gate
+            # measures the operator, not the harness.
+            from pyspark.sql import functions as F_
+
+            from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+                knn_join,
+            )
+
+            emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+            left = emb.filter(F_.col("vec_id") % 2 == 0)
+            right = emb.filter(F_.col("vec_id") % 2 == 1)
+            return knn_join(left, right, k=3, n_probe=8)
+
         def _op_silhouette_sqrtn(spark_, sf_dir_):
             # the production silhouette config: k rides sqrt(N) with
             # the arrow two-distance assigner (fixed-k s13 is the
@@ -212,13 +230,15 @@ def main() -> None:
             "c12_lsh_threshold_sweep",
             # r13 addition: the kNN join's symmetric cell-blocked
             # equi-join is the family's only no-broadcast shuffle shape
-            "s18_knn_join",
+            # (the op, not the s18 harness — see _op_knn_join)
+            "op:knn_join",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
             "op:minhash_lsh_pairs": _op_minhash_lsh,
             "op:semdedup_sqrtn": _op_semdedup_sqrtn,
             "op:silhouette_sqrtn": _op_silhouette_sqrtn,
+            "op:knn_join": _op_knn_join,
         }
         env_subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET")
         if env_subset:
