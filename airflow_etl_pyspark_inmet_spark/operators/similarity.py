@@ -628,20 +628,31 @@ def knn_join(
         rid = pdf["_id"].to_numpy()[~lm]
         Ln = L / np.maximum(np.linalg.norm(L, axis=1, keepdims=True), 1e-300)
         Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-300)
-        S = Ln @ Rn.T  # (a, b)
-        S[lid[:, None] == rid[None, :]] = -np.inf  # no self-pairs
-        kk = min(k, S.shape[1])
-        # per-left top-k by (score desc, item_id asc): argsort on the
-        # composite (-score, rid) lexsort per row
-        order = np.lexsort((rid[None, :].repeat(len(lid), 0), -S), axis=1)
-        top = order[:, :kk]
-        return pd.DataFrame(
-            {
-                "left_id": np.repeat(lid, kk),
-                "item_id": rid[top].ravel(),
-                "score": np.take_along_axis(S, top, axis=1).ravel(),
-            }
-        )
+        kk = min(k, Rn.shape[0])
+        outs = []
+        # row-chunk the score tile (the d28 chunking): a hot cell can
+        # attract many left probes, and chunk x occupancy stays bounded
+        # where a full a x b tile would not
+        for lo in range(0, len(Ln), 1024):
+            hi = min(lo + 1024, len(Ln))
+            S = Ln[lo:hi] @ Rn.T  # (chunk, b)
+            S[lid[lo:hi, None] == rid[None, :]] = -np.inf  # no self-pairs
+            # per-left top-k by (score desc, item_id asc): lexsort on
+            # the composite (-score, rid) per row
+            order = np.lexsort(
+                (rid[None, :].repeat(hi - lo, 0), -S), axis=1
+            )
+            top = order[:, :kk]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "left_id": np.repeat(lid[lo:hi], kk),
+                        "item_id": rid[top].ravel(),
+                        "score": np.take_along_axis(S, top, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     both = lt.select(
         "_cell",
