@@ -82,6 +82,100 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lo_num: int = 7,
+    hi_num: int = 15,
+    band_den: int = 20,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: per query, the
+    top-``k`` items whose cosine lies in the band
+    ``[lo_num/band_den, hi_num/band_den)`` — similar enough to be
+    informative negatives, below the near-dup ceiling so they are not
+    false negatives (the batch-mining step of embedding-model training;
+    the complement of the d-family's "too similar, drop" tiers).
+
+    Exactness contract: band MEMBERSHIP is decided on the d25 integer
+    grid — ``crossing(tau) = dot >= 0 AND den^2*dot^2 >=
+    tau^2*|a|^2*|b|^2`` (int64/decimal, replays in DuckDB HUGEINT bit
+    for bit), band = crossing(lo) AND NOT crossing(hi) — because a
+    FLOAT threshold at the band edge could flip a row in or out on a
+    1-ulp cross-engine difference, while float is only used to ORDER
+    within the band (ordering ties break by id, the proven s1
+    contract). Zero-norm vectors never qualify (undefined cosine).
+
+    Scale shape: identical to :func:`cosine_topk` — the |Q|-row query
+    side broadcasts, one corpus scan, per-query window top-k. The band
+    predicate is map-side (whole-stage codegen), so at 100 TB it
+    PRUNES the window input rather than adding a pass.
+    """
+    from .util import ensure_parallelism
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _quantize_expr(vec_col, scale).alias("_qq"),
+    )
+    scored = (
+        ensure_parallelism(
+            items.select(
+                F.col(id_col).alias("item_id"),
+                F.col(vec_col).alias("_ivec"),
+                _quantize_expr(vec_col, scale).alias("_iq"),
+            )
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("item_id") != F.col(query_id_col))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_iq"), F.col("_qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2 = band_den * band_den
+    scored = scored.select(
+        query_id_col,
+        "item_id",
+        cosine_similarity(F.col("_ivec"), F.col("_qvec")).alias("score"),
+        dot.alias("_dot"),
+        n2("_iq").alias("_n2i"),
+        n2("_qq").alias("_n2q"),
+    )
+
+    def crossing(tau: int):
+        return (F.col("_dot") >= 0) & (
+            F.lit(d2) * (F.col("_dot").cast("decimal(38,0)") * F.col("_dot"))
+            >= F.lit(tau * tau)
+            * (F.col("_n2i").cast("decimal(38,0)") * F.col("_n2q"))
+        )
+
+    banded = scored.filter(
+        (F.col("_n2i") > 0)
+        & (F.col("_n2q") > 0)
+        & crossing(lo_num)
+        & ~crossing(hi_num)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "item_id", "rank")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (pure python LCG —
     reproducible across numpy versions, tiny: n_planes x dim floats

@@ -3400,3 +3400,22 @@ def st16_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return streaming_exact_dedup(spark, docs, "doc_id", "text")
+
+
+def x18_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators.similarity.hard_negative_topk): per query vector, the
+    top-5 items with cosine in [3/20, 15/20) — informative negatives
+    above random, below the near-dup ceiling so no false negatives
+    (the batch-mining step of embedding-model training; complement of
+    the d-family drop tiers). Band membership decided on the exact
+    d25 integer grid (float edges would be hash-unsafe); float cosine
+    only ORDERS within the band (the s1 contract). One broadcast-query
+    corpus scan, map-side band prune, per-query window top-k."""
+    from ..operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hard_negative_topk(emb, queries, k=5, lo_num=3, hi_num=15)

@@ -6193,6 +6193,46 @@ FROM documents GROUP BY md5(text)
 QUERIES["st16_stream_dedup"] = L.st16_stream_dedup
 
 
+# x18 — hard-negative mining: band membership on the exact d25 integer
+# grid (HUGEINT), ranking by the same float cosine s1 hash-matches.
+ORACLES["x18_hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+  FROM embeddings WHERE vec_id < 5
+),
+it AS (
+  SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS iq
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, item_id,
+         list_dot_product(iv, qv)
+           / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv))) AS score,
+         CAST(list_dot_product(CAST(iq AS DOUBLE[]), CAST(qq AS DOUBLE[])) AS HUGEINT) AS d,
+         CAST(list_dot_product(CAST(iq AS DOUBLE[]), CAST(iq AS DOUBLE[])) AS HUGEINT) AS n2i,
+         CAST(list_dot_product(CAST(qq AS DOUBLE[]), CAST(qq AS DOUBLE[])) AS HUGEINT) AS n2q
+  FROM it, q WHERE item_id != query_id
+),
+banded AS (
+  SELECT query_id, item_id, score FROM scored
+  WHERE n2i > 0 AND n2q > 0
+    AND (d >= 0 AND 400 * (d * d) >= 9 * (n2i * n2q))
+    AND NOT (d >= 0 AND 400 * (d * d) >= 225 * (n2i * n2q))
+),
+rk AS (
+  SELECT query_id, item_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS INTEGER) AS rank
+  FROM banded
+)
+SELECT query_id, item_id, rank FROM rk WHERE rank <= 5
+"""
+QUERIES["x18_hard_negatives"] = L.x18_hard_negatives
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.

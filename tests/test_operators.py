@@ -3906,6 +3906,36 @@ def test_corpus_recall_check_catches_broken_blocking(spark):
         sorted((r["query_id"], r["item_id"], r["rank"]) for r in exact.collect())
 
 
+def test_hard_negative_band_in_and_out(spark):
+    """Band classification on planted geometry: a near-duplicate
+    (cos ~1) is EXCLUDED above the ceiling, an in-band vector
+    (cos = 0.6) is mined, an orthogonal vector (cos = 0) is excluded
+    below the floor, and zero-norm vectors never qualify."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query
+        (1, [1.0, 0.001, 0.0, 0.0]), # near-dup: cos ~1, above hi
+        (2, [3.0, 4.0, 0.0, 0.0]),   # cos = 0.6: in band
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal: below lo
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm: never qualifies
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # negative dot: never qualifies
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["query_id"], r["item_id"], r["rank"])
+        for r in hard_negative_topk(
+            df, queries, k=5, lo_num=3, hi_num=15
+        ).collect()
+    ]
+    assert got == [(0, 2, 1)]
+
+
 # --- winnowing (d29) ----------------------------------------------------------
 
 
