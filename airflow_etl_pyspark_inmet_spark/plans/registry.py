@@ -5,8 +5,9 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (261/261 since r11; asserted by
-tests/test_plans). Engine-specific hashing families (SimHash/sign-LSH,
+Every registered query has a real oracle (266/266; this count is asserted
+against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
+cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
 provably-exact envelope booleans rather than raw approximate output.
 """
@@ -6366,4 +6367,73 @@ _R13_WINDOW = [
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)
+}
+
+
+# --- r14 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 5 queries never driver-checked (registered after the r13 window
+# landed; all green in the r13 judge's local oracle replay — the hard
+# CORRECTNESS signal lands now), then the 11 r8-stale entries that missed the
+# r13 window (pre-verified, BASELINE.md "r13 staleness floor"), then 34 of
+# the 50 r9-stale entries in registration order. The 16 r9-stale queries that
+# don't fit (t16_oov_stats .. d1_dedup_exact) are pre-verified locally for
+# r15 (BASELINE.md "r14 staleness floor").
+_R14_WINDOW = [
+    # never driver-checked (5)
+    "s16_graph_ann_topk",
+    "s17_filtered_ann",
+    "s18_knn_join",
+    "st16_stream_dedup",
+    "x18_hard_negatives",
+    # r8-stale, missed the r13 window (11)
+    "q42_histogram",
+    "q43_full_outer_join",
+    "q44_array_agg_sorted",
+    "t12_pii_scrub",
+    "t13_pack_sequences",
+    "x1_mixture_sample",
+    "x2_domain_cap",
+    "x3_shard_assign",
+    "q03_monthly_kpis",
+    "d5_dedup_clusters",
+    "t1_token_stats",
+    # r9-stale fill (34 of 50, registration order)
+    "q110_hierarchy_rollup",
+    "d18_containment_pairs",
+    "g2_label_propagation",
+    "x9_token_budget",
+    "c7_snapshot_merge_mv",
+    "d6_dedup_embedding",
+    "d9_repeated_spans",
+    "q36_global_topk",
+    "q37_quality_gate",
+    "q38_ntile_quartiles",
+    "q45_date_spine_gapfill",
+    "q46_scd2_intervals",
+    "q47_upsert_merge",
+    "q48_rank_suite",
+    "q49_forward_fill",
+    "q50_anomaly_vs_climatology",
+    "q53_sketch_rollup",
+    "q54_left_outer_enrich",
+    "q55_variant_json",
+    "q56_grouped_agg_udaf",
+    "q57_group_rank_pandas",
+    "q58_cohort_retention",
+    "q59_session_funnel",
+    "q60_percentile_disc",
+    "q67_column_profile",
+    "q68_skew_report",
+    "q69_incremental_agg",
+    "q70_monthly_kpis_dbl",
+    "s1_cosine_topk",
+    "s2_lsh_topk",
+    "t10_repetition_stats",
+    "t11_stratified_sample",
+    "t14_strip_boilerplate",
+    "t15_vocab_top_terms",
+]
+assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)
 }

@@ -558,3 +558,24 @@ def test_streaming_embedding_dedup_equals_batch_tier(spark, sf_small):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_docstring_count():
+    """The oracle-count claim in registry.py's docstring matches reality.
+
+    The r13 verdict caught the docstring saying 261/261 while the registry
+    held 266 entries; this pins the number so it cannot drift again.
+    """
+    import re
+
+    from airflow_etl_pyspark_inmet_spark.plans import registry
+
+    n = len(registry.QUERIES)
+    m = re.search(r"\((\d+)/(\d+);", registry.__doc__)
+    assert m, "registry docstring lost its N/N oracle-count claim"
+    assert int(m.group(1)) == int(m.group(2)) == n, (
+        f"registry docstring claims {m.group(0)} but len(QUERIES)={n}"
+    )
+    # and the claim itself: every registered query has a real oracle
+    missing = [k for k in registry.QUERIES if registry.ORACLES.get(k) is None]
+    assert not missing, f"queries with no oracle: {missing}"
