@@ -114,20 +114,52 @@ def hard_negative_topk(
     side broadcasts, one corpus scan, per-query window top-k. The band
     predicate is map-side (whole-stage codegen), so at 100 TB it
     PRUNES the window input rather than adding a pass.
+
+    Overflow envelope (the dedup-kernel guard, same bound form): the
+    int64 fold needs ``dim * max_coord^2 <= 2^63-1`` and the
+    decimal(38,0) band comparison needs ``max(den^2, hi^2) * dot^2 <
+    10^38`` — every row is checked against the combined bound and a
+    violating row raises instead of silently wrapping (mirrors the
+    HUGEINT-exact oracle, which has no 2^63 ceiling).
     """
+    import math
+
     from .util import ensure_parallelism
+
+    d2 = band_den * band_den
+    # |dot| and n2 are <= dim*maxc^2 =: B; int64 fold needs B <= 2^63-1,
+    # the decimal(38,0) comparison needs max(d2, hi^2)*B^2 < 10^38.
+    _n2_bound = min(
+        2**63 - 1, math.isqrt(10**38 // max(d2, hi_num * hi_num))
+    )
+
+    def _guarded(qcol: Column) -> Column:
+        m = F.array_max(F.transform(qcol, F.abs))
+        # m^2 fits decimal(38,0) for any int64 m; dim*m^2 compared wide
+        mm = m.cast("decimal(38,0)") * m
+        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
+            _n2_bound
+        ).cast("decimal(38,0)")
+        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hard_negative_topk: dim * max_coord^2 exceeds the "
+                    "int64/decimal38-exact envelope; lower `scale`"
+                )
+            ).cast("array<long>")
+        )
 
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        _quantize_expr(vec_col, scale).alias("_qq"),
+        _guarded(_quantize_expr(vec_col, scale)).alias("_qq"),
     )
     scored = (
         ensure_parallelism(
             items.select(
                 F.col(id_col).alias("item_id"),
                 F.col(vec_col).alias("_ivec"),
-                _quantize_expr(vec_col, scale).alias("_iq"),
+                _guarded(_quantize_expr(vec_col, scale)).alias("_iq"),
             )
         )
         .crossJoin(F.broadcast(q))
@@ -143,7 +175,6 @@ def hard_negative_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    d2 = band_den * band_den
     scored = scored.select(
         query_id_col,
         "item_id",

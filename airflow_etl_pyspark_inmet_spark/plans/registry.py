@@ -6195,7 +6195,11 @@ QUERIES["st16_stream_dedup"] = L.st16_stream_dedup
 
 
 # x18 — hard-negative mining: band membership on the exact d25 integer
-# grid (HUGEINT), ranking by the same float cosine s1 hash-matches.
+# grid, ranking by the same float cosine s1 hash-matches. The integer
+# dot/norms are PURE HUGEINT list arithmetic (r13 ADVICE: the previous
+# list_dot_product-over-DOUBLE[] detour was exact only below 2^53 —
+# integer sums stay exact at any magnitude, matching the engine-side
+# int64-envelope guard in hard_negative_topk).
 ORACLES["x18_hard_negatives"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
@@ -6213,9 +6217,10 @@ scored AS (
   SELECT query_id, item_id,
          list_dot_product(iv, qv)
            / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(qv, qv))) AS score,
-         CAST(list_dot_product(CAST(iq AS DOUBLE[]), CAST(qq AS DOUBLE[])) AS HUGEINT) AS d,
-         CAST(list_dot_product(CAST(iq AS DOUBLE[]), CAST(iq AS DOUBLE[])) AS HUGEINT) AS n2i,
-         CAST(list_dot_product(CAST(qq AS DOUBLE[]), CAST(qq AS DOUBLE[])) AS HUGEINT) AS n2q
+         list_sum(list_transform(range(1, len(iq)+1),
+                  i -> CAST(iq[i] AS HUGEINT) * qq[i])) AS d,
+         list_sum(list_transform(iq, x -> CAST(x AS HUGEINT) * x)) AS n2i,
+         list_sum(list_transform(qq, x -> CAST(x AS HUGEINT) * x)) AS n2q
   FROM it, q WHERE item_id != query_id
 ),
 banded AS (
