@@ -401,17 +401,21 @@ def ann_with_corpus_recall_check(
     brute-force top-k (oracle-reproducible), and every row carries the
     same ``recall_ok`` = overall candidate recall >= ``min_recall``
     (a broken blocking scores ~0 and fails loudly; the d26 scalar-
-    envelope pattern)."""
+    envelope pattern).
+
+    Scale bound (harness-only): this is a VERIFICATION tier — its
+    exact side is the |Q| x N brute force, quadratic by definition —
+    and unlike :func:`ann_with_recall_check` the ann frame here is
+    |Q| x k rows with |Q| corpus-sized, so it is NOT broadcast (r13
+    ADVICE: the hint would hit the broadcast limit before the exact
+    tier ran out of road); the hit join shuffles on the pair key.
+    Production calls the ANN operator alone."""
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     ).localCheckpoint(eager=False)  # consumers: recall agg + output
     hits = exact.select(query_id_col, "item_id").join(
-        F.broadcast(
-            ann.select(query_id_col, "item_id").withColumn(
-                "_hit", F.lit(1)
-            )
-        ),
+        ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
         [query_id_col, "item_id"],
         "left",
     )
@@ -461,7 +465,11 @@ def _ivf_train(
     how many tasks ran (at 100 TB / ~10^5 tasks the old driver-side
     merge would have pulled tasks x cells array rows).
 
-    ``base`` must be the checkpointed (item_id, _ivec) projection.
+    ``base`` is the (item_id, _ivec) projection — checkpointed when the
+    caller shares the materialization with its assignment pass
+    (:func:`ivf_topk`), or a direct scan when training is the only
+    consumer (:func:`filtered_ivf_topk`, whose item stream must keep
+    its predicate pushable past where a checkpoint barrier would sit).
     ``seed_frame``, when given, is a CHEAPER frame with the same rows
     (e.g. the raw pre-repartition column projection, where the
     TakeOrdered limit pushes into the parquet scan instead of forcing
@@ -601,20 +609,22 @@ def filtered_ivf_topk(
     Design (the FAISS/Vespa "single shared index, filter at scan"
     strategy): the coarse quantizer trains on the FULL corpus —
     the index is built once and shared across every predicate — while
-    the predicate is applied to the cell-assigned item stream BEFORE
-    the probe join, so Catalyst pushes it down to the corpus scan
-    (selective filters shrink the candidate side for free) and each
-    query still touches only its ``n_probe`` cells. ``n_probe``
-    defaults higher than the unfiltered tier (6 vs 4): a selective
-    filter can empty a probed cell, so widening the probe set is the
-    recall dial, not a bigger k.
+    the predicate is applied to the item stream AT THE SOURCE, so
+    Catalyst pushes it down to the corpus scan (selective filters
+    shrink the candidate side for free) and each query still touches
+    only its ``n_probe`` cells. ``n_probe`` defaults higher than the
+    unfiltered tier (6 vs 4): a selective filter can empty a probed
+    cell, so widening the probe set is the recall dial, not a bigger k.
 
-    Scale shape: identical to :func:`ivf_topk` — one checkpointed
-    corpus materialization feeding the Lloyd pass and the assignment,
-    map-side partial Lloyd statistics, candidates via ONE equi-join on
-    cell id with the |Q| x n_probe query side broadcast — plus one
-    pushed-down predicate on the item stream. Nothing corpus-sized
-    shuffles; the filter only ever REDUCES the candidate volume.
+    Scale shape: two single-consumer corpus scans — the Lloyd training
+    pass reads the full 2-column projection, the assignment pass reads
+    the FILTERED projection with the predicate pushed into the parquet
+    scan (r13 ADVICE fix: the previous shared localCheckpoint was a
+    lineage barrier, so the full corpus materialized before the filter
+    could prune) — map-side partial Lloyd statistics, candidates via
+    ONE equi-join on cell id with the |Q| x n_probe query side
+    broadcast. Nothing corpus-sized shuffles; the filter only ever
+    REDUCES the candidate volume.
 
     Approximation contract: engine-specific candidates, so surfaces
     ride :func:`ann_with_recall_check` against the exact FILTERED
@@ -623,19 +633,17 @@ def filtered_ivf_topk(
     from .util import ensure_parallelism
 
     proj = items.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("_ivec"),
-        predicate.cast("boolean").alias("_keep"),
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
-    # index trains on the FULL corpus (shared across predicates)
-    C1 = _ivf_train(
-        base.select("item_id", "_ivec"),
-        n_cells,
-        seed_frame=proj.select("item_id", "_ivec"),
+    # index trains on the FULL corpus (shared across predicates); its
+    # pass is single-consumer so it scans storage directly — no
+    # checkpoint, which would block the item-stream pushdown below
+    C1 = _ivf_train(ensure_parallelism(proj), n_cells, seed_frame=proj)
+    kept = items.filter(predicate.cast("boolean")).select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
     it = (
-        base.filter(F.col("_keep"))
+        ensure_parallelism(kept)
         .withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec")))
         .select("item_id", "_ivec", F.col("_cell")[0].alias("_cell"))
     )
@@ -674,6 +682,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_occupancy: int = 64,
+    salt_rows: int = 4096,
 ) -> DataFrame:
     """k-NN JOIN — for EVERY left row, its top-k cosine neighbors among
     the right rows — the all-rows companion of the per-query ANN tiers
@@ -690,13 +699,34 @@ def knn_join(
     pivot-based partitioning in the literature) reduces to. Exact
     re-rank inside the blocks, per-left-row window top-k.
 
-    Scale shape: NO broadcast of either corpus — the only broadcast is
-    the (n_cells x dim) centroid matrix inside the assignment UDF; the
-    join is shuffle-partitioned by cell id, candidate volume is
-    |L| * n_probe * (|R| / n_cells) in expectation (AQE splits skewed
-    cells), and the window is partitioned per left row — never global.
-    This is the operator whose brute-force form is the |L| x |R|
-    cross join that nothing survives at 100 TB.
+    Scale shape: NO broadcast of either corpus — the only broadcasts
+    are the (n_cells x dim) centroid matrix inside the assignment UDF
+    and the (tiny, hot-cells-only) salt-factor frame; the candidate
+    stage is shuffle-partitioned by cell id, candidate volume is
+    |L| * n_probe * (|R| / n_cells) in expectation, and the window is
+    partitioned per left row — never global. This is the operator
+    whose brute-force form is the |L| x |R| cross join that nothing
+    survives at 100 TB.
+
+    Hot-cell bound (r13 ADVICE fix): candidates flow through a
+    ``groupBy(cell)`` + ``applyInPandas`` kernel, and a GROUP cannot be
+    split by AQE — a hot cell (its occupancy plus every left probe
+    routed to it; likely with clustered embeddings) would materialize
+    as ONE pandas frame on one task, an OOM the row-chunking alone
+    does not bound. So both sides are count-salted first: per-cell
+    probe/occupancy counts (two map-side-combined aggregates whose
+    shuffle carries n_cells rows) derive per-cell split factors
+    ``nl = ceil(left_probes / salt_rows)`` and ``nr = ceil(occupancy /
+    salt_rows)``; left rows hash into one of ``nl`` salts and
+    replicate across the ``nr`` right blocks, right rows vice versa,
+    and the kernel groups on (cell, lsalt, rblock) — every group is
+    <= 2*salt_rows vectors. Only cells beyond ``salt_rows`` appear in
+    the (broadcast) salt frame, so the normal-cell path pays nothing.
+    Results are IDENTICAL to the unsalted plan: a candidate pair meets
+    in exactly the (lsalt(left), rblock(right)) group of each shared
+    cell, per-group top-k can only drop pairs that per-cell top-k
+    would also drop, and the existing groupBy(left_id, item_id) max
+    merge dedups multi-cell meetings either way.
 
     Cell-count contract (the op:semdedup_sqrtn lesson, re-learned by
     this operator's own scale gate): a FIXED ``n_cells`` makes the
@@ -792,8 +822,67 @@ def knn_join(
             F.lit(1).alias("_side"),
         )
     )
-    scored = (
+    # consumers: the per-cell counts and the salted kernel input — one
+    # materialization instead of re-running both assignment passes
+    both = both.localCheckpoint(eager=False)
+    # hot cells only: per-cell split factors; shuffle carries n_cells
+    # count rows (map-side combine), the surviving frame is tiny
+    salts = (
         both.groupBy("_cell")
+        .agg(
+            F.count(F.when(F.col("_side") == 0, 1)).alias("_lc"),
+            F.count(F.when(F.col("_side") == 1, 1)).alias("_rc"),
+        )
+        .filter(
+            (F.col("_lc") > salt_rows) | (F.col("_rc") > salt_rows)
+        )
+        .select(
+            "_cell",
+            F.ceil(F.col("_lc") / salt_rows).cast("int").alias("_nl"),
+            F.ceil(F.col("_rc") / salt_rows).cast("int").alias("_nr"),
+        )
+    )
+    salted = (
+        both.join(F.broadcast(salts), "_cell", "left")
+        .withColumn("_nl", F.coalesce("_nl", F.lit(1)))
+        .withColumn("_nr", F.coalesce("_nr", F.lit(1)))
+        # own salt by id hash; replicate across the other side's blocks
+        .withColumn(
+            "_my",
+            F.pmod(
+                F.xxhash64("_id"),
+                F.when(F.col("_side") == 0, F.col("_nl")).otherwise(
+                    F.col("_nr")
+                ),
+            ).cast("int"),
+        )
+        .withColumn(
+            "_ot",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("_side") == 0, F.col("_nr")).otherwise(
+                        F.col("_nl")
+                    )
+                    - F.lit(1),
+                )
+            ),
+        )
+        .select(
+            "_cell",
+            "_id",
+            "_v",
+            "_side",
+            F.when(F.col("_side") == 0, F.col("_my"))
+            .otherwise(F.col("_ot"))
+            .alias("_ls"),
+            F.when(F.col("_side") == 0, F.col("_ot"))
+            .otherwise(F.col("_my"))
+            .alias("_rb"),
+        )
+    )
+    scored = (
+        salted.groupBy("_cell", "_ls", "_rb")
         .applyInPandas(
             cell_topk, "left_id bigint, item_id bigint, score double"
         )

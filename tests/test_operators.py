@@ -3871,6 +3871,45 @@ def test_knn_join_exhaustive_probe_equals_brute_force(spark):
     assert all(l % 2 == 0 and i % 2 == 1 for l, i, _ in got)
 
 
+def test_knn_join_hot_cell_salting_is_lossless(spark):
+    """Forcing the hot-cell path (one cell holding everything, a salt
+    threshold far below the cell's size, so both sides split into
+    multiple salt blocks) must yield EXACTLY the unsalted/brute-force
+    result — per-block top-k is a superset of per-cell top-k, and the
+    merge reduction recovers the true top-k (the r13 ADVICE fix: a
+    groupBy group cannot be split by AQE, so hot cells are bounded by
+    count-derived salting instead)."""
+    import random
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(6)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    left = df.filter(F.col("vec_id") % 2 == 0)
+    right = df.filter(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        (r["left_id"], r["item_id"], r["rank"])
+        for r in knn_join(
+            left, right, k=3, n_cells=1, n_probe=1, salt_rows=7
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["item_id"], r["rank"])
+        for r in cosine_topk(
+            right,
+            left.select(F.col("vec_id").alias("query_id"), "embedding"),
+            3,
+        ).collect()
+    )
+    assert got == want
+
+
 def test_corpus_recall_check_catches_broken_blocking(spark):
     """The aggregate envelope must be TRUE when the ANN side IS the
     exact set and FALSE on a broken (empty-overlap) candidate set —
@@ -3934,6 +3973,31 @@ def test_hard_negative_band_in_and_out(spark):
         ).collect()
     ]
     assert got == [(0, 2, 1)]
+
+
+def test_hard_negative_overflow_guard_raises(spark):
+    """A row whose dim * max_coord^2 exceeds the int64/decimal38-exact
+    envelope must raise loudly (r13 ADVICE: the int64 fold previously
+    had no guard and would wrap silently where the HUGEINT oracle
+    stays exact)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    big = 1.0e7  # quantized to 1e10; 4 * (1e10)^2 = 4e20 >> the bound
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [big, big, 0.0, 0.0]),
+        (2, [3.0, 4.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="int64/decimal38-exact envelope"):
+        hard_negative_topk(df, queries, k=5).collect()
 
 
 # --- winnowing (d29) ----------------------------------------------------------

@@ -579,3 +579,24 @@ def test_docstring_count():
     # and the claim itself: every registered query has a real oracle
     missing = [k for k in registry.QUERIES if registry.ORACLES.get(k) is None]
     assert not missing, f"queries with no oracle: {missing}"
+
+
+def test_filtered_ann_predicate_reaches_scan(spark, sf_small):
+    """filtered_ivf_topk's item predicate must push into the parquet
+    scan (r13 ADVICE: it used to sit behind a localCheckpoint lineage
+    barrier, so the full corpus materialized before the filter)."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        filtered_ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = filtered_ivf_topk(
+        emb, queries, F.col("label") > 5, k=5, n_cells=4, n_probe=4
+    )
+    plan = _explain(df)
+    assert "GreaterThan(label,5)" in plan, plan[:4000]
