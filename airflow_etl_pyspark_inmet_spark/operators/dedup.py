@@ -1125,6 +1125,69 @@ def minhash_band_table(
     )
 
 
+def portable_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) banded MinHash rows built from ENGINE-PORTABLE
+    hashes — per salt k, ``sig[k] = min over word-ngrams of
+    int(md5(k ':' gram)[:15 hex], 16)`` (the t32/q113 md5-prefix hash,
+    bit-identical in Spark, DuckDB and Python; 60 bits, int64-safe) and
+    band key = ``md5`` of the comma-joined signature slice. Identical
+    ALGEBRA to :func:`minhash_band_table` (whose xxhash64 signatures
+    are the cheaper production flavor), but every value replays in SQL
+    — which is what lets the st17 streaming manifest be hash-compared
+    against a DuckDB oracle WHOLE, not via an envelope.
+
+    Same scale shape as :func:`minhash_signatures`: min is
+    duplicate-insensitive so the raw gram stream feeds one groupBy with
+    map-side partial combine; output is docs x bands fixed-width rows.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    grams = exploded_ngrams(df, id_col, text_col, ngram)
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"{k}:"), F.col("g")).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    sig = grams.groupBy("_id").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).cast("binary")
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def incremental_lsh_pairs(
     delta: DataFrame,
     corpus: DataFrame,

@@ -3402,6 +3402,24 @@ def st16_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_exact_dedup(spark, docs, "doc_id", "text")
 
 
+def st17_stream_band_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING banded-MinHash near-dup manifest
+    (streaming.windows.streaming_band_manifest): st16's split-invariant
+    monoid fold generalized to the d3 LSH family — per (band, band-key)
+    bucket, keeper = MIN(doc_id), n_docs = SUM(count), folded per
+    micro-batch so a live ingest maintains its near-dup index without
+    re-signing history (buckets with n_docs >= 2 are the collision
+    groups d3's candidate join reads). Signatures use the PORTABLE
+    md5-prefix hash family (t32/q113), so the oracle recomputes the
+    ENTIRE manifest from the full table bit for bit — stronger than the
+    envelope checks the xxhash64 production flavor gets; the fold
+    algebra is identical for either hash."""
+    from ..streaming.windows import streaming_band_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return streaming_band_manifest(spark, docs, "doc_id", "text")
+
+
 def x18_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training
     (operators.similarity.hard_negative_topk): per query vector, the

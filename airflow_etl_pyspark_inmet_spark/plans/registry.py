@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (266/266; this count is asserted
+Every registered query has a real oracle (267/267; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6248,6 +6248,37 @@ rk AS (
 SELECT query_id, item_id, rank FROM rk WHERE rank <= 5
 """
 QUERIES["x18_hard_negatives"] = L.x18_hard_negatives
+
+
+# st17 — streaming banded-MinHash near-dup manifest: st16's min/sum
+# monoid fold generalized to the d3 LSH family. The portable md5-prefix
+# hash family (t32/q113) is what lets the oracle recompute the ENTIRE
+# manifest — signature mins, band keys, keepers, counts — from the full
+# table, instead of the envelope checks engine-specific xxhash64
+# surfaces get. num_hashes=12, bands=4 (r=3 rows/band).
+ORACLES["st17_stream_band_manifest"] = """
+WITH grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents) t,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws)-2, 0))) AS i) u
+),
+salts AS (SELECT unnest(range(12)) AS k),
+mh AS (
+  SELECT doc_id, k,
+         min(CAST(CAST(('0x' || left(md5(CAST(k AS VARCHAR) || ':' || g), 15))
+                  AS UBIGINT) AS BIGINT)) AS mh
+  FROM grams CROSS JOIN salts GROUP BY doc_id, k
+),
+band AS (
+  SELECT doc_id, CAST(k // 3 AS INTEGER) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k)) AS bkey
+  FROM mh GROUP BY doc_id, k // 3
+)
+SELECT band, bkey, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM band GROUP BY 1, 2
+"""
+QUERIES["st17_stream_band_manifest"] = L.st17_stream_band_manifest
 
 
 # --- r12 driver-window rotation (keep this block at the END of the file) ---

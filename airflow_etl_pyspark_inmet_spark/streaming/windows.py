@@ -1219,3 +1219,112 @@ def streaming_exact_dedup(
         return state["mv"].select(F.col("_id").alias(id_col), "n_copies")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_band_manifest(
+    spark: SparkSession,
+    rows: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of the banded-MinHash NEAR-DUP manifest —
+    st16's exact-dedup fold generalized to the d3 LSH family: as
+    documents arrive, each micro-batch signs ONLY its own docs
+    (:func:`~..operators.dedup.portable_minhash_bands`) and folds its
+    per-(band, band-key) partials — keeper = MIN(doc_id), n_docs =
+    SUM(count) — into the running manifest. Both channels are
+    commutative monoids over keys computed from one doc at a time, so
+    the finite-input state is independent of how the feed splits into
+    micro-batches and equals the one-shot batch manifest bit for bit;
+    the oracle recomputes the whole manifest from the full table in
+    SQL (the portable md5-prefix hashes are what make that possible —
+    the xxhash64 production flavor has the same algebra but can only
+    be envelope-checked).
+
+    This is how a 100 TB ingest keeps its near-dup index current
+    WITHOUT re-signing history: per-epoch work is O(batch grams +
+    |manifest touched|), state is O(docs x bands) fixed-width rows
+    sharded by (band, band-key) — a hash-keyed agg, map-side
+    combinable. A bucket with n_docs >= 2 is a near-dup candidate
+    group whose members collide on that band slice; keeper-id-min is
+    d1/d3's deterministic winner rule.
+
+    Same harness as st9/st15/st16: the feed spills to ``n_files``
+    parquet files, streams back under ``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=1`` (the fold genuinely crosses epochs), the
+    manifest eagerly checkpointed per epoch.
+
+    Returns (band, bkey, keeper_id, n_docs).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import portable_minhash_bands
+
+    src = rows.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="st17_bands_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit(0).cast("int").alias("band"),
+                F.lit("").alias("bkey"),
+                F.lit(0).cast("bigint").alias("keeper_id"),
+                F.lit(0).cast("bigint").alias("n_docs"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = (
+                portable_minhash_bands(
+                    batch_df, "_id", "_text", ngram, num_hashes, bands
+                )
+                .groupBy("band", "bkey")
+                .agg(
+                    F.min("_id").alias("keeper_id"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                )
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("band", "bkey")
+                .agg(
+                    F.min("keeper_id").alias("keeper_id"),
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                )
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_band_manifest expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return state["mv"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -181,6 +181,38 @@ def main() -> None:
             right = emb.filter(F_.col("vec_id") % 2 == 1)
             return knn_join(left, right, k=3, n_probe=8)
 
+        _graph_cache: dict[str, object] = {}
+
+        def _op_graph_ann(spark_, sf_dir_):
+            # the SERVING path (the s16 beam walk) isolated from the
+            # s12 index build: the graph is built once per sf_dir and
+            # eagerly checkpointed on first use, so run 1 pays the
+            # build and the median-of-3 reads the clean serving runs
+            # (the s12 build itself is a separate standing gate entry).
+            # Fixed dials (entries=16, hops=3, beam=16 — the s16
+            # config); the recall-vs-scale trade these dials ride is
+            # measured in SCALING.md's r14 graph-ANN note.
+            from pyspark.sql import functions as F_
+
+            from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+                graph_ann_topk,
+                nn_descent_knn_graph,
+            )
+
+            emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+            g = _graph_cache.get(sf_dir_)
+            if g is None:
+                g = nn_descent_knn_graph(
+                    emb, k=8, n_rounds=3, scale=1000
+                ).localCheckpoint(eager=True)
+                _graph_cache[sf_dir_] = g
+            queries = emb.filter(F_.col("vec_id") < 5).select(
+                F_.col("vec_id").alias("query_id"), "embedding"
+            )
+            return graph_ann_topk(
+                emb, queries, g, k=10, beam=16, n_hops=3
+            )
+
         def _op_silhouette_sqrtn(spark_, sf_dir_):
             # the production silhouette config: k rides sqrt(N) with
             # the arrow two-distance assigner (fixed-k s13 is the
@@ -232,6 +264,12 @@ def main() -> None:
             # equi-join is the family's only no-broadcast shuffle shape
             # (the op, not the s18 harness — see _op_knn_join)
             "op:knn_join",
+            # r14 additions: the graph-ANN SERVING walk (corpus never
+            # scanned at query time — the property the gate pins) and
+            # the heaviest multimodal decode (the classic
+            # executor-memory scale trap; Arrow-batched PNG decode)
+            "op:graph_ann",
+            "m1_decode_meta",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
@@ -239,6 +277,7 @@ def main() -> None:
             "op:semdedup_sqrtn": _op_semdedup_sqrtn,
             "op:silhouette_sqrtn": _op_silhouette_sqrtn,
             "op:knn_join": _op_knn_join,
+            "op:graph_ann": _op_graph_ann,
         }
         env_subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET")
         if env_subset:

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Graph-ANN serving recall vs corpus scale (VERDICT r13 item 3).
+
+The s16 walk has FIXED dials — n_entries spread entry points, n_hops
+expansions, beam width — so the reachable fraction of the corpus shrinks
+as the corpus grows; this measures recall@10 of the production walk
+(operators.similarity.graph_ann_topk over the s12 NN-Descent graph)
+against the exact brute-force top-10 at 1x (sf0.1) and 10x, on BOTH the
+unmutated replica (/tmp/sf1 — clone-dense, recall biased UP because the
+query's own exact copies are mutual graph neighbors) and the mutated
+content-distinct tier (the honest number, gen_scale --mutate).
+
+Prints one JSON line per (sf_dir, dial setting); paste into SCALING.md.
+
+Usage: python scripts/measure_graph_ann_recall.py [sf_dir ...]
+  default dirs: /root/testdata/sf0.1 /tmp/sf1 /tmp/sf1m
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def measure(
+    spark,
+    sf_dir: str,
+    k: int = 10,
+    beam: int = 16,
+    n_hops: int = 3,
+    n_entries: int = 16,
+) -> dict:
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        cosine_topk,
+        graph_ann_topk,
+        nn_descent_knn_graph,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
+    ann = graph_ann_topk(
+        emb, queries, graph, k=k, beam=beam, n_hops=n_hops,
+        n_entries=n_entries,
+    )
+    exact = cosine_topk(emb, queries, k)
+    a = {(r["query_id"], r["item_id"]) for r in ann.collect()}
+    e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
+    per_q = {}
+    for qid in sorted({q for q, _ in e}):
+        eq = {i for q, i in e if q == qid}
+        aq = {i for q, i in a if q == qid}
+        per_q[str(qid)] = round(len(eq & aq) / len(eq), 3)
+    return {
+        "sf_dir": sf_dir,
+        "n_vectors": emb.count(),
+        "dials": {
+            "k": k, "beam": beam, "n_hops": n_hops,
+            "n_entries": n_entries,
+        },
+        "recall_at_10": round(len(a & e) / len(e), 4),
+        "per_query": per_q,
+    }
+
+
+def main() -> None:
+    from airflow_etl_pyspark_inmet_spark.session import get_spark
+
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf1m",
+    ]
+    spark = get_spark(app_name="graph_ann_recall")
+    for d in dirs:
+        print(json.dumps(measure(spark, d)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4328,6 +4328,43 @@ def test_streaming_dedup_equals_batch_and_split_invariant(spark):
         assert got == want, f"n_files={n_files}"
 
 
+def test_streaming_band_manifest_equals_batch_and_split_invariant(spark):
+    """The streamed banded-MinHash manifest must equal the one-shot
+    batch manifest bit for bit regardless of micro-batch splits
+    (MIN/SUM monoids over per-doc band keys), with near-dup docs
+    planted to straddle batch boundaries; a shared-content group must
+    collide on every band (identical signatures)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        portable_minhash_bands,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_band_manifest,
+    )
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(i, words + f" tail{i % 5}") for i in range(30)]  # 5 contents
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r["band"], r["bkey"], r["keeper_id"], r["n_docs"])
+        for r in portable_minhash_bands(df, "doc_id", "text")
+        .groupBy("band", "bkey")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    )
+    assert any(n >= 2 for *_, n in want), "no collision bucket planted"
+    for n_files in (2, 5):
+        got = sorted(
+            (r["band"], r["bkey"], r["keeper_id"], r["n_docs"])
+            for r in streaming_band_manifest(
+                spark, df, "doc_id", "text", n_files=n_files
+            ).collect()
+        )
+        assert got == want, f"n_files={n_files}"
+
+
 # --- BM25 (t38) ---------------------------------------------------------------
 
 
