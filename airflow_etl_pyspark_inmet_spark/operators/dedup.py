@@ -2460,3 +2460,138 @@ def lsh_threshold_sweep(
             ).alias("lsh_recall_ok"),
         )
     )
+
+
+def _portable_hash60(s: Column) -> Column:
+    """The t32/q113/st17 engine-portable 60-bit hash: ``int(md5(s)[:15
+    hex], 16)`` — bit-identical in Spark, DuckDB and Python, int64-safe
+    (< 2^60)."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def bloom_position_set(
+    corpus: DataFrame,
+    text_col: str = "text",
+    m: int = 2048,
+    k: int = 3,
+) -> DataFrame:
+    """The corpus Bloom filter as a DISTINCT-position table — for each
+    corpus document, the ``k`` set bit positions ``portable_hash60(i ':'
+    md5(text)) % m`` for ``i in 0..k-1``. At most ``m`` rows regardless
+    of corpus size (that is the whole point of a Bloom filter), so the
+    result broadcasts: membership testing is a map-side broadcast join,
+    the corpus itself is scanned exactly once and never re-shuffled.
+
+    This position-TABLE flavor is the engine-portable algebra (every
+    bit replays in DuckDB SQL, so the d30 surface — including the
+    filter's deterministic FALSE POSITIVES — is hash-comparable whole).
+    The 100 TB production flavor is the same positions OR-folded into a
+    real bitset via ``treeAggregate`` (Spark's own
+    ``DataFrameStatFunctions.bloomFilter`` does exactly this JVM-side);
+    identical algebra, but its private hash family can only be
+    envelope-checked, the st17 portable-vs-xxhash64 split.
+    """
+    ch = F.md5(F.col(text_col).cast("binary"))
+    pos = F.explode(
+        F.array(
+            *[
+                _portable_hash60(F.concat(F.lit(f"{i}:"), ch)) % m
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return corpus.select(pos).distinct()
+
+
+def bloom_gated_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_doc: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """INCREMENTAL exact dedup of an ingest ``batch`` against a standing
+    ``corpus``, Bloom-gated so the corpus is never re-scanned per batch
+    and only bloom-POSITIVE batch rows pay the verification join — the
+    d1 twin for the "100 TB corpus, daily 100 GB crawl" shape where
+    re-grouping corpus+batch per ingest (d1) would re-shuffle history
+    every day.
+
+    Plan shape (the scale story):
+
+    1. ``m = max(64, bits_per_doc * |corpus|)`` — OCCUPANCY-DERIVED
+       sizing (the s18/d27 contract): fixed ``m`` saturates as the
+       corpus grows (FPR -> 1, every batch row pays the join); ~8 bits
+       per doc at k=3 pins FPR at ~2.5% at ANY corpus size.
+    2. The position set (:func:`bloom_position_set`, <= m rows) is
+       broadcast; each batch row tests its k positions map-side
+       (broadcast left-semi per position, then ``all k matched``).
+       No false negatives: every true dup is bloom-positive.
+    3. Only bloom-positive rows (true dups + the ~2.5% deterministic
+       false positives) join the corpus content-hash table
+       (8-byte-hash keyed, the d1 shuffle discipline); negatives
+       bypass with ``is_dup = false`` untouched.
+
+    Returns one row per batch doc: (``id_col``, bloom_positive,
+    is_dup, keeper_id) — keeper_id = min corpus id with identical
+    text, NULL for non-dups. A false positive is visible as
+    ``bloom_positive AND NOT is_dup``; both engines compute the SAME
+    false positives because the positions are engine-portable.
+    """
+    n = corpus.count()
+    m = max(64, bits_per_doc * n)
+    bloom = bloom_position_set(corpus, text_col, m=m, k=k)
+
+    ch = F.md5(F.col(text_col).cast("binary"))
+    probes = batch.select(
+        F.col(id_col), ch.alias("_ch")
+    ).select(
+        id_col,
+        "_ch",
+        F.explode(
+            F.array(
+                *[
+                    _portable_hash60(F.concat(F.lit(f"{i}:"), F.col("_ch")))
+                    % m
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    membership = (
+        probes.join(
+            F.broadcast(bloom.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.any_value(F.col("_ch")).alias("_ch"),
+            (F.count(F.lit(1)) == F.sum(F.coalesce("_hit", F.lit(0)))).alias(
+                "bloom_positive"
+            ),
+        )
+    )
+    keepers = (
+        corpus.select(ch.alias("_ch"), F.col(id_col).alias("_cid"))
+        .groupBy("_ch")
+        .agg(F.min("_cid").alias("_keeper"))
+    )
+    positive = (
+        membership.filter(F.col("bloom_positive"))
+        .join(keepers, "_ch", "left")
+        .select(
+            id_col,
+            "bloom_positive",
+            F.col("_keeper").isNotNull().alias("is_dup"),
+            F.col("_keeper").alias("keeper_id"),
+        )
+    )
+    negative = membership.filter(~F.col("bloom_positive")).select(
+        id_col,
+        "bloom_positive",
+        F.lit(False).alias("is_dup"),
+        F.lit(None).cast("bigint").alias("keeper_id"),
+    )
+    return positive.unionByName(negative)

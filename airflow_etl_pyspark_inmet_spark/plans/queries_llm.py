@@ -3437,3 +3437,35 @@ def x18_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return hard_negative_topk(emb, queries, k=5, lo_num=3, hi_num=15)
+
+
+def d30_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated INCREMENTAL exact dedup
+    (operators.dedup.bloom_gated_dedup): dedup an ingest batch against
+    a standing corpus without re-shuffling history — the corpus folds
+    once into an occupancy-sized Bloom position set (m = 8 bits/doc,
+    k=3 -> FPR ~2.5% at ANY corpus size; <= m rows, broadcastable),
+    each batch row tests its k positions map-side, and only
+    bloom-POSITIVE rows pay the verification join against the corpus
+    content-hash table. The batch is a deterministic re-crawl mix:
+    every doc_id % 7 == 0 re-submitted verbatim under a new id (true
+    dups — never bloom-missed), every doc_id % 7 == 3 with a marker
+    suffix (new content — flagged only by the filter's deterministic
+    false positives). Positions use the portable md5-prefix hash, so
+    the oracle replays the SAME false positives bit for bit."""
+    from ..operators.dedup import bloom_gated_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq-new-ingest")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return bloom_gated_dedup(docs, batch)

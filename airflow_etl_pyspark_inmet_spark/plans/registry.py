@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (267/267; this count is asserted
+Every registered query has a real oracle (268/268; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6281,6 +6281,51 @@ FROM band GROUP BY 1, 2
 QUERIES["st17_stream_band_manifest"] = L.st17_stream_band_manifest
 
 
+# d30 — Bloom-gated incremental dedup: the oracle rebuilds the SAME
+# occupancy-sized (m = 8 bits/doc) position set with the portable
+# md5-prefix hash, so bloom_positive — including the filter's
+# deterministic FALSE positives — matches bit for bit; is_dup/keeper_id
+# replay the verification join. The batch is the deterministic re-crawl
+# mix the Spark entry constructs (%7==0 verbatim re-submit, %7==3 with
+# a marker suffix).
+ORACLES["d30_bloom_gated_dedup"] = """
+WITH corpus AS (SELECT doc_id, text, md5(text) AS ch FROM documents),
+params AS (SELECT greatest(64, 8 * count(*)) AS m FROM corpus),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zq-new-ingest' AS text
+  FROM documents WHERE doc_id % 7 = 3
+),
+salts AS (SELECT unnest(range(3)) AS i),
+bloom AS (
+  SELECT DISTINCT
+    CAST(CAST(('0x' || left(md5(CAST(i AS VARCHAR) || ':' || ch), 15))
+         AS UBIGINT) AS BIGINT) % (SELECT m FROM params) AS pos
+  FROM corpus CROSS JOIN salts
+),
+probes AS (
+  SELECT b.doc_id, md5(b.text) AS ch,
+    CAST(CAST(('0x' || left(md5(CAST(i AS VARCHAR) || ':' || md5(b.text)), 15))
+         AS UBIGINT) AS BIGINT) % (SELECT m FROM params) AS pos
+  FROM batch b CROSS JOIN salts
+),
+memb AS (
+  SELECT doc_id, any_value(ch) AS ch,
+         bool_and(pos IN (SELECT pos FROM bloom)) AS bloom_positive
+  FROM probes GROUP BY doc_id
+),
+keepers AS (SELECT ch, min(doc_id) AS keeper FROM corpus GROUP BY ch)
+SELECT mb.doc_id,
+       mb.bloom_positive,
+       coalesce(mb.bloom_positive AND k.keeper IS NOT NULL, FALSE) AS is_dup,
+       CAST(CASE WHEN mb.bloom_positive THEN k.keeper END AS BIGINT)
+         AS keeper_id
+FROM memb mb LEFT JOIN keepers k ON mb.ch = k.ch
+"""
+QUERIES["d30_bloom_gated_dedup"] = L.d30_bloom_gated_dedup
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6426,12 +6471,14 @@ QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
 # don't fit (t16_oov_stats .. d1_dedup_exact) are pre-verified locally for
 # r15 (BASELINE.md "r14 staleness floor").
 _R14_WINDOW = [
-    # never driver-checked (5)
+    # never driver-checked (6; st17 registered after this block first landed)
     "s16_graph_ann_topk",
     "s17_filtered_ann",
     "s18_knn_join",
     "st16_stream_dedup",
     "x18_hard_negatives",
+    "st17_stream_band_manifest",
+    "d30_bloom_gated_dedup",
     # r8-stale, missed the r13 window (11)
     "q42_histogram",
     "q43_full_outer_join",
@@ -6477,8 +6524,6 @@ _R14_WINDOW = [
     "s2_lsh_topk",
     "t10_repetition_stats",
     "t11_stratified_sample",
-    "t14_strip_boilerplate",
-    "t15_vocab_top_terms",
 ]
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

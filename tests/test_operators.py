@@ -4799,3 +4799,50 @@ def test_langid_eval_confusion_and_shares(spark):
         ("es", "es"): 1,
         ("es", "en"): 1,
     }
+
+
+# --- Bloom-gated incremental dedup (d30) ---------------------------------------
+
+
+def test_bloom_gated_dedup_no_false_negatives_and_keeper(spark):
+    """Hand corpus: every true dup in the batch is bloom-positive AND
+    is_dup with the min-corpus-id keeper (Bloom filters cannot miss);
+    new content is never is_dup; bloom_positive on new content is
+    allowed (false positive) but never flips is_dup."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bloom_gated_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta"), (20, "gamma delta"), (30, "alpha beta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta"), (200, "epsilon zeta"), (300, "gamma delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bloom_positive"], r["is_dup"], r["keeper_id"])
+        for r in bloom_gated_dedup(corpus, batch).collect()
+    }
+    assert len(out) == 3
+    assert out[100] == (True, True, 10)  # dup group keeper = min corpus id
+    assert out[300] == (True, True, 20)
+    pos, dup, keeper = out[200]
+    assert dup is False and keeper is None  # new content never a dup
+
+
+def test_bloom_position_set_is_bounded(spark):
+    """The position table never exceeds m rows regardless of corpus
+    size — the property that makes the broadcast membership join
+    scale-safe."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bloom_position_set,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    m = 64
+    assert bloom_position_set(docs, "text", m=m, k=3).count() <= m
