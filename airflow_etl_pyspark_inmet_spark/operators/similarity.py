@@ -2541,3 +2541,77 @@ def late_interaction_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "item_id", "maxsim_q", "rank")
     )
+
+
+def portable_sign_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, cell, norm_q) — ENGINE-PORTABLE sign-LSH cell assignment on
+    the d25 integer grid: plane ``p``'s coefficient for dimension ``j``
+    is ``+1`` if the low bit of ``md5(f"{p}:{j}")[:2 hex]`` is set else
+    ``-1`` (md5 is md5 in Spark, DuckDB and Python, so all three derive
+    the SAME planes from nothing but indices), the dot is an int64 fold
+    over the milli-quantized vector, and cell = the ``n_planes``-bit
+    sign pattern. ±1-integer planes make the sign decision EXACT — no
+    float dot whose 1-ulp cross-engine wobble could flip a boundary
+    vector's cell, the same reasoning as x18's integer band membership.
+
+    This is the checkable twin of :func:`sign_lsh_bucket_udf` (whose
+    Gaussian float planes are the recall-tuned production flavor —
+    same algebra, envelope-checked only). ``norm_q`` (int64 quantized
+    squared norm) rides along so downstream manifests can track
+    per-cell mass, not just occupancy.
+
+    Scale shape: map-only — one projection per row, no shuffle, plan
+    size O(n_planes * dim) literals (the _argmin_struct_key bound
+    note applies).
+    """
+    import hashlib
+
+    first = df.select(F.col(vec_col)).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    signs = [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:2], 16) % 2
+            == 1
+            else -1
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    q = _quantize_expr(vec_col, scale)
+    out = df.select(
+        F.col(id_col),
+        q.alias("_q"),
+    )
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(s).cast("long") for s in signs[p]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for p in range(n_planes)
+    ]
+    cell = None
+    for p, d in enumerate(dots):
+        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    norm_q = F.aggregate(
+        F.transform(F.col("_q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        id_col,
+        cell.cast("int").alias("cell"),
+        norm_q.alias("norm_q"),
+    )

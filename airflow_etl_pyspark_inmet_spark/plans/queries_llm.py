@@ -3469,3 +3469,21 @@ def d30_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bloom_gated_dedup(docs, batch)
+
+
+def st18_stream_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN cell-occupancy manifest
+    (streaming.windows.streaming_cell_manifest): the embedding-side
+    twin of st16/st17 — as vectors arrive, fold per-cell (n_vecs,
+    min_vec_id, mass_q) under engine-portable sign-LSH cells (±1
+    md5-parity planes, d25 integer grid: the cell BOUNDARY is
+    cross-engine exact, no float sign wobble). This is the occupancy
+    statistic s18's n_cells = |R| // 64 contract and the IVF re-train
+    trigger read — maintained incrementally, O(2^8) state rows, no
+    history rescans. All three channels are commutative monoids, so
+    the streamed state equals the batch group-by bit for bit and the
+    oracle recomputes it whole in SQL."""
+    from ..streaming.windows import streaming_cell_manifest
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return streaming_cell_manifest(spark, emb, "vec_id", "embedding")

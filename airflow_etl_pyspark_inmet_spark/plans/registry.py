@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (268/268; this count is asserted
+Every registered query has a real oracle (269/269; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6326,6 +6326,49 @@ FROM memb mb LEFT JOIN keepers k ON mb.ch = k.ch
 QUERIES["d30_bloom_gated_dedup"] = L.d30_bloom_gated_dedup
 
 
+# st18 — streaming ANN cell-occupancy manifest: the oracle re-derives
+# the SAME ±1 planes from md5 parity over (plane, dim) indices, the
+# same floor(x*1000) integer grid, and recomputes the whole per-cell
+# manifest from the full table; SUM(BIGINT) is HUGEINT in DuckDB, so
+# every aggregate is cast back (the q03 type-skew lesson).
+ORACLES["st18_stream_cell_manifest"] = """
+WITH dims AS (SELECT unnest(range(64)) AS j),
+planes AS (SELECT unnest(range(8)) AS p),
+signs AS (
+  SELECT p, j,
+    CASE WHEN CAST(('0x' || left(md5(CAST(p AS VARCHAR) || ':'
+                                  || CAST(j AS VARCHAR)), 2))
+              AS INTEGER) % 2 = 1
+         THEN 1 ELSE -1 END AS s
+  FROM planes CROSS JOIN dims
+),
+q AS (
+  SELECT vec_id, j,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000.0) AS BIGINT)
+           AS qj
+  FROM embeddings CROSS JOIN dims
+),
+dots AS (
+  SELECT vec_id, p, sum(s * qj) AS dot
+  FROM q JOIN signs USING (j) GROUP BY vec_id, p
+),
+cells AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INTEGER)
+           AS cell
+  FROM dots GROUP BY vec_id
+),
+norms AS (SELECT vec_id, sum(qj * qj) AS norm_q FROM q GROUP BY vec_id)
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(sum(norm_q) AS BIGINT) AS mass_q
+FROM cells JOIN norms USING (vec_id)
+GROUP BY cell
+"""
+QUERIES["st18_stream_cell_manifest"] = L.st18_stream_cell_manifest
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6479,6 +6522,7 @@ _R14_WINDOW = [
     "x18_hard_negatives",
     "st17_stream_band_manifest",
     "d30_bloom_gated_dedup",
+    "st18_stream_cell_manifest",
     # r8-stale, missed the r13 window (11)
     "q42_histogram",
     "q43_full_outer_join",
@@ -6523,7 +6567,6 @@ _R14_WINDOW = [
     "s1_cosine_topk",
     "s2_lsh_topk",
     "t10_repetition_stats",
-    "t11_stratified_sample",
 ]
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

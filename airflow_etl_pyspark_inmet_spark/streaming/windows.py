@@ -1328,3 +1328,113 @@ def streaming_band_manifest(
         return state["mv"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_cell_manifest(
+    spark: SparkSession,
+    rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    scale: int = 1000,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of the ANN index's CELL-OCCUPANCY manifest
+    — the statistic the s18 kNN join and the IVF family derive their
+    occupancy-sized geometry from (n_cells = |R| // 64, re-train
+    triggers), kept current as embeddings arrive instead of recounted
+    from history: each micro-batch assigns ONLY its own vectors to
+    engine-portable sign-LSH cells
+    (:func:`~..operators.similarity.portable_sign_cells`) and folds
+    per-cell partials — n_vecs = SUM(count), min_vec_id = MIN,
+    mass_q = SUM(int64 quantized squared norm) — into the running
+    manifest. All three channels are commutative monoids over a key
+    computed from one vector at a time, so the finite-input state is
+    split-invariant and equals the one-shot batch group-by bit for
+    bit; the oracle recomputes the whole manifest in SQL (the ±1
+    md5-parity planes and the integer grid are what make the cell
+    boundary itself cross-engine exact).
+
+    100 TB shape: state is O(2^n_planes) fixed-width rows — a
+    hash-keyed agg with map-side combine; per-epoch work is one
+    map-only projection of the batch. A cell whose n_vecs outruns the
+    occupancy contract is the re-train signal (the s18 lesson made
+    incremental).
+
+    Same harness as st16/st17: the feed spills to ``n_files`` parquet
+    files, streams back under ``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=1`` (the fold genuinely crosses epochs), the
+    manifest eagerly checkpointed per epoch.
+
+    Returns (cell, n_vecs, min_vec_id, mass_q).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import portable_sign_cells
+
+    src = rows.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    tmp = tempfile.mkdtemp(prefix="st18_cells_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit(0).cast("int").alias("cell"),
+                F.lit(0).cast("bigint").alias("n_vecs"),
+                F.lit(0).cast("bigint").alias("min_vec_id"),
+                F.lit(0).cast("bigint").alias("mass_q"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = (
+                portable_sign_cells(
+                    batch_df, "_id", "_vec", n_planes, scale
+                )
+                .groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                    F.min("_id").alias("min_vec_id"),
+                    F.sum("norm_q").cast("bigint").alias("mass_q"),
+                )
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("cell")
+                .agg(
+                    F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+                    F.min("min_vec_id").alias("min_vec_id"),
+                    F.sum("mass_q").cast("bigint").alias("mass_q"),
+                )
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_cell_manifest expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return state["mv"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -4846,3 +4846,46 @@ def test_bloom_position_set_is_bounded(spark):
     )
     m = 64
     assert bloom_position_set(docs, "text", m=m, k=3).count() <= m
+
+
+# --- streaming cell manifest (st18) --------------------------------------------
+
+
+def test_streaming_cell_manifest_equals_batch_and_split_invariant(spark):
+    """The streamed sign-LSH cell manifest must equal the one-shot
+    batch group-by bit for bit regardless of micro-batch splits
+    (SUM/MIN/SUM monoids over per-vector cells)."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        portable_sign_cells,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_cell_manifest,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = sorted(
+        map(
+            tuple,
+            portable_sign_cells(df)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.min("vec_id").alias("min_vec_id"),
+                F.sum("norm_q").cast("bigint").alias("mass_q"),
+            )
+            .collect(),
+        )
+    )
+    assert any(n >= 2 for _, n, *_ in want), "no shared cell planted"
+    for n_files in (2, 5):
+        got = sorted(
+            map(
+                tuple,
+                streaming_cell_manifest(spark, df, n_files=n_files).collect(),
+            )
+        )
+        assert got == want, f"n_files={n_files}"
