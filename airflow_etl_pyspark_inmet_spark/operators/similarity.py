@@ -2615,3 +2615,105 @@ def portable_sign_cells(
         cell.cast("int").alias("cell"),
         norm_q.alias("norm_q"),
     )
+
+
+def semantic_decontam_flags(
+    train: DataFrame,
+    evalset: DataFrame,
+    tau_num: int = 14,
+    band_den: int = 20,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination: flag every training vector whose cosine
+    against ANY held-out eval vector reaches ``tau_num/band_den`` — the
+    embedding-space generalization of t9's n-gram decontamination (near-
+    paraphrases of eval items leak benchmark signal that exact-match
+    n-grams miss; the FineWeb/benchmark-hygiene step of a training-data
+    pipeline).
+
+    Exactness contract (the x18 integer band, counts instead of ranks):
+    membership is ``dot >= 0 AND den^2*dot^2 >= tau^2*|a|^2*|b|^2`` on
+    the d25 integer grid — int64 dot, decimal(38,0) comparison, replays
+    in DuckDB HUGEINT bit for bit — and the SURFACE is integer counts
+    plus a boolean, so x19 is hash-exact end to end with no float
+    anywhere (one better than x18, whose float score orders within the
+    band). Zero-norm vectors never flag (undefined cosine). The same
+    dim*max_coord^2 overflow envelope as :func:`hard_negative_topk`
+    raises rather than wraps.
+
+    Scale shape: eval sets are small by nature (thousands of rows), so
+    the eval side BROADCASTS and the train corpus is scanned exactly
+    once, the predicate map-side in whole-stage codegen — linear in
+    train size at 100 TB, no shuffle of train rows at all (the groupBy
+    key is the train id, pre-partitioned by the scan; partial counts
+    map-side combine).
+
+    Returns one row per train vector: (``id_col``, n_hits, contaminated).
+    """
+    import math
+
+    d2 = band_den * band_den
+    _n2_bound = min(2**63 - 1, math.isqrt(10**38 // d2))
+
+    def _guarded(qcol: Column) -> Column:
+        m = F.array_max(F.transform(qcol, F.abs))
+        mm = m.cast("decimal(38,0)") * m
+        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
+            _n2_bound
+        ).cast("decimal(38,0)")
+        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
+            F.raise_error(
+                F.lit(
+                    "semantic_decontam_flags: dim * max_coord^2 exceeds "
+                    "the int64/decimal38-exact envelope; lower `scale`"
+                )
+            ).cast("array<long>")
+        )
+
+    ev = evalset.select(
+        _guarded(_quantize_expr(vec_col, scale)).alias("_eq")
+    )
+    tr = train.select(
+        F.col(id_col),
+        _guarded(_quantize_expr(vec_col, scale)).alias("_tq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_tq"), F.col("_eq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    crossing = (
+        (F.col("_n2t") > 0)
+        & (F.col("_n2e") > 0)
+        & (F.col("_dot") >= 0)
+        & (
+            F.lit(d2) * (F.col("_dot").cast("decimal(38,0)") * F.col("_dot"))
+            >= F.lit(tau_num * tau_num)
+            * (F.col("_n2t").cast("decimal(38,0)") * F.col("_n2e"))
+        )
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            id_col,
+            dot.alias("_dot"),
+            n2("_tq").alias("_n2t"),
+            n2("_eq").alias("_n2e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(crossing, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+        )
+    )

@@ -3487,3 +3487,23 @@ def st18_stream_cell_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return streaming_cell_manifest(spark, emb, "vec_id", "embedding")
+
+
+def x19_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination of a training corpus against a held-out
+    eval set (operators.similarity.semantic_decontam_flags): every
+    train vector (vec_id >= 20) is flagged if its cosine against ANY
+    eval vector (vec_id < 20) reaches 7/20 — the embedding-space twin
+    of t9's n-gram decontamination, catching the near-paraphrase leaks
+    exact n-grams miss. Band membership on the exact integer grid and
+    an integer-count surface, so the query is hash-exact with no float
+    column at all; eval broadcasts, train is scanned once map-side."""
+    from ..operators.similarity import semantic_decontam_flags
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20)
+    # tau = 7/20 is calibrated to the synthetic corpus (max cross cosine
+    # ~0.49, p99.9 ~0.37 at sf0.01), so both flag outcomes are exercised;
+    # real text embeddings would sit near the usual 0.7-0.8.
+    return semantic_decontam_flags(train, evalset, tau_num=7)

@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (269/269; this count is asserted
+Every registered query has a real oracle (270/270; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6369,6 +6369,42 @@ GROUP BY cell
 QUERIES["st18_stream_cell_manifest"] = L.st18_stream_cell_manifest
 
 
+# x19 — semantic decontamination: the oracle replays the x18 integer
+# band in HUGEINT (no 2^63 ceiling; the engine raises on its own
+# envelope instead) and the surface is integer counts + boolean —
+# hash-exact end to end, no float column anywhere.
+ORACLES["x19_semantic_decontam"] = """
+WITH ev AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS eq
+  FROM embeddings WHERE vec_id < 20
+),
+tr AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS tq
+  FROM embeddings WHERE vec_id >= 20
+),
+pairs AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(tq) + 1),
+                  i -> CAST(tq[i] AS HUGEINT) * eq[i])) AS d,
+         list_sum(list_transform(tq, x -> CAST(x AS HUGEINT) * x)) AS n2t,
+         list_sum(list_transform(eq, x -> CAST(x AS HUGEINT) * x)) AS n2e
+  FROM tr, ev
+),
+hits AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN n2t > 0 AND n2e > 0 AND d >= 0
+                        AND 400 * (d * d) >= 49 * (n2t * n2e)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, n_hits, n_hits > 0 AS contaminated FROM hits
+"""
+QUERIES["x19_semantic_decontam"] = L.x19_semantic_decontam
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6523,6 +6559,7 @@ _R14_WINDOW = [
     "st17_stream_band_manifest",
     "d30_bloom_gated_dedup",
     "st18_stream_cell_manifest",
+    "x19_semantic_decontam",
     # r8-stale, missed the r13 window (11)
     "q42_histogram",
     "q43_full_outer_join",
@@ -6566,7 +6603,6 @@ _R14_WINDOW = [
     "q70_monthly_kpis_dbl",
     "s1_cosine_topk",
     "s2_lsh_topk",
-    "t10_repetition_stats",
 ]
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

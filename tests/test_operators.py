@@ -4889,3 +4889,32 @@ def test_streaming_cell_manifest_equals_batch_and_split_invariant(spark):
             )
         )
         assert got == want, f"n_files={n_files}"
+
+
+# --- semantic decontamination (x19) --------------------------------------------
+
+
+def test_semantic_decontam_flags_planted_leak(spark):
+    """A train vector that is a scaled copy of an eval vector (cosine 1)
+    must flag; an orthogonal one must not; a zero-norm vector never
+    flags (undefined cosine)."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        semantic_decontam_flags,
+    )
+
+    evalset = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0, 0.0]),   # scaled copy -> cosine 1
+            (11, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> cosine 0
+            (12, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> never flags
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["n_hits"], r["contaminated"])
+        for r in semantic_decontam_flags(train, evalset, tau_num=14).collect()
+    }
+    assert out == {10: (1, True), 11: (0, False), 12: (0, False)}
