@@ -2479,10 +2479,14 @@ def bloom_position_set(
 ) -> DataFrame:
     """The corpus Bloom filter as a DISTINCT-position table — for each
     corpus document, the ``k`` set bit positions ``portable_hash60(i ':'
-    md5(text)) % m`` for ``i in 0..k-1``. At most ``m`` rows regardless
-    of corpus size (that is the whole point of a Bloom filter), so the
-    result broadcasts: membership testing is a map-side broadcast join,
-    the corpus itself is scanned exactly once and never re-shuffled.
+    md5(text)) % m`` for ``i in 0..k-1``. At most ``min(m, k * n)``
+    rows; since FPR control sizes ``m`` proportional to the corpus
+    (bits/doc), the table GROWS with the corpus — it broadcasts
+    comfortably to ~10^8-10^9 corpus docs (8-byte rows), and beyond
+    that the filter shards by position prefix: each executor holds one
+    shard and batch probes route by the same prefix — a shuffle of
+    8-byte keys only, never of corpus text. Either way the corpus
+    itself is scanned exactly once and never re-shuffled per batch.
 
     This position-TABLE flavor is the engine-portable algebra (every
     bit replays in DuckDB SQL, so the d30 surface — including the
@@ -2525,12 +2529,18 @@ def bloom_gated_dedup(
     1. ``m = max(64, bits_per_doc * |corpus|)`` — OCCUPANCY-DERIVED
        sizing (the s18/d27 contract): fixed ``m`` saturates as the
        corpus grows (FPR -> 1, every batch row pays the join); ~8 bits
-       per doc at k=3 pins FPR at ~2.5% at ANY corpus size.
-    2. The position set (:func:`bloom_position_set`, <= m rows) is
-       broadcast; each batch row tests its k positions map-side
-       (broadcast left-semi per position, then ``all k matched``).
-       No false negatives: every true dup is bloom-positive.
-    3. Only bloom-positive rows (true dups + the ~2.5% deterministic
+       per doc at k=3 pins the asymptotic FPR at ~3%
+       ((1-e^-3/8)^3) at ANY corpus size.
+    2. The position set (:func:`bloom_position_set`) is broadcast and
+       each batch row tests its k positions map-side (broadcast
+       left-semi per position, then ``all k matched``). Honest bound:
+       the set is <= min(m, k*n) 8-byte rows and m scales WITH the
+       corpus, so the broadcast holds to ~10^8-10^9 corpus docs;
+       past that, shard the filter by position prefix and route
+       batch probes by the same prefix (see bloom_position_set).
+       No false negatives either way: every true dup is
+       bloom-positive.
+    3. Only bloom-positive rows (true dups + the ~3% deterministic
        false positives) join the corpus content-hash table
        (8-byte-hash keyed, the d1 shuffle discipline); negatives
        bypass with ``is_dup = false`` untouched.
@@ -2595,3 +2605,136 @@ def bloom_gated_dedup(
         F.lit(None).cast("bigint").alias("keeper_id"),
     )
     return positive.unionByName(negative)
+
+
+def bloom_fpr_sweep(
+    corpus: DataFrame,
+    batch: DataFrame,
+    bits_list: tuple = (2, 4, 8, 16),
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CALIBRATION sweep for :func:`bloom_gated_dedup`'s sizing dial —
+    measured false-positive rate vs bits/doc, ALL configs in ONE corpus
+    scan (the c12 single-pass-sweep pattern): positions for every
+    (bits_per_doc, salt) pair explode from one projection, distinct per
+    (config, position), and batch membership is one join keyed
+    (config, position). The verification truth (is the batch row REALLY
+    in the corpus?) comes from one content-hash join shared by all
+    configs, so the sweep costs two corpus scans total regardless of
+    how many sizes it prices — at 100 TB you run it on a sample, but
+    the per-config work is additive-tiny either way.
+
+    Returns one row per config: (bits_per_doc, n_batch, n_positive,
+    n_true_dup, n_false_pos, fpr_ppm) with fpr_ppm = floor(1e6 *
+    false positives / non-dup batch rows) — all-integer surface, so
+    the measured-FPR-vs-analytic-~3%-at-8-bits claim is replayable
+    bit for bit.
+    """
+    n = corpus.count()
+    configs = [(b, max(64, b * n)) for b in bits_list]
+    ch = F.md5(F.col(text_col).cast("binary"))
+
+    bloom = (
+        corpus.select(ch.alias("_ch"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bits"),
+                            (
+                                _portable_hash60(
+                                    F.concat(F.lit(f"{i}:"), F.col("_ch"))
+                                )
+                                % m
+                            ).alias("pos"),
+                        )
+                        for b, m in configs
+                        for i in range(k)
+                    ]
+                )
+            ).alias("bp")
+        )
+        .select("bp.bits", "bp.pos")
+        .distinct()
+    )
+    probes = (
+        batch.select(F.col(id_col), ch.alias("_ch"))
+        .select(
+            id_col,
+            "_ch",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bits"),
+                            (
+                                _portable_hash60(
+                                    F.concat(F.lit(f"{i}:"), F.col("_ch"))
+                                )
+                                % m
+                            ).alias("pos"),
+                        )
+                        for b, m in configs
+                        for i in range(k)
+                    ]
+                )
+            ).alias("bp"),
+        )
+        .select(id_col, "_ch", "bp.bits", "bp.pos")
+    )
+    membership = (
+        probes.join(
+            F.broadcast(bloom.withColumn("_hit", F.lit(1))),
+            ["bits", "pos"],
+            "left",
+        )
+        .groupBy(id_col, "bits")
+        .agg(
+            F.any_value(F.col("_ch")).alias("_ch"),
+            (F.count(F.lit(1)) == F.sum(F.coalesce("_hit", F.lit(0)))).alias(
+                "_positive"
+            ),
+        )
+    )
+    truth = corpus.select(ch.alias("_ch")).distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    joined = membership.join(F.broadcast(truth), "_ch", "left").select(
+        "bits",
+        "_positive",
+        F.coalesce("_in_corpus", F.lit(False)).alias("_dup"),
+    )
+    agg = joined.groupBy("bits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(F.col("_positive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_dup"),
+        F.sum(F.when(F.col("_positive") & ~F.col("_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        F.col("bits").alias("bits_per_doc"),
+        "n_batch",
+        "n_positive",
+        "n_true_dup",
+        "n_false_pos",
+        F.when(
+            F.col("n_batch") > F.col("n_true_dup"),
+            # integer division: exact floor, no double rounding at the
+            # boundary (DuckDB's `//` is the same operation)
+            F.expr(
+                "CAST(1000000 AS BIGINT) * n_false_pos"
+                " div (n_batch - n_true_dup)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("fpr_ppm"),
+    )

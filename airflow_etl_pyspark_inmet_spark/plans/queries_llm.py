@@ -3444,7 +3444,8 @@ def d30_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.bloom_gated_dedup): dedup an ingest batch against
     a standing corpus without re-shuffling history — the corpus folds
     once into an occupancy-sized Bloom position set (m = 8 bits/doc,
-    k=3 -> FPR ~2.5% at ANY corpus size; <= m rows, broadcastable),
+    k=3 -> asymptotic FPR ~3% at ANY corpus size; broadcasts to ~10^9 corpus
+    docs, shards by position prefix past that — see the operator),
     each batch row tests its k positions map-side, and only
     bloom-POSITIVE rows pay the verification join against the corpus
     content-hash table. The batch is a deterministic re-crawl mix:
@@ -3507,3 +3508,33 @@ def x19_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~0.49, p99.9 ~0.37 at sf0.01), so both flag outcomes are exercised;
     # real text embeddings would sit near the usual 0.7-0.8.
     return semantic_decontam_flags(train, evalset, tau_num=7)
+
+
+def c13_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing calibration
+    (operators.dedup.bloom_fpr_sweep): measured false-positive rate vs
+    bits/doc for d30's incremental-dedup gate, all four configs
+    (2/4/8/16 bits, k=3) priced in ONE corpus scan — the c12
+    single-pass-sweep pattern applied to d30 the way c12 prices d3's
+    tau. The batch is d30's deterministic re-crawl mix; the surface is
+    all-integer (counts + floor-ppm FPR), so the measured FPR replays
+    bit for bit in the oracle. At sf0.01 the curve is 50.7% / 16.9% /
+    8.5% / 1.4% for 2/4/8/16 bits — above the asymptotic
+    (1-e^-kn/m)^k because 71 new docs is a small sample; the analytic
+    ~3% at 8 bits is what the law of large numbers converges to."""
+    from ..operators.dedup import bloom_fpr_sweep
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq-new-ingest")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return bloom_fpr_sweep(docs, batch)

@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (270/270; this count is asserted
+Every registered query has a real oracle (271/271; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6405,6 +6405,61 @@ SELECT vec_id, n_hits, n_hits > 0 AS contaminated FROM hits
 QUERIES["x19_semantic_decontam"] = L.x19_semantic_decontam
 
 
+# c13 — Bloom sizing calibration: the oracle reprices every config with
+# the same portable positions and the same floor-ppm integer division
+# (`//`), so measured FPR matches bit for bit across engines.
+ORACLES["c13_bloom_fpr_sweep"] = """
+WITH corpus AS (SELECT doc_id, text, md5(text) AS ch FROM documents),
+n AS (SELECT count(*) AS n_corpus FROM corpus),
+configs AS (SELECT unnest([2, 4, 8, 16]) AS bits),
+params AS (
+  SELECT bits, greatest(64, bits * n_corpus) AS m FROM configs, n
+),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zq-new-ingest' AS text
+  FROM documents WHERE doc_id % 7 = 3
+),
+salts AS (SELECT unnest(range(3)) AS i),
+bloom AS (
+  SELECT DISTINCT p.bits,
+    CAST(CAST(('0x' || left(md5(CAST(i AS VARCHAR) || ':' || ch), 15))
+         AS UBIGINT) AS BIGINT) % p.m AS pos
+  FROM corpus CROSS JOIN salts CROSS JOIN params p
+),
+probes AS (
+  SELECT b.doc_id, md5(b.text) AS ch, p.bits,
+    CAST(CAST(('0x' || left(md5(CAST(i AS VARCHAR) || ':' || md5(b.text)), 15))
+         AS UBIGINT) AS BIGINT) % p.m AS pos
+  FROM batch b CROSS JOIN salts CROSS JOIN params p
+),
+memb AS (
+  SELECT doc_id, bits, any_value(ch) AS ch,
+         bool_and((bits, pos) IN (SELECT (bits, pos) FROM bloom))
+           AS positive
+  FROM probes GROUP BY doc_id, bits
+),
+truth AS (SELECT DISTINCT ch FROM corpus),
+rows_ AS (
+  SELECT m.bits, m.positive, (t.ch IS NOT NULL) AS dup
+  FROM memb m LEFT JOIN truth t ON m.ch = t.ch
+)
+SELECT CAST(bits AS INTEGER) AS bits_per_doc,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(count(*) FILTER (positive) AS BIGINT) AS n_positive,
+       CAST(count(*) FILTER (dup) AS BIGINT) AS n_true_dup,
+       CAST(count(*) FILTER (positive AND NOT dup) AS BIGINT)
+         AS n_false_pos,
+       CAST(CASE WHEN count(*) > count(*) FILTER (dup)
+                 THEN (1000000 * count(*) FILTER (positive AND NOT dup))
+                      // (count(*) - count(*) FILTER (dup))
+                 ELSE 0 END AS BIGINT) AS fpr_ppm
+FROM rows_ GROUP BY bits
+"""
+QUERIES["c13_bloom_fpr_sweep"] = L.c13_bloom_fpr_sweep
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6542,15 +6597,16 @@ QUERIES = {k: QUERIES[k] for k in _R13_WINDOW} | {
 
 
 # --- r14 driver-window rotation (keep this block at the END of the file) ---
-# Front: the 5 queries never driver-checked (registered after the r13 window
-# landed; all green in the r13 judge's local oracle replay — the hard
-# CORRECTNESS signal lands now), then the 11 r8-stale entries that missed the
-# r13 window (pre-verified, BASELINE.md "r13 staleness floor"), then 34 of
-# the 50 r9-stale entries in registration order. The 16 r9-stale queries that
-# don't fit (t16_oov_stats .. d1_dedup_exact) are pre-verified locally for
-# r15 (BASELINE.md "r14 staleness floor").
+# Front: the 10 queries never driver-checked (the 5 registered after the r13
+# window landed — all green in the r13 judge's local oracle replay — plus
+# the 5 r14-new entries st17/d30/st18/x19/c13; the hard CORRECTNESS signal
+# lands now), then the 11 r8-stale entries that missed the r13 window
+# (pre-verified, BASELINE.md "r13 staleness floor"), then 29 of the 50
+# r9-stale entries in registration order. The 21 r9-stale queries that don't
+# fit are pre-verified locally for r15 (BASELINE.md "r14 staleness floor").
 _R14_WINDOW = [
-    # never driver-checked (6; st17 registered after this block first landed)
+    # never driver-checked (10; st17/d30/st18/x19/c13 registered after
+    # this block first landed)
     "s16_graph_ann_topk",
     "s17_filtered_ann",
     "s18_knn_join",
@@ -6560,6 +6616,7 @@ _R14_WINDOW = [
     "d30_bloom_gated_dedup",
     "st18_stream_cell_manifest",
     "x19_semantic_decontam",
+    "c13_bloom_fpr_sweep",
     # r8-stale, missed the r13 window (11)
     "q42_histogram",
     "q43_full_outer_join",
@@ -6602,7 +6659,6 @@ _R14_WINDOW = [
     "q69_incremental_agg",
     "q70_monthly_kpis_dbl",
     "s1_cosine_topk",
-    "s2_lsh_topk",
 ]
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {

@@ -4918,3 +4918,37 @@ def test_semantic_decontam_flags_planted_leak(spark):
         for r in semantic_decontam_flags(train, evalset, tau_num=14).collect()
     }
     assert out == {10: (1, True), 11: (0, False), 12: (0, False)}
+
+
+# --- Bloom FPR calibration sweep (c13) ------------------------------------------
+
+
+def test_bloom_fpr_sweep_monotone_and_consistent(spark):
+    """More bits/doc never increases the measured FPR (the position
+    space only grows), true-dup counts are config-invariant, and every
+    config finds all true dups (no false negatives)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bloom_fpr_sweep,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"content number {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"content number {i}") for i in range(10)]  # 10 dups
+        + [(200 + i, f"fresh content {i}") for i in range(30)],  # 30 new
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bits_per_doc"]: r
+        for r in bloom_fpr_sweep(corpus, batch, bits_list=(2, 8)).collect()
+    }
+    assert set(rows) == {2, 8}
+    for b, r in rows.items():
+        assert r["n_batch"] == 40
+        assert r["n_true_dup"] == 10
+        # Bloom filters cannot miss: every true dup is positive
+        assert r["n_positive"] >= 10
+        assert r["n_false_pos"] == r["n_positive"] - 10
+    assert rows[8]["fpr_ppm"] <= rows[2]["fpr_ppm"]
