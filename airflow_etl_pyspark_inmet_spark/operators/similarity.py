@@ -2116,6 +2116,7 @@ def nn_descent_knn_graph(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lsh",
 ) -> DataFrame:
     """Distributed NN-Descent k-NN GRAPH construction (Dong et al.,
     WWW'11) with EXACT integer semantics — the INDEX-BUILD side of the
@@ -2130,7 +2131,22 @@ def nn_descent_knn_graph(
     - vectors ride the d25 milli-quantized grid; dist_q is the exact
       int64 squared Euclidean distance, ordered (dist_q, nbr_id) so
       every top-k cut is total.
-    - init: TWO overlapping deterministic bucket families with
+    - init (``init="lsh"``, the default since r14): the two id-hash
+      families below PLUS two salted families of engine-portable
+      sign-LSH cells (md5-parity ±1 planes on the integer grid, the
+      st18 cell algebra) with OCCUPANCY-DERIVED plane count
+      P = ceil(log2(n / 2(k+1))) — expected occupancy ~2(k+1) at any
+      corpus size — and skewed cells sub-bucketed by id to ~4(k+1)
+      members, keeping init work linear. Id-hash buckets carry NO
+      locality, so with them alone round-0 neighbors are random and a
+      driver-bounded descent cannot converge past toy corpora
+      (measured edge recall@8 0.375 at 500 vectors, 0.005 at 20k;
+      the LSH families lift those to 0.66 and ~0.05 on the ISOTROPIC
+      synthetic corpus — see the SCALING.md r14 note on why no ANN
+      index does well on structureless data — at equal build cost,
+      and 5x edge recall at the registered s12 config, 0.04 -> 0.21).
+      ``init="hash2"`` keeps the pre-r14 behavior:
+    - id-hash init: TWO overlapping deterministic bucket families with
       B = (N + k) // (k+1) buckets each — ``id % B`` and the
       multiplicative-hash family ``((id % P) * A % P) % B`` with
       A = 2654435761 (Knuth), P = 2147483647 (Mersenne prime; the
@@ -2230,7 +2246,101 @@ def nn_descent_knn_graph(
                 F.lit(b_count),
             )
         )
-    ).distinct()
+    )
+    if init == "lsh":
+        # LOCALITY-aware init (the r14 scale fix, SCALING.md): id-hash
+        # buckets carry NO locality, so round-0 neighbors are random
+        # and a driver-bounded 3-round descent cannot converge beyond
+        # toy corpora (measured edge recall@8: 0.375 at 500 vectors,
+        # 0.005 at 20k). Two salted families of engine-portable ±1
+        # md5-parity sign-LSH cells seed each node with vectors that
+        # are ALREADY near — descent then refines instead of searching
+        # blind. Plane count is OCCUPANCY-DERIVED (the s18 contract):
+        # P = ceil(log2(n / (2(k+1)))) keeps expected cell occupancy
+        # ~2(k+1) at ANY corpus size, and skewed cells are sub-bucketed
+        # by id to cap the within-cell pair join at ~4(k+1) members —
+        # init work stays LINEAR in n. The id-hash families above are
+        # kept as the long-range/connectivity insurance.
+        import hashlib
+        import math
+
+        first = q.select("_qv").first()
+        dim = len(first[0]) if first and first[0] is not None else 0
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / (2 * (k + 1)))))
+        cap = 4 * (k + 1)
+
+        def _lsh_cells(salt: str) -> DataFrame:
+            signs = [
+                [
+                    1
+                    if int(
+                        hashlib.md5(
+                            f"{salt}{p}:{j}".encode()
+                        ).hexdigest()[:2],
+                        16,
+                    )
+                    % 2
+                    == 1
+                    else -1
+                    for j in range(dim)
+                ]
+                for p in range(n_planes)
+            ]
+            dots = [
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"),
+                        F.array(
+                            *[F.lit(s).cast("long") for s in signs[p]]
+                        ),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for p in range(n_planes)
+            ]
+            cell = None
+            for p, dcol in enumerate(dots):
+                bit = F.when(dcol >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+                cell = bit if cell is None else cell + bit
+            return q.select("node", cell.cast("long").alias("_cell"))
+
+        def _lsh_pairs(salt: str) -> DataFrame:
+            cells = _lsh_cells(salt)
+            occ = cells.groupBy("_cell").agg(
+                F.count(F.lit(1)).alias("_occ")
+            )
+            sub = (
+                cells.join(occ, "_cell")
+                .select(
+                    "node",
+                    "_cell",
+                    # ceil(occ/cap) sub-buckets, exact integer division
+                    # (double division could round across the boundary)
+                    F.pmod(
+                        F.col("node"),
+                        F.expr(
+                            f"greatest(1, (_occ + {cap - 1}) div {cap})"
+                        ),
+                    ).alias("_sb"),
+                )
+            )
+            return (
+                sub.join(
+                    sub.select(
+                        F.col("node").alias("nbr_id"), "_cell", "_sb"
+                    ),
+                    ["_cell", "_sb"],
+                )
+                .filter(F.col("node") != F.col("nbr_id"))
+                .select("node", "nbr_id")
+            )
+
+        init_pairs = init_pairs.unionAll(_lsh_pairs("a")).unionAll(
+            _lsh_pairs("b")
+        )
+    init_pairs = init_pairs.distinct()
     fwd = _topk(_with_dist(init_pairs)).select(
         "node", "nbr_id", "dist_q"
     ).localCheckpoint(eager=False)
@@ -2272,10 +2382,11 @@ def graph_ann_topk(
     k: int,
     beam: int = 16,
     n_hops: int = 3,
-    n_entries: int = 16,
+    n_entries: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    entry_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-ANN SEARCH — the READ path over the k-NN graph that
     :func:`nn_descent_knn_graph` builds (the HNSW/DiskANN-class serving
@@ -2289,6 +2400,25 @@ def graph_ann_topk(
       region. When a query id IS a corpus node (the curation case:
       "find near-dups of this document"), its own node seeds its beam
       too, mirroring DiskANN's warm start.
+
+      THE SCALE DIAL (measured, SCALING.md r14): a FLAT k-NN graph is
+      not navigable — it has no long-range links, so a fixed entry
+      count covers a shrinking corpus fraction and recall@10 DECAYS
+      with corpus size: 0.88 -> 0.26 -> 0.06 at 500/2k/20k vectors on
+      the pre-r14 id-hash-init graph; 0.96 -> 0.46 -> 0.16 on the
+      r14 lsh-init graph (the index fix dominates the walk dials).
+      ``n_entries="sqrt"`` is the occupancy-derived walk setting
+      (max(16, isqrt(N)) entries, the s18 n_cells contract applied to
+      serving): query cost grows O(sqrt(N)) — still never a corpus
+      scan — and is the best measured dial at scale (0.54 at 2k, 0.20
+      at 20k). The residual decay is the DATA, not the walk: the
+      synthetic embeddings are isotropic (same-label and cross-label
+      cosine distributions identical, avg ~0 / max ~0.47), so
+      neighborhoods are not transitive and no sub-linear index can
+      find them — the regime the ``ann_with_recall_check`` envelope
+      exists to catch at deploy time. See
+      :func:`graph_ann_routed_topk` for the structural entry-point
+      fix real clustered corpora get.
     - **walk**: per hop, expand every current beam node through the
       SYMMETRIZED graph edges (one equi-join), anti-join out nodes this
       query already scored, score the new candidates exactly once
@@ -2334,19 +2464,31 @@ def graph_ann_topk(
         .localCheckpoint(eager=False)  # consumers: n_hops expansions
     )
 
-    n = isel.count()  # bounded driver scalar (the nn_descent pattern)
-    stride = max(1, n // max(1, n_entries))
-    entry_nodes = (
-        isel.filter(F.pmod(F.col("item_id"), F.lit(stride)) == 0)
-        .orderBy("item_id")
-        .limit(n_entries)
-        .select("item_id")
-    )
-    # every query starts at the spread entries + its own node if present
+    if entry_pairs is not None:
+        # caller-routed per-query starts (query_id, item_id) — the
+        # SPANN-style centroid routing of graph_ann_routed_topk
+        spread = entry_pairs.select(
+            F.col(query_id_col).cast("bigint").alias(query_id_col),
+            F.col("item_id").cast("bigint").alias("item_id"),
+        )
+    else:
+        n = isel.count()  # bounded driver scalar (the nn_descent pattern)
+        if n_entries == "sqrt":
+            import math
+
+            n_entries = max(16, math.isqrt(n))
+        stride = max(1, n // max(1, n_entries))
+        entry_nodes = (
+            isel.filter(F.pmod(F.col("item_id"), F.lit(stride)) == 0)
+            .orderBy("item_id")
+            .limit(n_entries)
+            .select("item_id")
+        )
+        spread = qsel.select(query_id_col).crossJoin(entry_nodes)
+    # every query starts at the routed/spread entries + its own node
+    # if present (the DiskANN warm start)
     starts = (
-        qsel.select(query_id_col)
-        .crossJoin(entry_nodes)
-        .unionAll(
+        spread.unionAll(
             qsel.select(query_id_col)
             .join(isel.select("item_id"),
                   F.col(query_id_col) == F.col("item_id"))
@@ -2716,4 +2858,98 @@ def semantic_decontam_flags(
         .select(
             id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
         )
+    )
+
+
+def graph_ann_routed_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame,
+    k: int,
+    beam: int = 16,
+    n_hops: int = 3,
+    n_cells: int | None = None,
+    n_probe: int = 3,
+    per_cell: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Centroid-ROUTED graph-ANN serving (the SPANN pattern: a coarse
+    quantizer picks WHERE to enter the neighbor graph, the beam walk
+    does the rest) — the measured fix for the flat walk's navigability
+    decay: a k-NN graph has no long-range links, so spread entry
+    points land O(corpus/entries) hops from the query's region and
+    recall@10 collapses with corpus growth (0.46 -> 0.16 at factor 10
+    on content-distinct data even on the r14 lsh-init graph,
+    SCALING.md r14). Routing replaces luck with geometry: each query
+    enters at ``per_cell`` members of each of its ``n_probe`` nearest
+    IVF cells — already inside the right neighborhood, so the hop
+    budget is spent refining, not crossing the corpus.
+
+    Measured honesty (SCALING.md r14): on THIS repo's synthetic
+    corpus routing ties the flat walk (0.14 vs 0.16 at 20k) because
+    the embeddings are ISOTROPIC — same-label and cross-label cosines
+    are identically distributed, so IVF centroids carry no structure
+    to route toward and nothing sub-linear can win. The operator is
+    the SPANN production pattern for real clustered corpora, where
+    centroid routing is what restores scale-stable recall; the
+    ``ann_with_recall_check`` envelope is what tells you which regime
+    your data is in.
+
+    Build/serve split (what a 100 TB deployment materializes): the
+    coarse quantizer (occupancy-derived ``n_cells = max(16, N // 64)``,
+    the s18 contract) and the per-cell entry lists (``per_cell``
+    lowest-id members per cell, ~N/16 rows total) are INDEX artifacts,
+    built once beside the s12 graph in one extra corpus scan. At query
+    time: assign |Q| queries to centroids (broadcast matrix), join the
+    |Q| x n_probe cell picks to the entry lists (query side broadcast),
+    then the walk — per-query work O(n_probe * per_cell + beam *
+    degree * hops) scores, corpus never scanned, same as the flat
+    walk.
+
+    Same approximation contract as :func:`graph_ann_topk`: emitted ids
+    are engine-specific; production surfaces ride
+    :func:`ann_with_recall_check`.
+    """
+    from .util import ensure_parallelism
+
+    proj = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
+    )
+    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    n = base.count()
+    if n_cells is None:
+        n_cells = max(16, n // 64)
+    C1 = _ivf_train(base, n_cells, seed_frame=proj)
+
+    it_cells = base.withColumn(
+        "_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0]
+    )
+    w_cell = Window.partitionBy("_cell").orderBy(F.col("item_id").asc())
+    entry_lists = (
+        it_cells.withColumn("_r", F.row_number().over(w_cell))
+        .filter(F.col("_r") <= per_cell)
+        .select("_cell", "item_id")
+    )
+    q_cells = queries.select(
+        F.col(query_id_col),
+        F.explode(_assign_udf(C1, n_probe)(F.col(vec_col))).alias("_cell"),
+    )
+    entry_pairs = (
+        entry_lists.join(F.broadcast(q_cells), "_cell")
+        .select(query_id_col, "item_id")
+        .distinct()
+    )
+    return graph_ann_topk(
+        items,
+        queries,
+        graph,
+        k,
+        beam=beam,
+        n_hops=n_hops,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        entry_pairs=entry_pairs,
     )

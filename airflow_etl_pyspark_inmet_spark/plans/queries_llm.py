@@ -3308,7 +3308,8 @@ def s16_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|Q| * beam * degree * hops) equi-join rows — the corpus is never
     scanned at query time. Emitted surface is the s2 contract: exact
     top-10 (hash-matched) + per-query recall_ok envelope at 0.5
-    (measured walk recall@10 0.88 at sf0.01)."""
+    (measured walk recall@10 0.96 at sf0.01 on the r14 lsh-init
+    graph; 0.88 on the pre-r14 id-hash-init graph)."""
     from ..operators.similarity import (
         ann_with_recall_check,
         graph_ann_topk,
@@ -3538,3 +3539,31 @@ def c13_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bloom_fpr_sweep(docs, batch)
+
+
+def s19_routed_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-ROUTED graph-ANN serving
+    (operators.similarity.graph_ann_routed_topk): the SPANN pattern —
+    an occupancy-derived IVF coarse quantizer picks per-query entry
+    points (per_cell=4 members of each of the n_probe=3 nearest
+    cells), the s16 beam walk refines from there. Fixes the flat
+    walk's navigability decay on clustered corpora; on THIS isotropic
+    synthetic corpus it ties the flat walk (see the operator's
+    measured-honesty note), which is exactly what the recall_ok
+    envelope is for. Surface = s2 contract: exact top-10
+    (hash-matched) + per-query recall_ok envelope at 0.5 (measured
+    routed recall@10 0.88 at sf0.01, the envelope's calibration
+    scale)."""
+    from ..operators.similarity import (
+        ann_with_recall_check,
+        graph_ann_routed_topk,
+        nn_descent_knn_graph,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
+    ann = graph_ann_routed_topk(emb, queries, graph, k=10)
+    return ann_with_recall_check(emb, queries, ann, k=10, min_recall=0.5)

@@ -4952,3 +4952,38 @@ def test_bloom_fpr_sweep_monotone_and_consistent(spark):
         assert r["n_positive"] >= 10
         assert r["n_false_pos"] == r["n_positive"] - 10
     assert rows[8]["fpr_ppm"] <= rows[2]["fpr_ppm"]
+
+
+# --- routed graph-ANN serving (s19) ---------------------------------------------
+
+
+def test_graph_ann_routed_finds_planted_cluster(spark):
+    """A query whose near-duplicates form a tight cluster must get them
+    back from the routed walk: the IVF router lands the entries inside
+    the cluster's cell, the beam walk does the rest."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        graph_ann_routed_topk,
+        nn_descent_knn_graph,
+    )
+
+    # 3 tight clusters of 12 around orthogonal axes in 8-d
+    rows = []
+    for c in range(3):
+        for i in range(12):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 3) % 8] = 0.01 * i  # slight spread, deterministic
+            rows.append((c * 100 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    graph = nn_descent_knn_graph(df, k=4, n_rounds=2, scale=1000)
+    got = {
+        r["item_id"]
+        for r in graph_ann_routed_topk(
+            df, queries, graph, k=5, n_cells=4, n_probe=2, per_cell=3
+        ).collect()
+    }
+    # all results must come from the query's own cluster (ids 1..11)
+    assert got and got <= set(range(1, 12)), got
