@@ -4987,3 +4987,21 @@ def test_graph_ann_routed_finds_planted_cluster(spark):
     }
     # all results must come from the query's own cluster (ids 1..11)
     assert got and got <= set(range(1, 12)), got
+
+
+def test_nn_descent_lsh_init_survives_total_skew(spark):
+    """Pathological skew: every vector identical -> ONE sign-LSH cell.
+    The occupancy sub-bucketing must keep the init pair join bounded
+    (not occ^2) and the build must still return k neighbors per node
+    with dist_q = 0."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        nn_descent_knn_graph,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    out = nn_descent_knn_graph(df, k=3, n_rounds=1, scale=1000).collect()
+    assert len(out) == 300 * 3
+    assert all(r["dist_q"] == 0 for r in out)
