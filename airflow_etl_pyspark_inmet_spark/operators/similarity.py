@@ -2953,3 +2953,83 @@ def graph_ann_routed_topk(
         query_id_col=query_id_col,
         entry_pairs=entry_pairs,
     )
+
+
+def semantic_decontam_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    tau_num: int = 14,
+    band_den: int = 20,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """The PAIR-level kernel under :func:`semantic_decontam_flags`:
+    every (train id, eval id) pair whose cosine crosses
+    ``tau_num/band_den`` on the exact integer grid (same int64/
+    decimal38 predicate and overflow envelope; zero-norm vectors never
+    cross). Exposed separately so the streaming census (st19) and the
+    batch flags (x19) share one membership definition.
+
+    Scale shape: identical to the flags tier — eval broadcasts, train
+    scans once, the predicate prunes map-side, and the OUTPUT is only
+    the crossing pairs (leaks are rare by construction, so this is a
+    sparse frame).
+    """
+    import math
+
+    d2 = band_den * band_den
+    _n2_bound = min(2**63 - 1, math.isqrt(10**38 // d2))
+
+    def _guarded(qcol: Column) -> Column:
+        m = F.array_max(F.transform(qcol, F.abs))
+        mm = m.cast("decimal(38,0)") * m
+        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
+            _n2_bound
+        ).cast("decimal(38,0)")
+        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
+            F.raise_error(
+                F.lit(
+                    "semantic_decontam_pairs: dim * max_coord^2 exceeds "
+                    "the int64/decimal38-exact envelope; lower `scale`"
+                )
+            ).cast("array<long>")
+        )
+
+    ev = evalset.select(
+        F.col(id_col).alias(eval_id_col),
+        _guarded(_quantize_expr(vec_col, scale)).alias("_eq"),
+    )
+    tr = train.select(
+        F.col(id_col),
+        _guarded(_quantize_expr(vec_col, scale)).alias("_tq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_tq"), F.col("_eq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        id_col,
+        eval_id_col,
+        dot.alias("_dot"),
+        n2("_tq").alias("_n2t"),
+        n2("_eq").alias("_n2e"),
+    )
+    crossing = (
+        (F.col("_n2t") > 0)
+        & (F.col("_n2e") > 0)
+        & (F.col("_dot") >= 0)
+        & (
+            F.lit(d2) * (F.col("_dot").cast("decimal(38,0)") * F.col("_dot"))
+            >= F.lit(tau_num * tau_num)
+            * (F.col("_n2t").cast("decimal(38,0)") * F.col("_n2e"))
+        )
+    )
+    return scored.filter(crossing).select(id_col, eval_id_col)

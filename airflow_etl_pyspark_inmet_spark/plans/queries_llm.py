@@ -3567,3 +3567,21 @@ def s19_routed_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
     ann = graph_ann_routed_topk(emb, queries, graph, k=10)
     return ann_with_recall_check(emb, queries, ann, k=10, min_recall=0.5)
+
+
+def st19_stream_decontam_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination census
+    (streaming.windows.streaming_decontam_census): the eval-side twin
+    of x19 — as train vectors arrive, fold per-eval-item leak counts
+    (how many train vectors cross the 7/20 integer cosine band against
+    each held-out item), zero rows preserved because "which benchmark
+    items leak most" needs the zeros. Same membership kernel as x19
+    (operators.similarity.semantic_decontam_pairs), SUM monoid fold,
+    split-invariant; the oracle recomputes the census whole in
+    HUGEINT."""
+    from ..streaming.windows import streaming_decontam_census
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    train = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    return streaming_decontam_census(spark, train, evalset, tau_num=7)

@@ -1438,3 +1438,109 @@ def streaming_cell_manifest(
         return state["mv"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_decontam_census(
+    spark: SparkSession,
+    train: DataFrame,
+    evalset: DataFrame,
+    tau_num: int = 7,
+    band_den: int = 20,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING decontamination CENSUS — the eval-side twin of x19: as
+    training vectors arrive, fold the per-eval-item leak counter
+    (n_hits = how many train vectors so far cross the x19 integer
+    cosine band against this eval item). Each micro-batch scores ONLY
+    its own rows against the broadcast eval set
+    (:func:`~..operators.similarity.semantic_decontam_pairs` — the
+    SAME membership kernel x19 uses, so the census and the flags can
+    never disagree) and SUMs into the running manifest; eval items
+    with zero hits stay present at 0 (the census answers "which
+    benchmark items leak MOST", so zero rows are data, not absence).
+
+    SUM over per-row band membership is a commutative monoid, so the
+    streamed state is split-invariant and equals the one-shot batch
+    group-by bit for bit; the oracle recomputes it whole in HUGEINT.
+    State is O(|eval|) rows — tiny by nature — and per-epoch work is
+    one map-side scan of the batch: a 100 TB ingest keeps its
+    benchmark-leak dashboard current without ever rescanning history.
+
+    Same harness as st16-st18: the feed spills to ``n_files`` parquet
+    files, streams back under ``Trigger.AvailableNow`` with
+    ``maxFilesPerTrigger=1``, the manifest eagerly checkpointed per
+    epoch.
+
+    Returns (eval_id, n_hits).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import semantic_decontam_pairs
+
+    src = train.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    )
+    ev = evalset.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(vec_col)
+    ).localCheckpoint(eager=True)  # consumers: every epoch's score pass
+    tmp = tempfile.mkdtemp(prefix="st19_census_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        zero = ev.select(
+            F.col(id_col).alias("eval_id"),
+            F.lit(0).cast("bigint").alias("n_hits"),
+        )
+        state = {"mv": zero.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = (
+                semantic_decontam_pairs(
+                    batch_df.select(
+                        F.col("_id").alias(id_col),
+                        F.col("_vec").alias(vec_col),
+                    ),
+                    ev,
+                    tau_num=tau_num,
+                    band_den=band_den,
+                    scale=scale,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                .groupBy("eval_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("eval_id")
+                .agg(F.sum("n_hits").cast("bigint").alias("n_hits"))
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_decontam_census expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return state["mv"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

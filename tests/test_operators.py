@@ -5005,3 +5005,41 @@ def test_nn_descent_lsh_init_survives_total_skew(spark):
     out = nn_descent_knn_graph(df, k=3, n_rounds=1, scale=1000).collect()
     assert len(out) == 300 * 3
     assert all(r["dist_q"] == 0 for r in out)
+
+
+def test_streaming_decontam_census_equals_batch_and_split_invariant(spark):
+    """The streamed leak census equals the one-shot batch pair count per
+    eval item regardless of micro-batch splits (SUM monoid), with a
+    planted leak and a zero-hit eval item both present."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        semantic_decontam_pairs,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_decontam_census,
+    )
+
+    evalset = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [(100 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = dict.fromkeys([0, 1], 0)
+    for r in (
+        semantic_decontam_pairs(train, evalset, tau_num=14)
+        .groupBy("eval_id")
+        .count()
+        .collect()
+    ):
+        batch[r["eval_id"]] = r["count"]
+    assert batch[0] == 20 and batch[1] == 0  # planted leak + zero row
+    for n_files in (2, 5):
+        got = {
+            r["eval_id"]: r["n_hits"]
+            for r in streaming_decontam_census(
+                spark, train, evalset, tau_num=14, n_files=n_files
+            ).collect()
+        }
+        assert got == batch, f"n_files={n_files}"
