@@ -2532,8 +2532,11 @@ def bloom_gated_dedup(
        per doc at k=3 pins the asymptotic FPR at ~3%
        ((1-e^-3/8)^3) at ANY corpus size.
     2. The position set (:func:`bloom_position_set`) is broadcast and
-       each batch row tests its k positions map-side (broadcast
-       left-semi per position, then ``all k matched``). Honest bound:
+       each batch row tests its k positions via the broadcast join
+       (map-side); the ``all k matched`` fold is a groupBy over the
+       k rows per doc — 8-byte keys, map-side partial combine, and in
+       the production BITSET flavor it disappears entirely (the k
+       probes are one in-memory lookup). Honest bound:
        the set is <= min(m, k*n) 8-byte rows and m scales WITH the
        corpus, so the broadcast holds to ~10^8-10^9 corpus docs;
        past that, shard the filter by position prefix and route
