@@ -2481,12 +2481,13 @@ def bloom_position_set(
     corpus document, the ``k`` set bit positions ``portable_hash60(i ':'
     md5(text)) % m`` for ``i in 0..k-1``. At most ``min(m, k * n)``
     rows; since FPR control sizes ``m`` proportional to the corpus
-    (bits/doc), the table GROWS with the corpus — it broadcasts
-    comfortably to ~10^8-10^9 corpus docs (8-byte rows), and beyond
-    that the filter shards by position prefix: each executor holds one
-    shard and batch probes route by the same prefix — a shuffle of
-    8-byte keys only, never of corpus text. Either way the corpus
-    itself is scanned exactly once and never re-shuffled per batch.
+    (bits/doc), the table GROWS with the corpus — as a position TABLE
+    it broadcasts to ~10^7-10^8 corpus docs (8-byte rows balloon in
+    the in-memory hash relation; Spark's 8 GB broadcast limit lands
+    around 10^8), the production BITSET reaches ~10^10 (n bytes at
+    8 bits/doc), and beyond that the filter shards by position prefix:
+    each executor holds one shard and batch probes route by the same
+    prefix — a shuffle of 8-byte keys only, never of corpus text.
 
     This position-TABLE flavor is the engine-portable algebra (every
     bit replays in DuckDB SQL, so the d30 surface — including the
@@ -2516,13 +2517,25 @@ def bloom_gated_dedup(
     text_col: str = "text",
     bits_per_doc: int = 8,
     k: int = 3,
+    bloom: DataFrame | None = None,
+    keepers: DataFrame | None = None,
+    m: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact dedup of an ingest ``batch`` against a standing
-    ``corpus``, Bloom-gated so the corpus is never re-scanned per batch
-    and only bloom-POSITIVE batch rows pay the verification join — the
-    d1 twin for the "100 TB corpus, daily 100 GB crawl" shape where
-    re-grouping corpus+batch per ingest (d1) would re-shuffle history
-    every day.
+    ``corpus``: only bloom-POSITIVE batch rows pay the verification
+    join — the d1 twin for the "100 TB corpus, daily 100 GB crawl"
+    shape where re-grouping corpus+batch per ingest (d1) would
+    re-shuffle history every day.
+
+    BUILD/SERVE split (r14 review honesty): the Bloom position set and
+    the corpus content-hash keeper table are INDEX ARTIFACTS — a
+    deployment builds them ONCE (one corpus scan each), persists them,
+    and passes them in via ``bloom``/``keepers``/``m`` so each daily
+    batch pays only its own scan + the broadcast membership test + the
+    sparse verification join. When they are omitted (the registered
+    d30 query, correctness scale) this function builds them inline,
+    which re-scans the corpus — convenient, but NOT the claimed
+    incremental shape; the claim attaches to the prebuilt path.
 
     Plan shape (the scale story):
 
@@ -2536,13 +2549,12 @@ def bloom_gated_dedup(
        (map-side); the ``all k matched`` fold is a groupBy over the
        k rows per doc — 8-byte keys, map-side partial combine, and in
        the production BITSET flavor it disappears entirely (the k
-       probes are one in-memory lookup). Honest bound:
-       the set is <= min(m, k*n) 8-byte rows and m scales WITH the
-       corpus, so the broadcast holds to ~10^8-10^9 corpus docs;
-       past that, shard the filter by position prefix and route
-       batch probes by the same prefix (see bloom_position_set).
-       No false negatives either way: every true dup is
-       bloom-positive.
+       probes are one in-memory lookup). Honest bounds: the set is
+       <= min(m, k*n) 8-byte rows and m scales WITH the corpus, so
+       the position TABLE broadcasts to ~10^7-10^8 corpus docs, the
+       production bitset to ~10^10, prefix-sharded past that (see
+       :func:`bloom_position_set`). No false negatives either way:
+       every true dup is bloom-positive.
     3. Only bloom-positive rows (true dups + the ~3% deterministic
        false positives) join the corpus content-hash table
        (8-byte-hash keyed, the d1 shuffle discipline); negatives
@@ -2554,9 +2566,11 @@ def bloom_gated_dedup(
     ``bloom_positive AND NOT is_dup``; both engines compute the SAME
     false positives because the positions are engine-portable.
     """
-    n = corpus.count()
-    m = max(64, bits_per_doc * n)
-    bloom = bloom_position_set(corpus, text_col, m=m, k=k)
+    if m is None:
+        n = corpus.count()
+        m = max(64, bits_per_doc * n)
+    if bloom is None:
+        bloom = bloom_position_set(corpus, text_col, m=m, k=k)
 
     ch = F.md5(F.col(text_col).cast("binary"))
     probes = batch.select(
@@ -2586,11 +2600,12 @@ def bloom_gated_dedup(
             ),
         )
     )
-    keepers = (
-        corpus.select(ch.alias("_ch"), F.col(id_col).alias("_cid"))
-        .groupBy("_ch")
-        .agg(F.min("_cid").alias("_keeper"))
-    )
+    if keepers is None:
+        keepers = (
+            corpus.select(ch.alias("_ch"), F.col(id_col).alias("_cid"))
+            .groupBy("_ch")
+            .agg(F.min("_cid").alias("_keeper"))
+        )
     positive = (
         membership.filter(F.col("bloom_positive"))
         .join(keepers, "_ch", "left")

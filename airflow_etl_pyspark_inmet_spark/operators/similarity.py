@@ -82,6 +82,35 @@ def cosine_topk(
     )
 
 
+def _envelope_guard(qcol: Column, bound: int, fn_name: str) -> Column:
+    """Shared exactness-envelope guard for the integer-cosine kernels
+    (hard_negative_topk / semantic_decontam_*): pass the quantized
+    vector through iff ``dim * max_coord^2 <= bound``, else RAISE
+    instead of silently wrapping the int64 fold. NULL/empty vectors
+    pass through untouched (zero-norm handling downstream). A NULL
+    verdict from the check itself means the decimal(38,0) comparison
+    OVERFLOWED — i.e. the row is astronomically outside the envelope —
+    so NULL raises too (coalesce-to-true here was the r14 review bug:
+    it silently passed exactly the rows the guard exists to catch)."""
+    m = F.array_max(F.transform(qcol, F.abs))
+    # m^2 fits decimal(38,0) for any int64 m; dim*m^2 compared wide
+    mm = m.cast("decimal(38,0)") * m
+    ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(bound).cast(
+        "decimal(38,0)"
+    )
+    passthrough = qcol.isNull() | (F.size(qcol) == 0)
+    return F.when(
+        passthrough | F.coalesce(ok, F.lit(False)), qcol
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: dim * max_coord^2 exceeds the "
+                "int64/decimal38-exact envelope; lower `scale`"
+            )
+        ).cast("array<long>")
+    )
+
+
 def hard_negative_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -134,20 +163,7 @@ def hard_negative_topk(
     )
 
     def _guarded(qcol: Column) -> Column:
-        m = F.array_max(F.transform(qcol, F.abs))
-        # m^2 fits decimal(38,0) for any int64 m; dim*m^2 compared wide
-        mm = m.cast("decimal(38,0)") * m
-        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
-            _n2_bound
-        ).cast("decimal(38,0)")
-        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
-            F.raise_error(
-                F.lit(
-                    "hard_negative_topk: dim * max_coord^2 exceeds the "
-                    "int64/decimal38-exact envelope; lower `scale`"
-                )
-            ).cast("array<long>")
-        )
+        return _envelope_guard(qcol, _n2_bound, "hard_negative_topk")
 
     q = queries.select(
         F.col(query_id_col),
@@ -720,7 +736,10 @@ def knn_join(
     salt_rows)``; left rows hash into one of ``nl`` salts and
     replicate across the ``nr`` right blocks, right rows vice versa,
     and the kernel groups on (cell, lsalt, rblock) — every group is
-    <= 2*salt_rows vectors. Only cells beyond ``salt_rows`` appear in
+    ~2*salt_rows vectors IN EXPECTATION (rows land on salts via
+    ``pmod(xxhash64(id), n)``, so the bound is hash-uniformity, not a
+    hard cap; a round-robin row_number split would harden it at the
+    cost of an extra per-cell sort). Only cells beyond ``salt_rows`` appear in
     the (broadcast) salt frame, so the normal-cell path pays nothing.
     Results are IDENTICAL to the unsalted plan: a candidate pair meets
     in exactly the (lsalt(left), rblock(right)) group of each shared
@@ -2691,6 +2710,7 @@ def portable_sign_cells(
     vec_col: str = "embedding",
     n_planes: int = 8,
     scale: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, cell, norm_q) — ENGINE-PORTABLE sign-LSH cell assignment on
     the d25 integer grid: plane ``p``'s coefficient for dimension ``j``
@@ -2714,8 +2734,11 @@ def portable_sign_cells(
     """
     import hashlib
 
-    first = df.select(F.col(vec_col)).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
+    if dim is None:
+        # one bounded probe job; streaming callers pass dim explicitly
+        # so the per-micro-batch fold stays a single map pass
+        first = df.select(F.col(vec_col)).first()
+        dim = len(first[0]) if first and first[0] is not None else 0
     signs = [
         [
             1
@@ -2775,91 +2798,46 @@ def semantic_decontam_flags(
     n-grams miss; the FineWeb/benchmark-hygiene step of a training-data
     pipeline).
 
-    Exactness contract (the x18 integer band, counts instead of ranks):
-    membership is ``dot >= 0 AND den^2*dot^2 >= tau^2*|a|^2*|b|^2`` on
-    the d25 integer grid — int64 dot, decimal(38,0) comparison, replays
-    in DuckDB HUGEINT bit for bit — and the SURFACE is integer counts
-    plus a boolean, so x19 is hash-exact end to end with no float
-    anywhere (one better than x18, whose float score orders within the
-    band). Zero-norm vectors never flag (undefined cosine). The same
-    dim*max_coord^2 overflow envelope as :func:`hard_negative_topk`
-    raises rather than wraps.
+    Membership is decided by :func:`semantic_decontam_pairs` — the ONE
+    kernel this tier and the st19 streaming census share (delegation,
+    not copy-paste, so they cannot disagree): the x18 integer band
+    (int64 dot, decimal(38,0) comparison, DuckDB HUGEINT replay),
+    zero-norm vectors never flag, the shared overflow envelope raises
+    rather than wraps. The SURFACE is integer counts plus a boolean, so
+    x19 is hash-exact end to end with no float anywhere. Contract: one
+    row per train vector — including n_hits = 0 rows, and including the
+    degenerate empty-evalset case (everything clean, nothing dropped).
 
     Scale shape: eval sets are small by nature (thousands of rows), so
     the eval side BROADCASTS and the train corpus is scanned exactly
     once, the predicate map-side in whole-stage codegen — linear in
-    train size at 100 TB, no shuffle of train rows at all (the groupBy
-    key is the train id, pre-partitioned by the scan; partial counts
-    map-side combine).
+    train size at 100 TB; the only shuffles are keyed by the train id
+    (the sparse crossing pairs, then the id-list left join).
 
     Returns one row per train vector: (``id_col``, n_hits, contaminated).
     """
-    import math
-
-    d2 = band_den * band_den
-    _n2_bound = min(2**63 - 1, math.isqrt(10**38 // d2))
-
-    def _guarded(qcol: Column) -> Column:
-        m = F.array_max(F.transform(qcol, F.abs))
-        mm = m.cast("decimal(38,0)") * m
-        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
-            _n2_bound
-        ).cast("decimal(38,0)")
-        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
-            F.raise_error(
-                F.lit(
-                    "semantic_decontam_flags: dim * max_coord^2 exceeds "
-                    "the int64/decimal38-exact envelope; lower `scale`"
-                )
-            ).cast("array<long>")
-        )
-
-    ev = evalset.select(
-        _guarded(_quantize_expr(vec_col, scale)).alias("_eq")
-    )
-    tr = train.select(
-        F.col(id_col),
-        _guarded(_quantize_expr(vec_col, scale)).alias("_tq"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_tq"), F.col("_eq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    crossing = (
-        (F.col("_n2t") > 0)
-        & (F.col("_n2e") > 0)
-        & (F.col("_dot") >= 0)
-        & (
-            F.lit(d2) * (F.col("_dot").cast("decimal(38,0)") * F.col("_dot"))
-            >= F.lit(tau_num * tau_num)
-            * (F.col("_n2t").cast("decimal(38,0)") * F.col("_n2e"))
-        )
-    )
-    return (
-        tr.crossJoin(F.broadcast(ev))
-        .select(
-            id_col,
-            dot.alias("_dot"),
-            n2("_tq").alias("_n2t"),
-            n2("_eq").alias("_n2e"),
+    counts = (
+        semantic_decontam_pairs(
+            train,
+            evalset,
+            tau_num=tau_num,
+            band_den=band_den,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
         )
         .groupBy(id_col)
-        .agg(
-            F.sum(F.when(crossing, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_hits")
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(counts, id_col, "left")
         .select(
-            id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+            id_col,
+            F.coalesce("_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
-
 
 def graph_ann_routed_topk(
     items: DataFrame,
@@ -2941,8 +2919,14 @@ def graph_ann_routed_topk(
         .select(query_id_col, "item_id")
         .distinct()
     )
+    # reuse the routing checkpoint for the walk's item side (renamed
+    # back to the caller's columns — a projection on TOP of the
+    # checkpoint, not a second corpus scan; r14 review finding)
+    walk_items = base.select(
+        F.col("item_id").alias(id_col), F.col("_ivec").alias(vec_col)
+    )
     return graph_ann_topk(
-        items,
+        walk_items,
         queries,
         graph,
         k,
@@ -2983,19 +2967,7 @@ def semantic_decontam_pairs(
     _n2_bound = min(2**63 - 1, math.isqrt(10**38 // d2))
 
     def _guarded(qcol: Column) -> Column:
-        m = F.array_max(F.transform(qcol, F.abs))
-        mm = m.cast("decimal(38,0)") * m
-        ok = (F.size(qcol).cast("decimal(38,0)") * mm) <= F.lit(
-            _n2_bound
-        ).cast("decimal(38,0)")
-        return F.when(F.coalesce(ok, F.lit(True)), qcol).otherwise(
-            F.raise_error(
-                F.lit(
-                    "semantic_decontam_pairs: dim * max_coord^2 exceeds "
-                    "the int64/decimal38-exact envelope; lower `scale`"
-                )
-            ).cast("array<long>")
-        )
+        return _envelope_guard(qcol, _n2_bound, "semantic_decontam_pairs")
 
     ev = evalset.select(
         F.col(id_col).alias(eval_id_col),

@@ -3443,10 +3443,13 @@ def x18_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d30_bloom_gated_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-gated INCREMENTAL exact dedup
     (operators.dedup.bloom_gated_dedup): dedup an ingest batch against
-    a standing corpus without re-shuffling history — the corpus folds
-    once into an occupancy-sized Bloom position set (m = 8 bits/doc,
-    k=3 -> asymptotic FPR ~3% at ANY corpus size; broadcasts to ~10^9 corpus
-    docs, shards by position prefix past that — see the operator),
+    a standing corpus — in deployment the filter and keeper table are
+    persisted index artifacts so history is never re-scanned per
+    batch (the operator's build/serve note); this correctness query
+    builds them inline. Occupancy-sized Bloom position set (8 bits/doc,
+    k=3 -> asymptotic FPR ~3% at ANY corpus size; position table
+    broadcasts to ~10^7-10^8 docs, the production bitset to ~10^10,
+    prefix-sharded past that — see the operator),
     each batch row tests its k positions map-side, and only
     bloom-POSITIVE rows pay the verification join against the corpus
     content-hash table. The batch is a deterministic re-crawl mix:

@@ -6734,7 +6734,7 @@ _R14_WINDOW = [
     "q03_monthly_kpis",
     "d5_dedup_clusters",
     "t1_token_stats",
-    # r9-stale fill (34 of 50, registration order)
+    # r9-stale fill (27 of 50, registration order)
     "q110_hierarchy_rollup",
     "d18_containment_pairs",
     "g2_label_propagation",

@@ -1377,6 +1377,8 @@ def streaming_cell_manifest(
         F.col(id_col).cast("bigint").alias("_id"),
         F.col(vec_col).alias("_vec"),
     )
+    first = src.select("_vec").first()
+    dim = len(first[0]) if first and first[0] is not None else 0
     tmp = tempfile.mkdtemp(prefix="st18_cells_")
     try:
         src.repartition(n_files).write.mode("overwrite").parquet(tmp)
@@ -1401,7 +1403,7 @@ def streaming_cell_manifest(
         def fold(batch_df: DataFrame, epoch_id: int) -> None:
             partials = (
                 portable_sign_cells(
-                    batch_df, "_id", "_vec", n_planes, scale
+                    batch_df, "_id", "_vec", n_planes, scale, dim=dim
                 )
                 .groupBy("cell")
                 .agg(

@@ -5043,3 +5043,48 @@ def test_streaming_decontam_census_equals_batch_and_split_invariant(spark):
             ).collect()
         }
         assert got == batch, f"n_files={n_files}"
+
+
+def test_envelope_guard_raises_outside_and_on_overflow(spark):
+    """The shared exactness envelope must RAISE for rows outside the
+    int64/decimal38 bound — including rows so extreme the decimal
+    check itself overflows to NULL (the r14 review bug: NULL used to
+    be treated as in-envelope)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        semantic_decontam_flags,
+    )
+
+    evalset = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    # coordinate ~1.25e15 -> quantized ~1.25e18 -> dim*m^2 overflows
+    # the decimal(38,0) comparison itself (NULL verdict must raise)
+    train = spark.createDataFrame(
+        [(10, [1.25e15, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        semantic_decontam_flags(train, evalset).collect()
+
+
+def test_semantic_decontam_flags_empty_evalset(spark):
+    """Empty eval set -> every train row present with n_hits=0,
+    contaminated=false (the contract is one row per train vector; an
+    empty frame here would silently drop the whole corpus downstream)."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        semantic_decontam_flags,
+    )
+
+    evalset = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["n_hits"], r["contaminated"])
+        for r in semantic_decontam_flags(train, evalset).collect()
+    }
+    assert out == {10: (0, False), 11: (0, False)}
