@@ -2811,8 +2811,9 @@ def semantic_decontam_flags(
     Scale shape: eval sets are small by nature (thousands of rows), so
     the eval side BROADCASTS and the train corpus is scanned exactly
     once, the predicate map-side in whole-stage codegen — linear in
-    train size at 100 TB; the only shuffles are keyed by the train id
-    (the sparse crossing pairs, then the id-list left join).
+    train size at 100 TB; the only shuffle is the sparse crossing-pair
+    count (keyed by train id), which then broadcasts back onto the
+    id list — the train corpus itself is never shuffled.
 
     Returns one row per train vector: (``id_col``, n_hits, contaminated).
     """
@@ -2829,9 +2830,13 @@ def semantic_decontam_flags(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("_hits"))
     )
+    # the counts side is the SPARSE crossing set (leaks are rare by
+    # construction), so broadcasting it keeps the one-row-per-train
+    # rejoin map-side — the train corpus is never shuffled. For an
+    # adversarial corpus where most rows leak, drop the hint.
     return (
         train.select(id_col)
-        .join(counts, id_col, "left")
+        .join(F.broadcast(counts), id_col, "left")
         .select(
             id_col,
             F.coalesce("_hits", F.lit(0)).cast("bigint").alias("n_hits"),
