@@ -533,6 +533,107 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_grank")
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    rank_col: str = "_grank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group rank (1..N_g within each group) WITHOUT the
+    single-task-per-group sort of ``Window.partitionBy(group)`` — the
+    scale-killer when the group count is a small semantic constant
+    (epochs, curriculum phases, mixture strata with variable quotas):
+    under the window form a 3-epoch corpus sorts ENTIRELY on 3 tasks,
+    however many executors exist (VERDICT r14 item 1).
+
+    Distributed plan (the :func:`global_rank` idiom generalized to
+    groups):
+
+    1. ``repartitionByRange(group ++ order)`` + ``sortWithinPartitions``
+       — every group spans MANY consecutive range partitions, every task
+       sorts only its slice;
+    2. ``monotonically_increasing_id`` (pid<<33 | local offset in sorted
+       order) under a lazy ``localCheckpoint`` so the nondeterministic
+       id is computed once for both consumers;
+    3. ONE map-side-combined hash-agg: rows and first local offset per
+       (partition, group) — O(P + G) rows, because a range partition
+       holds one contiguous key slice (each group adds at most one
+       boundary split);
+    4. a prefix-sum window over THAT aggregated frame (bounded by
+       P + G, never the corpus — the token-budget apportionment
+       pattern) gives each (partition, group) run the count of its
+       group's rows in earlier partitions;
+    5. rank = local offset - run start + group prefix + 1, attached by
+       a broadcast join on (partition id, group).
+
+    ``total_col``: optionally also attach the per-group row total —
+    free, it is the unbounded sum over the same tiny counts frame.
+
+    Requirement: ``group_cols ++ order_exprs`` must totally order the
+    frame (include a unique tiebreak); rows equal on all sort keys may
+    straddle a range boundary and rank nondeterministically. The 2^33
+    rows-per-partition bound of ``monotonically_increasing_id`` is
+    guarded in-plan: ``assert_true`` on the (tiny) offsets frame fails
+    the job instead of silently corrupting ranks.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    sorted_df = df.repartitionByRange(
+        *gcols, *order_exprs
+    ).sortWithinPartitions(*gcols, *order_exprs)
+    with_id = sorted_df.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+    pid = F.shiftright(F.col("_mid"), 33)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = with_id.groupBy(pid.alias("_opid"), *group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.min(local).alias("_start")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_opid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_total = Window.partitionBy(*group_cols)
+    offsets = (
+        counts.withColumn(
+            "_adj",
+            F.coalesce(F.sum("_n").over(w_prefix), F.lit(0))
+            - F.col("_start"),
+        )
+        .withColumn("_gtot", F.sum("_n").over(w_total))
+        # 2^33 guard: the largest (start + n) in a partition is its row
+        # count; assert_true raises at runtime instead of letting the
+        # local-offset field bleed into the partition bits. NULL-safe:
+        # success returns NULL, so isNull() keeps every row.
+        .filter(
+            F.assert_true(
+                F.col("_start") + F.col("_n") <= F.lit(1 << 33),
+                F.lit(
+                    "grouped_rank: a range partition holds >= 2^33 rows;"
+                    " raise spark.sql.shuffle.partitions before ranking"
+                ),
+            ).isNull()
+        )
+    )
+    for i, c in enumerate(group_cols):
+        offsets = offsets.withColumnRenamed(c, f"_g{i}")
+    cond = F.col("_pid") == F.col("_opid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g{i}"))
+    out = (
+        with_id.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), cond)
+        .withColumn(rank_col, (local + F.col("_adj") + 1).cast("bigint"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_gtot").cast("bigint"))
+    return out.drop(
+        "_mid", "_pid", "_opid", "_n", "_start", "_adj", "_gtot",
+        *[f"_g{i}" for i in range(len(group_cols))],
+    )
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """SCD1 upsert (the batch MERGE INTO): update rows replace base rows on
     the key; unmatched base rows pass through; unmatched update rows insert.
@@ -560,21 +661,26 @@ def stratified_sample(
     ``df.sampleBy``, whose Bernoulli draw gives only expected fractions
     and differs across runs/engines).
 
-    One shuffle on the strata column; the per-stratum quota is a window
-    count over the same partitioning, so no extra exchange. Quota uses
-    integer ceil-division — no float rounding. For 100 TB with few,
-    huge strata the md5 sort dominates; percent-exact sampling is
-    inherently a per-stratum global order, so use hash-threshold
+    Ranks come from :func:`grouped_rank` (range-partitioned, every
+    stratum spans many tasks) — NOT ``Window.partitionBy(stratum)``: a
+    corpus with few strata would sort each stratum's full membership on
+    ONE task, and the variable (count-derived) quota bound defeats the
+    WindowGroupLimit pre-keep that rescues literal-k rank filters (the
+    r15 LOWCARD-WINDOW audit caught exactly this here: 5 langs x 1000
+    rows/task at sf0.1). The per-stratum total rides the same tiny
+    per-(partition, stratum) counts frame — no extra corpus pass. Quota
+    uses integer ceil-division — no float rounding. Percent-exact
+    sampling is inherently a per-stratum total order; use hash-threshold
     (approximate) sampling instead when exactness isn't required.
     """
-    key = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(strata_col)
-    ranked = df.withColumn(
+    ranked = grouped_rank(
+        df.withColumn("_h", F.md5(F.col(id_col).cast("string"))),
+        [strata_col],
+        [F.col("_h").asc(), F.col(id_col).asc()],
         "pick",
-        F.row_number()
-        .over(w.orderBy(key.asc(), F.col(id_col).asc()))
-        .cast("int"),
-    ).withColumn("strata_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        total_col="strata_n",
+    ).drop("_h")
+    ranked = ranked.withColumn("pick", F.col("pick").cast("int"))
     quota = F.floor((F.col("strata_n") * percent + 99) / 100)
     return ranked.filter(F.col("pick") <= quota)
 

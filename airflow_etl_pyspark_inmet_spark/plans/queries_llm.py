@@ -808,23 +808,26 @@ def x8_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single permutation doesn't cover: each training epoch needs a
     DIFFERENT deterministic permutation. Priority
     ((doc_id + epoch * 99991) * KNUTH) % 2^20 re-keys every epoch;
-    positions come from per-epoch windows (parallel across epochs, the
-    x3/x5 idiom). Three epochs emitted; reproducible bit for bit."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    from pyspark.sql import Window as W
+    positions come from relational.grouped_rank — range-partitioned on
+    (epoch, priority), so each epoch's permutation is assigned across
+    MANY tasks. (The previous Window.partitionBy(epoch) form was the
+    r14 verdict's headline scale-killer: 3 tasks, each sorting the
+    ENTIRE corpus.) Three epochs emitted; reproducible bit for bit."""
+    from ..operators.relational import grouped_rank
 
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     e = docs.crossJoin(
         F.broadcast(
             spark.range(3).select(F.col("id").cast("int").alias("epoch"))
         )
     )
     pri = ((F.col("doc_id") + F.col("epoch") * 99991) * 2654435761) % 1048576
-    w = W.partitionBy("epoch").orderBy(pri, F.col("doc_id"))
-    return e.select(
-        "epoch",
-        "doc_id",
-        F.row_number().over(w).cast("bigint").alias("pos"),
-    )
+    return grouped_rank(
+        e.withColumn("_pri", pri),
+        ["epoch"],
+        [F.col("_pri"), F.col("doc_id")],
+        "pos",
+    ).select("epoch", "doc_id", "pos")
 
 
 def d17_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

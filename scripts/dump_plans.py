@@ -32,6 +32,85 @@ def _formatted(df) -> str:
     )
 
 
+def lowcard_window_flags(
+    spark, df, max_distinct: int = 16, min_rows_per: int = 1000
+) -> list[str]:
+    """Detect the single-task-window scale-killer class (VERDICT r14
+    item 3): a ``Window`` partitioned on a tiny statically-small domain
+    (epoch/phase/shard literals) makes each partition ONE task sorting a
+    corpus-scale slice at 100x — invisible to the operator-count audit
+    because the plan shape looks healthy.
+
+    Exact, not heuristic: traverses the OPTIMIZED logical plan (where
+    InsertWindowGroupLimit has already run, so guarded rank-filter
+    windows are recognizable), and for every unguarded Window evaluates
+    the window's ACTUAL INPUT subtree — rows in and distinct partition
+    keys — so tiny aggregated frames (the token-budget apportionment
+    pattern, bounded by domain/partition counts) never false-positive.
+    Flag rule: distinct partition values <= ``max_distinct`` AND rows
+    per partition value >= ``min_rows_per`` at sf0.1 — i.e. the
+    per-task slice grows with the corpus while the task count cannot.
+    Windows pre-kept by WindowGroupLimit are safe by construction
+    (map-side k-per-group pre-filter; the x2 idiom, plan-asserted in
+    tests/test_mixing_scale.py)."""
+    from pyspark.sql import DataFrame as PyDF
+
+    jvm = spark._jvm
+
+    def _df_of(jplan) -> PyDF:
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, jplan
+        )
+        return PyDF(jdf, spark)
+
+    flags: list[str] = []
+    seen: set[tuple[str, ...]] = set()
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        guarded = False
+        sub = [node.children().apply(0)]
+        while sub:
+            n2 = sub.pop()
+            if n2.getClass().getSimpleName() == "WindowGroupLimit":
+                guarded = True
+                break
+            c2 = n2.children()
+            for i in range(c2.size()):
+                sub.append(c2.apply(i))
+        if guarded:
+            continue
+        ps = node.partitionSpec()
+        exprs = [ps.apply(i).sql() for i in range(ps.size())]
+        key = tuple(exprs)
+        if key in seen:
+            continue
+        seen.add(key)
+        child = _df_of(node.children().apply(0))
+        try:
+            rows = child.count()
+            n_part = (
+                child.selectExpr(*exprs).distinct().count() if exprs else 1
+            )
+        except Exception:
+            # partition exprs not reconstructable from sql() text
+            # (aliased subexpressions) — report unverified, don't guess
+            flags.append(f"LOWCARD-WINDOW?({','.join(exprs)})")
+            continue
+        if n_part <= max_distinct and rows >= min_rows_per * max(n_part, 1):
+            flags.append(
+                "LOWCARD-WINDOW("
+                f"{','.join(exprs) or 'GLOBAL'}={n_part} parts x "
+                f"{rows // max(n_part, 1)} rows)"
+            )
+    return flags
+
+
 def evidence(plan: str) -> dict[str, object]:
     scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
@@ -300,6 +379,7 @@ def main() -> None:
             flags.append("BNLJ")
         if ev["python_eval"]:
             flags.append("row-python")
+        flags += lowcard_window_flags(spark, df)
         lines.append(
             f"| {name} | {ev['parquet_scans']} | {ev['exchanges']} | {ev['broadcast_joins']} |"
             f" {ev['sortmerge_joins']} | {ev['hash_aggregates']} |"
