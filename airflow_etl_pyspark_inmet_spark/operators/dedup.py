@@ -2566,6 +2566,20 @@ def bloom_gated_dedup(
     ``bloom_positive AND NOT is_dup``; both engines compute the SAME
     false positives because the positions are engine-portable.
     """
+    if bloom is not None and m is None:
+        # ADVICE r15 (medium): deriving m from the CURRENT corpus under a
+        # prebuilt filter silently mis-mods every probe position once the
+        # standing corpus has grown since the filter was built — the
+        # exact deployment scenario the build/serve split targets — and
+        # mis-modded probes produce FALSE NEGATIVES, violating the
+        # documented no-false-negatives guarantee. Persist m (and k)
+        # alongside the filter artifact and pass them together.
+        raise ValueError(
+            "bloom_gated_dedup: a prebuilt `bloom` requires its "
+            "build-time `m` — pass the m the filter was built with "
+            "(persist it with the artifact); recomputing m from the "
+            "current corpus would silently produce false negatives"
+        )
     if m is None:
         n = corpus.count()
         m = max(64, bits_per_doc * n)

@@ -158,8 +158,12 @@ def hard_negative_topk(
     d2 = band_den * band_den
     # |dot| and n2 are <= dim*maxc^2 =: B; int64 fold needs B <= 2^63-1,
     # the decimal(38,0) comparison needs max(d2, hi^2)*B^2 < 10^38.
+    # (10^38 - 1), not 10^38: the corner where bound^2 * B^2 equals
+    # 10^38 exactly would overflow decimal(38,0) to NULL and silently
+    # drop the row instead of raising (ADVICE r15, same latent corner
+    # as semantic_decontam_pairs)
     _n2_bound = min(
-        2**63 - 1, math.isqrt(10**38 // max(d2, hi_num * hi_num))
+        2**63 - 1, math.isqrt((10**38 - 1) // max(d2, hi_num * hi_num))
     )
 
     def _guarded(qcol: Column) -> Column:
@@ -2483,6 +2487,21 @@ def graph_ann_topk(
         .localCheckpoint(eager=False)  # consumers: n_hops expansions
     )
 
+    def _strided_entries() -> DataFrame:
+        n = isel.count()  # bounded driver scalar (the nn_descent pattern)
+        ne = n_entries
+        if ne == "sqrt":
+            import math
+
+            ne = max(16, math.isqrt(n))
+        stride = max(1, n // max(1, ne))
+        return (
+            isel.filter(F.pmod(F.col("item_id"), F.lit(stride)) == 0)
+            .orderBy("item_id")
+            .limit(ne)
+            .select("item_id")
+        )
+
     if entry_pairs is not None:
         # caller-routed per-query starts (query_id, item_id) — the
         # SPANN-style centroid routing of graph_ann_routed_topk
@@ -2490,20 +2509,25 @@ def graph_ann_topk(
             F.col(query_id_col).cast("bigint").alias(query_id_col),
             F.col("item_id").cast("bigint").alias("item_id"),
         )
-    else:
-        n = isel.count()  # bounded driver scalar (the nn_descent pattern)
-        if n_entries == "sqrt":
-            import math
-
-            n_entries = max(16, math.isqrt(n))
-        stride = max(1, n // max(1, n_entries))
-        entry_nodes = (
-            isel.filter(F.pmod(F.col("item_id"), F.lit(stride)) == 0)
-            .orderBy("item_id")
-            .limit(n_entries)
-            .select("item_id")
+        # ADVICE r15: a query whose routed cells are ALL empty (and
+        # whose id is not itself a corpus node) would have zero start
+        # rows and silently vanish from the output — the flat path
+        # guarantees every query a start via the strided spread, so
+        # unrouted queries fall back to exactly that. The probe is one
+        # bounded job on the (small-by-contract) query frame.
+        missing = (
+            qsel.select(query_id_col)
+            .join(
+                spread.select(query_id_col).distinct(),
+                query_id_col,
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)  # consumers: probe + crossJoin
         )
-        spread = qsel.select(query_id_col).crossJoin(entry_nodes)
+        if missing.limit(1).count() > 0:
+            spread = spread.unionAll(missing.crossJoin(_strided_entries()))
+    else:
+        spread = qsel.select(query_id_col).crossJoin(_strided_entries())
     # every query starts at the routed/spread entries + its own node
     # if present (the DiskANN warm start)
     starts = (
@@ -2734,6 +2758,14 @@ def portable_sign_cells(
     """
     import hashlib
 
+    if not 1 <= n_planes <= 31:
+        # the cell is a 32-bit int bit-pattern: 1 << 31 would wrap the
+        # sign bit silently (ADVICE r15; defaults are safe — this guards
+        # future callers; the nn_descent internal LSH casts to long)
+        raise ValueError(
+            f"portable_sign_cells: n_planes must be in [1, 31], got "
+            f"{n_planes} — the cell bit-pattern is a 32-bit int"
+        )
     if dim is None:
         # one bounded probe job; streaming callers pass dim explicitly
         # so the per-micro-batch fold stays a single map pass
@@ -2969,7 +3001,11 @@ def semantic_decontam_pairs(
     import math
 
     d2 = band_den * band_den
-    _n2_bound = min(2**63 - 1, math.isqrt(10**38 // d2))
+    # (10^38 - 1) // d2, not 10^38 // d2: the envelope corner must be
+    # EXCLUDED — 10^38//400 is (5*10^17)^2 exactly, so at equality
+    # d2*dot^2 can reach 10^38 and overflow decimal(38,0) to NULL,
+    # silently dropping the pair instead of raising (ADVICE r15)
+    _n2_bound = min(2**63 - 1, math.isqrt((10**38 - 1) // d2))
 
     def _guarded(qcol: Column) -> Column:
         return _envelope_guard(qcol, _n2_bound, "semantic_decontam_pairs")

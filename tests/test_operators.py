@@ -5088,3 +5088,100 @@ def test_semantic_decontam_flags_empty_evalset(spark):
         for r in semantic_decontam_flags(train, evalset).collect()
     }
     assert out == {10: (0, False), 11: (0, False)}
+
+
+# --- ADVICE r15 regression tests ------------------------------------------------
+
+
+def test_bloom_gated_dedup_prebuilt_filter_requires_m(spark):
+    """A prebuilt bloom without its build-time m must RAISE: deriving m
+    from the current (grown) corpus mis-mods every probe position and
+    silently produces false negatives — the exact deployment the
+    build/serve split targets (ADVICE r15 medium)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bloom_gated_dedup,
+        bloom_position_set,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha"), (20, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(100, "alpha")], "doc_id long, text string")
+    bloom = bloom_position_set(corpus, "text", m=64, k=3)
+    with pytest.raises(ValueError, match="build-time `m`"):
+        bloom_gated_dedup(corpus, batch, bloom=bloom)
+    # the valid prebuilt path (bloom + its m) still works end to end
+    out = {
+        r["doc_id"]: r["is_dup"]
+        for r in bloom_gated_dedup(corpus, batch, bloom=bloom, m=64).collect()
+    }
+    assert out == {100: True}
+
+
+def test_envelope_bound_excludes_decimal38_corner():
+    """The static envelope bound must keep max(d2, hi^2) * dot^2 STRICTLY
+    below 10^38: at the corner 10^38 // 400 = (5e17)^2 exactly, so an
+    inclusive bound admits a dot whose banded square equals 10^38 —
+    overflowing decimal(38,0) to NULL and silently dropping the pair
+    instead of raising (ADVICE r15)."""
+    import math
+
+    for den2 in (400, 1, 256):
+        bound = min(2**63 - 1, math.isqrt((10**38 - 1) // den2))
+        assert den2 * bound * bound < 10**38
+        # and it is tight: one step up crosses (when under the int64 cap)
+        if bound < 2**63 - 1:
+            assert den2 * (bound + 1) * (bound + 1) >= 10**38
+
+
+def test_graph_ann_routed_query_with_no_entries_still_answered(spark):
+    """A caller-routed query whose entry_pairs are empty (all probed
+    cells empty) must still appear in the output via the strided-spread
+    fallback rather than silently vanishing (ADVICE r15)."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        graph_ann_topk,
+    )
+
+    items = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    graph = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)],
+        "vec_id long, nbr_id long",
+    )
+    queries = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 1.0]), (2000, [0.0, 1.0, 1.0])],
+        "query_id long, embedding array<float>",
+    )
+    # only query 1000 is routed; 2000 has no entry pair and no twin node
+    entry_pairs = spark.createDataFrame(
+        [(1000, 3)], "query_id long, item_id long"
+    )
+    out = graph_ann_topk(
+        items, queries, graph, k=3, beam=4, n_hops=2, entry_pairs=entry_pairs
+    )
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {1000, 2000}
+
+
+def test_portable_sign_cells_rejects_wide_cells(spark):
+    """n_planes >= 32 would wrap the 32-bit int cell bit-pattern
+    silently (1 << 31 hits the sign bit) — must raise (ADVICE r15)."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        portable_sign_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        portable_sign_cells(df, n_planes=32)
+    with pytest.raises(ValueError, match="n_planes"):
+        portable_sign_cells(df, n_planes=0)
+    # the default path is unaffected
+    assert portable_sign_cells(df, n_planes=8).count() == 1
