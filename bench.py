@@ -213,6 +213,49 @@ def main() -> None:
                 emb, queries, g, k=10, beam=16, n_hops=3
             )
 
+        _bloom_cache: dict[str, tuple] = {}
+
+        def _op_bloom_dedup(spark_, sf_dir_):
+            # the SERVE tier of d30 (VERDICT r14 item 6): the Bloom
+            # position set and the corpus keeper table are INDEX
+            # ARTIFACTS — built once per sf_dir and eagerly
+            # checkpointed on first use so the median-of-3 reads the
+            # clean serve runs. Gated cost = the ingest batch scan +
+            # the broadcast membership probe + the sparse verification
+            # join; the corpus is never re-scanned (the prebuilt-
+            # artifact path, the r13 build-vs-serve gating lesson).
+            from pyspark.sql import functions as F_
+
+            from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+                bloom_gated_dedup,
+                bloom_position_set,
+            )
+
+            docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+            art = _bloom_cache.get(sf_dir_)
+            if art is None:
+                n = docs.count()
+                m = max(64, 8 * n)  # occupancy-derived (the d30 contract)
+                bloom = bloom_position_set(
+                    docs, "text", m=m, k=3
+                ).localCheckpoint(eager=True)
+                keepers = (
+                    docs.select(
+                        F_.md5(F_.col("text").cast("binary")).alias("_ch"),
+                        F_.col("doc_id").alias("_cid"),
+                    )
+                    .groupBy("_ch")
+                    .agg(F_.min("_cid").alias("_keeper"))
+                    .localCheckpoint(eager=True)
+                )
+                art = (bloom, keepers, m)
+                _bloom_cache[sf_dir_] = art
+            bloom, keepers, m = art
+            batch = docs.filter(F_.col("doc_id") % 10 == 0)
+            return bloom_gated_dedup(
+                docs, batch, bloom=bloom, keepers=keepers, m=m
+            )
+
         def _op_silhouette_sqrtn(spark_, sf_dir_):
             # the production silhouette config: k rides sqrt(N) with
             # the arrow two-distance assigner (fixed-k s13 is the
@@ -270,6 +313,14 @@ def main() -> None:
             # executor-memory scale trap; Arrow-batched PNG decode)
             "op:graph_ann",
             "m1_decode_meta",
+            # r15 additions: the mixing/ordering family had NEVER been
+            # scale-measured (r14 verdict item 2) — x8 and x1 are its
+            # two heaviest members, now riding grouped_rank's
+            # range-partitioned plan; op:bloom_dedup pins d30's serve
+            # tier on prebuilt index artifacts (verdict item 6)
+            "x8_epoch_reshuffle",
+            "x1_mixture_sample",
+            "op:bloom_dedup",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
@@ -278,6 +329,7 @@ def main() -> None:
             "op:silhouette_sqrtn": _op_silhouette_sqrtn,
             "op:knn_join": _op_knn_join,
             "op:graph_ann": _op_graph_ann,
+            "op:bloom_dedup": _op_bloom_dedup,
         }
         env_subset = os.environ.get("SPARK_GRAFT_SCALE_SUBSET")
         if env_subset:

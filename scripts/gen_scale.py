@@ -34,6 +34,19 @@ the same term grows ~K. Mutation reproduces that:
     structure is preserved (labels rotate consistently), exactly like
     K independent shards of one corpus.
 Key-offset FK consistency is identical to the unmutated mode.
+
+``--clusters`` — planted-STRUCTURE embeddings (VERDICT r14 item 4): the
+testdata embeddings are provably isotropic (same-label and cross-label
+cosines identically distributed, SCALING.md r14), so no sub-linear ANN
+index can beat brute force on them and routed-vs-flat comparisons tie
+by construction. This flag REPLACES the generated embeddings table with
+a same-row-count, same-schema corpus that HAS cluster geometry: 64
+seeded unit-norm Gaussian centers, each vector = unit-normalized
+(center + sigma*noise) with sigma=0.35 (intra-cluster cosine ~0.9,
+cross-cluster ~N(0, 1/64)), label = cluster id. Deterministic (numpy
+PCG64 seed 0); vec_ids stay dense 0..N-1 so FK-free consumers are
+unaffected. This is the corpus on which the SPANN routing claim is
+testable — see scripts/measure_graph_ann_recall.py --routed.
 """
 
 from __future__ import annotations
@@ -99,8 +112,52 @@ def _mutated(col: str, table: str, dim: int = 64) -> str:
     return col
 
 
+def plant_clustered_embeddings(
+    out_dir: str,
+    n: int,
+    dim: int = 64,
+    n_clusters: int = 64,
+    sigma: float = 0.35,
+    seed: int = 0,
+) -> None:
+    """Overwrite ``out_dir/embeddings.parquet`` with a planted-cluster
+    corpus (see module docstring, --clusters)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n, dtype=np.int64) % n_clusters
+    # sigma is the TOTAL noise-to-signal norm ratio: divide the
+    # per-coordinate draw by sqrt(dim) so |noise| ~ sigma regardless of
+    # dimension (a raw sigma per coordinate would give |noise| =
+    # sigma*sqrt(dim) ~ 2.8 at dim 64, drowning the unit center and
+    # reproducing the isotropy this generator exists to remove);
+    # intra-cluster cosine ~ 1/(1+sigma^2) ~ 0.89 at sigma=0.35
+    vecs = centers[labels] + (sigma / dim**0.5) * rng.standard_normal(
+        (n, dim)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                list(vecs.astype(np.float32)), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+
+
 def generate(
-    out_dir: str, factor: int, src_dir: str, mutate: bool = False
+    out_dir: str,
+    factor: int,
+    src_dir: str,
+    mutate: bool = False,
+    clusters: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -131,14 +188,20 @@ def generate(
             f"ORDER BY _copy) TO '{dst}' (FORMAT PARQUET)"
         )
     con.close()
+    if clusters:
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{src_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        plant_clustered_embeddings(out_dir, n * factor)
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--mutate"]
+    args = [a for a in sys.argv[1:] if a not in ("--mutate", "--clusters")]
     mutate = "--mutate" in sys.argv[1:]
+    clusters = "--clusters" in sys.argv[1:]
     out = args[0] if len(args) > 0 else "/tmp/sf1"
     k = int(args[1]) if len(args) > 1 else 10
     src = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
-    generate(out, k, src, mutate=mutate)
+    generate(out, k, src, mutate=mutate, clusters=clusters)
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/lineitem.parquet'").fetchone()[0]
     print(f"generated {out} (factor {k}, lineitem rows {n})")

@@ -12,7 +12,14 @@ content-distinct tier (the honest number, gen_scale --mutate).
 
 Prints one JSON line per (sf_dir, dial setting); paste into SCALING.md.
 
-Usage: python scripts/measure_graph_ann_recall.py [sf_dir ...]
+``--routed`` (VERDICT r14 item 4): additionally measure the SPANN-style
+centroid-routed walk (graph_ann_routed_topk) on the same graph and
+queries, emitting flat and routed recall side by side — the comparison
+is meaningful only on data WITH cluster structure (gen_scale.py
+--clusters); on the isotropic testdata the two tie by construction
+(SCALING.md r14).
+
+Usage: python scripts/measure_graph_ann_recall.py [--routed] [sf_dir ...]
   default dirs: /root/testdata/sf0.1 /tmp/sf1 /tmp/sf1m
 """
 
@@ -34,9 +41,12 @@ def measure(
     beam: int = 16,
     n_hops: int = 3,
     n_entries: int = 16,
+    routed: bool = False,
+    heldout: bool = False,
 ) -> dict:
     from airflow_etl_pyspark_inmet_spark.operators.similarity import (
         cosine_topk,
+        graph_ann_routed_topk,
         graph_ann_topk,
         nn_descent_knn_graph,
     )
@@ -45,40 +55,82 @@ def measure(
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    graph = nn_descent_knn_graph(emb, k=8, n_rounds=3, scale=1000)
-    ann = graph_ann_topk(
-        emb, queries, graph, k=k, beam=beam, n_hops=n_hops,
-        n_entries=n_entries,
-    )
+    if heldout:
+        # give the query ids NO corpus twin: the walk's DiskANN-style
+        # warm start (enter at the query's own node when present)
+        # otherwise starts INSIDE the right neighborhood and masks the
+        # entry-selection difference this script exists to measure
+        queries = queries.select(
+            (F.col("query_id") + 1_000_000_000).alias("query_id"),
+            "embedding",
+        )
+    graph = nn_descent_knn_graph(
+        emb, k=8, n_rounds=3, scale=1000
+    ).localCheckpoint(eager=True)
     exact = cosine_topk(emb, queries, k)
-    a = {(r["query_id"], r["item_id"]) for r in ann.collect()}
     e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
-    per_q = {}
-    for qid in sorted({q for q, _ in e}):
-        eq = {i for q, i in e if q == qid}
-        aq = {i for q, i in a if q == qid}
-        per_q[str(qid)] = round(len(eq & aq) / len(eq), 3)
-    return {
+
+    def _recall(ann_df) -> tuple[float, dict]:
+        a = {(r["query_id"], r["item_id"]) for r in ann_df.collect()}
+        per_q = {}
+        for qid in sorted({q for q, _ in e}):
+            eq = {i for q, i in e if q == qid}
+            aq = {i for q, i in a if q == qid}
+            per_q[str(qid)] = round(len(eq & aq) / len(eq), 3)
+        return round(len(a & e) / len(e), 4), per_q
+
+    flat_recall, flat_per_q = _recall(
+        graph_ann_topk(
+            emb, queries, graph, k=k, beam=beam, n_hops=n_hops,
+            n_entries=n_entries,
+        )
+    )
+    out = {
         "sf_dir": sf_dir,
         "n_vectors": emb.count(),
         "dials": {
             "k": k, "beam": beam, "n_hops": n_hops,
             "n_entries": n_entries,
         },
-        "recall_at_10": round(len(a & e) / len(e), 4),
-        "per_query": per_q,
+        "recall_at_10": flat_recall,
+        "per_query": flat_per_q,
     }
+    if routed:
+        routed_recall, routed_per_q = _recall(
+            graph_ann_routed_topk(
+                emb, queries, graph, k=k, beam=beam, n_hops=n_hops
+            )
+        )
+        out["routed_recall_at_10"] = routed_recall
+        out["routed_per_query"] = routed_per_q
+    return out
 
 
 def main() -> None:
     from airflow_etl_pyspark_inmet_spark.session import get_spark
 
-    dirs = sys.argv[1:] or [
-        "/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf1m",
-    ]
+    routed = "--routed" in sys.argv[1:]
+    heldout = "--heldout" in sys.argv[1:]
+    n_hops, n_entries = 3, 16
+    dirs = []
+    for a in sys.argv[1:]:
+        if a in ("--routed", "--heldout"):
+            continue
+        elif a.startswith("--hops="):
+            n_hops = int(a.split("=")[1])
+        elif a.startswith("--entries="):
+            n_entries = int(a.split("=")[1])
+        else:
+            dirs.append(a)
+    dirs = dirs or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf1m"]
     spark = get_spark(app_name="graph_ann_recall")
     for d in dirs:
-        print(json.dumps(measure(spark, d)), flush=True)
+        out = measure(
+            spark, d, n_hops=n_hops, n_entries=n_entries,
+            routed=routed, heldout=heldout,
+        )
+        out["heldout"] = heldout
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
