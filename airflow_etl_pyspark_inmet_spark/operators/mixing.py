@@ -138,6 +138,47 @@ def domain_cap(
     )
 
 
+def domain_cap_approx(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """The corpus-scale APPROXIMATE tier of :func:`domain_cap` — the
+    two-pass hash-threshold cap this module's docstrings have promised
+    since r8, now a first-class operator: pass 1 counts each stratum
+    (one map-side-combined hash agg), pass 2 keeps exactly the rows with
+
+        priority * n_s < cap * BUCKETS
+
+    — the expected-cap fraction of each stratum by hash threshold. NO
+    rank, NO per-stratum sort, NO window anywhere: the filter is
+    map-side after a broadcast join of the domains-sized counts frame,
+    so nothing in the plan is corpus-global (vs the exact tier's
+    per-stratum total order, scale-shaped but still a sort).
+
+    DETERMINISTIC-approximate, not random: the kept set is a pure
+    function of (id, stratum count), so runs and engines agree bit for
+    bit; only the kept COUNT is approximate — ~Binomial(n_s, cap/n_s)
+    around ``cap`` (hash-uniform priorities), the standard
+    RefinedWeb-style trade (+-sqrt(cap) slack; exact quotas are what
+    :func:`domain_cap` is for). Strata with n_s <= cap keep everything
+    (priority < BUCKETS makes the inequality unconditional). Overflow:
+    priority < 2^20, so the products stay under 2^63 for any stratum
+    below 2^42 rows.
+
+    Returns (id_col, strat_col, priority).
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
+    pri = _priority(id_col)
+    return (
+        df.select(id_col, strat_col)
+        .join(F.broadcast(counts), strat_col)
+        .filter(pri * F.col("_n") < F.lit(cap) * F.lit(BUCKETS))
+        .select(id_col, strat_col, pri.cast("bigint").alias("priority"))
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     strat_col: str = "source",

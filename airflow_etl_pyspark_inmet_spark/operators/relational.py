@@ -649,6 +649,128 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return updates.unionByName(survivors)
 
 
+def integer_histogram(
+    df: DataFrame,
+    value_expr: Column,
+    n_bins: int,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Fixed-width integer histogram over ``[lo, hi)``: bin =
+    ``clamp((v - lo) * n_bins div (hi - lo), 0, n_bins - 1)`` — all
+    BIGINT arithmetic (integer ``div``, engine-portable), one
+    map-side-combined hash agg, output bounded by ``n_bins`` rows.
+    Values outside the range clamp into the edge bins, so the
+    histogram is total (every row counted). The mergeable building
+    block under :func:`histogram_quantiles` and the st20 streaming
+    fold (per-bin counts are a SUM monoid).
+
+    Returns (bin, n_rows, min_value, max_value).
+    """
+    if hi <= lo:
+        raise ValueError(f"integer_histogram: need hi > lo, got [{lo}, {hi})")
+    v = value_expr.cast("bigint")
+    # integer `div`, never float division: double rounding would misbin
+    # values past 2^53 and drift from the DuckDB `//` replay
+    bin_ = F.least(
+        F.lit(n_bins - 1).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(f"(_v - {lo}) * {n_bins} div {hi - lo}"),
+        ),
+    )
+    return (
+        df.select(v.alias("_v"))
+        .withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_expr: Column,
+    n_bins: int,
+    quantiles_ppm: list[int],
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Quantiles from a mergeable fixed-width histogram — the NO-SORT
+    quantile path at 100 TB: exact global quantiles need a total order
+    (``global_ntile``'s range shuffle); this sketch answers "which
+    bin does quantile q fall in" with ONE corpus pass (two with
+    data-derived bounds), resolution = bin width, cost O(n_bins) state
+    — the production percentile monitor (latency dashboards, length
+    filters, difficulty cutoffs) where bin-width resolution is the
+    accepted trade.
+
+    All arithmetic integer and engine-exact: bounds come from a 1-row
+    min/max aggregate when not supplied (broadcast — the x5
+    distribution-aware pattern; ``hi`` becomes max+1 so the maximum
+    lands in the top bin), ranks are ``ceil(N * q / 1e6)`` by integer
+    division, and the answer bin is the first whose cumulative count
+    reaches the rank — a prefix-sum window over the n_bins-row
+    aggregated frame (the documented-safe tiny-frame window, never the
+    corpus).
+
+    Returns one row per requested quantile: (q_ppm, bin, bin_lo,
+    bin_hi, n_le) — [bin_lo, bin_hi) in value units, n_le = cumulative
+    rows through the bin.
+    """
+    spark = df.sparkSession
+    v = value_expr.cast("bigint")
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(v).cast("bigint").alias("_lo"),
+            (F.max(v) + 1).cast("bigint").alias("_hi"),
+        ).collect()[0]
+        lo = int(b["_lo"]) if lo is None else lo
+        hi = int(b["_hi"]) if hi is None else hi
+    hist = integer_histogram(df, value_expr, n_bins, lo, hi)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("_cum", F.sum("n_rows").over(w))
+        .localCheckpoint(eager=False)  # consumers: totals + crossing join
+    )
+    totals = cum.agg(F.max("_cum").alias("_n"))
+    qdf = (
+        spark.createDataFrame(
+            [(int(q),) for q in quantiles_ppm], "q_ppm bigint"
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_rank",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(_n * q_ppm + 999999) div 1000000"),
+            ),
+        )
+    )
+    crossing = (
+        qdf.join(F.broadcast(cum), F.col("_cum") >= F.col("_rank"))
+        .groupBy("q_ppm")
+        .agg(F.min("bin").alias("bin"))
+    )
+    span = hi - lo
+    return (
+        crossing.join(F.broadcast(cum), "bin")
+        .select(
+            "q_ppm",
+            F.col("bin").cast("bigint").alias("bin"),
+            F.expr(f"cast({lo} + bin * {span} div {n_bins} as bigint)")
+            .alias("bin_lo"),
+            F.expr(
+                f"cast({lo} + (bin + 1) * {span} div {n_bins} as bigint)"
+            ).alias("bin_hi"),
+            F.col("_cum").cast("bigint").alias("n_le"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2814,6 +2814,67 @@ def portable_sign_cells(
     )
 
 
+def embedding_qc(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim_expected: int | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding DATA-QC census — the t2-quality analogue for the
+    vector modality, the ingest gate an embedding pipeline runs before
+    building any index: per label (shard/model-version/source), count
+    the rows every downstream operator would choke on — NULL vectors,
+    dimension mismatches (a mixed-model ingest bug: zip_with against a
+    wrong-width vector silently truncates the dot), zero-norm vectors
+    (undefined cosine; every similarity tier here excludes them) — plus
+    the int64-quantized squared-norm envelope (min/max/sum on the d25
+    grid) that feeds drift monitors and the x18 overflow precheck.
+
+    Plan shape: map-only quantize + ONE map-side-combined hash agg by
+    label — a single corpus scan, no shuffle beyond the label-count
+    agg, output bounded by label cardinality. All-integer surface, so
+    the census is hash-exact cross-engine.
+
+    ``dim_expected`` defaults to the dimension of the first non-null
+    vector (one bounded probe job); pass it explicitly in pipelines.
+
+    Returns one row per label: (label, n_vecs, n_null, n_dim_mismatch,
+    n_zero_norm, min_norm_q, max_norm_q, sum_norm_q) — norm stats over
+    the well-formed rows (non-null, expected dim).
+    """
+    if dim_expected is None:
+        first = (
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        dim_expected = len(first[0]) if first else 0
+    is_null = F.col(vec_col).isNull()
+    dim_ok = ~is_null & (F.size(F.col(vec_col)) == F.lit(dim_expected))
+    norm_q = F.aggregate(
+        _quantize_expr(vec_col, scale),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    rows = df.select(
+        F.col(label_col).alias("label"),
+        is_null.alias("_null"),
+        dim_ok.alias("_ok"),
+        F.when(dim_ok, norm_q).alias("_nq"),
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count_if(F.col("_null")).cast("bigint").alias("n_null"),
+        F.count_if(~F.col("_null") & ~F.col("_ok"))
+        .cast("bigint")
+        .alias("n_dim_mismatch"),
+        F.count_if(F.col("_nq") == 0).cast("bigint").alias("n_zero_norm"),
+        F.min("_nq").alias("min_norm_q"),
+        F.max("_nq").alias("max_norm_q"),
+        F.sum("_nq").cast("bigint").alias("sum_norm_q"),
+    )
+
+
 def semantic_decontam_flags(
     train: DataFrame,
     evalset: DataFrame,

@@ -3591,3 +3591,192 @@ def st19_stream_decontam_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalset = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
     train = emb.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
     return streaming_decontam_census(spark, train, evalset, tau_num=7)
+
+
+def x20_domain_cap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale APPROXIMATE domain cap
+    (operators.mixing.domain_cap_approx): keep rows with
+    priority * n_source < 15 * 2^20 — the O(1)-per-row hash-threshold
+    tier the exact x2 cap's docstring promises for 100 TB, with NO
+    rank, sort, or window anywhere (count agg + broadcast join +
+    map-side filter). Deterministic-approximate: the kept SET is a
+    pure function of ids and counts (bit-identical cross-engine); only
+    the per-source kept count is ~Binomial around the cap."""
+    from ..operators.mixing import domain_cap_approx
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap_approx(docs, cap=15)
+
+
+def s20_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-QC census (operators.similarity.embedding_qc):
+    per label — null vectors, dimension mismatches, zero norms, and
+    the int64 quantized-norm envelope (min/max/sum on the d25 grid) —
+    the ingest gate before any index build, t2-quality for the vector
+    modality. A deterministic fault mix is planted so every counter is
+    exercised: vec_id % 97 == 0 rows arrive NULL, % 97 == 1 truncated
+    to 8 dims, % 97 == 2 zeroed. Map-only quantize + one hash agg;
+    all-integer surface, hash-exact cross-engine."""
+    from ..operators.similarity import embedding_qc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    faulty = emb.select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None))
+        .when(F.col("vec_id") % 97 == 1, F.slice(F.col("embedding"), 1, 8))
+        .when(
+            F.col("vec_id") % 97 == 2,
+            # keep array<float>: a bare x * 0.0 would widen to double
+            # and the CASE branches would refuse to unify
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x * F.lit(0.0)).cast("float"),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return embedding_qc(faulty, dim_expected=64)
+
+
+def c14_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data recipe — the composition the mixing
+    family exists for, every stage exact-integer: (1) per-source doc
+    counts; (2) temperature-damped shares (floor(sqrt(n) * 1e6), the
+    x4 fixed-point contract); (3) Hamilton largest-remainder
+    apportionment of an 800-doc budget so per-source quotas sum to 800
+    EXACTLY (the x9 idiom, here in docs); (4) x1 mixture arithmetic
+    (floor copies + hash-priority remainder tie-break via the
+    range-partitioned grouped_rank — never a per-source single-task
+    window); (5) explode copies; (6) ONE global training order over
+    the 800 emitted copies via global_rank on the per-copy re-keyed
+    Knuth priority (range partition + offset, never a corpus sort on
+    one task). Output: (doc_id, source, copy_idx, pos) — pos is a
+    permutation of 1..800.
+
+    Scale shape: two corpus-scan aggs (counts, ranks), all recipe
+    arithmetic on the domains-sized frame (broadcast), grouped_rank /
+    global_rank for the two orderings; the apportionment window rides
+    the ~20-row domains frame (the x9 documented-safe case)."""
+    from pyspark.sql import Window
+
+    from ..operators.relational import global_rank, grouped_rank
+
+    B = 800
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    damped = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n")) * F.lit(1e6)).cast("bigint")
+    ).localCheckpoint(eager=False)  # consumers: totals + quota join
+    totals = damped.agg(F.sum("_w").alias("_wtot"))
+    based = (
+        damped.crossJoin(F.broadcast(totals))
+        .withColumn("_base", F.expr(f"cast({B} as bigint) * _w div _wtot"))
+        .withColumn("_rem", F.expr(f"cast({B} as bigint) * _w % _wtot"))
+    )
+    slack = based.agg((F.lit(B) - F.sum("_base")).alias("_r"))
+    w_h = Window.orderBy(F.col("_rem").desc(), F.col("source").asc())
+    quota = (
+        based.crossJoin(F.broadcast(slack))
+        .withColumn("_rk", F.row_number().over(w_h))
+        .select(
+            "source",
+            "_n",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_r"), 1).otherwise(0)
+            ).alias("_quota"),
+        )
+        .withColumn("_qbase", F.expr("_quota div _n"))
+        .withColumn("_qrem", F.col("_quota") % F.col("_n"))
+    )
+    ranked = grouped_rank(
+        docs.withColumn(
+            "_pri", (F.col("doc_id") * 2654435761) % 1048576
+        ),
+        ["source"],
+        [F.col("_pri"), F.col("doc_id")],
+        "_rnk",
+    )
+    copies = (
+        ranked.join(F.broadcast(quota), "source")
+        .withColumn(
+            "_copies",
+            F.col("_qbase")
+            + F.when(F.col("_rnk") <= F.col("_qrem"), 1).otherwise(0),
+        )
+        # filter BEFORE sequence: Spark's sequence(1, 0) would count
+        # DOWN ([1, 0]) while DuckDB generate_series(1, 0) is empty
+        .filter(F.col("_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("_copies"))
+            ).alias("copy_idx"),
+        )
+    )
+    ordered = global_rank(
+        copies.withColumn(
+            "_ppri",
+            (F.col("doc_id") * 2654435761 + F.col("copy_idx") * 99991)
+            % 1048576,
+        ),
+        [F.col("_ppri"), F.col("doc_id"), F.col("copy_idx")],
+        "pos",
+    )
+    return ordered.select("doc_id", "source", "copy_idx", "pos")
+
+
+def c15_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware token accounting per source — the curation report
+    that turns d1's keeper decision into budget numbers: for each
+    source, raw docs/tokens vs the docs/tokens SURVIVING global exact
+    dedup (keeper = min doc_id per identical text, counted in the
+    keeper's own source — cross-source dups charge the copy's source,
+    credit the keeper's). One md5-keyed hash agg for keepers (the d30
+    shuffle discipline: 8-byte-ish keys, never full text), one join
+    back, one per-source agg; whitespace tokens = the t1 contract."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ch = F.md5(F.col("text").cast("binary"))
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("bigint")
+    base = docs.select(
+        "doc_id", "source", ch.alias("_ch"), toks.alias("_t")
+    )
+    keepers = base.groupBy("_ch").agg(F.min("doc_id").alias("_keeper"))
+    joined = base.join(keepers, "_ch").withColumn(
+        "_is_keeper", F.col("doc_id") == F.col("_keeper")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("_is_keeper")).cast("bigint").alias("n_kept"),
+        F.sum("_t").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(F.col("_is_keeper"), F.col("_t")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+def st20_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fixed-width histogram
+    (streaming.windows.streaming_histogram): per-bin counts and
+    min/max of the x5 difficulty proxy (avg word length in
+    milli-units) folded as documents arrive — SUM/MIN/MAX monoids, so
+    the state is split-invariant and equals the batch group-by bit for
+    bit; bounds are fixed [0, 16000) x 32 bins (a stream cannot
+    pre-scan min/max — out-of-range clamps to the edge bins, the
+    operator's documented re-bin signal). The live tier under the q115
+    quantile sketch."""
+    from ..streaming.windows import streaming_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    diff = docs.select(
+        F.expr(
+            "cast(length(trim(text)) as bigint) * 1000"
+            " div cast(size(split(trim(text), '\\\\s+')) as bigint)"
+        ).alias("difficulty_milli")
+    )
+    return streaming_histogram(
+        spark, diff, "difficulty_milli", n_bins=32, lo=0, hi=16000
+    )

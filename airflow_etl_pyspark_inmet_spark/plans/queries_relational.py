@@ -2203,3 +2203,25 @@ def q114_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return event_transitions(ev)
+
+
+def q115_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch over lineitem extended
+    price (operators.relational.histogram_quantiles) — the NO-SORT
+    production percentile path: p50/p90/p99 located to 128-bin
+    resolution in one histogram agg (bounds from a 1-row min/max agg,
+    the x5 broadcast pattern), rank arithmetic and prefix sum all on
+    the 128-row aggregated frame. Values bridge through the house
+    DECIMAL(18,2) cast to exact cents (double->bigint casts TRUNCATE
+    in Spark but ROUND in DuckDB; the decimal bridge is exact in
+    both), every step integer `div` — hash-exact vs the DuckDB
+    replay. The offline twin of st20's streaming fold."""
+    from ..operators.relational import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+    )
+    return histogram_quantiles(
+        li, cents, n_bins=128, quantiles_ppm=[500000, 900000, 990000]
+    )

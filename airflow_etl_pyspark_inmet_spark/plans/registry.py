@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (273/273; this count is asserted
+Every registered query has a real oracle (279/279; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6563,6 +6563,187 @@ FROM ev e LEFT JOIN hits h ON e.eval_id = h.eval_id
 QUERIES["st19_stream_decontam_census"] = L.st19_stream_decontam_census
 
 
+# --- r15 additions --------------------------------------------------------------
+
+# x20 — the O(1) hash-threshold cap tier: the kept SET is a pure
+# function of (id, per-source count), so the oracle replays it exactly.
+ORACLES["x20_domain_cap_approx"] = """
+WITH cnt AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source)
+SELECT d.doc_id, d.source,
+       CAST((d.doc_id * 2654435761) % 1048576 AS BIGINT) AS priority
+FROM documents d JOIN cnt USING (source)
+WHERE (d.doc_id * 2654435761) % 1048576 * _n < 15 * 1048576
+"""
+QUERIES["x20_domain_cap_approx"] = L.x20_domain_cap_approx
+
+
+# s20 — embedding QC census: the planted fault mix and the d25 integer
+# grid replay exactly; norm stats are NULL-skipping in both engines.
+ORACLES["s20_embedding_qc"] = """
+WITH f AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 97 = 0 THEN NULL
+              WHEN vec_id % 97 = 1 THEN embedding[1:8]
+              WHEN vec_id % 97 = 2
+                THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              ELSE embedding END AS emb
+  FROM embeddings
+),
+stats AS (
+  SELECT vec_id,
+         sum(CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+             * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS nq
+  FROM (SELECT vec_id, unnest(emb) AS x
+        FROM f WHERE emb IS NOT NULL AND len(emb) = 64)
+  GROUP BY vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(*) FILTER (emb IS NULL) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER (emb IS NOT NULL AND len(emb) <> 64)
+            AS BIGINT) AS n_dim_mismatch,
+       CAST(count(*) FILTER (s.nq = 0) AS BIGINT) AS n_zero_norm,
+       CAST(min(s.nq) AS BIGINT) AS min_norm_q,
+       CAST(max(s.nq) AS BIGINT) AS max_norm_q,
+       CAST(sum(s.nq) AS BIGINT) AS sum_norm_q
+FROM f LEFT JOIN stats s USING (vec_id)
+GROUP BY label
+"""
+QUERIES["s20_embedding_qc"] = L.s20_embedding_qc
+
+
+# c14 — the full training recipe: every stage integer-exact (sqrt
+# damping is the x4 fixed-point contract; Hamilton the x9 idiom; the
+# mixture arithmetic is x1's; both orderings replay as ROW_NUMBER over
+# the same keys grouped_rank/global_rank produce).
+ORACLES["c14_training_recipe"] = """
+WITH cnt AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source),
+damp AS (
+  SELECT source, _n,
+         CAST(floor(sqrt(_n) * 1000000) AS BIGINT) AS _w
+  FROM cnt
+),
+tot AS (SELECT sum(_w) AS _wtot FROM damp),
+based AS (
+  SELECT source, _n, _w,
+         CAST(800 * _w // _wtot AS BIGINT) AS _base,
+         CAST(800 * _w % _wtot AS BIGINT) AS _rem
+  FROM damp CROSS JOIN tot
+),
+slack AS (SELECT 800 - sum(_base) AS _r FROM based),
+quota AS (
+  SELECT source, _n,
+         _base + CASE WHEN ROW_NUMBER()
+                        OVER (ORDER BY _rem DESC, source ASC) <= _r
+                      THEN 1 ELSE 0 END AS _quota
+  FROM based CROSS JOIN slack
+),
+q2 AS (
+  SELECT source, _n, _quota // _n AS _qbase, _quota % _n AS _qrem
+  FROM quota
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS _rnk
+  FROM documents
+),
+copies AS (
+  SELECT r.doc_id, r.source,
+         q._qbase + CASE WHEN r._rnk <= q._qrem THEN 1 ELSE 0 END
+           AS _copies
+  FROM ranked r JOIN q2 q USING (source)
+),
+expl AS (
+  SELECT doc_id, source,
+         CAST(unnest(generate_series(1, _copies)) AS BIGINT) AS copy_idx
+  FROM copies WHERE _copies >= 1
+)
+SELECT doc_id, source, copy_idx,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY (doc_id * 2654435761 + copy_idx * 99991) % 1048576,
+                  doc_id, copy_idx) AS BIGINT) AS pos
+FROM expl
+"""
+QUERIES["c14_training_recipe"] = L.c14_training_recipe
+
+
+# c15 — dedup-aware token accounting; md5(text) in DuckDB hashes the
+# same UTF-8 bytes Spark's md5(cast(text as binary)) does (the d30
+# precedent).
+ORACLES["c15_effective_tokens"] = """
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS _ch,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS _t
+  FROM documents
+),
+k AS (SELECT _ch, min(doc_id) AS _keeper FROM base GROUP BY _ch)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (doc_id = _keeper) AS BIGINT) AS n_kept,
+       CAST(sum(_t) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN doc_id = _keeper THEN _t ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM base JOIN k USING (_ch)
+GROUP BY source
+"""
+QUERIES["c15_effective_tokens"] = L.c15_effective_tokens
+
+
+# q115 — histogram quantile sketch; the DECIMAL(18,2) bridge makes the
+# cents exact in both engines (double->bigint casts truncate in Spark
+# but round in DuckDB), and every later step is integer //.
+ORACLES["q115_histogram_quantiles"] = """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS _v
+  FROM lineitem
+),
+b AS (SELECT min(_v) AS _lo, max(_v) + 1 AS _hi FROM v),
+h AS (
+  SELECT least(127, greatest(0, (_v - _lo) * 128 // (_hi - _lo))) AS bin,
+         count(*) AS n_rows
+  FROM v CROSS JOIN b GROUP BY 1
+),
+c AS (SELECT bin, sum(n_rows) OVER (ORDER BY bin) AS _cum FROM h),
+t AS (SELECT max(_cum) AS _n FROM c),
+q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm),
+r AS (
+  SELECT q_ppm, greatest(1, (_n * q_ppm + 999999) // 1000000) AS _rank
+  FROM q CROSS JOIN t
+),
+x AS (
+  SELECT r.q_ppm, min(c.bin) AS bin
+  FROM r JOIN c ON c._cum >= r._rank GROUP BY r.q_ppm
+)
+SELECT CAST(x.q_ppm AS BIGINT) AS q_ppm,
+       CAST(x.bin AS BIGINT) AS bin,
+       CAST(_lo + x.bin * (_hi - _lo) // 128 AS BIGINT) AS bin_lo,
+       CAST(_lo + (x.bin + 1) * (_hi - _lo) // 128 AS BIGINT) AS bin_hi,
+       CAST(c._cum AS BIGINT) AS n_le
+FROM x JOIN c USING (bin) CROSS JOIN b
+"""
+QUERIES["q115_histogram_quantiles"] = R.q115_histogram_quantiles
+
+
+# st20 — streaming histogram fold; SUM/MIN/MAX monoids, so the oracle
+# recomputes the whole state from the full table.
+ORACLES["st20_stream_histogram"] = """
+WITH d AS (
+  SELECT CAST(length(trim(text)) AS BIGINT) * 1000
+         // CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS _v
+  FROM documents
+)
+SELECT CAST(least(31, greatest(0, _v * 32 // 16000)) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(_v) AS BIGINT) AS min_value,
+       CAST(max(_v) AS BIGINT) AS max_value
+FROM d GROUP BY 1
+"""
+QUERIES["st20_stream_histogram"] = L.st20_stream_histogram
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6766,4 +6947,74 @@ _R14_WINDOW = [
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)
+}
+
+
+# --- r15 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 6 r15-new queries (never driver-checked) and the 3 queries
+# whose implementation was REWRITTEN this round onto grouped_rank (x1, x5,
+# x8 — oracle-identical, but the driver should re-certify the new plans;
+# t11 was also rewritten and rides the stale block below), then all 23
+# r9-stale entries (the r14 staleness floor + q70), then 18 of the 50
+# r10-stale in registration order. The 32 r10-stale that don't fit are
+# pre-verified locally for r16 (BASELINE.md "r15 staleness floor").
+_R15_WINDOW = [
+    # never driver-checked (6)
+    "x20_domain_cap_approx",
+    "s20_embedding_qc",
+    "c14_training_recipe",
+    "c15_effective_tokens",
+    "q115_histogram_quantiles",
+    "st20_stream_histogram",
+    # rewritten this round — re-certify the grouped_rank plans (3)
+    "x1_mixture_sample",
+    "x5_curriculum_order",
+    "x8_epoch_reshuffle",
+    # r9-stale (23; t11 is also a grouped_rank rewrite)
+    "q70_monthly_kpis_dbl",
+    "s1_cosine_topk",
+    "s2_lsh_topk",
+    "t10_repetition_stats",
+    "t11_stratified_sample",
+    "t14_strip_boilerplate",
+    "t15_vocab_top_terms",
+    "t16_oov_stats",
+    "t17_unigram_logprob",
+    "t18_intra_doc_dedup",
+    "t19_quality_classifier",
+    "t2_quality",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "t5_chunk_docs",
+    "t7_train_split",
+    "t8_tfidf_top_terms",
+    "t9_decontaminate",
+    "x4_temperature_weights",
+    "c3_dedup_funnel_lsh",
+    "d10_incremental_dedup",
+    "d11_image_dup_groups",
+    "d1_dedup_exact",
+    # r10-stale, registration order (18)
+    "m10_avi_frames",
+    "m11_mixed_modality",
+    "m12_image_ahash",
+    "m7_wav_stats",
+    "m8_wav_frames",
+    "m9_avi_stats",
+    "t20_bigram_condprob",
+    "s4_label_centroids",
+    "q73_tpch_q3",
+    "q74_tpch_q17",
+    "t21_token_lift",
+    "q75_tpch_q18",
+    "q76_table_diff",
+    "q77_mad_outliers",
+    "q72_sessionize_salted",
+    "s3_ivf_topk",
+    "q71_time_weighted_avg",
+    "m6_resize_png",
+]
+assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)
 }

@@ -1442,6 +1442,96 @@ def streaming_cell_manifest(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_histogram(
+    spark: SparkSession,
+    rows: DataFrame,
+    value_col: str,
+    n_bins: int,
+    lo: int,
+    hi: int,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of a fixed-width integer histogram — the
+    live tier of ``relational.integer_histogram`` (whose bins feed the
+    q115 quantile sketch): each micro-batch bins ONLY its own rows and
+    folds per-bin partials into the running state — n_rows = SUM,
+    min_value = MIN, max_value = MAX, all commutative monoids over a
+    key computed from one row at a time, so the finite-input state is
+    split-invariant and equals the one-shot batch group-by bit for bit
+    (the st16/st17/st18 fold contract; the oracle recomputes the whole
+    histogram in SQL).
+
+    Streaming honesty: bounds are FIXED parameters, not data-derived —
+    a stream cannot pre-scan min/max, so out-of-range arrivals clamp
+    into the edge bins (the integer_histogram clamp), keeping the
+    histogram total without re-binning history; a production monitor
+    re-bins offline when the edge bins outgrow the contract (the st18
+    re-train-signal pattern). State is O(n_bins) fixed-width rows;
+    per-epoch work is one map-only projection of the batch.
+
+    Returns (bin, n_rows, min_value, max_value).
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.relational import integer_histogram
+
+    src = rows.select(F.col(value_col).cast("bigint").alias("_v"))
+    tmp = tempfile.mkdtemp(prefix="st20_hist_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit(0).cast("bigint").alias("bin"),
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.lit(0).cast("bigint").alias("min_value"),
+                F.lit(0).cast("bigint").alias("max_value"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = integer_histogram(
+                batch_df, F.col("_v"), n_bins, lo, hi
+            )
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy("bin")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_histogram expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return state["mv"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_decontam_census(
     spark: SparkSession,
     train: DataFrame,

@@ -325,6 +325,13 @@ def main() -> None:
         "x19_semantic_decontam",
         "c13_bloom_fpr_sweep",
         "s19_routed_graph_ann",
+        # round-15 additions (st20 is a streaming fold — the st9
+        # convention; its batch twin q115 IS audited)
+        "x20_domain_cap_approx",
+        "s20_embedding_qc",
+        "c14_training_recipe",
+        "c15_effective_tokens",
+        "q115_histogram_quantiles",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:
@@ -364,6 +371,13 @@ def main() -> None:
             # (the d26 scalar pattern); its exact companion broadcasts
             # the bounded left-query side (the s1 pattern)
             "s18_knn_join",
+            # c14 cross-joins its 1-row weight-total and rounding-slack
+            # scalars (the x9 apportionment pattern); q115 joins its
+            # 3-row quantile frame to the <=128-row cumulative-bin
+            # frame on a non-equi crossing predicate — both frames
+            # aggregated and bounded, never the corpus
+            "c14_training_recipe",
+            "q115_histogram_quantiles",
         ):
             # s1/s5 broadcast 5 query vectors/LUTs by design (documented);
             # the rest are 1-row scalar frames cross-joined broadcast:

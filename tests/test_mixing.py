@@ -135,3 +135,31 @@ def test_temperature_weights_sqrt_damping(spark):
     # damping direction: head loses share, tail gains
     assert got["big"]["temp_share_e6"] < got["big"]["raw_share_e6"]
     assert got["tiny"]["temp_share_e6"] > got["tiny"]["raw_share_e6"]
+
+
+def test_domain_cap_approx_threshold_semantics(spark):
+    """The approximate cap keeps exactly the rows with
+    priority * n < cap * 2^20 — deterministic; strata at-or-under the
+    cap keep everything."""
+    from airflow_etl_pyspark_inmet_spark.operators.mixing import (
+        BUCKETS,
+        KNUTH,
+        domain_cap_approx,
+    )
+
+    df = _corpus(spark, per_source=50, n_sources=2)
+    cap = 10
+    out = domain_cap_approx(df, cap=cap)
+    rows = out.collect()
+    for r in rows:
+        assert ((r["doc_id"] * KNUTH) % BUCKETS) * 50 < cap * BUCKETS
+    # completeness: every qualifying row is present
+    expected = sum(
+        1
+        for r in df.collect()
+        if ((r["doc_id"] * KNUTH) % BUCKETS) * 50 < cap * BUCKETS
+    )
+    assert len(rows) == expected
+    # a stratum smaller than the cap keeps everything
+    small = _corpus(spark, per_source=5, n_sources=1)
+    assert domain_cap_approx(small, cap=10).count() == 5

@@ -5185,3 +5185,93 @@ def test_portable_sign_cells_rejects_wide_cells(spark):
         portable_sign_cells(df, n_planes=0)
     # the default path is unaffected
     assert portable_sign_cells(df, n_planes=8).count() == 1
+
+
+def test_integer_histogram_clamps_and_counts(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        integer_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5, 0, 1, 9, 10, 15, 99, 100, 250]], "v long"
+    )
+    out = {
+        r["bin"]: (r["n_rows"], r["min_value"], r["max_value"])
+        for r in integer_histogram(df, F.col("v"), 10, 0, 100).collect()
+    }
+    # width 10; -5 clamps into bin 0, 100/250 clamp into bin 9
+    assert out[0] == (4, -5, 9)
+    assert out[1] == (2, 10, 15)
+    assert out[9] == (3, 99, 250)
+    assert sum(n for n, *_ in out.values()) == 9
+
+
+def test_histogram_quantiles_matches_exact_ranks(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        histogram_quantiles,
+    )
+
+    # values 1..1000; with 1000 bins of width 1 the sketch is exact
+    df = spark.range(1, 1001).select(F.col("id").alias("v"))
+    out = {
+        r["q_ppm"]: (r["bin_lo"], r["bin_hi"], r["n_le"])
+        for r in histogram_quantiles(
+            df, F.col("v"), 1000, [500000, 990000, 1000000]
+        ).collect()
+    }
+    assert out[500000] == (500, 501, 500)   # p50 = 500
+    assert out[990000] == (990, 991, 990)   # p99 = 990
+    assert out[1000000] == (1000, 1001, 1000)  # max lands in top bin
+
+
+def test_embedding_qc_counters(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        embedding_qc,
+    )
+
+    rows = [
+        (1, 0, [1.0, 2.0]),
+        (2, 0, None),          # null
+        (3, 0, [1.0]),         # dim mismatch
+        (4, 0, [0.0, 0.0]),    # zero norm
+        (5, 1, [0.5, -0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r["label"]: r.asDict()
+        for r in embedding_qc(df, dim_expected=2).collect()
+    }
+    l0 = out[0]
+    assert (l0["n_vecs"], l0["n_null"], l0["n_dim_mismatch"],
+            l0["n_zero_norm"]) == (4, 1, 1, 1)
+    # norms on the d25 grid: [1,2] -> 1e6+4e6 = 5_000_000
+    assert l0["max_norm_q"] == 5_000_000 and l0["min_norm_q"] == 0
+    l1 = out[1]
+    # floor(0.5*1000)^2 + floor(-0.5*1000)^2 = 500^2 + (-500)^2
+    assert l1["sum_norm_q"] == 500_000
+
+
+def test_streaming_histogram_equals_batch(spark):
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        integer_histogram,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_histogram,
+    )
+
+    df = spark.range(200).select((F.col("id") * 7 % 160).alias("v"))
+    want = sorted(
+        map(tuple, integer_histogram(df, F.col("v"), 16, 0, 160).collect())
+    )
+    for n_files in (2, 5):
+        got = sorted(
+            map(
+                tuple,
+                streaming_histogram(
+                    spark, df, "v", 16, 0, 160, n_files=n_files
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_files={n_files}"
