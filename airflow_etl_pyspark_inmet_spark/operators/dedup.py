@@ -2516,7 +2516,7 @@ def bloom_gated_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits_per_doc: int = 8,
-    k: int = 3,
+    k: int | None = None,
     bloom: DataFrame | None = None,
     keepers: DataFrame | None = None,
     m: int | None = None,
@@ -2566,20 +2566,24 @@ def bloom_gated_dedup(
     ``bloom_positive AND NOT is_dup``; both engines compute the SAME
     false positives because the positions are engine-portable.
     """
-    if bloom is not None and m is None:
-        # ADVICE r15 (medium): deriving m from the CURRENT corpus under a
-        # prebuilt filter silently mis-mods every probe position once the
-        # standing corpus has grown since the filter was built — the
-        # exact deployment scenario the build/serve split targets — and
-        # mis-modded probes produce FALSE NEGATIVES, violating the
-        # documented no-false-negatives guarantee. Persist m (and k)
-        # alongside the filter artifact and pass them together.
+    if bloom is not None and (m is None or k is None):
+        # ADVICE r15 (medium) + the r15 self-review extension: deriving
+        # m from the CURRENT corpus under a prebuilt filter silently
+        # mis-mods every probe position once the standing corpus has
+        # grown since the filter was built — and serving with a k
+        # different from build-time probes positions that were never
+        # set. Both failure modes produce FALSE NEGATIVES, violating
+        # the documented no-false-negatives guarantee. Persist m AND k
+        # alongside the filter artifact and pass all three together.
         raise ValueError(
             "bloom_gated_dedup: a prebuilt `bloom` requires its "
-            "build-time `m` — pass the m the filter was built with "
-            "(persist it with the artifact); recomputing m from the "
-            "current corpus would silently produce false negatives"
+            "build-time `m` and `k` — pass the values the filter was "
+            "built with (persist them with the artifact); deriving "
+            "either from defaults or the current corpus would "
+            "silently produce false negatives"
         )
+    if k is None:
+        k = 3  # the documented default (FPR ~3% at 8 bits/doc)
     if m is None:
         n = corpus.count()
         m = max(64, bits_per_doc * n)

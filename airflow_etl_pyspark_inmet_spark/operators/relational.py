@@ -574,20 +574,31 @@ def grouped_rank(
     frame (include a unique tiebreak); rows equal on all sort keys may
     straddle a range boundary and rank nondeterministically. The 2^33
     rows-per-partition bound of ``monotonically_increasing_id`` is
-    guarded in-plan: ``assert_true`` on the (tiny) offsets frame fails
-    the job instead of silently corrupting ranks.
+    guarded in-plan, and the guard is EXACT: each row captures
+    ``spark_partition_id()`` in the same task that assigns its id, and
+    any row whose id-extracted partition bits disagree (the local
+    offset has bled past 2^33 into them — the masked local field alone
+    can NEVER exceed the bound, so checking it would be a tautology;
+    the r15 self-review caught exactly that) trips an ``assert_true``
+    on the tiny offsets frame, failing the job instead of silently
+    corrupting ranks.
     """
     gcols = [F.col(c) for c in group_cols]
     sorted_df = df.repartitionByRange(
         *gcols, *order_exprs
     ).sortWithinPartitions(*gcols, *order_exprs)
-    with_id = sorted_df.withColumn(
-        "_mid", F.monotonically_increasing_id()
+    with_id = sorted_df.select(
+        "*",
+        F.monotonically_increasing_id().alias("_mid"),
+        F.spark_partition_id().alias("_spid"),
     ).localCheckpoint(eager=False)
     pid = F.shiftright(F.col("_mid"), 33)
     local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = with_id.groupBy(pid.alias("_opid"), *group_cols).agg(
-        F.count(F.lit(1)).alias("_n"), F.min(local).alias("_start")
+        F.count(F.lit(1)).alias("_n"),
+        F.min(local).alias("_start"),
+        F.count_if(F.shiftright(F.col("_mid"), 33) != F.col("_spid"))
+        .alias("_bleed"),
     )
     w_prefix = (
         Window.partitionBy(*group_cols)
@@ -602,15 +613,17 @@ def grouped_rank(
             - F.col("_start"),
         )
         .withColumn("_gtot", F.sum("_n").over(w_total))
-        # 2^33 guard: the largest (start + n) in a partition is its row
-        # count; assert_true raises at runtime instead of letting the
-        # local-offset field bleed into the partition bits. NULL-safe:
+        # 2^33 guard: any bled row (id partition bits != the task's
+        # real partition id) means a range partition overflowed
+        # monotonically_increasing_id's local field; assert_true raises
+        # at runtime instead of emitting corrupted ranks. NULL-safe:
         # success returns NULL, so isNull() keeps every row.
         .filter(
             F.assert_true(
-                F.col("_start") + F.col("_n") <= F.lit(1 << 33),
+                F.col("_bleed") == 0,
                 F.lit(
-                    "grouped_rank: a range partition holds >= 2^33 rows;"
+                    "grouped_rank: a range partition holds > 2^33 rows"
+                    " (monotonically_increasing_id local-offset bleed);"
                     " raise spark.sql.shuffle.partitions before ranking"
                 ),
             ).isNull()
@@ -629,7 +642,8 @@ def grouped_rank(
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_gtot").cast("bigint"))
     return out.drop(
-        "_mid", "_pid", "_opid", "_n", "_start", "_adj", "_gtot",
+        "_mid", "_spid", "_pid", "_opid", "_n", "_start", "_bleed",
+        "_adj", "_gtot",
         *[f"_g{i}" for i in range(len(group_cols))],
     )
 
@@ -661,27 +675,42 @@ def integer_histogram(
     BIGINT arithmetic (integer ``div``, engine-portable), one
     map-side-combined hash agg, output bounded by ``n_bins`` rows.
     Values outside the range clamp into the edge bins, so the
-    histogram is total (every row counted). The mergeable building
-    block under :func:`histogram_quantiles` and the st20 streaming
-    fold (per-bin counts are a SUM monoid).
+    histogram is total over NON-NULL values; NULLs are EXCLUDED (a
+    NULL would otherwise slip through Spark's NULL-skipping
+    ``greatest`` into bin 0 as a phantom minimum — r15 self-review).
+    The mergeable building block under :func:`histogram_quantiles`
+    and the st20 streaming fold (per-bin counts are a SUM monoid).
 
-    Returns (bin, n_rows, min_value, max_value).
+    Overflow-safe by construction: values clamp into ``[lo, hi)``
+    BEFORE the bin multiply (clamp-then-bin and bin-then-clamp agree
+    on every input, but the former bounds the product), and the
+    remaining ``(hi - lo) * n_bins`` magnitude is pre-checked on the
+    driver — a wrapped product would misbin silently.
+
+    Returns (bin, n_rows, min_value, max_value) — min/max over the
+    RAW (pre-clamp) values in each bin, so edge-bin outliers stay
+    visible.
     """
     if hi <= lo:
         raise ValueError(f"integer_histogram: need hi > lo, got [{lo}, {hi})")
+    if (hi - lo) * n_bins >= 2**63:
+        raise ValueError(
+            f"integer_histogram: (hi - lo) * n_bins = "
+            f"{(hi - lo) * n_bins} would overflow int64; use fewer "
+            "bins or a narrower range"
+        )
     v = value_expr.cast("bigint")
     # integer `div`, never float division: double rounding would misbin
     # values past 2^53 and drift from the DuckDB `//` replay
-    bin_ = F.least(
-        F.lit(n_bins - 1).cast("bigint"),
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.expr(f"(_v - {lo}) * {n_bins} div {hi - lo}"),
-        ),
+    clamped = F.least(
+        F.lit(hi - 1).cast("bigint"),
+        F.greatest(F.lit(lo).cast("bigint"), F.col("_v")),
     )
     return (
         df.select(v.alias("_v"))
-        .withColumn("bin", bin_)
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_c", clamped)
+        .withColumn("bin", F.expr(f"(_c - {lo}) * {n_bins} div {hi - lo}"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -722,12 +751,26 @@ def histogram_quantiles(
     rows through the bin.
     """
     spark = df.sparkSession
+    bad = [q for q in quantiles_ppm if not 0 <= int(q) <= 1_000_000]
+    if bad or not quantiles_ppm:
+        # an out-of-range q would cross no bin and silently VANISH
+        # from the output (r15 self-review) — reject it up front
+        raise ValueError(
+            f"histogram_quantiles: quantiles_ppm must be non-empty and "
+            f"within [0, 1000000], got {bad or quantiles_ppm}"
+        )
     v = value_expr.cast("bigint")
     if lo is None or hi is None:
         b = df.agg(
             F.min(v).cast("bigint").alias("_lo"),
             (F.max(v) + 1).cast("bigint").alias("_hi"),
         ).collect()[0]
+        if b["_lo"] is None or b["_hi"] is None:
+            raise ValueError(
+                "histogram_quantiles: cannot derive bounds from an "
+                "empty (or all-NULL) frame; pass lo/hi explicitly or "
+                "feed at least one non-NULL value"
+            )
         lo = int(b["_lo"]) if lo is None else lo
         hi = int(b["_hi"]) if hi is None else hi
     hist = integer_histogram(df, value_expr, n_bins, lo, hi)

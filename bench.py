@@ -253,7 +253,7 @@ def main() -> None:
             bloom, keepers, m = art
             batch = docs.filter(F_.col("doc_id") % 10 == 0)
             return bloom_gated_dedup(
-                docs, batch, bloom=bloom, keepers=keepers, m=m
+                docs, batch, bloom=bloom, keepers=keepers, m=m, k=3
             )
 
         def _op_silhouette_sqrtn(spark_, sf_dir_):

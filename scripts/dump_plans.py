@@ -73,21 +73,32 @@ def lowcard_window_flags(
             stack.append(ch.apply(i))
         if node.getClass().getSimpleName() != "Window":
             continue
+        # WindowGroupLimit guard: InsertWindowGroupLimit places the
+        # pre-keep in THIS window's direct lineal chain (through at
+        # most Sort/Project/Filter). Descend ONLY that chain — a free
+        # subtree scan would credit a group limit belonging to some
+        # UNRELATED window below a join and mask a real scale-killer
+        # (r15 self-review finding).
         guarded = False
-        sub = [node.children().apply(0)]
-        while sub:
-            n2 = sub.pop()
-            if n2.getClass().getSimpleName() == "WindowGroupLimit":
+        n2 = node.children().apply(0)
+        while True:
+            cls2 = n2.getClass().getSimpleName()
+            if cls2 == "WindowGroupLimit":
                 guarded = True
                 break
-            c2 = n2.children()
-            for i in range(c2.size()):
-                sub.append(c2.apply(i))
+            if cls2 not in ("Sort", "Project", "Filter") or (
+                n2.children().size() != 1
+            ):
+                break
+            n2 = n2.children().apply(0)
         if guarded:
             continue
         ps = node.partitionSpec()
         exprs = [ps.apply(i).sql() for i in range(ps.size())]
-        key = tuple(exprs)
+        # dedupe on (partition exprs, INPUT subtree): two windows with
+        # the same spec over different frames (one tiny aggregate, one
+        # corpus-scale) must both be evaluated
+        key = (tuple(exprs), node.children().apply(0).hashCode())
         if key in seen:
             continue
         seen.add(key)

@@ -5110,12 +5110,18 @@ def test_bloom_gated_dedup_prebuilt_filter_requires_m(spark):
     )
     batch = spark.createDataFrame([(100, "alpha")], "doc_id long, text string")
     bloom = bloom_position_set(corpus, "text", m=64, k=3)
-    with pytest.raises(ValueError, match="build-time `m`"):
+    with pytest.raises(ValueError, match="build-time `m` and `k`"):
         bloom_gated_dedup(corpus, batch, bloom=bloom)
-    # the valid prebuilt path (bloom + its m) still works end to end
+    # ...and a build-time k is required for the same reason (self-review
+    # extension: serving with a different k probes never-set positions)
+    with pytest.raises(ValueError, match="build-time `m` and `k`"):
+        bloom_gated_dedup(corpus, batch, bloom=bloom, m=64)
+    # the valid prebuilt path (bloom + its m + its k) works end to end
     out = {
         r["doc_id"]: r["is_dup"]
-        for r in bloom_gated_dedup(corpus, batch, bloom=bloom, m=64).collect()
+        for r in bloom_gated_dedup(
+            corpus, batch, bloom=bloom, m=64, k=3
+        ).collect()
     }
     assert out == {100: True}
 
@@ -5275,3 +5281,50 @@ def test_streaming_histogram_equals_batch(spark):
             )
         )
         assert got == want, f"n_files={n_files}"
+
+
+def test_integer_histogram_excludes_nulls_and_guards_overflow(spark):
+    """r15 self-review: NULLs must not slip through Spark's
+    NULL-skipping greatest() into bin 0, and a bin multiply that would
+    wrap int64 must be rejected up front."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        integer_histogram,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (5,)], "v long")
+    out = {
+        r["bin"]: r["n_rows"]
+        for r in integer_histogram(df, F.col("v"), 10, 0, 100).collect()
+    }
+    assert out == {0: 2}  # the NULL row is excluded, not a phantom zero
+    with pytest.raises(ValueError, match="overflow"):
+        integer_histogram(df, F.col("v"), 1 << 40, 0, 1 << 40)
+    # out-of-range values clamp FIRST, so the product never wraps even
+    # with huge outliers
+    wide = spark.createDataFrame([(1 << 60,), (5,)], "v long")
+    got = {
+        r["bin"]: r["max_value"]
+        for r in integer_histogram(wide, F.col("v"), 10, 0, 100).collect()
+    }
+    assert got == {0: 5, 9: 1 << 60}  # raw outlier visible in edge bin
+
+
+def test_histogram_quantiles_contract_errors(spark):
+    """r15 self-review: empty frames with derived bounds and
+    out-of-range quantiles must raise, not crash or silently drop."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        histogram_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError, match="empty"):
+        histogram_quantiles(empty, F.col("v"), 10, [500000])
+    df = spark.range(1, 11).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="quantiles_ppm"):
+        histogram_quantiles(df, F.col("v"), 10, [500000, 1500000])
+    with pytest.raises(ValueError, match="quantiles_ppm"):
+        histogram_quantiles(df, F.col("v"), 10, [])
