@@ -648,6 +648,91 @@ def grouped_rank(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    weight_col: str,
+    out_col: str = "_rsum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Per-group RUNNING SUM (inclusive prefix sum of ``weight_col`` in
+    ``order_exprs`` order within each group) WITHOUT the
+    single-task-per-group sort of ``Window.partitionBy(group)`` — the
+    prefix-sum sibling of :func:`grouped_rank`, for the weighted-median
+    / cumulative-distribution shape where the group count is a small
+    semantic constant (the r15 LOWCARD-WINDOW audit caught exactly this
+    in q109: 3 return flags x ~200k distinct prices PER TASK).
+
+    Distributed plan:
+
+    1. ``repartitionByRange(group ++ order)`` + ``sortWithinPartitions``
+       — every group spans many consecutive range partitions;
+    2. ``spark_partition_id()`` captured under a lazy localCheckpoint
+       (two consumers);
+    3. per-(partition, group) weight totals — ONE tiny hash agg,
+       O(P + G) rows by range contiguity — prefix-summed per group over
+       that frame (the documented-safe tiny-frame window) to give each
+       run its group offset in earlier partitions;
+    4. the within-run running sum is a window partitioned by
+       (partition id, group) — P x G window partitions, each a
+       task-sized range slice, so parallelism GROWS with the cluster
+       instead of being pinned at |groups| (this costs one hash
+       exchange on (pid, group); the trade is 2 exchanges at P x G
+       parallelism vs 1 exchange at G tasks);
+    5. running sum = group offset + within-run prefix sum, attached by
+       broadcast join on (partition id, group).
+
+    ``total_col``: optionally attach the per-group grand total (free —
+    the unbounded sum over the same tiny counts frame).
+
+    Requirement: ``group_cols ++ order_exprs`` must totally order the
+    frame; ties straddling a range boundary would split their prefix
+    nondeterministically.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    sorted_df = df.repartitionByRange(
+        *gcols, *order_exprs
+    ).sortWithinPartitions(*gcols, *order_exprs)
+    with_pid = sorted_df.withColumn(
+        "_spid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    counts = with_pid.groupBy("_spid", *group_cols).agg(
+        F.sum(weight_col).alias("_wn")
+    )
+    w_prefix = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_spid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_total = Window.partitionBy(*group_cols)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_wn").over(w_prefix), F.lit(0))
+    ).withColumn("_gtot", F.sum("_wn").over(w_total))
+    offsets = offsets.withColumnRenamed("_spid", "_ospid")
+    for i, c in enumerate(group_cols):
+        offsets = offsets.withColumnRenamed(c, f"_g{i}")
+    w_local = (
+        Window.partitionBy("_spid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cond = F.col("_spid") == F.col("_ospid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g{i}"))
+    out = (
+        with_pid.withColumn("_loc", F.sum(weight_col).over(w_local))
+        .join(F.broadcast(offsets), cond)
+        .withColumn(out_col, F.col("_off") + F.col("_loc"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_gtot"))
+    return out.drop(
+        "_spid", "_ospid", "_wn", "_off", "_gtot", "_loc",
+        *[f"_g{i}" for i in range(len(group_cols))],
+    )
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """SCD1 upsert (the batch MERGE INTO): update rows replace base rows on
     the key; unmatched base rows pass through; unmatched update rows insert.

@@ -2007,10 +2007,13 @@ def q109_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so it cross-engine matches bit for bit.
 
     Scale shape: one hash-agg collapses the corpus to DISTINCT
-    (group, value) rows with summed weights BEFORE any window — the
-    windows (running weight + group total) then run over the
-    aggregated frame, bounded by value cardinality per group, not row
-    count (the q79/q80 aggregate-then-window contract). No global
+    (group, value) rows with summed weights BEFORE any prefix sum —
+    but near-continuous values (prices) keep ~corpus cardinality, so
+    the cumulative weight comes from relational.grouped_running_sum
+    (range partition + per-(partition, group) offsets, P x G-way
+    parallel) rather than Window.partitionBy(l_returnflag), whose 3
+    partitions each sorted ~200k rows on ONE task — the r15
+    LOWCARD-WINDOW audit's catch beyond the mixing family. No global
     sort, no driver-side state."""
     li = _t(spark, sf_dir, "lineitem")
     v = li.select(
@@ -2021,17 +2024,15 @@ def q109_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(l_quantity as bigint)").alias("w"),
     )
     agg = v.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("wv"))
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wtot = Window.partitionBy("l_returnflag")
-    c = agg.select(
-        "l_returnflag",
-        "cents",
-        F.sum("wv").over(wcum).alias("_cum"),
-        F.sum("wv").over(wtot).alias("_tot"),
+    from ..operators.relational import grouped_running_sum
+
+    c = grouped_running_sum(
+        agg,
+        ["l_returnflag"],
+        [F.col("cents")],
+        "wv",
+        "_cum",
+        total_col="_tot",
     )
     return (
         c.filter(F.col("_cum") * 2 >= F.col("_tot"))

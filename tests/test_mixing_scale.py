@@ -173,3 +173,38 @@ def test_grouped_rank_guard_trips_before_corruption(spark):
     # `if (c) true else isnull(raise_error(...))` — the raise survives
     plan = ranked._jdf.queryExecution().optimizedPlan().toString()
     assert "raise_error" in plan
+
+
+def test_grouped_running_sum_matches_window_form(spark):
+    """The prefix-sum sibling of grouped_rank: bit-identical to the
+    Window.partitionBy(group) running sum it replaces (the q109
+    weighted-median shape, caught by the r15 LOWCARD-WINDOW audit)."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        grouped_running_sum,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 37 % 211).alias("v"),
+        (F.col("id") % 7 + 1).alias("w"),
+    ).groupBy("grp", "v").agg(F.sum("w").alias("wv"))
+    win = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.withColumn("cum", F.sum("wv").over(win)).withColumn(
+        "tot", F.sum("wv").over(Window.partitionBy("grp"))
+    )
+    got = grouped_running_sum(
+        df, ["grp"], [F.col("v")], "wv", "cum", total_col="tot"
+    )
+    assert ref.exceptAll(got).count() == 0
+    assert got.exceptAll(ref).count() == 0
+    # empty input
+    assert (
+        grouped_running_sum(
+            df.filter("v < 0"), ["grp"], [F.col("v")], "wv", "cum"
+        ).count()
+        == 0
+    )
