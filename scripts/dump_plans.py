@@ -452,6 +452,15 @@ def main() -> None:
         "- Row-level Python (`BatchEvalPython`) is absent from every hot",
         "  path; the only Python is Arrow-batched (pandas UDF / mapInPandas)",
         "  in the similarity bucketing and multimodal decode stubs.",
+        "- Since r15 every audited query also runs the LOW-CARDINALITY",
+        "  window detector (lowcard_window_flags): any Window partitioned",
+        "  on a tiny statically-small domain with corpus-scale partitions",
+        "  and no WindowGroupLimit pre-keep flags as LOWCARD-WINDOW — the",
+        "  single-task-sort class the r14 verdict named (it caught x8/x5/",
+        "  t11 pre-fix and q109 in production). Windows on the reserved",
+        "  `_spid` partition-id column (the grouped_running_sum range-",
+        "  slice idiom) are self-scaling and skipped; q101's day-spine",
+        "  running sum is allowlisted (bounded by time span, not corpus).",
         "- `s10_hybrid_rrf`'s 12 scans / 21 exchanges are the straight sum",
         "  of its two already-audited rankers (s1: 4 scans, t26: 8) plus",
         "  the fusion join — each ranker feeds exactly one consumer, so",
