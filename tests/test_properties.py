@@ -796,3 +796,60 @@ def test_bm25_matches_python_replay_property(spark, data):
         if hit:
             exp[i] = (s, hit)
     assert got == dict(sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # id
+            st.integers(min_value=0, max_value=4),       # group
+            st.integers(min_value=1, max_value=9),       # weight
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_grouped_rank_and_running_sum_match_window_forms(spark, rows):
+    """For ANY frame with unique ids, grouped_rank == row_number over
+    the per-group window and grouped_running_sum == the per-group
+    inclusive prefix sum — the bit-identity contract of the r15
+    single-task-window rewrites, on generated data rather than the
+    fixed corpora."""
+    from pyspark.sql import Window
+
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        grouped_rank,
+        grouped_running_sum,
+    )
+
+    df = spark.createDataFrame(rows, "id long, grp int, w long")
+    wr = Window.partitionBy("grp").orderBy(
+        (F.col("id") * 2654435761) % 1048576, F.col("id")
+    )
+    ref_rank = df.withColumn(
+        "_pri", (F.col("id") * 2654435761) % 1048576
+    ).withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+    got_rank = grouped_rank(
+        df.withColumn("_pri", (F.col("id") * 2654435761) % 1048576),
+        ["grp"],
+        [F.col("_pri"), F.col("id")],
+        "rnk",
+    )
+    assert ref_rank.exceptAll(got_rank).count() == 0
+    assert got_rank.exceptAll(ref_rank).count() == 0
+
+    ws = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref_sum = df.withColumn("cum", F.sum("w").over(ws)).withColumn(
+        "tot", F.sum("w").over(Window.partitionBy("grp"))
+    )
+    got_sum = grouped_running_sum(
+        df, ["grp"], [F.col("id")], "w", "cum", total_col="tot"
+    )
+    assert ref_sum.exceptAll(got_sum).count() == 0
+    assert got_sum.exceptAll(ref_sum).count() == 0
