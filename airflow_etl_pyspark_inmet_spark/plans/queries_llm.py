@@ -3780,3 +3780,19 @@ def st20_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_histogram(
         spark, diff, "difficulty_milli", n_bins=32, lo=0, hi=16000
     )
+
+
+def st21_stream_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-savings dashboard
+    (streaming.windows.streaming_effective_tokens): c15's dedup-aware
+    per-source token accounting maintained live — per-source raw
+    counters (SUM monoids) plus a per-content keeper state (argmin
+    over doc id as MIN(struct(id, source)) — commutative, so a later
+    micro-batch carrying an earlier id correctly steals keeper
+    status), report derived at read time with zero-keeper sources
+    preserved. State O(sources + distinct contents); equals the batch
+    c15 report bit for bit, which is the oracle."""
+    from ..streaming.windows import streaming_effective_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return streaming_effective_tokens(spark, docs)

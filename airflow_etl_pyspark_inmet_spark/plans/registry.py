@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (279/279; this count is asserted
+Every registered query has a real oracle (280/280; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6744,6 +6744,12 @@ FROM d GROUP BY 1
 QUERIES["st20_stream_histogram"] = L.st20_stream_histogram
 
 
+# st21 — streaming effective-token accounting; the batch c15 report IS
+# the oracle (the stream's two monoid states refold to it exactly).
+ORACLES["st21_stream_effective_tokens"] = ORACLES["c15_effective_tokens"]
+QUERIES["st21_stream_effective_tokens"] = L.st21_stream_effective_tokens
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6951,17 +6957,18 @@ QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
 
 
 # --- r15 driver-window rotation (keep this block at the END of the file) ---
-# Front: the 6 r15-new queries (never driver-checked) and the 3 queries
+# Front: the 7 r15-new queries (never driver-checked) and the 3 queries
 # whose implementation was REWRITTEN this round onto grouped_rank (x1, x5,
 # x8 — oracle-identical, but the driver should re-certify the new plans;
 # t11 was also rewritten and rides the stale block below), then all 23
-# r9-stale entries (the r14 staleness floor + q70), then 18 of the 50
-# r10-stale in registration order. The 32 r10-stale that don't fit are
+# r9-stale entries (the r14 staleness floor + q70), then 17 of the 50
+# r10-stale in registration order. The 33 r10-stale that don't fit are
 # pre-verified locally for r16 (BASELINE.md "r15 staleness floor").
 _R15_WINDOW = [
-    # never driver-checked (6)
+    # never driver-checked (7)
     "x20_domain_cap_approx",
     "s20_embedding_qc",
+    "st21_stream_effective_tokens",
     "c14_training_recipe",
     "c15_effective_tokens",
     "q115_histogram_quantiles",
@@ -6994,7 +7001,7 @@ _R15_WINDOW = [
     "d10_incremental_dedup",
     "d11_image_dup_groups",
     "d1_dedup_exact",
-    # r10-stale, registration order (18)
+    # r10-stale, registration order (17)
     "m10_avi_frames",
     "m11_mixed_modality",
     "m12_image_ahash",
@@ -7012,7 +7019,6 @@ _R15_WINDOW = [
     "q72_sessionize_salted",
     "s3_ivf_topk",
     "q71_time_weighted_avg",
-    "m6_resize_png",
 ]
 assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {

@@ -1532,6 +1532,155 @@ def streaming_histogram(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_effective_tokens(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING dedup-savings dashboard — the live tier of c15's
+    dedup-aware token accounting: as documents arrive, maintain per
+    source the raw docs/tokens AND the docs/tokens that survive global
+    exact dedup (keeper = min doc_id per identical text, credited to
+    the keeper's own source), without ever re-scanning history.
+
+    Two monoid states, both folded per micro-batch:
+
+    1. per-source raw counters — (n_docs, raw_tokens), SUM monoids;
+    2. per-content-hash keeper state — argmin over doc id encoded as
+       ``MIN(struct(doc_id, source))`` (doc ids are unique, so the
+       struct order is total and the MIN commutative/split-invariant
+       — a later micro-batch carrying an EARLIER id correctly steals
+       keeper status), plus the group's token count (any one value:
+       identical text implies identical tokens).
+
+    The report derives at read time: kept docs/tokens per source =
+    count/sum of keeper groups whose keeper landed in that source,
+    LEFT-joined onto the raw counters so a source whose every doc lost
+    to another source still reports (n_kept = 0). State is
+    O(sources) + O(distinct contents) — the st16 bound; equals the
+    batch c15 report bit for bit (the oracle recomputes it whole).
+
+    Returns (source, n_docs, n_kept, raw_tokens, kept_tokens).
+    """
+    import shutil
+    import tempfile
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(source_col).alias("_src"),
+        F.md5(F.col(text_col).cast("binary")).alias("_ch"),
+        toks.alias("_t"),
+    )
+    tmp = tempfile.mkdtemp(prefix="st21_efftok_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        raw0 = (
+            spark.range(0)
+            .select(
+                F.lit("").alias("_src"),
+                F.lit(0).cast("bigint").alias("n_docs"),
+                F.lit(0).cast("bigint").alias("raw_tokens"),
+            )
+            .filter(F.lit(False))
+        )
+        keep0 = (
+            spark.range(0)
+            .select(
+                F.lit("").alias("_ch"),
+                F.struct(
+                    F.lit(0).cast("bigint").alias("_id"),
+                    F.lit("").alias("_src"),
+                ).alias("_keeper"),
+                F.lit(0).cast("bigint").alias("_tok"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {
+            "raw": raw0.localCheckpoint(eager=True),
+            "keep": keep0.localCheckpoint(eager=True),
+            "epochs": 0,
+        }
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            raw_p = batch_df.groupBy("_src").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("_t").cast("bigint").alias("raw_tokens"),
+            )
+            keep_p = batch_df.groupBy("_ch").agg(
+                F.min(F.struct("_id", "_src")).alias("_keeper"),
+                F.any_value("_t").cast("bigint").alias("_tok"),
+            )
+            state["raw"] = (
+                state["raw"]
+                .unionByName(raw_p)
+                .groupBy("_src")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("raw_tokens").cast("bigint").alias("raw_tokens"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            state["keep"] = (
+                state["keep"]
+                .unionByName(keep_p)
+                .groupBy("_ch")
+                .agg(
+                    F.min("_keeper").alias("_keeper"),
+                    F.any_value("_tok").alias("_tok"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_effective_tokens expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        kept = (
+            state["keep"]
+            .groupBy(F.col("_keeper._src").alias("_src"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.sum("_tok").cast("bigint").alias("kept_tokens"),
+            )
+        )
+        return (
+            state["raw"]
+            .join(kept, "_src", "left")
+            .select(
+                F.col("_src").alias(source_col),
+                "n_docs",
+                F.coalesce("n_kept", F.lit(0)).cast("bigint").alias(
+                    "n_kept"
+                ),
+                "raw_tokens",
+                F.coalesce("kept_tokens", F.lit(0))
+                .cast("bigint")
+                .alias("kept_tokens"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_decontam_census(
     spark: SparkSession,
     train: DataFrame,

@@ -5328,3 +5328,59 @@ def test_histogram_quantiles_contract_errors(spark):
         histogram_quantiles(df, F.col("v"), 10, [500000, 1500000])
     with pytest.raises(ValueError, match="quantiles_ppm"):
         histogram_quantiles(df, F.col("v"), 10, [])
+
+
+def test_streaming_effective_tokens_equals_batch_and_keeper_steal(spark):
+    """st21's two-monoid fold equals the batch c15 report bit for bit
+    across splits — including when a LATER micro-batch carries an
+    EARLIER doc id that steals keeper status across sources."""
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_effective_tokens,
+    )
+
+    rows = [
+        # the dup group's minimum id (8, srcC) sits in a DIFFERENT
+        # source and a different micro-batch than its dups — the MIN
+        # struct fold must steal keeper status across files/sources
+        (99, "srcA", "same text here"),
+        (50, "srcB", "same text here"),
+        (7, "srcA", "unique a"),
+        (8, "srcC", "same text here"),
+        (9, "srcC", "another unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ch = F.md5(F.col("text").cast("binary"))
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("bigint")
+    base = docs.select("doc_id", "source", ch.alias("_ch"), toks.alias("_t"))
+    keepers = base.groupBy("_ch").agg(F.min("doc_id").alias("_keeper"))
+    want = sorted(
+        map(
+            tuple,
+            base.join(keepers, "_ch")
+            .withColumn("_k", F.col("doc_id") == F.col("_keeper"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.count_if(F.col("_k")).cast("bigint").alias("n_kept"),
+                F.sum("_t").cast("bigint").alias("raw_tokens"),
+                F.sum(F.when(F.col("_k"), F.col("_t")).otherwise(0))
+                .cast("bigint")
+                .alias("kept_tokens"),
+            )
+            .collect(),
+        )
+    )
+    for n_files in (2, 5):
+        got = sorted(
+            map(
+                tuple,
+                streaming_effective_tokens(
+                    spark, docs, n_files=n_files
+                ).collect(),
+            )
+        )
+        assert got == want, f"n_files={n_files}"
+    # the cross-source keeper landed on the smallest id: srcC keeps
+    # the dup group (doc 8) plus its own unique doc; srcB keeps nothing
+    by_src = {t[0]: t for t in want}
+    assert by_src["srcC"][2] == 2 and by_src["srcB"][2] == 0
