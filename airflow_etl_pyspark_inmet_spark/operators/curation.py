@@ -377,3 +377,65 @@ def pareto_frontier_2d(
 
     pruned = slim.mapInPandas(local_kernel, schema)
     return pruned.repartition(1).mapInPandas(merge_kernel, schema)
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    band_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LENGTH-GROUPED batch assignment (the group-by-length dataloader
+    trick: batching similar-length sequences together cuts padding
+    waste, since a batch pads every member to its longest) — the
+    batch-manifest step between :func:`pack_sequences`-style packing
+    and plain padded batching.
+
+    Every doc lands in a length BAND (``tok_len div band_tokens``),
+    gets a deterministic Knuth-hash position within its band via
+    ``relational.grouped_rank`` (bands are few — the r15 single-task-
+    window lesson says never ``Window.partitionBy(band)``), and batch
+    ``batch_idx = (pos - 1) div batch_size`` of its band. The output
+    is the per-batch manifest with the padding economics: ``pad_tokens
+    = n_docs * max_tokens - sum_tokens`` (what padded batching wastes
+    after grouping — compare against one global batch to price the
+    trick). All integer, order-free aggregates, hash-exact.
+
+    Plan shape: one corpus scan for token counts, grouped_rank's range
+    partition (parallel across AND within bands), one hash agg to the
+    batch manifest — rows out = n_docs / batch_size.
+
+    Returns (band, batch_idx, n_docs, max_tokens, sum_tokens,
+    pad_tokens).
+    """
+    from .relational import grouped_rank
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_tok"),
+    ).withColumn("band", F.expr(f"_tok div {band_tokens}"))
+    pri = (F.col(id_col) * F.lit(2654435761)) % F.lit(1048576)
+    ranked = grouped_rank(
+        base.withColumn("_pri", pri),
+        ["band"],
+        [F.col("_pri"), F.col(id_col)],
+        "_pos",
+    )
+    return (
+        ranked.withColumn(
+            "batch_idx", F.expr(f"(_pos - 1) div {batch_size}")
+        )
+        .groupBy("band", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("_tok").alias("max_tokens"),
+            F.sum("_tok").cast("bigint").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+            .cast("bigint"),
+        )
+    )

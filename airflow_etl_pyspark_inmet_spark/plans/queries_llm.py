@@ -3796,3 +3796,17 @@ def st21_stream_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return streaming_effective_tokens(spark, docs)
+
+
+def x22_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch manifest
+    (operators.curation.length_grouped_batches): docs banded by
+    32-token length bands, deterministically shuffled within each band
+    (Knuth hash via grouped_rank — bands are few, so never a
+    partitioned window), cut into batches of 8, with per-batch padding
+    economics (pad_tokens = n*max - sum). The group-by-length
+    dataloader trick as an oracle-checked manifest."""
+    from ..operators.curation import length_grouped_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return length_grouped_batches(docs)

@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (280/280; this count is asserted
+Every registered query has a real oracle (281/281; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6750,6 +6750,31 @@ ORACLES["st21_stream_effective_tokens"] = ORACLES["c15_effective_tokens"]
 QUERIES["st21_stream_effective_tokens"] = L.st21_stream_effective_tokens
 
 
+# x22 — length-grouped batching; rank replay is ROW_NUMBER per band.
+ORACLES["x22_length_grouped_batches"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS _tok
+  FROM documents
+),
+banded AS (SELECT doc_id, _tok, _tok // 32 AS band FROM base),
+ranked AS (
+  SELECT doc_id, _tok, band,
+         ROW_NUMBER() OVER (PARTITION BY band
+             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS _pos
+  FROM banded
+)
+SELECT band, (_pos - 1) // 8 AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(_tok) AS BIGINT) AS max_tokens,
+       CAST(sum(_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * max(_tok) - sum(_tok) AS BIGINT) AS pad_tokens
+FROM ranked
+GROUP BY band, (_pos - 1) // 8
+"""
+QUERIES["x22_length_grouped_batches"] = L.x22_length_grouped_batches
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -6957,18 +6982,19 @@ QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
 
 
 # --- r15 driver-window rotation (keep this block at the END of the file) ---
-# Front: the 7 r15-new queries (never driver-checked) and the 3 queries
+# Front: the 8 r15-new queries (never driver-checked) and the 3 queries
 # whose implementation was REWRITTEN this round onto grouped_rank (x1, x5,
 # x8 — oracle-identical, but the driver should re-certify the new plans;
 # t11 was also rewritten and rides the stale block below), then all 23
-# r9-stale entries (the r14 staleness floor + q70), then 17 of the 50
-# r10-stale in registration order. The 33 r10-stale that don't fit are
+# r9-stale entries (the r14 staleness floor + q70), then 16 of the 50
+# r10-stale in registration order. The 34 r10-stale that don't fit are
 # pre-verified locally for r16 (BASELINE.md "r15 staleness floor").
 _R15_WINDOW = [
-    # never driver-checked (7)
+    # never driver-checked (8)
     "x20_domain_cap_approx",
     "s20_embedding_qc",
     "st21_stream_effective_tokens",
+    "x22_length_grouped_batches",
     "c14_training_recipe",
     "c15_effective_tokens",
     "q115_histogram_quantiles",
@@ -7001,7 +7027,7 @@ _R15_WINDOW = [
     "d10_incremental_dedup",
     "d11_image_dup_groups",
     "d1_dedup_exact",
-    # r10-stale, registration order (17)
+    # r10-stale, registration order (16)
     "m10_avi_frames",
     "m11_mixed_modality",
     "m12_image_ahash",
@@ -7018,7 +7044,6 @@ _R15_WINDOW = [
     "q77_mad_outliers",
     "q72_sessionize_salted",
     "s3_ivf_topk",
-    "q71_time_weighted_avg",
 ]
 assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {

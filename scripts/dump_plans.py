@@ -351,6 +351,7 @@ def main() -> None:
         "c14_training_recipe",
         "c15_effective_tokens",
         "q115_histogram_quantiles",
+        "x22_length_grouped_batches",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:

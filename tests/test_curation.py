@@ -276,3 +276,40 @@ def test_m13_multimodal_pack_token_conservation(spark, sf_small):
     last = max(bin_tot)
     for b, tot in bin_tot.items():
         assert tot == 256 or (b == last and tot <= 256)
+
+
+def test_length_grouped_batches_manifest(spark):
+    """Every band cuts into full batches of 8 plus at most one partial
+    tail; pad_tokens = n*max - sum >= 0; total docs conserved."""
+    from pyspark.sql import functions as F
+
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        length_grouped_batches,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        # token counts 1..40 -> bands 0 and 1
+        F.array_repeat(F.lit("w"), (F.col("id") % 40 + 1).cast("int"))
+        .cast("array<string>")
+        .alias("_arr"),
+    ).select("doc_id", F.array_join("_arr", " ").alias("text"))
+    out = length_grouped_batches(docs, batch_size=8, band_tokens=32)
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 100
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 8
+        assert r["pad_tokens"] == r["n_docs"] * r["max_tokens"] - r["sum_tokens"]
+        assert r["pad_tokens"] >= 0
+    # within each band, only the LAST batch may be partial
+    from collections import defaultdict
+
+    by_band = defaultdict(list)
+    for r in rows:
+        by_band[r["band"]].append((r["batch_idx"], r["n_docs"]))
+    for band, batches in by_band.items():
+        batches.sort()
+        for idx, (bi, n) in enumerate(batches):
+            assert bi == idx
+            if idx < len(batches) - 1:
+                assert n == 8, f"band {band} batch {bi} not full"
