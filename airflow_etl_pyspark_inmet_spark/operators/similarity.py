@@ -2592,6 +2592,110 @@ def graph_ann_topk(
     )
 
 
+def _power_iteration_direction(
+    df: DataFrame,
+    n_rounds: int,
+    scale: int,
+    dim: int,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The shared driver-side power-iteration trajectory on s7's exact
+    Gram (see :func:`power_iteration_projection` for the contract):
+    arbitrary-precision Python ints, pmod floor-division renorm each
+    round, deterministic all-ones start — the direction replays bit for
+    bit in DuckDB HUGEINT. Used by s14's projection and s21's
+    anisotropy profile so the two can never disagree."""
+    rows = embedding_second_moment(df, vec_col).collect()  # bounded d^2
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["dim_i"]][r["dim_j"]] = int(r["smoment_q"])
+        G[r["dim_j"]][r["dim_i"]] = int(r["smoment_q"])
+    v = [scale] * dim
+    for _ in range(n_rounds):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        # floor(x * scale / m) via the pmod identity — Python % is
+        # non-negative for m > 0, so this matches the oracle's
+        # (x - ((x % m + m) % m)) // m exactly, signs included
+        v = [((x * scale) - ((x * scale) % m)) // m for x in w]
+    return v
+
+
+def anisotropy_profile(
+    df: DataFrame,
+    n_rounds: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector ANISOTROPY profile — the measurement half of
+    'all-but-the-top' (Mu & Viswanath 2018) embedding post-processing:
+    how much of each vector's energy lies along the corpus's dominant
+    spectral direction. Isotropic corpora (the r14/r15 SCALING.md
+    finding about this testdata) show ~1e6/dim ppm per vector; a
+    corpus with a common-direction artifact (frequency bias, un-centered
+    encoder) shows a heavy top_dir_ppm tail, and subtracting the
+    direction is the standard fix before cosine retrieval.
+
+    Exactness: the direction u rides :func:`_power_iteration_direction`
+    (shared with s14 — the two surfaces can never disagree); per vector
+    the int64 dot ``dot_u = q . u`` and norm ``n2_q = q . q`` are exact,
+    and the energy fraction is one integer division,
+
+        top_dir_ppm = dot_u^2 * 1e6  div  (n2_q * |u|^2)
+
+    widened to decimal(38,0) (dot_u^2 * 1e6 reaches ~4e33 here — far
+    past int64, inside decimal38; the oracle replays in HUGEINT).
+    Vectors quantize at the TRAJECTORY's ``scale`` (1e6 — the s14
+    oracle's q grid), not the d25 milli grid: the profile and the
+    direction must live on one grid or the ppm drifts at the 4th
+    digit.
+    Zero-norm vectors report 0 (no direction, nothing to remove). The
+    residual-is-orthogonal identity ((q*|u|^2 - dot_u*u) . u == 0
+    exactly, in integers) is pinned by the unit test rather than
+    emitted.
+
+    Scale shape: one Gram pass (d^2-bounded shuffle) + one driver loop
+    on the 64x64 matrix + ONE map-only projection/profile scan — the
+    s14 cost envelope with a 3-column surface.
+
+    Returns (id_col, n2_q, dot_u, top_dir_ppm).
+    """
+    u = _power_iteration_direction(df, n_rounds, scale, dim, vec_col)
+    u2 = sum(x * x for x in u)
+    uarr = F.array(*[F.lit(int(x)).cast("long") for x in u])
+    q = df.select(
+        F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), uarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("_qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    prof = q.select(
+        F.col(id_col), n2.alias("n2_q"), dot.alias("dot_u")
+    )
+    return prof.select(
+        id_col,
+        "n2_q",
+        "dot_u",
+        F.when(F.col("n2_q") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "cast((cast(dot_u as decimal(38,0)) * dot_u * 1000000)"
+                f" div (cast(n2_q as decimal(38,0)) * {u2}) as bigint)"
+            )
+        )
+        .alias("top_dir_ppm"),
+    )
+
+
 def power_iteration_projection(
     df: DataFrame,
     n_rounds: int = 3,
@@ -2628,19 +2732,7 @@ def power_iteration_projection(
     Returns (id_col, proj_q): exact integer dot products in
     quanta * scale units.
     """
-    rows = embedding_second_moment(df, vec_col).collect()  # bounded d^2
-    G = [[0] * dim for _ in range(dim)]
-    for r in rows:
-        G[r["dim_i"]][r["dim_j"]] = int(r["smoment_q"])
-        G[r["dim_j"]][r["dim_i"]] = int(r["smoment_q"])
-    v = [scale] * dim
-    for _ in range(n_rounds):
-        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
-        m = max(max(abs(x) for x in w), 1)
-        # floor(x * scale / m) via the pmod identity — Python % is
-        # non-negative for m > 0, so this matches the oracle's
-        # (x - ((x % m + m) % m)) // m exactly, signs included
-        v = [((x * scale) - ((x * scale) % m)) // m for x in w]
+    v = _power_iteration_direction(df, n_rounds, scale, dim, vec_col)
     varr = F.array(*[F.lit(int(x)).cast("long") for x in v])
     q = df.select(
         F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")

@@ -3810,3 +3810,21 @@ def x22_length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return length_grouped_batches(docs)
+
+
+def s21_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector anisotropy profile
+    (operators.similarity.anisotropy_profile): the measurement half of
+    'all-but-the-top' — each vector's energy fraction along the
+    corpus's dominant spectral direction (s14's power-iteration
+    trajectory, shared helper so the surfaces cannot disagree), as
+    exact integer ppm via one decimal(38,0)-widened division. On THIS
+    isotropic corpus the fractions sit near 1e6/64 ~ 15625 ppm — the
+    quantitative signature of the r14 isotropy finding, now an
+    oracle-checked surface; a heavy tail here is the 'subtract the
+    common direction before cosine retrieval' signal. One Gram pass +
+    one scan at any corpus size."""
+    from ..operators.similarity import anisotropy_profile
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return anisotropy_profile(emb, n_rounds=3, dim=64)

@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (281/281; this count is asserted
+Every registered query has a real oracle (282/282; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -5963,6 +5963,37 @@ ORACLES["s14_power_iteration"] = _s14_power_sql(3, 64, 1_000_000)
 QUERIES["s14_power_iteration"] = L.s14_power_iteration
 
 
+# s21 — anisotropy profile: the SAME trajectory CTE chain as s14 (the
+# shared-direction contract), final select emits per-vector norm, dot,
+# and the decimal/HUGEINT energy-fraction ppm. Mirrors
+# operators/similarity.py anisotropy_profile.
+def _s21_anisotropy_sql(n_rounds: int, dim: int, scale: int) -> str:
+    base = _s14_power_sql(n_rounds, dim, scale)
+    final_marker = "\nSELECT q.vec_id, CAST(SUM(q.qi * p.v) AS BIGINT) AS proj_q"
+    head = base[: base.index(final_marker)]
+    return head + f""",
+u2 AS (SELECT SUM(v * v) AS u2 FROM v{n_rounds}),
+prof AS (
+  SELECT q.vec_id,
+         CAST(SUM(q.qi * q.qi) AS HUGEINT) AS n2,
+         CAST(SUM(q.qi * p.v) AS HUGEINT) AS dot_u
+  FROM q JOIN v{n_rounds} p ON p.i = q.i
+  GROUP BY 1
+)
+SELECT vec_id,
+       CAST(n2 AS BIGINT) AS n2_q,
+       CAST(dot_u AS BIGINT) AS dot_u,
+       CAST(CASE WHEN n2 = 0 THEN 0
+            ELSE (dot_u * dot_u * 1000000) // (n2 * u2.u2) END
+            AS BIGINT) AS top_dir_ppm
+FROM prof CROSS JOIN u2
+"""
+
+
+ORACLES["s21_anisotropy_profile"] = _s21_anisotropy_sql(3, 64, 1_000_000)
+QUERIES["s21_anisotropy_profile"] = L.s21_anisotropy_profile
+
+
 # c11 — SSL-prototypes pruning: the s9/d25 trajectory (same _S9_PARTS
 # chain), then a per-cluster (dist_q, vec_id) rank and the exact ceil
 # quota (n*keep_num + keep_den - 1) // keep_den. Mirrors
@@ -6982,19 +7013,20 @@ QUERIES = {k: QUERIES[k] for k in _R14_WINDOW} | {
 
 
 # --- r15 driver-window rotation (keep this block at the END of the file) ---
-# Front: the 8 r15-new queries (never driver-checked) and the 3 queries
+# Front: the 9 r15-new queries (never driver-checked) and the 3 queries
 # whose implementation was REWRITTEN this round onto grouped_rank (x1, x5,
 # x8 — oracle-identical, but the driver should re-certify the new plans;
 # t11 was also rewritten and rides the stale block below), then all 23
-# r9-stale entries (the r14 staleness floor + q70), then 16 of the 50
-# r10-stale in registration order. The 34 r10-stale that don't fit are
+# r9-stale entries (the r14 staleness floor + q70), then 15 of the 50
+# r10-stale in registration order. The 35 r10-stale that don't fit are
 # pre-verified locally for r16 (BASELINE.md "r15 staleness floor").
 _R15_WINDOW = [
-    # never driver-checked (8)
+    # never driver-checked (9)
     "x20_domain_cap_approx",
     "s20_embedding_qc",
     "st21_stream_effective_tokens",
     "x22_length_grouped_batches",
+    "s21_anisotropy_profile",
     "c14_training_recipe",
     "c15_effective_tokens",
     "q115_histogram_quantiles",
@@ -7027,7 +7059,7 @@ _R15_WINDOW = [
     "d10_incremental_dedup",
     "d11_image_dup_groups",
     "d1_dedup_exact",
-    # r10-stale, registration order (16)
+    # r10-stale, registration order (15)
     "m10_avi_frames",
     "m11_mixed_modality",
     "m12_image_ahash",
@@ -7043,7 +7075,6 @@ _R15_WINDOW = [
     "q76_table_diff",
     "q77_mad_outliers",
     "q72_sessionize_salted",
-    "s3_ivf_topk",
 ]
 assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {

@@ -352,6 +352,7 @@ def main() -> None:
         "c15_effective_tokens",
         "q115_histogram_quantiles",
         "x22_length_grouped_batches",
+        "s21_anisotropy_profile",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:

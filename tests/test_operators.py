@@ -5384,3 +5384,46 @@ def test_streaming_effective_tokens_equals_batch_and_keeper_steal(spark):
     # the dup group (doc 8) plus its own unique doc; srcB keeps nothing
     by_src = {t[0]: t for t in want}
     assert by_src["srcC"][2] == 2 and by_src["srcB"][2] == 0
+
+
+def test_anisotropy_profile_identity_and_isotropy(spark):
+    """(1) The all-but-the-top residual is EXACTLY orthogonal to the
+    direction in integer arithmetic: (q*|u|^2 - dot_u*u) . u == 0 —
+    replayed here in Python ints against the shared trajectory helper.
+    (2) On a planted anisotropic corpus (common direction + noise) the
+    top-direction fraction is large; a zero vector reports 0."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        _power_iteration_direction,
+        anisotropy_profile,
+    )
+
+    # planted common direction along dim 0 with small per-dim noise
+    rows = [
+        (i, [1.0] + [((i * 7 + j) % 5 - 2) / 50.0 for j in range(7)])
+        for i in range(30)
+    ] + [(999, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in anisotropy_profile(df, dim=8).collect()}
+    assert out[999]["top_dir_ppm"] == 0 and out[999]["n2_q"] == 0
+    # the common direction carries most of every planted vector
+    assert all(
+        out[i]["top_dir_ppm"] > 900_000 for i in range(30)
+    ), sorted(out[i]["top_dir_ppm"] for i in range(30))[:3]
+    # exact orthogonality of the residual, replayed in Python ints
+    # (quantize the FLOAT32-stored values — the column is array<float>,
+    # so Spark floors the float32-rounded coordinate, not the literal)
+    import math
+
+    import numpy as np
+
+    u = _power_iteration_direction(df, 3, 1_000_000, 8)
+    u2 = sum(x * x for x in u)
+    for i in (0, 7, 29):
+        qv = [
+            math.floor(float(np.float32(x)) * 1_000_000)
+            for x in rows[i][1]
+        ]
+        dot = sum(a * b for a, b in zip(qv, u))
+        resid = [a * u2 - dot * b for a, b in zip(qv, u)]
+        assert sum(a * b for a, b in zip(resid, u)) == 0
+        assert out[rows[i][0]]["dot_u"] == dot
