@@ -409,14 +409,25 @@ def length_grouped_batches(
     Returns (band, batch_idx, n_docs, max_tokens, sum_tokens,
     pad_tokens).
     """
+    from .mixing import _priority
     from .relational import grouped_rank
 
+    if batch_size < 1 or band_tokens < 1:
+        # a zero dial would make the integer div NULL under non-ANSI
+        # Spark and silently collapse every band into one garbage batch
+        raise ValueError(
+            f"length_grouped_batches: batch_size and band_tokens must "
+            f"be >= 1, got {batch_size}/{band_tokens}"
+        )
     toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
     base = df.select(
         F.col(id_col),
         toks.alias("_tok"),
     ).withColumn("band", F.expr(f"_tok div {band_tokens}"))
-    pri = (F.col(id_col) * F.lit(2654435761)) % F.lit(1048576)
+    # the shared Knuth contract (mixing.KNUTH/BUCKETS ride _priority) —
+    # inlined literals here would fork the determinism contract and its
+    # documented ~2^31.7 id overflow bound
+    pri = _priority(id_col)
     ranked = grouped_rank(
         base.withColumn("_pri", pri),
         ["band"],

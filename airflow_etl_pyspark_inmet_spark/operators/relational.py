@@ -533,6 +533,21 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_grank")
 
 
+# Audit hook (scripts/dump_plans.py): the lazy localCheckpoints inside
+# grouped_rank / grouped_running_sum protect their nondeterministic
+# id/partition columns from double computation, but a checkpoint
+# replaces everything upstream with a LogicalRDD — blinding the plan
+# audit (scan counts, pushed filters, AND the lowcard-window detector)
+# to the query's real dataflow. The audit sets this flag to keep the
+# full lineage visible while it inspects plans; production always
+# checkpoints.
+AUDIT_NO_CHECKPOINT = False
+
+
+def _lineage_checkpoint(df: DataFrame) -> DataFrame:
+    return df if AUDIT_NO_CHECKPOINT else df.localCheckpoint(eager=False)
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -587,11 +602,13 @@ def grouped_rank(
     sorted_df = df.repartitionByRange(
         *gcols, *order_exprs
     ).sortWithinPartitions(*gcols, *order_exprs)
-    with_id = sorted_df.select(
-        "*",
-        F.monotonically_increasing_id().alias("_mid"),
-        F.spark_partition_id().alias("_spid"),
-    ).localCheckpoint(eager=False)
+    with_id = _lineage_checkpoint(
+        sorted_df.select(
+            "*",
+            F.monotonically_increasing_id().alias("_mid"),
+            F.spark_partition_id().alias("_spid"),
+        )
+    )
     pid = F.shiftright(F.col("_mid"), 33)
     local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = with_id.groupBy(pid.alias("_opid"), *group_cols).agg(
@@ -694,9 +711,9 @@ def grouped_running_sum(
     sorted_df = df.repartitionByRange(
         *gcols, *order_exprs
     ).sortWithinPartitions(*gcols, *order_exprs)
-    with_pid = sorted_df.withColumn(
-        "_spid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    with_pid = _lineage_checkpoint(
+        sorted_df.withColumn("_spid", F.spark_partition_id())
+    )
     counts = with_pid.groupBy("_spid", *group_cols).agg(
         F.sum(weight_col).alias("_wn")
     )

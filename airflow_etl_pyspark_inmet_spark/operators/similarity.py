@@ -2664,6 +2664,14 @@ def anisotropy_profile(
     """
     u = _power_iteration_direction(df, n_rounds, scale, dim, vec_col)
     u2 = sum(x * x for x in u)
+    if u2 == 0:
+        # degenerate corpus (Gram row-sums cancel exactly): there is no
+        # direction, so NOTHING lies along it — without this guard the
+        # Spark division returns NULL while the DuckDB oracle raises
+        # divide-by-zero, the exact surface divergence the shared-helper
+        # contract forbids (r15 second self-review). The oracle carries
+        # the same u2 = 0 branch.
+        u2 = None
     uarr = F.array(*[F.lit(int(x)).cast("long") for x in u])
     q = df.select(
         F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
@@ -2681,19 +2689,17 @@ def anisotropy_profile(
     prof = q.select(
         F.col(id_col), n2.alias("n2_q"), dot.alias("dot_u")
     )
-    return prof.select(
-        id_col,
-        "n2_q",
-        "dot_u",
-        F.when(F.col("n2_q") == 0, F.lit(0).cast("bigint"))
-        .otherwise(
+    ppm = (
+        F.lit(0).cast("bigint")
+        if u2 is None
+        else F.when(F.col("n2_q") == 0, F.lit(0).cast("bigint")).otherwise(
             F.expr(
                 "cast((cast(dot_u as decimal(38,0)) * dot_u * 1000000)"
                 f" div (cast(n2_q as decimal(38,0)) * {u2}) as bigint)"
             )
         )
-        .alias("top_dir_ppm"),
     )
+    return prof.select(id_col, "n2_q", "dot_u", ppm.alias("top_dir_ppm"))
 
 
 def power_iteration_projection(

@@ -5983,7 +5983,7 @@ prof AS (
 SELECT vec_id,
        CAST(n2 AS BIGINT) AS n2_q,
        CAST(dot_u AS BIGINT) AS dot_u,
-       CAST(CASE WHEN n2 = 0 THEN 0
+       CAST(CASE WHEN n2 = 0 OR u2.u2 = 0 THEN 0
             ELSE (dot_u * dot_u * 1000000) // (n2 * u2.u2) END
             AS BIGINT) AS top_dir_ppm
 FROM prof CROSS JOIN u2

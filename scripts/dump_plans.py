@@ -157,6 +157,14 @@ def main() -> None:
     from airflow_etl_pyspark_inmet_spark.session import get_spark
     from bench import HEADLINE
 
+    # keep grouped_rank/grouped_running_sum lineage visible: their lazy
+    # localCheckpoints would otherwise truncate the audited plan to a
+    # LogicalRDD, hiding scans/filters AND any upstream lowcard window
+    # from the detector (r15 second self-review finding)
+    from airflow_etl_pyspark_inmet_spark.operators import relational
+
+    relational.AUDIT_NO_CHECKPOINT = True
+
     spark = get_spark(app_name="plans")
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)",
@@ -414,16 +422,17 @@ def main() -> None:
             flags.append("BNLJ")
         if ev["python_eval"]:
             flags.append("row-python")
-        if name not in (
-            # q101's global running sum rides the calendar DAY SPINE —
+        lw = lowcard_window_flags(spark, df)
+        if name == "q101_active_intervals":
+            # q101's GLOBAL running sum rides the calendar DAY SPINE —
             # bounded by time span (~2.4k rows at sf0.1), not corpus
-            # size: a 10x corpus over the same period adds zero rows
-            # to the window input (the sweep-line contract its
-            # docstring documents). Allowlisted with justification,
-            # the BNLJ-list convention.
-            "q101_active_intervals",
-        ):
-            flags += lowcard_window_flags(spark, df)
+            # size: a 10x corpus over the same period adds zero rows to
+            # the window input (the sweep-line contract its docstring
+            # documents). Suppress ONLY that flag — any new partitioned
+            # lowcard window in q101 still surfaces (r15 second
+            # self-review: a wholesale skip would mask future ones).
+            lw = [f for f in lw if not f.startswith("LOWCARD-WINDOW(GLOBAL=")]
+        flags += lw
         lines.append(
             f"| {name} | {ev['parquet_scans']} | {ev['exchanges']} | {ev['broadcast_joins']} |"
             f" {ev['sortmerge_joins']} | {ev['hash_aggregates']} |"
