@@ -881,12 +881,23 @@ def histogram_quantiles(
         hist.withColumn("_cum", F.sum("n_rows").over(w))
         .localCheckpoint(eager=False)  # consumers: totals + crossing join
     )
-    totals = cum.agg(F.max("_cum").alias("_n"))
+    # Bounded driver scalar (materializes the lazy checkpoint the
+    # crossing join reuses): an EMPTY histogram must raise on the
+    # explicit-bounds path too — requested quantiles crossing no bin
+    # would otherwise silently vanish from the output, the exact
+    # failure mode the q-range guard above exists to prevent
+    # (ADVICE r16; the derived-bounds path already raised).
+    n_total = cum.agg(F.max("_cum").alias("_n")).collect()[0]["_n"]
+    if n_total is None:
+        raise ValueError(
+            "histogram_quantiles: histogram is empty (no non-NULL "
+            "values in the frame); quantiles are undefined"
+        )
     qdf = (
         spark.createDataFrame(
             [(int(q),) for q in quantiles_ppm], "q_ppm bigint"
         )
-        .crossJoin(F.broadcast(totals))
+        .withColumn("_n", F.lit(int(n_total)).cast("bigint"))
         .withColumn(
             "_rank",
             F.greatest(

@@ -2511,21 +2511,44 @@ def graph_ann_topk(
         )
         # ADVICE r15: a query whose routed cells are ALL empty (and
         # whose id is not itself a corpus node) would have zero start
-        # rows and silently vanish from the output — the flat path
-        # guarantees every query a start via the strided spread, so
-        # unrouted queries fall back to exactly that. The probe is one
-        # bounded job on the (small-by-contract) query frame.
-        missing = (
-            qsel.select(query_id_col)
-            .join(
-                spread.select(query_id_col).distinct(),
-                query_id_col,
-                "left_anti",
+        # rows and silently vanish from the output — unrouted queries
+        # fall back to a strided entry spread like the flat path's.
+        # ADVICE r16: the fallback is folded LAZILY — an unconditional
+        # union of the anti-join crossJoin, empty when every query is
+        # routed — so the serve path runs ZERO extra driver jobs in
+        # the common all-routed case (the old missing.limit(1).count()
+        # probe was a blocking round-trip per invocation). The lazy
+        # stride rides a 1-row count frame in-plan instead of the flat
+        # path's driver count, so the fallback spread is ~n_entries
+        # strided ids (unbounded by an exact limit(ne) cap — fine for
+        # a defensive path whose job is guaranteeing a start exists).
+        ne_expr = (
+            F.greatest(
+                F.lit(16).cast("bigint"),
+                F.expr("cast(floor(sqrt(_n)) as bigint)"),
             )
-            .localCheckpoint(eager=False)  # consumers: probe + crossJoin
+            if n_entries == "sqrt"
+            else F.lit(int(n_entries)).cast("bigint")
         )
-        if missing.limit(1).count() > 0:
-            spread = spread.unionAll(missing.crossJoin(_strided_entries()))
+        lazy_entries = (
+            isel.select("item_id")
+            .crossJoin(F.broadcast(isel.agg(F.count(F.lit(1)).alias("_n"))))
+            .withColumn(
+                "_stride",
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.floor(F.col("_n") / ne_expr).cast("bigint"),
+                ),
+            )
+            .filter(F.pmod(F.col("item_id"), F.col("_stride")) == 0)
+            .select("item_id")
+        )
+        missing = qsel.select(query_id_col).join(
+            spread.select(query_id_col).distinct(),
+            query_id_col,
+            "left_anti",
+        )
+        spread = spread.unionAll(missing.crossJoin(lazy_entries))
     else:
         spread = qsel.select(query_id_col).crossJoin(_strided_entries())
     # every query starts at the routed/spread entries + its own node
@@ -2938,9 +2961,14 @@ def embedding_qc(
     ``dim_expected`` defaults to the dimension of the first non-null
     vector (one bounded probe job); pass it explicitly in pipelines.
 
-    Returns one row per label: (label, n_vecs, n_null, n_dim_mismatch,
-    n_zero_norm, min_norm_q, max_norm_q, sum_norm_q) — norm stats over
-    the well-formed rows (non-null, expected dim).
+    Returns one row per label: (label, n_vecs, n_null, n_null_elem,
+    n_dim_mismatch, n_zero_norm, min_norm_q, max_norm_q, sum_norm_q) —
+    norm stats over the well-formed rows (non-null, no NULL elements,
+    expected dim). Element-level NULLs get their own counter
+    (ADVICE r15: a vector containing a NULL element breaks every
+    downstream dot product, but its norm aggregate goes NULL and the
+    row would otherwise vanish from every fault counter AND the norm
+    envelope — the exact blind spot a QC gate exists to catch).
     """
     if dim_expected is None:
         first = (
@@ -2948,7 +2976,14 @@ def embedding_qc(
         )
         dim_expected = len(first[0]) if first else 0
     is_null = F.col(vec_col).isNull()
-    dim_ok = ~is_null & (F.size(F.col(vec_col)) == F.lit(dim_expected))
+    has_null_elem = ~is_null & F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    dim_ok = (
+        ~is_null
+        & ~has_null_elem
+        & (F.size(F.col(vec_col)) == F.lit(dim_expected))
+    )
     norm_q = F.aggregate(
         _quantize_expr(vec_col, scale),
         F.lit(0).cast("long"),
@@ -2957,13 +2992,15 @@ def embedding_qc(
     rows = df.select(
         F.col(label_col).alias("label"),
         is_null.alias("_null"),
+        has_null_elem.alias("_null_elem"),
         dim_ok.alias("_ok"),
         F.when(dim_ok, norm_q).alias("_nq"),
     )
     return rows.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.count_if(F.col("_null")).cast("bigint").alias("n_null"),
-        F.count_if(~F.col("_null") & ~F.col("_ok"))
+        F.count_if(F.col("_null_elem")).cast("bigint").alias("n_null_elem"),
+        F.count_if(~F.col("_null") & ~F.col("_null_elem") & ~F.col("_ok"))
         .cast("bigint")
         .alias("n_dim_mismatch"),
         F.count_if(F.col("_nq") == 0).cast("bigint").alias("n_zero_norm"),

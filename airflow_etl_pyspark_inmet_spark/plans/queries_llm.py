@@ -3615,8 +3615,10 @@ def s20_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingest gate before any index build, t2-quality for the vector
     modality. A deterministic fault mix is planted so every counter is
     exercised: vec_id % 97 == 0 rows arrive NULL, % 97 == 1 truncated
-    to 8 dims, % 97 == 2 zeroed. Map-only quantize + one hash agg;
-    all-integer surface, hash-exact cross-engine."""
+    to 8 dims, % 97 == 2 zeroed, % 97 == 3 first element NULLed (the
+    ADVICE-r16 blind spot: NULL-element vectors must land in their own
+    counter, not vanish from the census). Map-only quantize + one hash
+    agg; all-integer surface, hash-exact cross-engine."""
     from ..operators.similarity import embedding_qc
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3632,6 +3634,13 @@ def s20_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.col("embedding"),
                 lambda x: (x * F.lit(0.0)).cast("float"),
+            ),
+        )
+        .when(
+            F.col("vec_id") % 97 == 3,
+            F.concat(
+                F.array(F.lit(None).cast("float")),
+                F.slice(F.col("embedding"), 2, 63),
             ),
         )
         .otherwise(F.col("embedding"))

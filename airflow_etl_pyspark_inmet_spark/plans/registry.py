@@ -6610,6 +6610,10 @@ QUERIES["x20_domain_cap_approx"] = L.x20_domain_cap_approx
 
 # s20 — embedding QC census: the planted fault mix and the d25 integer
 # grid replay exactly; norm stats are NULL-skipping in both engines.
+# NULL-element vectors (the %97==3 plant) are fenced out of the stats
+# CTE explicitly — DuckDB's unnest+sum would otherwise SKIP the NULL
+# element where Spark's aggregate propagates it, the exact divergence
+# the n_null_elem counter (ADVICE r16) exists to make visible.
 ORACLES["s20_embedding_qc"] = """
 WITH f AS (
   SELECT vec_id, label,
@@ -6617,27 +6621,37 @@ WITH f AS (
               WHEN vec_id % 97 = 1 THEN embedding[1:8]
               WHEN vec_id % 97 = 2
                 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+              WHEN vec_id % 97 = 3
+                THEN [CAST(NULL AS FLOAT)] || embedding[2:64]
               ELSE embedding END AS emb
   FROM embeddings
+),
+g AS (
+  SELECT vec_id, label, emb,
+         emb IS NOT NULL
+           AND len(list_filter(emb, x -> x IS NULL)) > 0 AS nullelem
+  FROM f
 ),
 stats AS (
   SELECT vec_id,
          sum(CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
              * CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS nq
   FROM (SELECT vec_id, unnest(emb) AS x
-        FROM f WHERE emb IS NOT NULL AND len(emb) = 64)
+        FROM g WHERE emb IS NOT NULL AND NOT nullelem AND len(emb) = 64)
   GROUP BY vec_id
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(count(*) FILTER (emb IS NULL) AS BIGINT) AS n_null,
-       CAST(count(*) FILTER (emb IS NOT NULL AND len(emb) <> 64)
+       CAST(count(*) FILTER (nullelem) AS BIGINT) AS n_null_elem,
+       CAST(count(*) FILTER (emb IS NOT NULL AND NOT nullelem
+                             AND len(emb) <> 64)
             AS BIGINT) AS n_dim_mismatch,
        CAST(count(*) FILTER (s.nq = 0) AS BIGINT) AS n_zero_norm,
        CAST(min(s.nq) AS BIGINT) AS min_norm_q,
        CAST(max(s.nq) AS BIGINT) AS max_norm_q,
        CAST(sum(s.nq) AS BIGINT) AS sum_norm_q
-FROM f LEFT JOIN stats s USING (vec_id)
+FROM g LEFT JOIN stats s USING (vec_id)
 GROUP BY label
 """
 QUERIES["s20_embedding_qc"] = L.s20_embedding_qc

@@ -111,6 +111,16 @@ def lowcard_window_flags(
             continue
         seen.add(key)
         child = _df_of(node.children().apply(0))
+        # GUARD (ADVICE r16): probed subtrees are only COUNTED here —
+        # never value-compared and never joined back to the audited
+        # query. That is what makes re-executing them sound under
+        # AUDIT_NO_CHECKPOINT, where nondeterministic
+        # monotonically_increasing_id subtrees recompute with different
+        # id VALUES: row counts and partition-key distinct counts are
+        # invariant to _mid values. If a future audit ever compares
+        # probed VALUES (or a window input keys on _mid-derived
+        # values whose DISTINCT COUNT varies by placement), cache the
+        # probe per input subtree instead of re-deriving it.
         try:
             rows = child.count()
             n_part = (

@@ -5241,6 +5241,8 @@ def test_embedding_qc_counters(spark):
         (3, 0, [1.0]),         # dim mismatch
         (4, 0, [0.0, 0.0]),    # zero norm
         (5, 1, [0.5, -0.5]),
+        (6, 0, [None, 3.0]),   # NULL element (ADVICE r16): its own
+        (7, 0, [4.0, None]),   # counter, fenced out of the envelope
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, label int, embedding array<float>"
@@ -5250,13 +5252,16 @@ def test_embedding_qc_counters(spark):
         for r in embedding_qc(df, dim_expected=2).collect()
     }
     l0 = out[0]
-    assert (l0["n_vecs"], l0["n_null"], l0["n_dim_mismatch"],
-            l0["n_zero_norm"]) == (4, 1, 1, 1)
-    # norms on the d25 grid: [1,2] -> 1e6+4e6 = 5_000_000
+    assert (l0["n_vecs"], l0["n_null"], l0["n_null_elem"],
+            l0["n_dim_mismatch"], l0["n_zero_norm"]) == (6, 1, 2, 1, 1)
+    # norms on the d25 grid: [1,2] -> 1e6+4e6 = 5_000_000; the NULL-
+    # element rows must NOT poison the envelope (sum stays non-NULL)
     assert l0["max_norm_q"] == 5_000_000 and l0["min_norm_q"] == 0
+    assert l0["sum_norm_q"] == 5_000_000
     l1 = out[1]
     # floor(0.5*1000)^2 + floor(-0.5*1000)^2 = 500^2 + (-500)^2
     assert l1["sum_norm_q"] == 500_000
+    assert l1["n_null_elem"] == 0
 
 
 def test_streaming_histogram_equals_batch(spark):
@@ -5323,6 +5328,14 @@ def test_histogram_quantiles_contract_errors(spark):
     empty = spark.createDataFrame([], "v long")
     with pytest.raises(ValueError, match="empty"):
         histogram_quantiles(empty, F.col("v"), 10, [500000])
+    # ADVICE r16: the EXPLICIT-bounds path must raise on an empty (or
+    # all-NULL) frame too — quantiles crossing no bin would otherwise
+    # silently vanish from the output
+    with pytest.raises(ValueError, match="empty"):
+        histogram_quantiles(empty, F.col("v"), 10, [500000], lo=0, hi=10)
+    all_null = spark.createDataFrame([(None,), (None,)], "v long")
+    with pytest.raises(ValueError, match="empty"):
+        histogram_quantiles(all_null, F.col("v"), 10, [500000], lo=0, hi=10)
     df = spark.range(1, 11).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="quantiles_ppm"):
         histogram_quantiles(df, F.col("v"), 10, [500000, 1500000])
