@@ -104,6 +104,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm-up: JVM + codegen + parquet footer caches
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm-up 2: the Arrow python-worker pool (VERDICT r15 item 2). A
+    # cold session's FIRST Arrow stage pays worker spin-up on every
+    # core (~5-8 s recorded as that run's time — the dominant source
+    # of max/min spread in --ab cold runs: s1 8.8 s max vs 1.3 s
+    # median on identical code). One trivial pandas-UDF pass over one
+    # partition per core spawns the pool once; every timed query then
+    # reuses it (spark.python.worker.reuse is on by default).
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
+    spark.range(
+        256, numPartitions=spark.sparkContext.defaultParallelism
+    ).select(_warm(F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     def run_once(name: str) -> float:
         fn = QUERIES[name]
@@ -398,14 +413,24 @@ def main() -> None:
         # query, raw runs included so the artifact is auditable (this
         # host's neighbor load swings single runs 2-5x). Paste the JSON
         # line into BASELINE.md next to the claim it backs.
+        # Each query's FIRST run in a fresh session pays one-time JVM
+        # codegen/analysis of that query's plan (~3 s measured on s2 —
+        # per-plan, so the session-level Arrow/parquet warm-up above
+        # cannot prepay it). That run is reported separately as "cold"
+        # and excluded from the median: an A/B claim compares
+        # steady-state plans, and folding a constant session artifact
+        # into a 5-run median would let it masquerade as plan cost
+        # (VERDICT r15 item 2 — it was the dominant max/min spread).
         names = sys.argv[2:]
         unknown = [n for n in names if n not in QUERIES]
         if unknown or not names:
             sys.exit(f"--ab: unknown or missing query names {unknown}")
         result = {}
         for name in names:
+            cold = run_once(name)
             runs = sorted(run_once(name) for _ in range(5))
             result[name] = {
+                "cold": round(cold, 3),
                 "runs": [round(r, 3) for r in runs],
                 "median": round(runs[len(runs) // 2], 3),
             }
