@@ -450,3 +450,84 @@ def length_grouped_batches(
             .cast("bigint"),
         )
     )
+
+
+def whole_doc_packing(
+    df: DataFrame,
+    capacity: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WHOLE-document bin packing by harmonic size classes — the
+    packing tier for pipelines that must NOT split documents across
+    training sequences (SFT/instruction data, where a truncated
+    example is a corrupted label): :func:`pack_sequences` is GPT-style
+    concat-and-cut (documents straddle bins), this keeps every
+    document intact and accepts bounded padding waste instead.
+
+    True first-fit-decreasing is inherently sequential (bin state
+    threads through every placement). The distributed-exact variant is
+    HARMONIC size-class packing: each document's class is the number
+    of docs that size that fit per bin (``size_class = capacity div
+    tok``, so every doc in class k has tok <= capacity/k and k of them
+    always fit), docs get a deterministic Knuth-hash position within
+    their class via ``relational.grouped_rank`` (classes number at
+    most ``capacity`` — a low-cardinality domain, so never
+    ``Window.partitionBy(class)``), and ``bin_idx = (pos - 1) div k``.
+    Waste per full bin is bounded by ``capacity/(k+1)`` — the harmonic
+    algorithm's classic guarantee — and every step is integer algebra
+    on (tok, hash, id), so the whole layout replays bit for bit in
+    SQL.
+
+    Oversize documents (``tok > capacity``) land in class 0, one per
+    bin, and surface with NEGATIVE waste (= overflow) rather than
+    being silently dropped — the caller decides truncate-vs-reject.
+
+    Plan shape: one corpus scan for token counts, grouped_rank's range
+    partition (parallel across AND within classes), one hash agg to
+    the bin manifest — rows out ~ n_docs / avg(k).
+
+    Returns (size_class, bin_idx, n_docs, sum_tokens, waste) with
+    ``waste = capacity - sum_tokens``.
+    """
+    from .mixing import _priority
+    from .relational import grouped_rank
+
+    if capacity < 1:
+        raise ValueError(
+            f"whole_doc_packing: capacity must be >= 1, got {capacity}"
+        )
+    # whitespace tokens; trim("") splits to [""] so _tok >= 1 always —
+    # the class div below can never see a zero
+    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    base = df.select(F.col(id_col), toks.alias("_tok")).withColumn(
+        "size_class",
+        F.when(F.col("_tok") > capacity, F.lit(0).cast("bigint")).otherwise(
+            F.expr(f"{capacity} div _tok")
+        ),
+    )
+    pri = _priority(id_col)
+    ranked = grouped_rank(
+        base.withColumn("_pri", pri),
+        ["size_class"],
+        [F.col("_pri"), F.col(id_col)],
+        "_pos",
+    )
+    per_bin = F.when(
+        F.col("size_class") == 0, F.lit(1).cast("bigint")
+    ).otherwise(F.col("size_class"))
+    return (
+        ranked.withColumn("_pb", per_bin)
+        .withColumn("bin_idx", F.expr("(_pos - 1) div _pb"))
+        .groupBy("size_class", "bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("sum_tokens"),
+        )
+        .withColumn(
+            "waste",
+            (F.lit(capacity).cast("bigint") - F.col("sum_tokens")).cast(
+                "bigint"
+            ),
+        )
+    )

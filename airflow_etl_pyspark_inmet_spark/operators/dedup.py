@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import exploded_ngrams
+from .util import lineage_checkpoint
 
 
 def dedup_exact(
@@ -318,7 +319,7 @@ def minhash_lsh_pairs(
             ).alias("bh"),
         )
         .select("_id", "bh.band", "bh.h")
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
 
     l = stacked.toDF("id_a", "band", "h")
@@ -524,7 +525,7 @@ def simhash_pairs(
     sig = (
         simhash64(df, id_col, text_col)
         .withColumnRenamed(id_col, "_id")
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     return (
         _simhash_candidates(sig, n_bands)
@@ -571,7 +572,7 @@ def simhash_jaccard_pairs(
     sig = (
         simhash64(df, id_col, text_col)
         .withColumnRenamed(id_col, "_id")
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     pairs = jaccard_pairs(
         df, id_col, text_col, ngram, threshold,
@@ -882,7 +883,7 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -922,7 +923,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -1230,7 +1231,7 @@ def incremental_lsh_pairs(
         .join(corpus_bands.toDF("id_b", "band", "h"), ["band", "h"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
 
     # Exact verify, cross-set: shingle only the candidate docs on each
@@ -1333,7 +1334,7 @@ def pagerank_exact(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     if validate_undirected:
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         asym = e.join(rev, ["src", "dst"], "left_anti").limit(1).collect()
@@ -1374,7 +1375,7 @@ def pagerank_exact(
                 .alias("pr"),
                 "deg",
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     return pr.select(
         F.col("src").alias("node"),
@@ -1612,12 +1613,12 @@ def label_propagation_min(
     (node, label)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     lab = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     for _ in range(n_rounds):
         nb = (
@@ -1633,7 +1634,7 @@ def label_propagation_min(
                     F.col("label"), F.coalesce(F.col("_nb"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     return lab
 
@@ -1690,7 +1691,7 @@ def triangle_counts(
                 "_ddeg"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     w1 = e.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
@@ -1738,7 +1739,7 @@ def clustering_coefficients(
     cc_ppm = 0. Returns (node, degree, n_triangles, cc_ppm)."""
     p = (
         pairs.select(F.col(a_col).alias("p1"), F.col(b_col).alias("p2"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     tri = triangle_counts(p)
     deg = (
@@ -1793,7 +1794,7 @@ def kcore_peel(
     Returns (node, degree) over the surviving subgraph."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     for _ in range(n_rounds):
         keep = (
             e.groupBy("src")
@@ -1804,7 +1805,7 @@ def kcore_peel(
         e = (
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
         F.col("src").alias("node"), "degree"
@@ -1991,7 +1992,7 @@ def bfs_distances(
     dist = sources.select(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("int").alias("dist"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     frontier = dist.select("node")
     e = edges.select(F.col("src").alias("node"), F.col("dst"))
     for r in range(1, n_rounds + 1):
@@ -2003,7 +2004,7 @@ def bfs_distances(
         new = (
             reached.join(dist.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(r).cast("int"))
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
         dist = dist.unionAll(new)
         frontier = new.select("node")
@@ -2042,7 +2043,7 @@ def sssp_distances(
     dist = sources.select(
         F.col("node").cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     frontier = dist
     e = edges.select(
         F.col("src").cast("bigint").alias("node"),
@@ -2068,7 +2069,7 @@ def sssp_distances(
             (
                 F.col("dist").isNull() | (F.col("_nd") < F.col("dist"))
             ).alias("_improved"),
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_checkpoint)
         frontier = merged.filter(F.col("_improved")).select("node", "dist")
         dist = merged.select("node", "dist")
     return dist
@@ -2138,7 +2139,7 @@ def semdedup_from_assignment(
     the smaller id, a vector is dropped if it loses any pair."""
     from .similarity import _dot, _norm
 
-    assign = assign.localCheckpoint(eager=False)
+    assign = assign.transform(lineage_checkpoint)
     e = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -2212,7 +2213,7 @@ def semdedup_ivf(
     base = df.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("_ivec"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     C = _ivf_train(base, n_cells)
     centroids = [
         [int(math.floor(x * scale)) for x in row] for row in C.tolist()
@@ -2274,7 +2275,7 @@ def prototype_pruning(
         vec_col=vec_col,
         dim=dim,
         assigner=assigner,
-    ).localCheckpoint(eager=False)  # consumers: sizes + ranked rows
+    ).transform(lineage_checkpoint)  # consumers: sizes + ranked rows
     sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy("cluster").orderBy(
         F.asc("dist_q"), F.asc(id_col)
@@ -2406,7 +2407,7 @@ def lsh_threshold_sweep(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
-    ).localCheckpoint(eager=False)  # consumers: both candidate sides
+    ).transform(lineage_checkpoint)  # consumers: both candidate sides
     cand = embedding_lsh_pairs(df, threshold=lsh_floor, dim=dim).select(
         "id_a", "id_b"
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .util import lineage_checkpoint
 
 KNUTH = 2654435761  # Knuth's 2^32 / phi multiplier
 BUCKETS = 1 << 20
@@ -74,7 +75,7 @@ def mixture_sample(
         # the strict probe and the quota join below both consume counts;
         # checkpoint the (tiny, already-aggregated) frame so the
         # full-corpus groupBy runs once, not once per consumer
-        counts = counts.localCheckpoint(eager=False)
+        counts = counts.transform(lineage_checkpoint)
         # counts is dozens-to-thousands of domains — a driver-side check
         # on an already-aggregated frame, not a data-scale collect
         missing = [
@@ -209,7 +210,7 @@ def temperature_weights(
     # the corpus groupBy scans the input once, not once per consumer
     scaled = counts.withColumn(
         "_sqrt_e6", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1e6)).cast("bigint")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     totals = scaled.agg(
         F.sum("n_docs").alias("_n_total"),
         F.sum("_sqrt_e6").alias("_sqrt_total"),
@@ -430,7 +431,7 @@ def token_budget_allocation(
             "_w",
             F.floor(F.sqrt(F.col("n_tokens")) * F.lit(1e6)).cast("bigint"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     totals = counts.agg(F.sum("_w").alias("_wtot"))
     B = F.lit(budget_tokens).cast("bigint")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .util import lineage_checkpoint
+
 
 def exact_sum(col: str | Column, scale: int = 4) -> Column:
     """Order-insensitive double sum: decimal-sum then one double cast."""
@@ -186,6 +188,7 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    tolerance_days: int | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the latest right row of the same
     key with ``right_ts <= left_ts`` (inclusive). Spark has no native
@@ -199,17 +202,29 @@ def asof_join(
     this is the 100 TB shape (a merge_asof-in-applyInPandas variant would
     materialize whole groups in Python).
 
-    Output: all left columns + right columns (null when no match).
+    ``tolerance_days`` (r16): the production staleness bound — a match
+    older than ``tolerance_days`` days before ``left_ts`` is treated as
+    NO match (pandas ``merge_asof(tolerance=...)`` / DuckDB ASOF with a
+    range predicate). The matched right timestamp rides the carried
+    struct, so the bound is ONE more projection on the same
+    single-shuffle plan — never a second window or a range join. Day
+    granularity (``datediff``), matching the date/timestamp columns
+    this engine's surfaces join on.
+
+    Output: all left columns + right columns (null when no match or
+    the match is staler than the tolerance).
     """
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    rts_type = dict(right.dtypes)[right_ts]
+    rpay = ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols)
     l_ = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols) + ">"
+            f"struct<_mts:{rts_type},_p:struct<{rpay}>>"
         ).alias("_r"),
     )
     r_ = right.select(
@@ -219,7 +234,9 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
         ).alias("_l"),
-        F.struct(*rcols).alias("_r"),
+        F.struct(
+            F.col(right_ts).alias("_mts"), F.struct(*rcols).alias("_p")
+        ).alias("_r"),
     )
     u = l_.unionByName(r_)
     w = (
@@ -228,9 +245,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    if tolerance_days is not None:
+        # a stale match is no match: null the payload, keep the row
+        fresh = F.datediff(F.col("_ts"), F.col("_match._mts")) <= F.lit(
+            int(tolerance_days)
+        )
+        carried = carried.withColumn(
+            "_match", F.when(fresh, F.col("_match"))
+        )
     out = carried.filter(F.col("_tag") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"_match.{c}").alias(c) for c in rcols],
+        *[F.col(f"_match._p.{c}").alias(c) for c in rcols],
     )
     return out
 
@@ -361,7 +386,7 @@ def skew_report(
     counts = (
         df.groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     total = counts.agg(F.sum("n_rows").alias("_total"))
     top = (
@@ -443,7 +468,7 @@ def _global_rank_with_total(
     # bounds), and it feeds two jobs (counts collect + final output)
     with_id = sorted_df.withColumn(
         "_mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     pid = F.shiftright(F.col("_mid"), 33)
     local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = (
@@ -538,14 +563,17 @@ def global_ntile(
 # id/partition columns from double computation, but a checkpoint
 # replaces everything upstream with a LogicalRDD — blinding the plan
 # audit (scan counts, pushed filters, AND the lowcard-window detector)
-# to the query's real dataflow. The audit sets this flag to keep the
-# full lineage visible while it inspects plans; production always
-# checkpoints.
-AUDIT_NO_CHECKPOINT = False
+# to the query's real dataflow. The audit sets util.AUDIT_NO_CHECKPOINT
+# (r16: moved there so ONE flag covers every checkpointing operator —
+# grouped_rank here plus the iterative dedup/graph/nn-descent family)
+# to keep the full lineage visible while it inspects plans; production
+# always checkpoints.
 
 
 def _lineage_checkpoint(df: DataFrame) -> DataFrame:
-    return df if AUDIT_NO_CHECKPOINT else df.localCheckpoint(eager=False)
+    from .util import lineage_checkpoint
+
+    return lineage_checkpoint(df)
 
 
 def grouped_rank(
@@ -879,7 +907,7 @@ def histogram_quantiles(
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         hist.withColumn("_cum", F.sum("n_rows").over(w))
-        .localCheckpoint(eager=False)  # consumers: totals + crossing join
+        .transform(lineage_checkpoint)  # consumers: totals + crossing join
     )
     # Bounded driver scalar (materializes the lazy checkpoint the
     # crossing join reuses): an EMPTY histogram must raise on the
@@ -1068,7 +1096,7 @@ def bloom_prune_semi_join(
         )
         .groupBy("_w")
         .agg(F.expr("bit_or(_m)").alias("_bits"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     probe = fact
     keep = F.lit(True)
@@ -1135,7 +1163,7 @@ def skew_split_join(
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > hot_threshold)
         .select(F.col(fact_key).alias("_hot_key"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     fact_hot = fact.join(
         F.broadcast(stats), fact[fact_key] == F.col("_hot_key"), "left_semi"
@@ -1222,7 +1250,7 @@ def hierarchy_root_depth(
         .otherwise(F.lit(1))
         .cast("bigint")
         .alias("depth"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     for _ in range(max_rounds):
         m = cur.select(
             F.col("node").alias("_n"),
@@ -1236,7 +1264,7 @@ def hierarchy_root_depth(
                 F.col("_a").alias("anc"),
                 (F.col("depth") + F.col("_d")).alias("depth"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     non_roots = edges.filter(
         F.col(parent_col) != F.col(node_col)

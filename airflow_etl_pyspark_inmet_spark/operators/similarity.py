@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .util import lineage_checkpoint
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -377,7 +378,7 @@ def ann_with_recall_check(
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     # the ANN side is Q x k rows — broadcast it (stats-free window
     # output otherwise draws a SortMergeJoin for a 50-row join).
     hits = exact.select(query_id_col, "item_id").join(
@@ -433,7 +434,7 @@ def ann_with_corpus_recall_check(
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
-    ).localCheckpoint(eager=False)  # consumers: recall agg + output
+    ).transform(lineage_checkpoint)  # consumers: recall agg + output
     hits = exact.select(query_id_col, "item_id").join(
         ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
         [query_id_col, "item_id"],
@@ -579,7 +580,7 @@ def ivf_topk(
     proj = items.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    base = ensure_parallelism(proj).transform(lineage_checkpoint)
     C1 = _ivf_train(base, n_cells, seed_frame=proj)
 
     it = base.withColumn("_cell", _assign_udf(C1, 1)(F.col("_ivec"))[0])
@@ -775,7 +776,7 @@ def knn_join(
     rp = right.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    rbase = ensure_parallelism(rp).localCheckpoint(eager=False)
+    rbase = ensure_parallelism(rp).transform(lineage_checkpoint)
     if n_cells is None:
         # bounded-occupancy cells: the linear-volume production default
         n_cells = max(16, rbase.count() // target_occupancy)
@@ -847,7 +848,7 @@ def knn_join(
     )
     # consumers: the per-cell counts and the salted kernel input — one
     # materialization instead of re-running both assignment passes
-    both = both.localCheckpoint(eager=False)
+    both = both.transform(lineage_checkpoint)
     # hot cells only: per-cell split factors; shuffle carries n_cells
     # count rows (map-side combine), the surviving frame is tiny
     salts = (
@@ -1108,7 +1109,7 @@ def pq_topk(
     proj = items.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    base = ensure_parallelism(proj).transform(lineage_checkpoint)
     dim = len(proj.select("_ivec").first()[0])
     if dim % m != 0:
         raise ValueError(
@@ -1232,7 +1233,7 @@ def sq_refine_topk(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("_ivec"),
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    base = ensure_parallelism(proj).transform(lineage_checkpoint)
     lo, hi = base.agg(
         F.min(F.array_min("_ivec")), F.max(F.array_max("_ivec"))
     ).first()
@@ -1425,7 +1426,7 @@ def ivf_pq_topk(
     proj = items.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    base = ensure_parallelism(proj).transform(lineage_checkpoint)
     dim = len(proj.select("_ivec").first()[0])
     if dim % m != 0:
         raise ValueError(
@@ -1595,7 +1596,7 @@ def mmr_select(
             "_vec",
             cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("_rel"),
         )
-        .localCheckpoint(eager=False)  # reused by every round
+        .transform(lineage_checkpoint)  # reused by every round
     )
     selected: DataFrame | None = None
     for step in range(1, k + 1):
@@ -1632,7 +1633,7 @@ def mmr_select(
                 .limit(1)
                 .select(F.lit(step).alias("step"), "_id", "_vec")
             )
-        pick = pick.localCheckpoint(eager=False)  # flat lineage per round
+        pick = pick.transform(lineage_checkpoint)  # flat lineage per round
         selected = pick if selected is None else selected.unionAll(pick)
     assert selected is not None
     return selected.select(
@@ -1832,7 +1833,7 @@ def _lloyd_fit(
     )
     q = df.select(
         F.col(id_col), _quantize_expr(vec_col, scale).alias("_qv")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
 
     seed_rows = q.orderBy(id_col).limit(k).collect()  # bounded: k rows
     centroids: list[list[int]] = [
@@ -2059,7 +2060,7 @@ def kcenter_coreset(
     state = (
         q.filter(F.col(id_col) != int(seed[id_col]))
         .withColumn("_md", _dist_to(list(seed["_qv"])))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     for step in range(2, k + 1):
         far = state.orderBy(
@@ -2074,7 +2075,7 @@ def kcenter_coreset(
             .withColumn(
                 "_md", F.least(F.col("_md"), _dist_to(list(p["_qv"])))
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -2209,7 +2210,7 @@ def nn_descent_knn_graph(
     q = df.select(
         F.col(id_col).cast("bigint").alias("node"),
         _quantize_expr(vec_col, scale).alias("_qv"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     n = q.count()  # bounded driver scalar (the A1 min/max pattern)
     b_count = max(1, (n + k) // (k + 1))
 
@@ -2366,7 +2367,7 @@ def nn_descent_knn_graph(
     init_pairs = init_pairs.distinct()
     fwd = _topk(_with_dist(init_pairs)).select(
         "node", "nbr_id", "dist_q"
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
 
     for _ in range(n_rounds):
         rev = _topk(
@@ -2391,7 +2392,7 @@ def nn_descent_knn_graph(
         ).agg(F.min("dist_q").alias("dist_q"))
         fwd = _topk(scored).select(
             "node", "nbr_id", "dist_q"
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_checkpoint)
 
     return _topk(fwd).select(
         F.col("node").alias(id_col), "nbr_id", "dist_q", "rank"
@@ -2469,7 +2470,7 @@ def graph_ann_topk(
     isel = items.select(
         F.col(id_col).cast("bigint").alias("item_id"),
         F.col(vec_col).alias("_ivec"),
-    ).localCheckpoint(eager=False)  # consumers: every hop's score join
+    ).transform(lineage_checkpoint)  # consumers: every hop's score join
     qsel = queries.select(
         F.col(query_id_col).cast("bigint").alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
@@ -2484,7 +2485,7 @@ def graph_ann_topk(
         fwd.unionAll(fwd.select(F.col("nbr").alias("node"),
                                 F.col("node").alias("nbr")))
         .distinct()
-        .localCheckpoint(eager=False)  # consumers: n_hops expansions
+        .transform(lineage_checkpoint)  # consumers: n_hops expansions
     )
 
     def _strided_entries() -> DataFrame:
@@ -2586,7 +2587,7 @@ def graph_ann_topk(
             .drop("_r")
         )
 
-    scored = _score(starts).localCheckpoint(eager=False)
+    scored = _score(starts).transform(lineage_checkpoint)
     for _ in range(n_hops):
         cand = (
             _beam_cut(scored)
@@ -3128,7 +3129,7 @@ def graph_ann_routed_topk(
     proj = items.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("_ivec")
     )
-    base = ensure_parallelism(proj).localCheckpoint(eager=False)
+    base = ensure_parallelism(proj).transform(lineage_checkpoint)
     n = base.count()
     if n_cells is None:
         n_cells = max(16, n // 64)
@@ -3242,3 +3243,74 @@ def semantic_decontam_pairs(
         )
     )
     return scored.filter(crossing).select(id_col, eval_id_col)
+
+
+def quantizer_occupancy(
+    df: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    scale: int = 1000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer OCCUPANCY census — the index-build QC gate next
+    to s20's ingest QC: after training, an IVF/SemDeDup deployment
+    needs to know its cell balance BEFORE serving, because empty cells
+    waste probes (recall dial lies), overloaded cells break the
+    O(n_probe/n_cells) cost model (one hot cell serves like brute
+    force), and distortion outliers flag vectors no cell represents.
+
+    Rides :func:`kmeans_lloyd`'s EXACT integer trajectory (same seeds,
+    same floor-division updates), so unlike the float `_ivf_train`
+    codebook this census hash-matches a SQL replay bit for bit. Every
+    cell appears — including EMPTY ones (a ``spark.range(k)`` spine
+    left-joins the stats; the empty cell is the finding), with
+    ``occupancy_ppm = n_members * 1e6 div n_total`` against a
+    broadcast 1-row total (the x5 distribution-aware pattern).
+
+    Plan shape on top of the k-means rounds: one map-side-combined
+    hash agg by cluster (k rows out), one scalar count, one broadcast
+    join onto the k-row spine — nothing corpus-sized moves.
+
+    Returns one row per cell 0..k-1: (cluster, n_members, min_dist_q,
+    max_dist_q, sum_dist_q, occupancy_ppm); dist stats NULL for empty
+    cells.
+    """
+    assigned = kmeans_lloyd(
+        df,
+        k=k,
+        n_rounds=n_rounds,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).transform(lineage_checkpoint)  # consumers: stats agg + total count
+    spark = df.sparkSession
+    spine = spark.range(k).select(F.col("id").cast("int").alias("cluster"))
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("dist_q").alias("min_dist_q"),
+        F.max("dist_q").alias("max_dist_q"),
+        F.sum("dist_q").cast("bigint").alias("sum_dist_q"),
+    )
+    totals = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        spine.join(F.broadcast(stats), "cluster", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "n_members",
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "occupancy_ppm", F.expr("n_members * 1000000 div _n")
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "min_dist_q",
+            "max_dist_q",
+            "sum_dist_q",
+            "occupancy_ppm",
+        )
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .util import lineage_checkpoint
 
 # Token pattern, BPE-ish: word pieces, digit runs, or single non-space symbols.
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -464,12 +465,12 @@ def unigram_logprob(
     tf = (
         toks.groupBy("_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     freq = (
         tf.groupBy("token")
         .agg(F.sum("tf").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     total = freq.agg(F.sum("cnt").alias("n_total"))
     scored = (
@@ -605,7 +606,7 @@ def bigram_condprob(
         "_id",
         F.xxhash64("g").alias("gh"),
         F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
     cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
@@ -657,7 +658,7 @@ def token_lift(
     b = grams.select(
         F.split(F.col("g"), " ")[0].alias("w1"),
         F.split(F.col("g"), " ")[1].alias("w2"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     c12 = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c2 = b.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -745,7 +746,7 @@ def bpe_train(
     )
     cur = words.select(
         "w", "cnt", F.split("w", "").alias("syms")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
 
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
@@ -774,7 +775,7 @@ def bpe_train(
         merges.append((rank, a, b, c))
         cur = cur.select(
             "w", "cnt", _apply_bpe_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_checkpoint)
     return spark.createDataFrame(
         merges,
         schema="rank int, merge_left string, merge_right string, "
@@ -813,10 +814,10 @@ def interp_bigram_score(
         F.xxhash64("g").alias("gh"),
         F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
         F.xxhash64(F.split(F.col("g"), " ")[1]).alias("w2h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     uni = exploded_ngrams(df, id_col, text_col, 1).select(
         F.xxhash64("g").alias("uh")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
     cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
     cntu = uni.groupBy("uh").agg(F.count(F.lit(1)).alias("cu"))
@@ -886,11 +887,11 @@ def kneser_ney_bigram_score(
         F.xxhash64("g").alias("gh"),
         F.xxhash64(F.split(F.col("g"), " ")[0]).alias("w1h"),
         F.xxhash64(F.split(F.col("g"), " ")[1]).alias("w2h"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     cnt2 = big.groupBy("gh").agg(F.count(F.lit(1)).alias("c2"))
     cnt1 = big.groupBy("w1h").agg(F.count(F.lit(1)).alias("c1"))
     types = (
-        big.select("gh", "w1h", "w2h").distinct().localCheckpoint(eager=False)
+        big.select("gh", "w1h", "w2h").distinct().transform(lineage_checkpoint)
     )
     n1fwd = types.groupBy("w1h").agg(F.count(F.lit(1)).alias("n1f"))
     ncont = types.groupBy("w2h").agg(F.count(F.lit(1)).alias("nc"))
@@ -1310,7 +1311,7 @@ def zipf_coverage(
     ).filter(F.col("token") != "")
     cnt = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("freq")
-    ).localCheckpoint(eager=False)  # feeds top-k AND the total
+    ).transform(lineage_checkpoint)  # feeds top-k AND the total
     tot = cnt.agg(F.sum("freq").alias("total_tokens"))
     top = cnt.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
         k_top
@@ -1500,7 +1501,7 @@ def char_entropy(
     # so the explode + first agg materialize once (the q111 lesson)
     cnt = chars.groupBy(id_col, "_ch").agg(
         F.count(F.lit(1)).alias("_c")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     w_n = (
         cnt.groupBy(id_col)
         .agg(
@@ -1633,7 +1634,7 @@ def winnow_pairs(
             .filter(F.col("_df") <= max_fp_df)
             .select("_id", "fp_hash")
         )
-    s = s.localCheckpoint(eager=False)  # 3 consumers below
+    s = s.transform(lineage_checkpoint)  # 3 consumers below
     sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = s.alias("a"), s.alias("b")
     pairs = (
@@ -1704,7 +1705,7 @@ def bm25_topk(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
         )
         .where(F.col("tok") != "")
-        .localCheckpoint(eager=False)  # consumers: dl, census, tf
+        .transform(lineage_checkpoint)  # consumers: dl, census, tf
     )
     dl = tk.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
     terms = (
@@ -1829,3 +1830,61 @@ def greedy_decode(
         cur = nxt[0]["nxt"]
         path.append((step, cur))
     return spark.createDataFrame(path, "step int, token string")
+
+
+def zipf_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Zipf RANK-FREQUENCY profile on power-of-two rank
+    buckets — the vocabulary-health census of a pretraining corpus: a
+    natural-language slice follows freq ~ 1/rank (bucket totals decay
+    smoothly, types per bucket double), while boilerplate/spam/
+    machine-generated slices show a truncated head or a fat tail, and
+    a corrupted tokenizer shows up as mass collapsing into bucket 0.
+    The measurement side of the Zipf assumption t17's unigram model
+    and the BM25/LM family lean on.
+
+    Everything is exact integer algebra, so the profile hash-matches
+    cross-engine: per group, token frequencies (one explode + map-side
+    combined hash agg, shuffle bounded by |vocab| x groups, never
+    corpus tokens); dense deterministic ranks by (freq DESC, token
+    ASC) via ``relational.grouped_rank`` — groups are a small semantic
+    domain (languages), exactly the single-task-window shape the r15
+    audit bans from ``Window.partitionBy``; rank buckets by integer
+    log2 (``length(bin(rank)) - 1`` — string length of the binary
+    representation, no float log anywhere); one final hash agg to the
+    bucket census.
+
+    Returns one row per (group, rank_bucket): (``group_col``,
+    rank_bucket, n_types, sum_freq, max_freq, min_freq) — bucket b
+    covers ranks [2^b, 2^(b+1)).
+    """
+    from .relational import grouped_rank
+
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    ranked = grouped_rank(
+        counts,
+        [group_col],
+        [F.col("freq").desc(), F.col("token").asc()],
+        "_rank",
+    )
+    return (
+        ranked.withColumn(
+            "rank_bucket", F.expr("length(bin(_rank)) - 1").cast("bigint")
+        )
+        .groupBy(group_col, "rank_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.max("freq").alias("max_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+    )

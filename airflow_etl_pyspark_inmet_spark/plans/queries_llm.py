@@ -3837,3 +3837,48 @@ def s21_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return anisotropy_profile(emb, n_rounds=3, dim=64)
+
+
+def x23_whole_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document harmonic bin packing
+    (operators.curation.whole_doc_packing): the no-split packing tier
+    for SFT/instruction data — t13's concat-and-cut straddles bins,
+    this keeps every doc intact via harmonic size classes
+    (size_class = capacity div tok, k docs per bin, waste bounded by
+    capacity/(k+1)); class positions via grouped_rank (classes are a
+    low-cardinality domain). Oversize docs surface in class 0 with
+    negative waste rather than vanishing. All integer, hash-exact."""
+    from ..operators.curation import whole_doc_packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return whole_doc_packing(docs, capacity=256)
+
+
+def s22_quantizer_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer occupancy census
+    (operators.similarity.quantizer_occupancy): the index-build QC
+    gate — per k-means cell (s9's exact integer trajectory, k=8,
+    3 rounds), member count, distortion envelope (min/max/sum int64
+    dist_q) and occupancy_ppm, with EMPTY cells present via a k-row
+    spine (the empty cell is the finding: it wastes probes and means
+    the recall dial lies). One hash agg + scalar count + k-row
+    broadcast join on top of the s9 rounds."""
+    from ..operators.similarity import quantizer_occupancy
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantizer_occupancy(emb, k=8, n_rounds=3, scale=1000, dim=64)
+
+
+def t41_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank-frequency profile
+    (operators.text.zipf_profile): the full-distribution complement of
+    t34's head-coverage curve — token types ranked per language
+    (grouped_rank: languages are the lowcard domain), bucketed by
+    integer log2(rank) (length(bin(rank))-1, no float log), one census
+    row per (lang, bucket) with type and frequency mass. Smooth
+    doubling decay = natural text; a truncated head or fat tail is
+    the spam/boilerplate/tokenizer-corruption signature."""
+    from ..operators.text import zipf_profile
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return zipf_profile(docs, group_col="lang")

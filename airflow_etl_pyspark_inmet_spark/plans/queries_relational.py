@@ -2226,3 +2226,34 @@ def q115_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         li, cents, n_bins=128, quantiles_ppm=[500000, 900000, 990000]
     )
+
+
+def q116_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance
+    (operators.relational.asof_join, tolerance_days=30): q24's
+    match — each order joined to the customer's latest prior
+    high-revenue day — but a match older than 30 days is treated as NO
+    match (the pandas merge_asof(tolerance) / market-data "stale quote"
+    semantics). The bound rides the carried struct on the same
+    single-shuffle union+window plan: no second window, no range
+    join. Oracle replays via a windowed latest-match + the same
+    datediff predicate."""
+    from ..operators.relational import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    marks = (
+        o.groupBy("o_custkey", F.to_date("o_orderdate").alias("_mark_ts"))
+        .agg(F.max("o_totalprice").cast("double").alias("day_max"))
+        .filter(F.col("day_max") > 300000)
+        .select(
+            "o_custkey", "_mark_ts", F.col("_mark_ts").alias("mark_date"),
+            "day_max",
+        )
+    )
+    return asof_join(
+        left, marks, on="o_custkey", left_ts="order_date",
+        right_ts="_mark_ts", tolerance_days=30,
+    )

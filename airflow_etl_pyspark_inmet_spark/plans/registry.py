@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (282/282; this count is asserted
+Every registered query has a real oracle (286/286; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -6820,6 +6820,134 @@ GROUP BY band, (_pos - 1) // 8
 QUERIES["x22_length_grouped_batches"] = L.x22_length_grouped_batches
 
 
+# x23 — whole-document harmonic packing: the class/rank/bin algebra is
+# pure integer (Knuth priority, ROW_NUMBER replay of grouped_rank).
+ORACLES["x23_whole_doc_packing"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS _tok
+  FROM documents
+),
+cls AS (
+  SELECT doc_id, _tok,
+         CASE WHEN _tok > 256 THEN CAST(0 AS BIGINT)
+              ELSE 256 // _tok END AS size_class
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, _tok, size_class,
+         ROW_NUMBER() OVER (PARTITION BY size_class
+             ORDER BY (doc_id * 2654435761) % 1048576, doc_id) AS _pos
+  FROM cls
+)
+SELECT size_class,
+       (_pos - 1) // (CASE WHEN size_class = 0 THEN 1 ELSE size_class END)
+         AS bin_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(_tok) AS BIGINT) AS sum_tokens,
+       CAST(256 - sum(_tok) AS BIGINT) AS waste
+FROM ranked
+GROUP BY 1, 2
+"""
+QUERIES["x23_whole_doc_packing"] = L.x23_whole_doc_packing
+
+
+# s22 — quantizer occupancy census: the s9 integer k-means trajectory
+# (same _S9_PARTS CTE chain) aggregated per cell over a range(k) spine
+# so empty cells surface; all counters/distortions exact int64.
+def _s22_occupancy_sql(k: int, n_rounds: int, dim: int, scale: int) -> str:
+    if (k, n_rounds, dim, scale) not in _S9_PARTS:
+        _s9_kmeans_sql(k, n_rounds, dim, scale)
+    parts, prev, pack = _S9_PARTS[(k, n_rounds, dim, scale)]
+    final = f"""
+, asg AS (
+  SELECT vec_id,
+         CAST(key % {pack} AS INTEGER) AS cluster,
+         key // {pack} AS dist_q
+  FROM (
+    SELECT q.vec_id, min(
+             CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               AS BIGINT) * {pack} + cid) AS key
+    FROM q, {prev} c
+    GROUP BY q.vec_id)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM asg),
+spine AS (SELECT CAST(unnest(range({k})) AS INTEGER) AS cluster),
+stats AS (
+  SELECT cluster,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(dist_q) AS BIGINT) AS min_dist_q,
+         CAST(max(dist_q) AS BIGINT) AS max_dist_q,
+         CAST(sum(dist_q) AS BIGINT) AS sum_dist_q
+  FROM asg GROUP BY cluster
+)
+SELECT s.cluster,
+       CAST(COALESCE(st.n_members, 0) AS BIGINT) AS n_members,
+       st.min_dist_q, st.max_dist_q, st.sum_dist_q,
+       CAST(COALESCE(st.n_members, 0) * 1000000 // _n AS BIGINT)
+         AS occupancy_ppm
+FROM spine s LEFT JOIN stats st USING (cluster), tot
+"""
+    return "WITH " + ",".join(parts) + final
+
+
+ORACLES["s22_quantizer_occupancy"] = _s22_occupancy_sql(8, 3, 64, 1000)
+QUERIES["s22_quantizer_occupancy"] = L.s22_quantizer_occupancy
+
+
+# t38 — per-language Zipf profile: census + ROW_NUMBER rank replay of
+# grouped_rank + integer log2 via binary-string length (no float log).
+ORACLES["t41_zipf_profile"] = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS freq
+  FROM toks WHERE token <> '' GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, freq,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY freq DESC, token ASC) AS _rank
+  FROM counts
+)
+SELECT lang, CAST(length(bin(_rank)) - 1 AS BIGINT) AS rank_bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS sum_freq,
+       CAST(max(freq) AS BIGINT) AS max_freq,
+       CAST(min(freq) AS BIGINT) AS min_freq
+FROM ranked GROUP BY lang, rank_bucket
+"""
+QUERIES["t41_zipf_profile"] = L.t41_zipf_profile
+
+
+# q116 — as-of with tolerance: DuckDB's native ASOF LEFT JOIN, then the
+# same day-granularity staleness null-out the engine applies to the
+# carried match struct.
+ORACLES["q116_asof_tolerance"] = """
+WITH marks AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS mark_date,
+         CAST(max(o_totalprice) AS DOUBLE) AS day_max
+  FROM orders GROUP BY 1, 2 HAVING CAST(max(o_totalprice) AS DOUBLE) > 300000
+),
+a AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_orderdate AS DATE) AS order_date,
+         m.mark_date, m.day_max
+  FROM orders o ASOF LEFT JOIN marks m
+    ON o.o_custkey = m.o_custkey AND CAST(o.o_orderdate AS DATE) >= m.mark_date
+)
+SELECT o_orderkey, o_custkey, order_date,
+       CASE WHEN order_date - mark_date <= 30 THEN mark_date END AS mark_date,
+       CASE WHEN order_date - mark_date <= 30 THEN day_max END AS day_max
+FROM a
+"""
+QUERIES["q116_asof_tolerance"] = R.q116_asof_tolerance
+
+
 # --- r12 driver-window rotation (keep this block at the END of the file) ---
 # Front: the 8 queries never driver-checked (registered after the r11 window
 # landed), then all 37 r7-stale entries, then 5 r8-stale to fill 50.
@@ -7093,4 +7221,76 @@ _R15_WINDOW = [
 assert len(_R15_WINDOW) == 50 and set(_R15_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R15_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)
+}
+
+
+# --- r16 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 4 r16-new queries (never driver-checked), then the 5 queries
+# whose implementation or oracle CHANGED this round (s20 gained the
+# n_null_elem counter + a new planted fault; q115's total collection
+# moved driver-side; s16/s19 fold the unrouted fallback lazily; q24's
+# asof_join was rewritten to carry the matched timestamp), then the full
+# 35-query r15 staleness floor (BASELINE.md "r15 FINAL consolidated
+# record"), then the first 6 r11-stale entries in registration order.
+# The remaining r11-stale queries are pre-verified locally for r17
+# (BASELINE.md "r16 staleness floor").
+_R16_WINDOW = [
+    # never driver-checked (4)
+    "x23_whole_doc_packing",
+    "s22_quantizer_occupancy",
+    "t41_zipf_profile",
+    "q116_asof_tolerance",
+    # changed this round — re-certify (5)
+    "s20_embedding_qc",
+    "q115_histogram_quantiles",
+    "s16_graph_ann_topk",
+    "s19_routed_graph_ann",
+    "q24_asof_join",
+    # r15 staleness floor (35)
+    "t6_normalize",
+    "m1_decode_meta",
+    "m2_frame_sample",
+    "m3_embed_norm",
+    "m4_byte_histogram",
+    "m5_resize",
+    "q01_pricing_summary",
+    "q34_approx_distinct",
+    "q51_approx_quantiles",
+    "d19_dedup_embedding_lsh",
+    "d20_semantic_keeper_lsh",
+    "d21_semantic_clusters_lsh",
+    "d22_dedup_embedding_full",
+    "d23_embedding_delta_dedup",
+    "st10_stream_embedding_dedup",
+    "g3_triangle_count",
+    "t27_ngram_novelty",
+    "q109_weighted_median",
+    "q111_assoc_rules",
+    "t28_heavy_hitters",
+    "x6_dsir_importance",
+    "d24_corpus_overlap",
+    "m16_image_patches",
+    "s7_embedding_gram",
+    "t29_bpe_encode",
+    "st11_stream_gram",
+    "m17_audio_energy",
+    "g4_kcore",
+    "s8_sq8_topk",
+    "m18_audio_autocorr",
+    "t30_kneser_ney",
+    "c8_perplexity_filter",
+    "m6_resize_png",
+    "q71_time_weighted_avg",
+    "s3_ivf_topk",
+    # r11-stale, registration order (6)
+    "c4_pretraining_pipeline",
+    "d12_image_neardup",
+    "st7_stream_ohlc",
+    "c5_multimodal_pipeline",
+    "g1_pagerank",
+    "d15_fuzzy_name_pairs",
+]
+assert len(_R16_WINDOW) == 50 and set(_R16_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R16_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R16_WINDOW)
 }

@@ -167,13 +167,18 @@ def main() -> None:
     from airflow_etl_pyspark_inmet_spark.session import get_spark
     from bench import HEADLINE
 
-    # keep grouped_rank/grouped_running_sum lineage visible: their lazy
+    # keep checkpointing operators' lineage visible: their lazy
     # localCheckpoints would otherwise truncate the audited plan to a
     # LogicalRDD, hiding scans/filters AND any upstream lowcard window
-    # from the detector (r15 second self-review finding)
-    from airflow_etl_pyspark_inmet_spark.operators import relational
-
-    relational.AUDIT_NO_CHECKPOINT = True
+    # from the detector (r15 second self-review finding; r16 extended
+    # coverage from grouped_rank to the whole iterative family —
+    # connected components, label propagation, pagerank, triangles,
+    # k-core, BFS/SSSP, NN-Descent — per VERDICT r15 item 3, so
+    # d5/s12/g1-g7's rows audit real scan/exchange counts). The
+    # mechanism is AUDIT_SEGMENTS (see operators/util.py and the loop
+    # below): checkpoints still happen, their inputs are recorded and
+    # audited as per-segment plans.
+    from airflow_etl_pyspark_inmet_spark.operators import util
 
     spark = get_spark(app_name="plans")
     lines = [
@@ -371,11 +376,38 @@ def main() -> None:
         "q115_histogram_quantiles",
         "x22_length_grouped_batches",
         "s21_anisotropy_profile",
+        # round-16 additions (st* excluded by the st9 convention)
+        "x23_whole_doc_packing",
+        "s22_quantizer_occupancy",
+        "t41_zipf_profile",
+        "q116_asof_tolerance",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:
+        # SEGMENT-MODE audit (VERDICT r15 item 3): record every lazy
+        # localCheckpoint's full-lineage input while the query builds
+        # WITH checkpoints on (production speed — building composites
+        # like d25/c10 with checkpoints disabled recomputes ~3^rounds
+        # lineage per convergence probe; measured 15+ min before this
+        # rewrite), then audit the main plan PLUS each recorded
+        # segment. Every scan/exchange/window lives in exactly one
+        # segment (a segment's own upstream checkpoints truncate it),
+        # so the merged counts cover the query's REAL dataflow and the
+        # LOWCARD/cartesian detectors traverse lineage the final plan
+        # alone would hide behind LogicalRDDs.
+        util.AUDIT_SEGMENTS = []
         df = QUERIES[name](spark, SF_DIR)
-        ev = evidence(_formatted(df))
+        segs = util.AUDIT_SEGMENTS
+        util.AUDIT_SEGMENTS = None
+        evs = [evidence(_formatted(f)) for f in [df] + segs]
+        ev = {
+            k: (
+                sum(e[k] for e in evs)
+                if isinstance(evs[0][k], int)
+                else sum((e[k] for e in evs), [])
+            )
+            for k in evs[0]
+        }
         flags = []
         if ev["cartesian"]:
             flags.append("CARTESIAN")
@@ -433,6 +465,9 @@ def main() -> None:
         if ev["python_eval"]:
             flags.append("row-python")
         lw = lowcard_window_flags(spark, df)
+        for s in segs:
+            lw += lowcard_window_flags(spark, s)
+        lw = list(dict.fromkeys(lw))  # order-preserving dedupe
         if name == "q101_active_intervals":
             # q101's GLOBAL running sum rides the calendar DAY SPINE —
             # bounded by time span (~2.4k rows at sf0.1), not corpus
@@ -461,12 +496,14 @@ def main() -> None:
         "  plan reads only the 6 sketch RDDs (the r8 judge's one-pass",
         "  profiling rewrite; previously 24 raw-table scans).",
         "- `read cols/scan` shows column pruning reaching each parquet scan.",
-        "- Iterative queries (q110 pointer doubling, g2 label propagation,",
-        "  d5/t24 connected components, t22 BPE rounds) show near-empty",
-        "  final plans: each round is lineage-truncated with a lazy",
-        "  localCheckpoint, so the audited frame reads the LAST round's",
-        "  checkpoint. Their per-round shapes (one co-partitioned",
-        "  join/agg per round) are documented and bounded in SCALING.md.",
+        "- Iterative queries (q110 pointer doubling, g1-g7, d5/t24",
+        "  connected components, s12 NN-Descent, t22 BPE rounds)",
+        "  lineage-truncate each round with a lazy localCheckpoint; since",
+        "  r16 the audit records every checkpoint's full-lineage INPUT as",
+        "  a segment and merges its counts into the row (AUDIT_SEGMENTS),",
+        "  so these rows show their real per-round scans/exchanges and",
+        "  the detectors traverse lineage the final plan hides behind",
+        "  LogicalRDDs. Per-round cost bounds remain in SCALING.md.",
         "- `s1_cosine_topk` intentionally uses a BroadcastNestedLoopJoin:",
         "  the 5-query side broadcasts and the corpus streams through it",
         "  once (exact scoring); the LSH/IVF variants are the pruned paths.",

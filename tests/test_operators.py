@@ -5440,3 +5440,123 @@ def test_anisotropy_profile_identity_and_isotropy(spark):
         resid = [a * u2 - dot * b for a, b in zip(qv, u)]
         assert sum(a * b for a, b in zip(resid, u)) == 0
         assert out[rows[i][0]]["dot_u"] == dot
+
+
+def test_whole_doc_packing_invariants(spark):
+    """r16: every doc lands in exactly one bin, fitting bins never
+    exceed capacity, oversize docs isolate in class 0 with negative
+    waste, and a degenerate capacity raises."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        whole_doc_packing,
+    )
+
+    rows = [
+        (1, "a b c d"),              # 4 tok  -> class 4 (cap 16)
+        (2, "a b c d e"),            # 5 tok  -> class 3
+        (3, "a b"),                  # 2 tok  -> class 8
+        (4, " ".join(["x"] * 20)),   # 20 tok -> oversize, class 0
+        (5, "a b c d"),              # 4 tok  -> class 4
+        (6, "a b c d"),              # 4 tok  -> class 4
+        (7, "a b c d"),              # 4 tok  -> class 4
+        (8, "a b c d"),              # 4 tok  -> class 4 (second bin)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = whole_doc_packing(df, capacity=16).collect()
+    # total docs conserved
+    assert sum(r["n_docs"] for r in out) == 8
+    by_class = {}
+    for r in out:
+        by_class.setdefault(r["size_class"], []).append(r)
+        if r["size_class"] > 0:
+            # fitting bins respect capacity: waste >= 0
+            assert r["waste"] >= 0
+            assert r["sum_tokens"] <= 16
+            # k docs per full bin at most
+            assert r["n_docs"] <= r["size_class"]
+    # class 4 has 5 docs -> ceil(5/4) = 2 bins
+    assert len(by_class[4]) == 2
+    # the oversize doc: class 0, alone, negative waste = overflow
+    (o,) = by_class[0]
+    assert (o["n_docs"], o["sum_tokens"], o["waste"]) == (1, 20, -4)
+    with pytest.raises(ValueError, match="capacity"):
+        whole_doc_packing(df, capacity=0)
+
+
+def test_zipf_profile_exact_buckets(spark):
+    """r16: rank buckets are exact integer log2 and frequencies land
+    in the right buckets with deterministic tie-breaks."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import zipf_profile
+
+    # lang 'en': freqs a=4, b=2, c=2, d=1 -> ranks 1(a),2(b),3(c),4(d)
+    # buckets: rank1 -> 0; ranks 2-3 -> 1; rank 4 -> 2
+    df = spark.createDataFrame(
+        [("en", "a a a a b b c c d")], "lang string, text string"
+    )
+    out = {
+        r["rank_bucket"]: r.asDict() for r in zipf_profile(df).collect()
+    }
+    assert out[0]["n_types"] == 1 and out[0]["sum_freq"] == 4
+    assert out[1]["n_types"] == 2 and out[1]["sum_freq"] == 4
+    assert out[1]["max_freq"] == 2 and out[1]["min_freq"] == 2
+    assert out[2]["n_types"] == 1 and out[2]["sum_freq"] == 1
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """r16: a match older than tolerance_days is treated as NO match
+    (payload nulled), fresh matches and the no-tolerance path are
+    unchanged."""
+    from airflow_etl_pyspark_inmet_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-03-01"), (2, 10, "2024-01-05"), (3, 20, "2024-02-01")],
+        "id long, k long, d string",
+    ).select("id", "k", F.col("d").cast("date").alias("d"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01", 7.0), (20, "2024-01-31", 9.0)],
+        "k long, rd string, v double",
+    ).select("k", F.col("rd").cast("date").alias("rd"), "v")
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="d", right_ts="rd",
+            tolerance_days=30,
+        ).collect()
+    }
+    assert out[1] is None      # 60 days stale -> nulled
+    assert out[2] == 7.0       # 4 days -> kept
+    assert out[3] == 9.0       # 1 day -> kept
+    base = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="d", right_ts="rd"
+        ).collect()
+    }
+    assert base[1] == 7.0      # no tolerance: latest match regardless
+
+
+def test_quantizer_occupancy_spine_and_ppm(spark):
+    """r16: every cell 0..k-1 appears (empty ones with n_members 0 and
+    NULL distortion), members sum to the corpus, ppm is the exact
+    integer share."""
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        quantizer_occupancy,
+    )
+
+    # two tight planted clusters; k=4 leaves at least one empty cell
+    rows = [(i, [10.0 + (i % 3) * 0.001, 0.0]) for i in range(6)] + [
+        (i, [0.0, 10.0 + (i % 3) * 0.001]) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r.asDict() for r in quantizer_occupancy(
+        df, k=4, n_rounds=2, scale=1000, dim=2
+    ).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert sum(r["n_members"] for r in out.values()) == 12
+    for r in out.values():
+        assert r["occupancy_ppm"] == r["n_members"] * 1_000_000 // 12
+        if r["n_members"] == 0:
+            assert r["min_dist_q"] is None and r["sum_dist_q"] is None
