@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .util import lineage_checkpoint
 
 from . import png as _png
 
@@ -503,9 +504,7 @@ def ahash_neardup_pairs(
                 F.struct(F.lit(3).alias("c"), (F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF))).alias("v")),
             )
         ).alias("cv"),
-    ).select("doc_id", "ahash_lo", "ahash_hi", "cv.c", "cv.v").localCheckpoint(
-        eager=False
-    )  # both self-join sides read this; without it the upstream decode
+    ).select("doc_id", "ahash_lo", "ahash_hi", "cv.c", "cv.v").transform(lineage_checkpoint)  # both self-join sides read this; without it the upstream decode
     # chain (payload gen + PNG decode) would execute once per side
     a = chunks.toDF("id_a", "lo_a", "hi_a", "c", "v")
     b = chunks.toDF("id_b", "lo_b", "hi_b", "c", "v")

@@ -216,15 +216,15 @@ def asof_join(
     """
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c not in (on, right_ts)]
-    rts_type = dict(right.dtypes)[right_ts]
-    rpay = ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols)
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    rpay = ",".join(f"{c}:{rdt[c]}" for c in rcols)
     l_ = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast(
-            f"struct<_mts:{rts_type},_p:struct<{rpay}>>"
+            f"struct<_mts:{rdt[right_ts]},_p:struct<{rpay}>>"
         ).alias("_r"),
     )
     r_ = right.select(
@@ -232,7 +232,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
+            "struct<" + ",".join(f"{c}:{ldt[c]}" for c in lcols) + ">"
         ).alias("_l"),
         F.struct(
             F.col(right_ts).alias("_mts"), F.struct(*rcols).alias("_p")

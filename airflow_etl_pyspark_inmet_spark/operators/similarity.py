@@ -2467,6 +2467,14 @@ def graph_ann_topk(
     paying for the s12 index build. All joins are equi-joins; the only
     windows are per-query (partitioned, never global).
     """
+    if n_entries != "sqrt" and int(n_entries) < 1:
+        # r16 self-review: the flat path's limit(0) silently emits NO
+        # entries and the routed fallback's in-plan stride would divide
+        # by zero (ANSI cast overflow) — reject the dial up front
+        raise ValueError(
+            f"graph_ann_topk: n_entries must be >= 1 or 'sqrt', "
+            f"got {n_entries!r}"
+        )
     isel = items.select(
         F.col(id_col).cast("bigint").alias("item_id"),
         F.col(vec_col).alias("_ivec"),
@@ -2601,9 +2609,7 @@ def graph_ann_topk(
                 "left_anti",
             )
         )
-        scored = scored.unionAll(_score(cand)).localCheckpoint(
-            eager=False
-        )
+        scored = scored.unionAll(_score(cand)).transform(lineage_checkpoint)
 
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col("item_id").asc()
@@ -3285,16 +3291,19 @@ def quantizer_occupancy(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
-    ).transform(lineage_checkpoint)  # consumers: stats agg + total count
+    )
     spark = df.sparkSession
     spine = spark.range(k).select(F.col("id").cast("int").alias("cluster"))
+    # ONE corpus-sized aggregation; the total derives from the k-row
+    # stats frame (checkpointed — two consumers: spine join + total),
+    # never a second pass over the assignment (r16 self-review)
     stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("dist_q").alias("min_dist_q"),
         F.max("dist_q").alias("max_dist_q"),
         F.sum("dist_q").cast("bigint").alias("sum_dist_q"),
-    )
-    totals = assigned.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ).transform(lineage_checkpoint)
+    totals = stats.agg(F.sum("n_members").cast("bigint").alias("_n"))
     return (
         spine.join(F.broadcast(stats), "cluster", "left")
         .crossJoin(F.broadcast(totals))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..operators.util import lineage_checkpoint
 
 from ..operators.dedup import (
     dedup_exact,
@@ -1642,7 +1643,7 @@ def c4_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .join(raw.select("doc_id", "source"), "doc_id")
-        .localCheckpoint(eager=False)  # the materialize-once point: 4
+        .transform(lineage_checkpoint)  # the materialize-once point: 4
         # downstream consumers (mixture, pack, shard, final join); a
         # production run writes intermediate parquet here instead
     )
@@ -1850,9 +1851,7 @@ def _lsh_pairs_same_label(spark: SparkSession, sf_dir: str):
     from ..operators.dedup import embedding_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).localCheckpoint(
-        eager=False
-    )
+    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).transform(lineage_checkpoint)
     lab = emb.select("vec_id", "label")
     la = lab.toDF("id_a", "_lab_a")
     lb = lab.toDF("id_b", "_lab_b")
@@ -1861,7 +1860,7 @@ def _lsh_pairs_same_label(spark: SparkSession, sf_dir: str):
         .join(lb, "id_b")
         .filter(F.col("_lab_a") == F.col("_lab_b"))
         .select("id_a", "id_b", "cos_sim")
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     return emb, lsh, same
 
@@ -1885,7 +1884,7 @@ def d19_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, lsh, _ = _lsh_pairs_same_label(spark, sf_dir)
     exact = embedding_cosine_pairs(
         emb, block_col="label", threshold=0.35
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     hit = exact.join(
         lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     )
@@ -1914,7 +1913,7 @@ def d20_semantic_keeper_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _, same = _lsh_pairs_same_label(spark, sf_dir)
     exact = semantic_dedup_keepers(
         emb, block_col="label", threshold=0.35
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     comp = connected_components(same.select("id_a", "id_b"))
     lshk = (
         emb.select("vec_id")
@@ -1961,7 +1960,7 @@ def d21_semantic_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             cluster.alias("cluster_id"),
             (cluster == F.col("vec_id")).alias("is_canonical"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     lcomp = connected_components(same.select("id_a", "id_b")).toDF(
         "_lnode", "_lcomp"
@@ -2003,9 +2002,7 @@ def d22_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _dot, _norm
 
     emb = _t(spark, sf_dir, "embeddings")
-    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).localCheckpoint(
-        eager=False
-    )
+    lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).transform(lineage_checkpoint)
     v = emb.select(
         F.col("vec_id"),
         F.col("embedding").alias("_v"),
@@ -2018,7 +2015,7 @@ def d22_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     hit = exact.join(
         lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
@@ -2051,7 +2048,7 @@ def d23_embedding_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 50)
     lsh = embedding_lsh_pairs(
         delta, threshold=0.35, dim=64, index_df=corpus
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     a = delta.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("_va"),
@@ -2067,7 +2064,7 @@ def d23_embedding_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.crossJoin(F.broadcast(a))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     hit = exact.join(
         lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
@@ -2103,7 +2100,7 @@ def st10_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
         dim=64,
         delta_max_id=50,
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     delta = emb.filter(F.col("vec_id") < 50)
     a = delta.select(
         F.col("vec_id").alias("id_a"),
@@ -2120,7 +2117,7 @@ def st10_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.crossJoin(F.broadcast(a))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     hit = exact.join(
         lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
@@ -2429,7 +2426,7 @@ def c8_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import kneser_ney_bigram_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    scored = kneser_ney_bigram_score(docs).localCheckpoint(eager=False)
+    scored = kneser_ney_bigram_score(docs).transform(lineage_checkpoint)
     # Spark's percentile_disc returns double; the underlying value is an
     # exact micro-unit integer (< 2^53), so the bigint cast is lossless.
     thr = scored.agg(
@@ -2590,7 +2587,7 @@ def g5_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit (the t22/g4 iterative-replay contract)."""
     from ..operators.dedup import bfs_distances
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).transform(lineage_checkpoint)
     src = edges.agg(F.min("src").alias("node"))
     return bfs_distances(edges, src, n_rounds=4).orderBy("dist", "node")
 
@@ -2705,7 +2702,7 @@ def g6_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
             .alias("w"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     src = edges.agg(F.min("src").alias("node"))
     return sssp_distances(edges, src, n_rounds=4).orderBy("node")
@@ -2890,7 +2887,7 @@ def d26_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     exact = semdedup(
         emb, k=8, n_rounds=3, tau=0.35, scale=1000
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     ivf = semdedup_ivf(emb, n_cells=8, tau=0.35, scale=1000)
     ex_drops = exact.filter(F.col("dropped")).select("vec_id")
     iv_drops = ivf.filter(F.col("dropped")).select(
@@ -2991,7 +2988,7 @@ def c10_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so each tier's pipeline materializes once (the q111 lesson)
     tp = minhash_lsh_pairs(
         docs, ngram=3, threshold=0.5, broadcast_sizes=True
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     text_ids = (
         tp.select(F.col("id_a").alias("doc_id"))
         .unionAll(tp.select(F.col("id_b").alias("doc_id")))
@@ -3677,7 +3674,7 @@ def c14_training_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
     damped = counts.withColumn(
         "_w", F.floor(F.sqrt(F.col("_n")) * F.lit(1e6)).cast("bigint")
-    ).localCheckpoint(eager=False)  # consumers: totals + quota join
+    ).transform(lineage_checkpoint)  # consumers: totals + quota join
     totals = damped.agg(F.sum("_w").alias("_wtot"))
     based = (
         damped.crossJoin(F.broadcast(totals))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..operators.util import lineage_checkpoint
 
 from ..functions.cleaning import (
     date_parts,
@@ -1728,7 +1729,7 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
         .cast("bigint")
         .alias("med_cents")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     d = e.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("v") - F.col("med_cents"))
     )
@@ -1738,7 +1739,7 @@ def q77_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mad_cents"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_checkpoint)
     outliers = (
         d.join(
             F.broadcast(mad.select("event_type", "mad_cents")), "event_type"
@@ -2083,7 +2084,7 @@ def q111_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # item 2). Truncated, the capped-basket frame is computed once
         # and served from block storage — the repo-standard
         # multi-consumer pattern (operators/mixing.py).
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     n_baskets = top.agg(
         F.count_distinct("l_orderkey").alias("_nb")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..operators.util import lineage_checkpoint
 
 from .queries_relational import _t
 
@@ -886,7 +887,7 @@ def q102_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(cv)
             .select("cv.c", "cv.v")
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint)
         )
     # FUSED stats (VERDICT r9 item 6 — was one semi-join + three
     # aggregates PER PAIR, 36 exchanges / 72 hash aggs): all distinct
@@ -1037,7 +1038,7 @@ def q103_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "p_name", "s_name", "n_name",
             "acctbal_cents", "cost_micros",
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     m = j.groupBy(F.col("p_partkey").alias("_pk")).agg(
         F.min("cost_micros").alias("_min_cost")
@@ -1129,7 +1130,7 @@ def q105_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "as bigint))"
             ).cast("bigint").alias("value_cents")
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint)
     )
     tot = v.agg(F.sum("value_cents").alias("_t"))
     return (

@@ -6897,7 +6897,7 @@ ORACLES["s22_quantizer_occupancy"] = _s22_occupancy_sql(8, 3, 64, 1000)
 QUERIES["s22_quantizer_occupancy"] = L.s22_quantizer_occupancy
 
 
-# t38 — per-language Zipf profile: census + ROW_NUMBER rank replay of
+# t41 — per-language Zipf profile: census + ROW_NUMBER rank replay of
 # grouped_rank + integer log2 via binary-string length (no float log).
 ORACLES["t41_zipf_profile"] = """
 WITH toks AS (

@@ -435,6 +435,26 @@ def main() -> None:
             # x19 cross-joins the 20-row broadcast eval set (the s1/s8
             # broadcast-query pattern: eval sets are small by nature)
             "x19_semantic_decontam",
+            # r16 segment-mode additions: these queries' BNLJ always
+            # existed but lived behind checkpoints the audit could not
+            # see until AUDIT_SEGMENTS. Each is a documented bounded
+            # pattern now visible in its segment: the ann_with_recall_
+            # check exact tier broadcasts its <=5-query side (the s1
+            # pattern) inside s2/s3/s6/s11/s17/s16/s19's envelopes and
+            # s10's fused ranker; s16/s19 additionally cross-join the
+            # bounded strided/routed entry spreads and the (empty when
+            # all-routed) fallback; d26's blocking-recall scalar and
+            # s22's 1-row occupancy total ride the d26 scalar pattern;
+            # t28/t34/q111's corpus totals and x13's per-round MMR
+            # threshold are 1-row scalar cross-joins; x18 broadcasts
+            # its bounded anchor/eval sets.
+            "s2_lsh_topk", "s3_ivf_topk", "s6_ivf_pq_topk",
+            "s11_matryoshka_topk", "s17_filtered_ann",
+            "s16_graph_ann_topk", "s19_routed_graph_ann",
+            "s10_hybrid_rrf", "d26_semdedup_ivf",
+            "s22_quantizer_occupancy", "t28_heavy_hitters",
+            "t34_zipf_coverage", "q111_assoc_rules",
+            "x13_mmr_diverse_topk", "x18_hard_negatives",
             # s15 broadcasts its 20-row query-slice set (the s1/s5
             # bounded-query pattern)
             "s15_late_interaction",

@@ -5560,3 +5560,29 @@ def test_quantizer_occupancy_spine_and_ppm(spark):
         assert r["occupancy_ppm"] == r["n_members"] * 1_000_000 // 12
         if r["n_members"] == 0:
             assert r["min_dist_q"] is None and r["sum_dist_q"] is None
+
+
+def test_graph_ann_topk_rejects_nonpositive_entries(spark):
+    """r16 self-review: n_entries=0 silently emptied the flat entry
+    spread (limit(0)) and divided by zero in the routed fallback's
+    in-plan stride — must raise."""
+    import pytest
+
+    from airflow_etl_pyspark_inmet_spark.operators.similarity import (
+        graph_ann_topk,
+    )
+
+    items = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    graph = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "vec_id long, nbr_id long"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="n_entries"):
+        graph_ann_topk(items, queries, graph, k=2, n_entries=0)
+    with pytest.raises(ValueError, match="n_entries"):
+        graph_ann_topk(items, queries, graph, k=2, n_entries=-3)
