@@ -2467,14 +2467,25 @@ def graph_ann_topk(
     paying for the s12 index build. All joins are equi-joins; the only
     windows are per-query (partitioned, never global).
     """
-    if n_entries != "sqrt" and int(n_entries) < 1:
+    if n_entries != "sqrt":
         # r16 self-review: the flat path's limit(0) silently emits NO
         # entries and the routed fallback's in-plan stride would divide
-        # by zero (ANSI cast overflow) — reject the dial up front
-        raise ValueError(
-            f"graph_ann_topk: n_entries must be >= 1 or 'sqrt', "
-            f"got {n_entries!r}"
-        )
+        # by zero (ANSI cast overflow) — reject the dial up front, and
+        # NORMALIZE it (second pass: validating int(x) while passing
+        # the raw value through let a numeric string crash the flat
+        # path's `//` far from the validated parameter)
+        try:
+            n_entries = int(n_entries)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"graph_ann_topk: n_entries must be >= 1 or 'sqrt', "
+                f"got {n_entries!r}"
+            ) from None
+        if n_entries < 1:
+            raise ValueError(
+                f"graph_ann_topk: n_entries must be >= 1 or 'sqrt', "
+                f"got {n_entries!r}"
+            )
     isel = items.select(
         F.col(id_col).cast("bigint").alias("item_id"),
         F.col(vec_col).alias("_ivec"),

@@ -1840,18 +1840,27 @@ def x9_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_allocation(docs, budget_tokens=100_000)
 
 
-def _lsh_pairs_same_label(spark: SparkSession, sf_dir: str):
+def _lsh_pairs_same_label(
+    spark: SparkSession, sf_dir: str, with_same: bool = True
+):
     """Shared body for the d19/d20/d21 harness: the production
     sign-LSH-bucketed cosine pairs (operators.dedup.embedding_lsh_pairs
     — corpus-scaled blocking, the d6 scale fix) plus the same pair set
     restricted to same-label, the comparison universe of the
     label-blocked ground-truth tier. Returns (emb, lsh_all,
     lsh_same_label); both pair frames are lazily checkpointed so the
-    harness reads them once."""
+    harness reads them once. ``with_same=False`` (d19, which only
+    consumes the full pair set) skips building the same-label frame
+    entirely — r16 second self-review: an unconsumed checkpointed
+    frame is never materialized, but its construction would record a
+    PHANTOM segment in the plan audit, overstating the query's real
+    dataflow."""
     from ..operators.dedup import embedding_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     lsh = embedding_lsh_pairs(emb, threshold=0.35, dim=64).transform(lineage_checkpoint)
+    if not with_same:
+        return emb, lsh, None
     lab = emb.select("vec_id", "label")
     la = lab.toDF("id_a", "_lab_a")
     lb = lab.toDF("id_b", "_lab_b")
@@ -1881,7 +1890,7 @@ def d19_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     label tier structurally misses: 245 of 271 true pairs at sf0.01)."""
     from ..operators.dedup import embedding_cosine_pairs
 
-    emb, lsh, _ = _lsh_pairs_same_label(spark, sf_dir)
+    emb, lsh, _ = _lsh_pairs_same_label(spark, sf_dir, with_same=False)
     exact = embedding_cosine_pairs(
         emb, block_col="label", threshold=0.35
     ).transform(lineage_checkpoint)

@@ -411,78 +411,45 @@ def main() -> None:
         flags = []
         if ev["cartesian"]:
             flags.append("CARTESIAN")
-        if ev["nested_loop"] and name not in (
-            "s1_cosine_topk", "t8_tfidf_top_terms",
-            "x4_temperature_weights", "c4_pretraining_pipeline",
-            "q93_tpch_q22", "s5_pq_topk",
-            "q76_table_diff", "q78_cdc_apply", "x5_curriculum_order",
-            "t25_interp_bigram", "q102_join_discovery",
-            "x8_epoch_reshuffle", "q105_tpch_q11", "x9_token_budget",
-            "d19_dedup_embedding_lsh", "d20_semantic_keeper_lsh",
-            "d21_semantic_clusters_lsh", "d22_dedup_embedding_full",
-            "d23_embedding_delta_dedup",
-            # s8 broadcasts 5 query vectors like s1/s5; t29/t30/x6/d24/
-            # t27/c8 cross-join 1-row scalar totals (type count, vocab
-            # size, corpus totals, percentile cutoff) the same way
-            "s8_sq8_topk", "t27_ngram_novelty", "t29_bpe_encode",
-            "t30_kneser_ney", "x6_dsir_importance", "d24_corpus_overlap",
-            "c8_perplexity_filter",
-            # t38 cross-joins its 1-row (n_docs, avgdl_milli) corpus
-            # scalar the same way; c12 joins its 4-row broadcast tau
-            # sweep dimension on lit(true) — a bounded literal frame,
-            # the same scalar pattern
-            "t38_bm25", "c12_lsh_threshold_sweep",
-            # x19 cross-joins the 20-row broadcast eval set (the s1/s8
-            # broadcast-query pattern: eval sets are small by nature)
-            "x19_semantic_decontam",
-            # r16 segment-mode additions: these queries' BNLJ always
-            # existed but lived behind checkpoints the audit could not
-            # see until AUDIT_SEGMENTS. Each is a documented bounded
-            # pattern now visible in its segment: the ann_with_recall_
-            # check exact tier broadcasts its <=5-query side (the s1
-            # pattern) inside s2/s3/s6/s11/s17/s16/s19's envelopes and
-            # s10's fused ranker; s16/s19 additionally cross-join the
-            # bounded strided/routed entry spreads and the (empty when
-            # all-routed) fallback; d26's blocking-recall scalar and
-            # s22's 1-row occupancy total ride the d26 scalar pattern;
-            # t28/t34/q111's corpus totals and x13's per-round MMR
-            # threshold are 1-row scalar cross-joins; x18 broadcasts
-            # its bounded anchor/eval sets.
-            "s2_lsh_topk", "s3_ivf_topk", "s6_ivf_pq_topk",
-            "s11_matryoshka_topk", "s17_filtered_ann",
-            "s16_graph_ann_topk", "s19_routed_graph_ann",
-            "s10_hybrid_rrf", "d26_semdedup_ivf",
-            "s22_quantizer_occupancy", "t28_heavy_hitters",
-            "t34_zipf_coverage", "q111_assoc_rules",
-            "x13_mmr_diverse_topk", "x18_hard_negatives",
-            # s15 broadcasts its 20-row query-slice set (the s1/s5
-            # bounded-query pattern)
-            "s15_late_interaction",
-            # s18 cross-joins its 1-row corpus-recall envelope scalar
-            # (the d26 scalar pattern); its exact companion broadcasts
-            # the bounded left-query side (the s1 pattern)
-            "s18_knn_join",
-            # c14 cross-joins its 1-row weight-total and rounding-slack
-            # scalars (the x9 apportionment pattern); q115 joins its
-            # 3-row quantile frame to the <=128-row cumulative-bin
-            # frame on a non-equi crossing predicate — both frames
-            # aggregated and bounded, never the corpus
-            "c14_training_recipe",
-            "q115_histogram_quantiles",
-        ):
-            # s1/s5 broadcast 5 query vectors/LUTs by design (documented);
-            # the rest are 1-row scalar frames cross-joined broadcast:
-            # t8/x4/c4 doc count & sqrt-sum totals, q93's global
-            # average, q76/q78's max(o_orderkey) synthetic-key offset,
-            # x5's percentile-boundary row, q105's Q11 global
-            # value-total threshold (1-row scalar), x9's weight-total
-            # and rounding-slack 1-row scalars; d19-d23 attach their
-            # 1-row recall/agreement envelope booleans the same way
-            # (d26's blocking-recall scalar rides the same pattern;
-            # d22/d23's exact companions intentionally broadcast
-            # the tiny side, the s1 pattern)
+        # Bounded-broadcast BNLJ BUDGET per query (r16 second
+        # self-review: the previous name-set allowlist suppressed the
+        # flag wholesale, so a future GENUINELY unbounded nested-loop
+        # join added to an allowlisted query would never re-flag; the
+        # pins below record each query's audited count of legitimate
+        # bounded-broadcast BNLJs — s1/s5-style <=5-query broadcasts,
+        # 1-row scalar cross-joins (corpus totals, recall/agreement
+        # envelopes, percentile cutoffs, apportionment slack), bounded
+        # entry spreads / tau sweeps / eval sets — and ANY increase
+        # flags. Counts are main-plan + all audit segments (pinned by
+        # the same evidence() the row reports), measured at sf0.1.
+        BNLJ_PINNED = {
+            "s1_cosine_topk": 2, "t8_tfidf_top_terms": 2,
+            "x4_temperature_weights": 2, "c4_pretraining_pipeline": 2,
+            "q93_tpch_q22": 2, "s5_pq_topk": 6, "q76_table_diff": 2,
+            "q78_cdc_apply": 2, "x5_curriculum_order": 4,
+            "t25_interp_bigram": 2, "x8_epoch_reshuffle": 4,
+            "q105_tpch_q11": 2, "x9_token_budget": 6,
+            "d19_dedup_embedding_lsh": 4, "d20_semantic_keeper_lsh": 2,
+            "d21_semantic_clusters_lsh": 2, "d22_dedup_embedding_full": 8,
+            "d23_embedding_delta_dedup": 8, "s8_sq8_topk": 6,
+            "t30_kneser_ney": 2, "x6_dsir_importance": 2,
+            "d24_corpus_overlap": 2, "c8_perplexity_filter": 6,
+            "t38_bm25": 2, "c12_lsh_threshold_sweep": 2,
+            "x19_semantic_decontam": 2, "s15_late_interaction": 2,
+            "s18_knn_join": 6, "c14_training_recipe": 12,
+            "q115_histogram_quantiles": 2, "s2_lsh_topk": 4,
+            "s3_ivf_topk": 4, "s6_ivf_pq_topk": 4,
+            "s11_matryoshka_topk": 6, "s17_filtered_ann": 4,
+            "s16_graph_ann_topk": 8, "s19_routed_graph_ann": 8,
+            "s10_hybrid_rrf": 2, "d26_semdedup_ivf": 2,
+            "s22_quantizer_occupancy": 2, "t28_heavy_hitters": 2,
+            "t34_zipf_coverage": 2, "q111_assoc_rules": 2,
+            "x13_mmr_diverse_topk": 32, "x18_hard_negatives": 2,
+            # t27/t29/q102's historical scalar BNLJs no longer appear
+            # in their audited plans (pin 0 = default)
+        }
+        if ev["nested_loop"] > BNLJ_PINNED.get(name, 0):
             flags.append("BNLJ")
-        if ev["python_eval"]:
             flags.append("row-python")
         lw = lowcard_window_flags(spark, df)
         for s in segs:
