@@ -1861,15 +1861,42 @@ def zipf_profile(
     rank_bucket, n_types, sum_freq, max_freq, min_freq) — bucket b
     covers ranks [2^b, 2^(b+1)).
     """
-    from .relational import grouped_rank
+    return zipf_profile_from_census(
+        zipf_census(df, group_col, text_col), group_col
+    )
 
+
+def zipf_census(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The census half of :func:`zipf_profile`: per-(group, token)
+    frequencies — one explode + map-side-combined hash agg, shuffle
+    bounded by |vocab| x groups, never corpus tokens. Split out
+    because the counters are a SUM monoid: the st22 streaming tier
+    folds per-micro-batch censuses into this frame and derives the
+    profile at read time."""
     toks = df.select(
         F.col(group_col),
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    counts = toks.groupBy(group_col, "token").agg(
+    return toks.groupBy(group_col, "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
+
+
+def zipf_profile_from_census(
+    counts: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """The profile half of :func:`zipf_profile`: deterministic ranks
+    by (freq DESC, token ASC) via ``relational.grouped_rank`` (groups
+    are a small semantic domain — never ``Window.partitionBy``),
+    integer-log2 rank buckets (``length(bin(rank)) - 1``), one hash
+    agg to the bucket census. Derived-at-read-time by the st22
+    streaming tier over its folded census state."""
+    from .relational import grouped_rank
+
     ranked = grouped_rank(
         counts,
         [group_col],

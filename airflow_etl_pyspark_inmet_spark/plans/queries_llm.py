@@ -3888,3 +3888,18 @@ def t41_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("lang", "text")
     return zipf_profile(docs, group_col="lang")
+
+
+def st22_stream_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Zipf vocabulary-health monitor
+    (streaming.windows.streaming_zipf_profile): t41's per-language
+    rank-frequency profile maintained live — per-(lang, token) SUM
+    counters folded per micro-batch (split-invariant monoid state,
+    O(|vocab| x langs) rows), ranks + log2 buckets derived ONCE at
+    read time (ranks are not mergeable — a token's rank depends on
+    every other total, the st21 report-at-read pattern). Equals the
+    batch t41 profile bit for bit, which is the oracle."""
+    from ..streaming.windows import streaming_zipf_profile
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return streaming_zipf_profile(spark, docs, group_col="lang")

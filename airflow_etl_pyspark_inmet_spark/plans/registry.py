@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (286/286; this count is asserted
+Every registered query has a real oracle (287/287; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -7294,3 +7294,11 @@ assert len(_R16_WINDOW) == 50 and set(_R16_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R16_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R16_WINDOW)
 }
+
+
+# --- r16 late registration (after the rotation block, so the window's
+# first 50 are untouched; st22 rides the r17 front) ---
+# st22 — streaming Zipf census: the folded SUM-monoid state equals the
+# one-shot census, so the batch t41 profile SQL is the exact oracle.
+ORACLES["st22_stream_zipf_profile"] = ORACLES["t41_zipf_profile"]
+QUERIES["st22_stream_zipf_profile"] = L.st22_stream_zipf_profile

@@ -1785,3 +1785,89 @@ def streaming_decontam_census(
         return state["mv"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_zipf_profile(
+    spark: SparkSession,
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of the t41 Zipf vocabulary census — the
+    live vocabulary-health monitor: each micro-batch contributes its
+    own per-(group, token) frequencies (``text.zipf_census``) and the
+    running state folds them with SUM — one commutative monoid over a
+    key computed from one row at a time, so the finite-input state is
+    split-invariant and the profile derived at read time equals the
+    one-shot batch :func:`text.zipf_profile` bit for bit (the st20/
+    st21 fold contract; the oracle recomputes the whole profile in
+    SQL).
+
+    The rank/bucket step (grouped_rank + integer log2) runs ONCE on
+    the final census — ranks are NOT mergeable across batches (a
+    token's rank depends on every other token's total), which is
+    exactly why the state holds raw counters and the profile is a
+    read-time derivation (the st21 report-at-read pattern).
+
+    Streaming honesty: state is O(|vocab| x groups) growing rows (the
+    st13 growing-index tier's contract — vocabulary growth is
+    sublinear in corpus tokens by Heaps' law; a production monitor
+    ages out hapax counters when the state budget demands). Per-epoch
+    work is one map-only census of the batch + a state-sized merge.
+
+    Returns (``group_col``, rank_bucket, n_types, sum_freq, max_freq,
+    min_freq) — the t41 schema.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.text import zipf_census, zipf_profile_from_census
+
+    src = docs.select(F.col(group_col), F.col(text_col))
+    tmp = tempfile.mkdtemp(prefix="st22_zipf_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit("").alias(group_col),
+                F.lit("").alias("token"),
+                F.lit(0).cast("bigint").alias("freq"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"mv": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = zipf_census(batch_df, group_col, text_col)
+            merged = (
+                state["mv"]
+                .unionByName(partials)
+                .groupBy(group_col, "token")
+                .agg(F.sum("freq").cast("bigint").alias("freq"))
+            )
+            state["mv"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_zipf_profile expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return zipf_profile_from_census(state["mv"], group_col)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -5586,3 +5586,35 @@ def test_graph_ann_topk_rejects_nonpositive_entries(spark):
         graph_ann_topk(items, queries, graph, k=2, n_entries=0)
     with pytest.raises(ValueError, match="n_entries"):
         graph_ann_topk(items, queries, graph, k=2, n_entries=-3)
+
+
+def test_streaming_zipf_profile_equals_batch_across_splits(spark):
+    """st22: the folded census is split-invariant — the streamed
+    profile equals the one-shot batch profile bit for bit at different
+    micro-batch splits (including a split that separates a token's
+    occurrences across epochs)."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import zipf_profile
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_zipf_profile,
+    )
+
+    rows = [
+        ("en", "a a a b b c"),
+        ("en", "a b d d"),
+        ("pt", "x x y"),
+        ("pt", "x z z z"),
+        ("en", "c c c e"),
+        ("pt", "y y x w"),
+    ]
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    batch = sorted(
+        tuple(r) for r in zipf_profile(docs).collect()
+    )
+    for n_files in (2, 5):
+        streamed = sorted(
+            tuple(r)
+            for r in streaming_zipf_profile(
+                spark, docs, n_files=n_files
+            ).collect()
+        )
+        assert streamed == batch, f"split {n_files} diverged"

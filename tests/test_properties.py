@@ -853,3 +853,76 @@ def test_grouped_rank_and_running_sum_match_window_forms(spark, rows):
     )
     assert ref_sum.exceptAll(got_sum).count() == 0
     assert got_sum.exceptAll(ref_sum).count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40),  # token counts
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([8, 16, 32]),
+)
+def test_whole_doc_packing_invariants_property(spark, tok_counts, capacity):
+    """r16: for ANY corpus and capacity — every doc lands in exactly
+    one bin; fitting bins never exceed capacity (the harmonic class
+    guarantee: k docs of class k always fit); full fitting bins waste
+    at most capacity/(k+1) + (capacity - k*floor(capacity/k)) slack,
+    and oversize docs isolate one-per-bin with negative waste."""
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        whole_doc_packing,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = whole_doc_packing(df, capacity=capacity).collect()
+    assert sum(r["n_docs"] for r in out) == len(tok_counts)
+    for r in out:
+        if r["size_class"] > 0:
+            assert r["sum_tokens"] <= capacity
+            assert r["n_docs"] <= r["size_class"]
+            assert r["waste"] == capacity - r["sum_tokens"] >= 0
+        else:
+            assert r["n_docs"] == 1 and r["waste"] < 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "pt"]),
+            st.lists(
+                st.sampled_from(list("abcdefg")), min_size=1, max_size=12
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_zipf_profile_matches_python_replay_property(spark, docs):
+    """r16: the (group, bucket) census equals a pure-python replay of
+    rank = position under (freq DESC, token ASC) and bucket =
+    rank.bit_length() - 1, for ANY corpus."""
+    from collections import Counter
+
+    from airflow_etl_pyspark_inmet_spark.operators.text import zipf_profile
+
+    rows = [(lang, " ".join(toks)) for lang, toks in docs]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = sorted(tuple(r) for r in zipf_profile(df).collect())
+
+    by_lang: dict[str, Counter] = {}
+    for lang, toks in docs:
+        by_lang.setdefault(lang, Counter()).update(toks)
+    expect: dict[tuple, list] = {}
+    for lang, ctr in by_lang.items():
+        ordered = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (_tok, freq) in enumerate(ordered, start=1):
+            b = rank.bit_length() - 1
+            expect.setdefault((lang, b), []).append(freq)
+    rows2 = sorted(
+        (lang, b, len(fs), sum(fs), max(fs), min(fs))
+        for (lang, b), fs in expect.items()
+    )
+    assert got == rows2
