@@ -497,9 +497,13 @@ def whole_doc_packing(
         raise ValueError(
             f"whole_doc_packing: capacity must be >= 1, got {capacity}"
         )
-    # whitespace tokens; trim("") splits to [""] so _tok >= 1 always —
-    # the class div below can never see a zero
-    toks = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    # whitespace tokens; NULL text coalesces to "" and trim("") splits
+    # to [""] so _tok >= 1 always — the class div below can never see
+    # zero OR the size(NULL) = -1 sentinel (a NULL text otherwise
+    # yields a negative size_class and a garbage bin)
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "\\s+")
+    ).cast("bigint")
     base = df.select(F.col(id_col), toks.alias("_tok")).withColumn(
         "size_class",
         F.when(F.col("_tok") > capacity, F.lit(0).cast("bigint")).otherwise(

@@ -6825,7 +6825,8 @@ QUERIES["x22_length_grouped_batches"] = L.x22_length_grouped_batches
 ORACLES["x23_whole_doc_packing"] = """
 WITH base AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS _tok
+         CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS _tok
   FROM documents
 ),
 cls AS (

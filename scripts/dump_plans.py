@@ -450,6 +450,7 @@ def main() -> None:
         }
         if ev["nested_loop"] > BNLJ_PINNED.get(name, 0):
             flags.append("BNLJ")
+        if ev["python_eval"]:
             flags.append("row-python")
         lw = lowcard_window_flags(spark, df)
         for s in segs:

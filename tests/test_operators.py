@@ -5484,6 +5484,26 @@ def test_whole_doc_packing_invariants(spark):
         whole_doc_packing(df, capacity=0)
 
 
+def test_whole_doc_packing_null_text(spark):
+    """r17 (ADVICE): NULL text must behave as the empty document
+    (_tok = 1, top size class), never size(NULL) = -1 -> negative
+    class and garbage bin."""
+    from airflow_etl_pyspark_inmet_spark.operators.curation import (
+        whole_doc_packing,
+    )
+
+    rows = [(1, None), (2, ""), (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = whole_doc_packing(df, capacity=16).collect()
+    assert sum(r["n_docs"] for r in out) == 3
+    assert all(r["size_class"] >= 0 for r in out)
+    by_class = {r["size_class"]: r for r in out}
+    # NULL and "" both count as 1 whitespace token -> class 16 div 1
+    assert by_class[16]["n_docs"] == 2
+    assert by_class[16]["sum_tokens"] == 2
+    assert by_class[8]["n_docs"] == 1
+
+
 def test_zipf_profile_exact_buckets(spark):
     """r16: rank buckets are exact integer log2 and frequencies land
     in the right buckets with deterministic tie-breaks."""
