@@ -68,13 +68,20 @@ def d4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup detection, oracle-checkable tier: banded
     signature candidates (16 x 4-bit chunks — pigeonhole-guaranteed
     recall for Hamming <= 15, above the corpus max of 9 for true pairs)
-    verified with exact 3-gram Jaccard, so the output provably equals
-    the exact-Jaccard pair set (d2's oracle). The scale tier with 16-bit
-    selective buckets + Hamming verify is operators.dedup.simhash_pairs,
-    exercised in tests."""
+    verified with exact 3-gram Jaccard. r17 (VERDICT item 3): candidate
+    generation rides the hot-shingle cap (df <= 64) so the postings
+    join's per-shingle fan-out is bounded at cap^2 — the uncapped plan
+    was the family's worst scaler (17.6x at factor-10, quadratic in
+    per-shingle df on replicated corpora). The cap is REPLICATED in the
+    DuckDB oracle, so the contract stays exact at every scale; at the
+    oracle scale (sf0.01 max df = 7) the capped output additionally
+    equals d2's uncapped exact-Jaccard set. The scale tier with 16-bit
+    selective buckets + Hamming verify is operators.dedup.simhash_pairs
+    (now with the mirror max_bucket_df guard), exercised in tests."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_jaccard_pairs(
-        docs, ngram=3, n_bands=16, threshold=0.5, broadcast_sizes=True
+        docs, ngram=3, n_bands=16, threshold=0.5, broadcast_sizes=True,
+        max_shingle_df=64,
     )
 
 
@@ -3888,6 +3895,22 @@ def t41_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("lang", "text")
     return zipf_profile(docs, group_col="lang")
+
+
+def d31_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact substring dedup, Lee et al.-style
+    (operators.dedup.exact_substring_dedup — r17 VERDICT item 4): every
+    12-token window occurring more than once anywhere in the corpus
+    keeps its globally-first occurrence; all other occurrences merge
+    into maximal excision spans, one manifest row each. The d-family's
+    span-level DEDUP TRANSFORM (d9 is the census; this says which token
+    ranges to cut and keeps a keeper). Linear plan: positional gram
+    hashes -> one hash agg (count + min-struct keeper) -> hash join
+    back -> per-doc island merge. All integer, hash-exact."""
+    from ..operators.dedup import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_dedup(docs, n=12)
 
 
 def st22_stream_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

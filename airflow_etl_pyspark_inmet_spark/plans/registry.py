@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (287/287; this count is asserted
+Every registered query has a real oracle (288/288; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -740,8 +740,35 @@ SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
     "d2_dedup_jaccard": _JACCARD_SQL,
     "d3_dedup_minhash": _JACCARD_SQL,  # LSH recall ≈ 1 at this threshold; verified subset equality
     # simhash candidates at guaranteed-recall band width + exact-Jaccard
-    # verify == the exact-Jaccard pair set (see simhash_jaccard_pairs).
-    "d4_dedup_simhash": _JACCARD_SQL,
+    # verify; r17: candidate generation is df-capped (<= 64) and the cap
+    # is REPLICATED here — candidates come only from cool shingles, the
+    # verify uses FULL shingle sets (see d4_dedup_simhash docstring).
+    # At sf0.01 (max df = 7) this equals the uncapped _JACCARD_SQL.
+    "d4_dedup_simhash": f"""
+WITH {_GRAMS_DISTINCT},
+sdf AS (SELECT g, COUNT(*) AS d FROM grams GROUP BY 1),
+cand AS (
+  SELECT a.doc_id id_a, b.doc_id id_b
+  FROM grams a
+  JOIN sdf ON sdf.g = a.g AND sdf.d <= 64
+  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) n FROM grams GROUP BY 1),
+inter AS (
+  SELECT cd.id_a, cd.id_b, COUNT(*) c
+  FROM cand cd
+  JOIN grams a ON a.doc_id = cd.id_a
+  JOIN grams b ON b.doc_id = cd.id_b AND b.g = a.g
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+""",
     "d6_dedup_embedding": """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -6947,6 +6974,46 @@ SELECT o_orderkey, o_custkey, order_date,
 FROM a
 """
 QUERIES["q116_asof_tolerance"] = R.q116_asof_tolerance
+
+
+# d31 — corpus-level exact substring dedup (r17 VERDICT item 4): the
+# excision manifest. Redundant occurrence == row_number >= 2 over
+# (doc_id, pos) within the gram's occurrence class (the window here is
+# value-identical to the Spark side's min-struct keeper join); island
+# merge rule identical to d9 (gap <= n). n = 12 word-grams.
+ORACLES["d31_substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(ws, i, i + 11), ' ') AS gm
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 11, 0))) AS i) u
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+red AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM red) t
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 11 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS span_grams,
+       CAST(max(pos) + 11 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+QUERIES["d31_substring_dedup"] = L.d31_substring_dedup
 
 
 # --- r12 driver-window rotation (keep this block at the END of the file) ---

@@ -107,6 +107,38 @@ def test_simhash_pairs_on_corpus_are_valid(docs):
         assert 0 <= r["hamming"] <= 3
 
 
+def test_simhash_pairs_hot_bucket_guard(spark):
+    """max_bucket_df (r17 VERDICT item 3): a degenerate signature class
+    (many identical simhashes -> every band bucket hot) must not drive
+    the banded self-join quadratic. Pairs whose shared bands are ALL
+    hotter than the cap are dropped; pairs with any cool shared band
+    survive with their exact Hamming distance."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # 12 identical docs: identical signatures, so every one of their
+        # 4 band buckets holds 12 docs -> all hot at cap 8
+        *[(i, base) for i in range(12)],
+        # 2 identical docs of a different text: buckets of df 2 -> cool
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(df, max_hamming=3, max_bucket_df=8).collect()
+    }
+    # uncapped finds all 66 degenerate-class pairs plus the cool pair
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+    # capped drops the degenerate class (all 4 shared bands hot) ...
+    assert all(a >= 100 for a, _ in capped)
+    # ... but keeps the cool pair
+    assert (100, 101) in capped
+
+
 def test_lsh_topk_recall_vs_exact(emb):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -5482,6 +5514,40 @@ def test_whole_doc_packing_invariants(spark):
     assert (o["n_docs"], o["sum_tokens"], o["waste"]) == (1, 20, -4)
     with pytest.raises(ValueError, match="capacity"):
         whole_doc_packing(df, capacity=0)
+
+
+def test_exact_substring_dedup_keeper_and_spans(spark):
+    """r17 (VERDICT item 4): the globally-first occurrence of a
+    duplicated n-gram window is the keeper; every other occurrence —
+    cross-doc AND intra-doc — lands in the excision manifest with exact
+    token boundaries; overlapping windows merge to one maximal span."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(24))     # 24-token passage
+    block = " ".join(f"a{i}" for i in range(12))      # 12-token block
+    rows = [
+        # keeper doc: passage at positions 4..27
+        (1, "p0 p1 p2 p3 " + shared + " p4 p5"),
+        # dup doc: same passage at positions 2..25 -> one excision span
+        (2, "q0 q1 " + shared + " q2"),
+        # unrelated doc
+        (3, " ".join(f"z{i}" for i in range(30))),
+        # intra-doc repeat: block at 0..11 (keeper) and again at 24..35
+        (4, block + " " + " ".join(f"f{i}" for i in range(12)) + " " + block),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, n=12).collect()}
+    # doc 1 is the keeper (smallest (doc_id, pos)) -> no excision there;
+    # doc 3 has no duplicates
+    assert set(out) == {2, 4}
+    # doc 2: 13 duplicated 12-grams at 2..14 merge to span [2, 25]
+    assert (out[2].span_start, out[2].span_end) == (2, 25)
+    assert (out[2].span_grams, out[2].span_tokens) == (13, 24)
+    # doc 4: the second block occurrence excises exactly [24, 35]
+    assert (out[4].span_start, out[4].span_end) == (24, 35)
+    assert (out[4].span_grams, out[4].span_tokens) == (1, 12)
 
 
 def test_whole_doc_packing_null_text(spark):
