@@ -336,6 +336,14 @@ def main() -> None:
             "x8_epoch_reshuffle",
             "x1_mixture_sample",
             "op:bloom_dedup",
+            # r17 addition (VERDICT r16 item 6): mechanical recall
+            # gate — not a timing ratio. The routed graph-ANN serving
+            # walk must hold held-out recall@10 >= 0.9 on the
+            # planted-cluster tier (/tmp/sfc10, generated on demand);
+            # r15/r16 measured 1.00 at 20k and 0.92 at 200k, so a
+            # drop below the floor is an index/routing regression,
+            # not noise (the build is integer-deterministic).
+            "op:ann_recall",
         ]
         ops = {
             "op:embedding_lsh_pairs": _op_embedding_lsh,
@@ -374,8 +382,53 @@ def main() -> None:
         factor = n_big / n_small
         out = {}
         flags = []
+        def _ann_recall_gate() -> dict:
+            # held-out routed walk vs exact top-10 on planted clusters
+            # (reuses the SCALING.md measurement harness so the gate
+            # and the ad-hoc runs can never disagree on method)
+            clus_dir = os.environ.get(
+                "SPARK_GRAFT_CLUSTER_DIR", "/tmp/sfc10"
+            )
+            if not os.path.exists(f"{clus_dir}/embeddings.parquet"):
+                from scripts.gen_scale import generate
+
+                print(
+                    f"# generating {clus_dir} (10x mutated+clustered)",
+                    file=sys.stderr,
+                )
+                generate(
+                    clus_dir, 10, "/root/testdata/sf0.1",
+                    mutate=True, clusters=True,
+                )
+            from scripts.measure_graph_ann_recall import measure
+
+            res = measure(spark, clus_dir, routed=True, heldout=True)
+            floor = 0.9
+            routed = res["routed_recall_at_10"]
+            return {
+                "routed_recall_at_10": routed,
+                "flat_recall_at_10": res["recall_at_10"],
+                "floor": floor,
+                "n_vectors": res["n_vectors"],
+                "flag": routed < floor,
+            }
+
         spark.read.parquet(f"{big_dir}/lineitem.parquet").count()  # warm
         for name in subset:
+            if name == "op:ann_recall":
+                res = _ann_recall_gate()
+                out[name] = res
+                if res["flag"]:
+                    flags.append(name)
+                print(
+                    f"# scale-check {name}: routed recall@10 "
+                    f"{res['routed_recall_at_10']:.2f} (flat "
+                    f"{res['flat_recall_at_10']:.2f}, floor "
+                    f"{res['floor']:.2f}, n={res['n_vectors']})"
+                    + (" FLAG" if res["flag"] else ""),
+                    file=sys.stderr,
+                )
+                continue
             small = run_at(name, "/root/testdata/sf0.1")
             big = run_at(name, big_dir)
             ratio = big / small if small > 0 else float("inf")
