@@ -1291,6 +1291,56 @@ def exact_substring_dedup(
     )
 
 
+def apply_substring_excision(
+    df: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an :func:`exact_substring_dedup` excision manifest to the
+    corpus — the map-only transform the manifest promises: per doc,
+    drop every token whose position falls inside one of the doc's
+    excision spans and re-join the survivors.
+
+    Plan shape: the manifest collapses to one row per doc (spans array
+    + excised-token sum; spans are maximal and DISJOINT by
+    construction, so a position matches at most one), one equi-join
+    corpus x per-doc-spans (AQE broadcasts the manifest side when it
+    fits — it holds only docs WITH duplicates), then pure JVM array
+    algebra: ``filter(ws, (tok, i) -> not exists(spans, s -> s.start
+    <= i <= s.end))``. No shuffle of the corpus, no UDF.
+
+    Returns (id_col, n_tokens, n_excised, n_kept, kept_md5):
+    conservation holds as n_kept = n_tokens - n_excised, and kept_md5
+    (md5 of the space-joined surviving tokens) is engine-neutral, so
+    the CONTENT of the cut — not just the counts — is oracle-checked.
+    """
+    spans = manifest.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct("span_start", "span_end")
+        ).alias("_spans"),
+        F.sum("span_tokens").cast("bigint").alias("_nx"),
+    )
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = df.select(F.col(id_col), ws.alias("_ws")).join(
+        spans, id_col, "left"
+    )
+    in_any_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_ws")).otherwise(
+        F.filter("_ws", lambda tok, i: ~in_any_span(i.cast("bigint")))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_ws").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("_nx"), F.lit(0)).cast("bigint").alias("n_excised"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+
+
 def minhash_band_table(
     df: DataFrame,
     id_col: str = "doc_id",

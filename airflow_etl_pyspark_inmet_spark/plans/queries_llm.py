@@ -3913,6 +3913,23 @@ def d31_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(docs, n=12)
 
 
+def d32_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the d31 excision manifest to the corpus
+    (operators.dedup.apply_substring_excision): per doc, cut every
+    token inside an excision span and emit conservation counts plus an
+    md5 of the surviving tokens — the CONTENT of the cut is oracle-
+    checked, not just the arithmetic. Manifest join + JVM array
+    filter; the corpus is never shuffled."""
+    from ..operators.dedup import (
+        apply_substring_excision,
+        exact_substring_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = exact_substring_dedup(docs, n=12)
+    return apply_substring_excision(docs, manifest)
+
+
 def st22_stream_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Zipf vocabulary-health monitor
     (streaming.windows.streaming_zipf_profile): t41's per-language

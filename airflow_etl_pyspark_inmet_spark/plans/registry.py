@@ -5,7 +5,7 @@ order-insensitive value hash against the oracle SQL executed by DuckDB on
 the same parquet files (views: region nation customer supplier part orders
 lineitem events documents embeddings).
 
-Every registered query has a real oracle (288/288; this count is asserted
+Every registered query has a real oracle (289/289; this count is asserted
 against len(QUERIES) by tests/test_plans.py::test_docstring_count so it
 cannot go stale). Engine-specific hashing families (SimHash/sign-LSH,
 sketches) stay oracle-checkable by emitting exact companion columns and
@@ -7014,6 +7014,72 @@ FROM isl
 GROUP BY doc_id, island
 """
 QUERIES["d31_substring_dedup"] = L.d31_substring_dedup
+
+
+# d32 — apply the d31 manifest: per-doc token conservation + md5 of the
+# kept tokens (string_agg over position order; empty survivor sets
+# coalesce to '' so fully-excised docs still hash like Spark's
+# array_join of an empty array).
+ORACLES["d32_substring_excise"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(ws, i, i + 11), ' ') AS gm
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 11, 0))) AS i) u
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+red AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM red) t
+),
+manifest AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 11 AS span_end,
+         max(pos) + 11 - min(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, island
+),
+posn AS (
+  SELECT doc_id, i - 1 AS p, ws[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u
+),
+kept AS (
+  SELECT posn.doc_id, p, tok
+  FROM posn
+  LEFT JOIN manifest m
+    ON posn.doc_id = m.doc_id AND p BETWEEN m.span_start AND m.span_end
+  WHERE m.doc_id IS NULL
+),
+kagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+  FROM kept GROUP BY doc_id
+),
+xagg AS (
+  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS n_excised
+  FROM manifest GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       coalesce(x.n_excised, 0) AS n_excised,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM toks t
+LEFT JOIN kagg k ON k.doc_id = t.doc_id
+LEFT JOIN xagg x ON x.doc_id = t.doc_id
+"""
+QUERIES["d32_substring_excise"] = L.d32_substring_excise
 
 
 # --- r12 driver-window rotation (keep this block at the END of the file) ---

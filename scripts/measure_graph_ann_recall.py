@@ -43,7 +43,11 @@ def measure(
     n_entries: int = 16,
     routed: bool = False,
     heldout: bool = False,
+    hops_list: list | None = None,
 ) -> dict:
+    """Single-dial measurement (returns one dict). ``hops_list`` runs
+    several n_hops settings against ONE graph build (the build is the
+    dominant cost at >= 1M vectors) and returns a list of dicts."""
     from airflow_etl_pyspark_inmet_spark.operators.similarity import (
         cosine_topk,
         graph_ann_routed_topk,
@@ -79,31 +83,38 @@ def measure(
             per_q[str(qid)] = round(len(eq & aq) / len(eq), 3)
         return round(len(a & e) / len(e), 4), per_q
 
-    flat_recall, flat_per_q = _recall(
-        graph_ann_topk(
-            emb, queries, graph, k=k, beam=beam, n_hops=n_hops,
-            n_entries=n_entries,
-        )
-    )
-    out = {
-        "sf_dir": sf_dir,
-        "n_vectors": emb.count(),
-        "dials": {
-            "k": k, "beam": beam, "n_hops": n_hops,
-            "n_entries": n_entries,
-        },
-        "recall_at_10": flat_recall,
-        "per_query": flat_per_q,
-    }
-    if routed:
-        routed_recall, routed_per_q = _recall(
-            graph_ann_routed_topk(
-                emb, queries, graph, k=k, beam=beam, n_hops=n_hops
+    n_vec = emb.count()
+
+    def one(hops: int) -> dict:
+        flat_recall, flat_per_q = _recall(
+            graph_ann_topk(
+                emb, queries, graph, k=k, beam=beam, n_hops=hops,
+                n_entries=n_entries,
             )
         )
-        out["routed_recall_at_10"] = routed_recall
-        out["routed_per_query"] = routed_per_q
-    return out
+        out = {
+            "sf_dir": sf_dir,
+            "n_vectors": n_vec,
+            "dials": {
+                "k": k, "beam": beam, "n_hops": hops,
+                "n_entries": n_entries,
+            },
+            "recall_at_10": flat_recall,
+            "per_query": flat_per_q,
+        }
+        if routed:
+            routed_recall, routed_per_q = _recall(
+                graph_ann_routed_topk(
+                    emb, queries, graph, k=k, beam=beam, n_hops=hops
+                )
+            )
+            out["routed_recall_at_10"] = routed_recall
+            out["routed_per_query"] = routed_per_q
+        return out
+
+    if hops_list is not None:
+        return [one(h) for h in hops_list]
+    return one(n_hops)
 
 
 def main() -> None:
@@ -117,20 +128,22 @@ def main() -> None:
         if a in ("--routed", "--heldout"):
             continue
         elif a.startswith("--hops="):
-            n_hops = int(a.split("=")[1])
+            n_hops = [int(x) for x in a.split("=")[1].split(",")]
         elif a.startswith("--entries="):
             n_entries = int(a.split("=")[1])
         else:
             dirs.append(a)
     dirs = dirs or ["/root/testdata/sf0.1", "/tmp/sf1", "/tmp/sf1m"]
     spark = get_spark(app_name="graph_ann_recall")
+    hops_list = n_hops if isinstance(n_hops, list) else [n_hops]
     for d in dirs:
-        out = measure(
-            spark, d, n_hops=n_hops, n_entries=n_entries,
-            routed=routed, heldout=heldout,
+        outs = measure(
+            spark, d, n_entries=n_entries,
+            routed=routed, heldout=heldout, hops_list=hops_list,
         )
-        out["heldout"] = heldout
-        print(json.dumps(out), flush=True)
+        for out in outs:
+            out["heldout"] = heldout
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -5550,6 +5550,34 @@ def test_exact_substring_dedup_keeper_and_spans(spark):
     assert (out[4].span_grams, out[4].span_tokens) == (1, 12)
 
 
+def test_apply_substring_excision_content(spark):
+    """r17: applying the d31 manifest cuts exactly the redundant token
+    ranges — conservation (n_kept = n_tokens - n_excised) holds and the
+    kept-token content equals the hand-computed survivor string."""
+    import hashlib
+
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        apply_substring_excision,
+        exact_substring_dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(24))
+    rows = [
+        (1, "p0 p1 p2 p3 " + shared + " p4 p5"),     # keeper doc
+        (2, "q0 q1 " + shared + " q2"),              # loses 24 tokens
+        (3, "z0 z1 z2"),                             # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    manifest = exact_substring_dedup(df, n=12)
+    out = {r.doc_id: r for r in apply_substring_excision(df, manifest).collect()}
+    for r in out.values():
+        assert r.n_kept == r.n_tokens - r.n_excised
+    assert (out[1].n_tokens, out[1].n_excised) == (30, 0)
+    assert (out[2].n_tokens, out[2].n_excised, out[2].n_kept) == (27, 24, 3)
+    assert out[2].kept_md5 == hashlib.md5(b"q0 q1 q2").hexdigest()
+    assert out[3].kept_md5 == hashlib.md5(b"z0 z1 z2").hexdigest()
+
+
 def test_whole_doc_packing_null_text(spark):
     """r17 (ADVICE): NULL text must behave as the empty document
     (_tok = 1, top size class), never size(NULL) = -1 -> negative
