@@ -7436,3 +7436,72 @@ QUERIES = {k: QUERIES[k] for k in _R16_WINDOW} | {
 # one-shot census, so the batch t41 profile SQL is the exact oracle.
 ORACLES["st22_stream_zipf_profile"] = ORACLES["t41_zipf_profile"]
 QUERIES["st22_stream_zipf_profile"] = L.st22_stream_zipf_profile
+
+
+# --- r17 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 3 queries never driver-checked (st22 registered after the
+# r16 window by design — VERDICT r16 item 1 — plus this round's d31/d32),
+# then the 5 queries whose code changed this round (d4's capped candidate
+# generation; d2/d5/d24 ride the restructured jaccard_pairs; x23's NULL
+# coalesce), then 42 of the 44-query r11-stale floor in registration
+# order (d4 double-counts as changed+stale). s10_hybrid_rrf is the ONLY
+# floor leftover — pre-verified at round close (BASELINE.md r17 block).
+_R17_WINDOW = [
+    # never driver-checked (3)
+    "st22_stream_zipf_profile",
+    "d31_substring_dedup",
+    "d32_substring_excise",
+    # changed this round — re-certify (5)
+    "d4_dedup_simhash",
+    "d2_dedup_jaccard",
+    "d5_dedup_clusters",
+    "d24_corpus_overlap",
+    "x23_whole_doc_packing",
+    # r11-stale floor, registration order (42)
+    "q02_daily_supplier_agg",
+    "q04_minmax_bounds",
+    "q05_calendar_dim",
+    "q06_surrogate_dim",
+    "q07_decimal_comma_roundtrip",
+    "q08_dayfirst_dates",
+    "q09_union_by_name",
+    "q65_map_type",
+    "q66_array_analytics",
+    "q64_recursive_cte",
+    "q61_listagg",
+    "q62_try_arithmetic",
+    "q63_bitmap_distinct",
+    "st5_stream_dedup",
+    "st6_stream_stream_join",
+    "d3_dedup_minhash",
+    "st1_stream_tumbling",
+    "st4_stream_static_join",
+    "st3_stream_stateful",
+    "st2_stream_sessions",
+    "d7_segment_dedup",
+    "d8_semantic_keeper",
+    "d17_semantic_clusters",
+    "st8_stream_daily_uniques",
+    "c6_incremental_refresh",
+    "x10_stratified_sample",
+    "t31_dup_ratio",
+    "t32_count_min",
+    "x11_pareto_frontier",
+    "c9_compaction_plan",
+    "x12_zorder_layout",
+    "t33_vocab_growth",
+    "q112_zonemap_prune",
+    "g5_bfs_distances",
+    "t34_zipf_coverage",
+    "st12_stream_count_min",
+    "x13_mmr_diverse_topk",
+    "s9_kmeans",
+    "t35_phrase_search",
+    "g6_sssp",
+    "st13_stream_growing_dedup",
+    "x15_kcenter_coreset",
+]
+assert len(_R17_WINDOW) == 50 and set(_R17_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R17_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R17_WINDOW)
+}
