@@ -1321,7 +1321,11 @@ def apply_substring_excision(
         ).alias("_spans"),
         F.sum("span_tokens").cast("bigint").alias("_nx"),
     )
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text coalesces to "" (the x23 lesson): size(split(NULL)) is
+    # -1, which would emit n_tokens = -1 and a NULL kept_md5 while the
+    # oracle's len(NULL list) is NULL — the "" doc is 1 whitespace
+    # token in both engines
+    ws = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     joined = df.select(F.col(id_col), ws.alias("_ws")).join(
         spans, id_col, "left"
     )

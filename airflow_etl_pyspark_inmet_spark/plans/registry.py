@@ -7022,7 +7022,9 @@ QUERIES["d31_substring_dedup"] = L.d31_substring_dedup
 # array_join of an empty array).
 ORACLES["d32_substring_excise"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') ws
+  FROM documents
 ),
 g AS (
   SELECT doc_id, i - 1 AS pos,

@@ -336,6 +336,10 @@ def main() -> None:
             "x8_epoch_reshuffle",
             "x1_mixture_sample",
             "op:bloom_dedup",
+            # r17 addition (VERDICT r16 item 4): corpus-level exact
+            # substring dedup — the positional-gram join is the
+            # d-family's only corpus-wide (pos, hash) shuffle shape
+            "d31_substring_dedup",
             # r17 addition (VERDICT r16 item 6): mechanical recall
             # gate — not a timing ratio. The routed graph-ANN serving
             # walk must hold held-out recall@10 >= 0.9 on the

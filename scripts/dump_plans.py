@@ -381,6 +381,9 @@ def main() -> None:
         "s22_quantizer_occupancy",
         "t41_zipf_profile",
         "q116_asof_tolerance",
+        # round-17 additions (st22 excluded by the st9 convention)
+        "d31_substring_dedup",
+        "d32_substring_excise",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:
