@@ -568,13 +568,17 @@ def _simhash_candidates(
         ).alias("cv"),
     ).select("_id", "simhash", "cv.chunk", "cv.v")
     if max_bucket_df is not None:
-        cool = (
+        # guard on the HOT side (the jaccard_pairs r17 lesson): occupied
+        # buckets number ~n_bands x N on a spread-out corpus, but HOT
+        # buckets are at most n_bands x N / cap — the small side, so the
+        # anti join broadcasts (AQE) and filters map-side
+        hot_b = (
             chunks.groupBy("chunk", "v")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_bucket_df)
+            .filter(F.col("_df") > max_bucket_df)
             .select("chunk", "v")
         )
-        chunks = chunks.join(cool, ["chunk", "v"], "left_semi").select(
+        chunks = chunks.join(hot_b, ["chunk", "v"], "left_anti").select(
             "_id", "simhash", "chunk", "v"
         )
     l = chunks.toDF("id_a", "sig_a", "chunk", "v")
