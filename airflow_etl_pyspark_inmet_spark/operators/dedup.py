@@ -1175,6 +1175,70 @@ def repeated_spans(
     )
 
 
+def _positional_gram_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(``_id``, ``pos``, ``_gh``) positional word-n-gram hash stream —
+    the shared substrate of the substring-dedup family (d31/d32/d33):
+    0-based token position, 64-bit xxhash of the space-joined gram,
+    never the gram text. Docs shorter than ``n`` tokens (including NULL
+    text: ``size(split(NULL))`` is -1, below every ``n >= 1``) emit no
+    rows. Callers RECOMPUTE this rather than checkpoint it (the
+    repeated_spans convention: the stream is corpus-sized — at scale
+    the re-scan is cheaper than spilling it)."""
+    from .text import _gram_at
+    from .util import ensure_parallelism
+
+    d = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), text_col)
+    ).select("_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    grams = F.when(
+        F.size(ws) >= n, F.transform(idx, lambda i: _gram_at(ws, i, n))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("_id", F.posexplode(grams).alias("pos", "_g")).select(
+        "_id", "pos", F.xxhash64("_g").alias("_gh")
+    )
+
+
+def _excision_spans(red: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Merge redundant gram positions (``_id``, ``pos``) into maximal
+    excision spans — the island merge shared by d31/d33: positions
+    p1 < p2 join iff p2 - p1 <= n (their n-token ranges overlap or
+    touch). Window over (``_id``, ``pos``): doc id is a
+    high-cardinality partition key, so per-partition work is bounded
+    by the doc's own duplicated-gram count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy("pos")
+    isl = red.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        isl.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n - 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("span_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            "span_grams",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1230,23 +1294,8 @@ def exact_substring_dedup(
     span_start + 1. Cutting those ranges and re-joining remaining
     tokens is then a map-only transform.
     """
-    from pyspark.sql import Window
-
-    from .text import _gram_at
-    from .util import ensure_parallelism
-
     def gram_stream() -> DataFrame:
-        d = ensure_parallelism(
-            df.select(F.col(id_col).alias("_id"), text_col)
-        ).select("_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
-        ws = F.col("_ws")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
-        grams = F.when(
-            F.size(ws) >= n, F.transform(idx, lambda i: _gram_at(ws, i, n))
-        ).otherwise(F.array().cast("array<string>"))
-        return d.select("_id", F.posexplode(grams).alias("pos", "_g")).select(
-            "_id", "pos", F.xxhash64("_g").alias("_gh")
-        )
+        return _positional_gram_stream(df, id_col, text_col, n)
 
     keepers = (
         gram_stream()
@@ -1267,31 +1316,122 @@ def exact_substring_dedup(
         )
         .select("_id", "pos")
     )
-    w = Window.partitionBy("_id").orderBy("pos")
-    isl = red.withColumn(
-        "_new",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > n),
-            1,
-        ).otherwise(0),
-    ).withColumn("_isl", F.sum("_new").over(w))
-    return (
-        isl.groupBy("_id", "_isl")
+    return _excision_spans(red, id_col, n)
+
+
+def incremental_substring_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 12,
+) -> DataFrame:
+    """INCREMENTAL exact substring dedup — :func:`exact_substring_dedup`
+    for the arriving batch only, against an already-kept base corpus:
+    the mode a 100 TB pipeline actually runs (weekly crawl increments
+    excised against everything previously ingested, without ever
+    re-deduplicating the base). Semantics: a delta occurrence at
+    (doc, pos) is REDUNDANT iff its n-gram occurs ANYWHERE in the base
+    (the base copy is by definition the keeper — even the delta's
+    first occurrence is cut), or at a strictly smaller (doc, pos)
+    within the delta itself (the d31 rule applied delta-internally).
+    Base documents are never excised.
+
+    100 TB plan shape: the base contributes only its DISTINCT gram-hash
+    set — the persistable index asset (8 bytes per distinct gram; in a
+    production deployment it is written once, partitioned by hash
+    range, and the weekly run is then delta-sized: one semi/anti join
+    of the delta stream against it, never a re-scan of the base
+    corpus). Delta-internal dedup reuses the d31 single-hash-agg plan
+    on the anti-join survivors. Both branches emit disjoint (doc, pos)
+    sets (a position's gram is either in the base set or not), so the
+    union needs no dedup before the island merge.
+
+    Returns the d31 manifest schema for DELTA docs only:
+        (id_col, span_start, span_end, span_grams, span_tokens).
+    """
+    dstream = _positional_gram_stream(delta, id_col, text_col, n)
+    base_idx = (
+        _positional_gram_stream(base, id_col, text_col, n)
+        .select("_gh")
+        .distinct()
+    )
+    in_base = dstream.join(base_idx, "_gh", "left_semi").select("_id", "pos")
+    fresh = dstream.join(base_idx, "_gh", "left_anti")
+    keepers = (
+        fresh.groupBy("_gh")
         .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + n - 1).cast("bigint").alias("span_end"),
-            F.count(F.lit(1)).cast("bigint").alias("span_grams"),
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(F.struct("_id", "pos")).alias("_keep"),
         )
+        .filter(F.col("_occ") >= 2)
+        .select("_gh", "_keep")
+    )
+    dup_delta = (
+        fresh.join(keepers, "_gh")
+        .filter(
+            (F.col("_id") != F.col("_keep._id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .select("_id", "pos")
+    )
+    return _excision_spans(in_base.unionByName(dup_delta), id_col, n)
+
+
+def duplication_profile(
+    df: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus duplication CENSUS from an excision manifest — the
+    curation report Lee et al. publish per corpus (their Table 1:
+    "fraction of tokens in duplicated substrings"): bucket every doc
+    by the fraction of its tokens inside excision spans and aggregate.
+
+    ``bucket`` is floor(dup_frac * 10) clamped to 9 (decile 10 —
+    fully-duplicated docs — folds into the top bucket), so the output
+    is a fixed <= 10-row profile a dashboard reads directly. The
+    fraction divides two exact integers in IEEE double, so bucketing
+    is engine-stable. Plan: one hash agg of the manifest (docs WITH
+    spans only — small side, AQE broadcasts), left join to the corpus,
+    one lowcard hash agg; the corpus is never shuffled.
+
+    Returns (bucket, n_docs, sum_tokens, dup_tokens) sorted by bucket.
+    """
+    per_doc = manifest.groupBy(id_col).agg(
+        F.sum("span_tokens").cast("bigint").alias("_dup")
+    )
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("bigint")
+    prof = (
+        df.select(F.col(id_col), toks.alias("_tok"))
+        .join(per_doc, id_col, "left")
         .select(
-            F.col("_id").alias(id_col),
-            "span_start",
-            "span_end",
-            "span_grams",
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("bigint")
-            .alias("span_tokens"),
+            "_tok",
+            F.coalesce(F.col("_dup"), F.lit(0)).alias("_dup"),
         )
+        .withColumn(
+            "bucket",
+            F.least(
+                F.floor(
+                    F.col("_dup").cast("double")
+                    / F.col("_tok").cast("double")
+                    * 10
+                ),
+                F.lit(9),
+            ).cast("bigint"),
+        )
+    )
+    return (
+        prof.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("sum_tokens"),
+            F.sum("_dup").cast("bigint").alias("dup_tokens"),
+        )
+        .orderBy("bucket")
     )
 
 

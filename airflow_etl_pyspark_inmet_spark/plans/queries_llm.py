@@ -3930,6 +3930,35 @@ def d32_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_substring_excision(docs, manifest)
 
 
+def d33_delta_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup
+    (operators.dedup.incremental_substring_dedup): the arriving batch
+    (odd doc_ids) excised against the kept base corpus (even doc_ids)
+    — base grams are the persistable 8-byte index asset, the weekly
+    run is delta-sized. A delta (doc, pos) is redundant iff its
+    12-gram occurs anywhere in the base, or earlier within the delta.
+    Manifest rows for delta docs only; base docs are never touched."""
+    from ..operators.dedup import incremental_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_substring_dedup(base, delta, n=12)
+
+
+def d34_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication census (operators.dedup.duplication_profile):
+    decile-bucket every doc by the fraction of its tokens inside d31
+    excision spans (Lee et al.'s headline corpus metric) and emit the
+    <= 10-row profile. Manifest agg (small side) + left join + lowcard
+    agg; the corpus itself is never shuffled."""
+    from ..operators.dedup import duplication_profile, exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = exact_substring_dedup(docs, n=12)
+    return duplication_profile(docs, manifest)
+
+
 def st22_stream_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Zipf vocabulary-health monitor
     (streaming.windows.streaming_zipf_profile): t41's per-language

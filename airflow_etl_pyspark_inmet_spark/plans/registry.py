@@ -7507,3 +7507,102 @@ assert len(_R17_WINDOW) == 50 and set(_R17_WINDOW) <= set(QUERIES)
 QUERIES = {k: QUERIES[k] for k in _R17_WINDOW} | {
     k: v for k, v in QUERIES.items() if k not in set(_R17_WINDOW)
 }
+
+
+# --- r17 late registrations (after the rotation block, so the window's
+# first 50 are untouched; these ride the r18 front) ---
+
+# d33 — incremental substring dedup: delta (odd doc_ids) excised against
+# the base (even doc_ids). A delta occurrence is redundant iff its gram
+# is anywhere in the base (base keeps by definition) or earlier within
+# the delta (the d31 row_number rule, delta-internal). gm is never NULL
+# (array_to_string of a non-empty slice), so NOT IN is safe.
+ORACLES["d33_delta_substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(ws, i, i + 11), ' ') AS gm
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 11, 0))) AS i) u
+),
+base AS (SELECT DISTINCT gm FROM g WHERE doc_id % 2 = 0),
+dg AS (SELECT doc_id, pos, gm FROM g WHERE doc_id % 2 = 1),
+in_base AS (SELECT doc_id, pos FROM dg WHERE gm IN (SELECT gm FROM base)),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+  FROM dg WHERE gm NOT IN (SELECT gm FROM base)
+),
+red AS (
+  SELECT doc_id, pos FROM in_base
+  UNION ALL
+  SELECT doc_id, pos FROM r WHERE rn >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM red) t
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 11 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS span_grams,
+       CAST(max(pos) + 11 - min(pos) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+"""
+QUERIES["d33_delta_substring_dedup"] = L.d33_delta_substring_dedup
+
+
+# d34 — corpus duplication census over the d31 manifest: decile-bucket
+# each doc's duplicated-token fraction (bucket 10, fully-duplicated,
+# clamps to 9). The fraction divides two exact integers in IEEE double
+# and floor/least are engine-stable, so the bucketing is hash-exact.
+ORACLES["d34_duplication_profile"] = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(ws, i, i + 11), ' ') AS gm
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 11, 0))) AS i) u
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+red AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 12 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM red) t
+),
+manifest AS (
+  SELECT doc_id, max(pos) + 11 - min(pos) + 1 AS span_tokens
+  FROM isl GROUP BY doc_id, island
+),
+dup AS (SELECT doc_id, sum(span_tokens) AS d FROM manifest GROUP BY doc_id),
+prof AS (
+  SELECT t.doc_id, len(t.ws) AS tok, coalesce(dup.d, 0) AS dup
+  FROM toks t LEFT JOIN dup ON dup.doc_id = t.doc_id
+)
+SELECT CAST(least(floor(CAST(dup AS DOUBLE) / CAST(tok AS DOUBLE) * 10), 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(dup) AS BIGINT) AS dup_tokens
+FROM prof
+GROUP BY 1
+"""
+QUERIES["d34_duplication_profile"] = L.d34_duplication_profile

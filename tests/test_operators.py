@@ -5578,6 +5578,80 @@ def test_apply_substring_excision_content(spark):
     assert out[3].kept_md5 == hashlib.md5(b"z0 z1 z2").hexdigest()
 
 
+def test_incremental_substring_dedup_base_keeps(spark):
+    """r17: delta occurrences of base-resident grams are excised even
+    when they are the delta's first (the base copy is the keeper);
+    delta-only duplicates follow the d31 first-occurrence rule; base
+    docs never appear in the manifest."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        exact_substring_dedup,
+        incremental_substring_dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))   # 12-token block
+    fresh = " ".join(f"n{i}" for i in range(12))    # delta-only block
+    base = spark.createDataFrame(
+        [(0, "b0 b1 " + shared + " b2")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # base-resident block at 1..12 -> excised despite being
+            # the delta's first occurrence
+            (1, "d0 " + shared + " d1 d2"),
+            # delta-internal pair: doc 3 keeps (first), doc 5 excises
+            (3, fresh + " e0 e1"),
+            (5, "f0 f1 f2 " + fresh),
+            (7, " ".join(f"u{i}" for i in range(20))),  # untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_substring_dedup(base, delta, n=12).collect()
+    }
+    assert set(out) == {1, 5}
+    assert (out[1].span_start, out[1].span_end) == (1, 12)
+    assert (out[5].span_start, out[5].span_end) == (3, 14)
+    # with an EMPTY base the same delta reduces to plain d31 on it
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    inc = {
+        (r.doc_id, r.span_start, r.span_end, r.span_grams)
+        for r in incremental_substring_dedup(empty, delta, n=12).collect()
+    }
+    d31 = {
+        (r.doc_id, r.span_start, r.span_end, r.span_grams)
+        for r in exact_substring_dedup(delta, n=12).collect()
+    }
+    assert inc == d31
+
+
+def test_duplication_profile_buckets(spark):
+    """r17: decile bucketing of the duplicated-token fraction — clean
+    docs land in bucket 0, a fully-duplicated doc clamps into bucket 9,
+    NULL text counts as the 1-token empty doc, and token sums are
+    conserved per bucket."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        duplication_profile,
+        exact_substring_dedup,
+    )
+
+    block = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, block + " x0 x1 x2"),   # keeper: bucket 0, 15 tokens
+        (2, block),                 # fully duplicated: 12/12 -> bucket 9
+        (3, block + " " + " ".join(f"y{i}" for i in range(12))),  # 12/24 -> bucket 5
+        (4, None),                  # NULL text: 1 token, clean -> bucket 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    manifest = exact_substring_dedup(df, n=12)
+    out = {r.bucket: r for r in duplication_profile(df, manifest).collect()}
+    assert set(out) == {0, 5, 9}
+    assert (out[0].n_docs, out[0].sum_tokens, out[0].dup_tokens) == (2, 16, 0)
+    assert (out[5].n_docs, out[5].sum_tokens, out[5].dup_tokens) == (1, 24, 12)
+    assert (out[9].n_docs, out[9].sum_tokens, out[9].dup_tokens) == (1, 12, 12)
+
+
 def test_whole_doc_packing_null_text(spark):
     """r17 (ADVICE): NULL text must behave as the empty document
     (_tok = 1, top size class), never size(NULL) = -1 -> negative
