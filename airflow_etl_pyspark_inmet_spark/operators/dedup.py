@@ -1351,10 +1351,18 @@ def incremental_substring_dedup(
         (id_col, span_start, span_end, span_grams, span_tokens).
     """
     dstream = _positional_gram_stream(delta, id_col, text_col, n)
+    # checkpoint: the base index feeds THREE consumers (the in-base semi
+    # join, the fresh anti join, and the keeper-branch anti join inside
+    # dup_delta's lineage) — uncheckpointed, the BASE corpus is scanned
+    # and distinct-shuffled once per consumer, and the base is the big
+    # side by construction (the whole point of the incremental mode is
+    # base >> delta). This materialization IS the "persist the gram
+    # index once" production step, done in-plan.
     base_idx = (
         _positional_gram_stream(base, id_col, text_col, n)
         .select("_gh")
         .distinct()
+        .transform(lineage_checkpoint)
     )
     in_base = dstream.join(base_idx, "_gh", "left_semi").select("_id", "pos")
     fresh = dstream.join(base_idx, "_gh", "left_anti")

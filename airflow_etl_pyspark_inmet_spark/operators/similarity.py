@@ -2141,6 +2141,7 @@ def nn_descent_knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "lsh",
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Distributed NN-Descent k-NN GRAPH construction (Dong et al.,
     WWW'11) with EXACT integer semantics — the INDEX-BUILD side of the
@@ -2205,6 +2206,20 @@ def nn_descent_knn_graph(
     k-NN is the planted-twin unit-test contract, not an envelope —
     the emitted rows themselves replay bit for bit in SQL.
 
+    ``broadcast_vectors`` — the candidate-SCORING join is where the
+    bytes are, not the candidate generation: unhinted, the (2k)^2 N
+    pair stream is shuffled CARRYING the dim-long quantized vector it
+    just joined (~(2k)^2 N x dim x 8 B — measured >80 GB of shuffle
+    spill at 1M x 64-dim, where the pair keys alone are 4 GB). The
+    quantized vector table itself is only N x dim x 8 B (0.5 GB at
+    1M x 64), so when it fits executor memory the right plan is to
+    broadcast BOTH sides of the scoring join and keep the pair stream
+    map-side — only (node, nbr_id, dist_q) triples ever shuffle.
+    Default ``None`` decides by estimated size (broadcast iff
+    n x (dim x 8 + 48) <= 1 GiB); at true 100 TB corpus sizes it
+    stays False and the shuffle join plus a bucketed layout is the
+    honest cost. True/False force the choice.
+
     Returns (id_col, nbr_id, dist_q, rank) with rank 1..k per node.
     """
     q = df.select(
@@ -2214,8 +2229,15 @@ def nn_descent_knn_graph(
     n = q.count()  # bounded driver scalar (the A1 min/max pattern)
     b_count = max(1, (n + k) // (k + 1))
 
+    # bounded driver scalars: row count (above) + one row for the dim
+    first = q.select("_qv").first()
+    dim = len(first[0]) if first and first[0] is not None else 0
+    if broadcast_vectors is None:
+        broadcast_vectors = n * (dim * 8 + 48) <= (1 << 30)
     qa = q.toDF("node", "_qa")
     qb = q.toDF("nbr_id", "_qb")
+    if broadcast_vectors:
+        qa, qb = F.broadcast(qa), F.broadcast(qb)
 
     def _dist() -> Column:
         return F.aggregate(
@@ -2288,8 +2310,6 @@ def nn_descent_knn_graph(
         import hashlib
         import math
 
-        first = q.select("_qv").first()
-        dim = len(first[0]) if first and first[0] is not None else 0
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / (2 * (k + 1)))))
         cap = 4 * (k + 1)
 

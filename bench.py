@@ -340,6 +340,9 @@ def main() -> None:
             # substring dedup — the positional-gram join is the
             # d-family's only corpus-wide (pos, hash) shuffle shape
             "d31_substring_dedup",
+            # the incremental (delta-vs-base) mode: the base's distinct
+            # gram index must stay data-linear, not candidate-quadratic
+            "d33_delta_substring_dedup",
             # r17 addition (VERDICT r16 item 6): mechanical recall
             # gate — not a timing ratio. The routed graph-ANN serving
             # walk must hold held-out recall@10 >= 0.9 on the

@@ -384,6 +384,8 @@ def main() -> None:
         # round-17 additions (st22 excluded by the st9 convention)
         "d31_substring_dedup",
         "d32_substring_excise",
+        "d33_delta_substring_dedup",
+        "d34_duplication_profile",
     ]
     names = [n for n in HEADLINE + extra if n.split("_")[0] not in SKIP]
     for name in names:
