@@ -3959,6 +3959,20 @@ def d34_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_profile(docs, manifest)
 
 
+def st23_stream_substring_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING substring-dedup gram index maintenance
+    (streaming.windows.streaming_substring_index): micro-batches fold
+    per-gram (count, min-keeper) partials with SUM + MIN monoids, so
+    the standing index is split-invariant and equals the one-shot
+    batch aggregation — the live-ingest tier of the d31/d33 family.
+    Emits duplicated grams keyed by their keeper occurrence
+    (engine-neutral: exactly one gram starts at a (doc, pos))."""
+    from ..streaming.windows import streaming_substring_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return streaming_substring_index(spark, docs, n=12)
+
+
 def st22_stream_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Zipf vocabulary-health monitor
     (streaming.windows.streaming_zipf_profile): t41's per-language

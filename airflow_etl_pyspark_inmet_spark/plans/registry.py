@@ -7606,3 +7606,32 @@ FROM prof
 GROUP BY 1
 """
 QUERIES["d34_duplication_profile"] = L.d34_duplication_profile
+
+
+# st23 — streaming gram-index maintenance: the folded SUM+MIN monoid
+# state equals the one-shot per-gram aggregation, so the batch SQL
+# below is the exact oracle (the st22 contract). Keyed by the keeper
+# occurrence — one gram starts at a given (doc, pos) — so the oracle
+# needs no xxhash64.
+ORACLES["st23_stream_substring_index"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(ws, i, i + 11), ' ') AS gm
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 11, 0))) AS i) u
+),
+k AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gm) AS n_occ
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS keep_doc,
+       CAST(pos AS BIGINT) AS keep_pos,
+       CAST(n_occ AS BIGINT) AS n_occ
+FROM k WHERE rn = 1 AND n_occ >= 2
+"""
+QUERIES["st23_stream_substring_index"] = L.st23_stream_substring_index

@@ -927,6 +927,117 @@ def streaming_growing_lsh_dedup(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_substring_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 12,
+    n_files: int = 4,
+) -> DataFrame:
+    """STREAMING maintenance of the d31/d33 substring-dedup GRAM INDEX
+    — live ingest of the asset the incremental mode persists: each
+    micro-batch contributes its positional n-gram partials
+    (``dedup._positional_gram_stream`` → per-gram count + min-struct
+    keeper) and the state folds them with SUM + MIN — two commutative
+    monoids over a key computed one row at a time, so the finite-input
+    state is split-invariant and the final index equals the one-shot
+    batch aggregation bit for bit, regardless of arrival order (the
+    st22 fold contract).
+
+    The index is keyed by the gram's 64-bit hash in state, but EMITTED
+    keyed by its keeper occurrence (keep_doc, keep_pos) — exactly one
+    n-gram starts at a given (doc, pos), so the keeper is a unique,
+    engine-neutral identity the DuckDB oracle can reproduce without
+    xxhash64. Only duplicated grams (n_occ >= 2) are emitted: the
+    d31 excision manifest for any document is then one join of its
+    gram stream against this standing index.
+
+    Streaming honesty: state is O(|distinct grams|) rows — the same
+    growth contract as st22's vocabulary state (a production deploy
+    ages out singleton grams when the budget demands, exactly the
+    hapax note there). Per-epoch work is one map-only gram census of
+    the batch + a state-sized merge; history is never re-scanned.
+
+    Returns (keep_doc, keep_pos, n_occ), one row per duplicated gram.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import _positional_gram_stream
+
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
+    )
+    tmp = tempfile.mkdtemp(prefix="st23_gram_")
+    try:
+        src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        empty = (
+            spark.range(0)
+            .select(
+                F.lit(0).cast("bigint").alias("_gh"),
+                F.lit(0).cast("bigint").alias("n_occ"),
+                F.struct(
+                    F.lit(0).cast("bigint").alias("_id"),
+                    F.lit(0).cast("int").alias("pos"),
+                ).alias("_keep"),
+            )
+            .filter(F.lit(False))
+        )
+        state = {"idx": empty.localCheckpoint(eager=True), "epochs": 0}
+
+        def fold(batch_df: DataFrame, epoch_id: int) -> None:
+            partials = (
+                _positional_gram_stream(batch_df, id_col, text_col, n)
+                .groupBy("_gh")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+                    F.min(F.struct("_id", "pos")).alias("_keep"),
+                )
+            )
+            merged = (
+                state["idx"]
+                .unionByName(partials)
+                .groupBy("_gh")
+                .agg(
+                    F.sum("n_occ").cast("bigint").alias("n_occ"),
+                    F.min("_keep").alias("_keep"),
+                )
+            )
+            state["idx"] = merged.localCheckpoint(eager=True)
+            state["epochs"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if state["epochs"] < 2:
+            raise RuntimeError(
+                "streaming_substring_index expected >= 2 micro-batches "
+                f"(got {state['epochs']}); the multi-epoch fold is the "
+                "point of the streaming tier."
+            )
+        return (
+            state["idx"]
+            .filter(F.col("n_occ") >= 2)
+            .select(
+                F.col("_keep._id").cast("bigint").alias("keep_doc"),
+                F.col("_keep.pos").cast("bigint").alias("keep_pos"),
+                F.col("n_occ"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_topk_maintenance(
     spark: SparkSession,
     items: DataFrame,

@@ -5776,6 +5776,49 @@ def test_graph_ann_topk_rejects_nonpositive_entries(spark):
         graph_ann_topk(items, queries, graph, k=2, n_entries=-3)
 
 
+def test_streaming_substring_index_equals_batch_across_splits(spark):
+    """st23: the SUM+MIN folded gram index is split-invariant — the
+    streamed duplicated-gram index equals the one-shot batch
+    aggregation at different micro-batch splits (including splits
+    that separate a gram's occurrences, and the keeper from its
+    duplicates, across epochs)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        _positional_gram_stream,
+    )
+    from airflow_etl_pyspark_inmet_spark.streaming.windows import (
+        streaming_substring_index,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "p0 p1 " + shared),                      # keeper at (1, 2)
+        (2, shared + " q0"),                          # dup at (2, 0)
+        (3, " ".join(f"z{i}" for i in range(14))),    # unique grams
+        (4, shared),                                  # dup at (4, 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch = sorted(
+        (r["_keep"]["_id"], r["_keep"]["pos"], r["n_occ"])
+        for r in _positional_gram_stream(docs, "doc_id", "text", 12)
+        .groupBy("_gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("_id", "pos")).alias("_keep"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .collect()
+    )
+    assert batch == [(1, 2, 3)]  # one duplicated gram, keeper (1, 2)
+    for n_files in (2, 4):
+        streamed = sorted(
+            (r.keep_doc, r.keep_pos, r.n_occ)
+            for r in streaming_substring_index(
+                spark, docs, n=12, n_files=n_files
+            ).collect()
+        )
+        assert streamed == batch, f"split {n_files} diverged"
+
+
 def test_streaming_zipf_profile_equals_batch_across_splits(spark):
     """st22: the folded census is split-invariant — the streamed
     profile equals the one-shot batch profile bit for bit at different
