@@ -466,7 +466,18 @@ def _assign_udf(centroids: np.ndarray, n: int):
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
         sims = Vn @ Cn.T  # (rows, cells)
-        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        # top-n by argpartition (O(cells)) + a sort of only the n
+        # survivors, not a full row argsort (O(cells log cells) and a
+        # (rows x cells) index matrix — the serving-path wall-clock at
+        # SPANN cell counts). Equal to the old full argsort wherever
+        # scores are distinct; under exact ties both were unstable.
+        if n >= sims.shape[1]:
+            top = np.argsort(-sims, axis=1).astype(np.int32)
+        else:
+            part = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+            rows = np.arange(sims.shape[0])[:, None]
+            order = np.argsort(-sims[rows, part], axis=1)
+            top = part[rows, order].astype(np.int32)
         return pd.Series(list(top))
 
     return udf
@@ -512,7 +523,14 @@ def _ivf_train(
                 continue
             V = np.stack(pdf["_ivec"].to_numpy()).astype(np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            cell = np.argsort(-(Vn @ C0n.T), axis=1)[:, 0]
+            # argmax, not argsort[:, 0]: the full row sort is
+            # O(cells log cells) per vector plus a (rows x cells)
+            # int64 index matrix — at SPANN cell counts
+            # (n_cells = N/64, 15,625 at 1M vectors) that sort WAS
+            # the training wall-clock. argmax is O(cells), allocates
+            # nothing, and under ties is the deterministic first-max
+            # (unstable argsort was arbitrary there).
+            cell = np.argmax(Vn @ C0n.T, axis=1)
             np.add.at(S, cell, V)
             np.add.at(N, cell, 1)
         hit = np.nonzero(N)[0]
