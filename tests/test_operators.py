@@ -3557,6 +3557,28 @@ def test_assign_to_centroids_argmin_and_tiebreak(spark):
     }
 
 
+def test_assign_udf_argpartition_matches_full_sort():
+    """r17: the serving assigner's argpartition + n-survivor sort must
+    pick exactly the top-n cells the old full row argsort picked, in
+    the same order, on distinct-score data (the only regime the old
+    unstable sort was deterministic in). Pure-numpy replica of the UDF
+    body — no Spark session needed."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for rows, cells, n in [(40, 16, 1), (40, 16, 3), (8, 200, 5), (5, 4, 4)]:
+        sims = rng.standard_normal((rows, cells))
+        ref = np.argsort(-sims, axis=1)[:, :n]
+        if n >= sims.shape[1]:
+            got = np.argsort(-sims, axis=1)
+        else:
+            part = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+            r = np.arange(sims.shape[0])[:, None]
+            order = np.argsort(-sims[r, part], axis=1)
+            got = part[r, order]
+        assert (got[:, :n] == ref).all(), (rows, cells, n)
+
+
 def test_char_entropy_hand_cases(spark):
     import math
 
