@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from .util import lineage_checkpoint
+from .util import lineage_checkpoint, rebalance_if_skewed
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -2245,6 +2245,12 @@ def nn_descent_knn_graph(
         _quantize_expr(vec_col, scale).alias("_qv"),
     ).transform(lineage_checkpoint)
     n = q.count()  # bounded driver scalar (the A1 min/max pattern)
+    # layout-skew guard (r17): a single-row-group parquet reports many
+    # scan partitions but all rows land in one task — every JVM and
+    # Arrow stage of the build then runs single-core. One cheap
+    # per-partition count on the materialized checkpoint; rebalances
+    # only when skewed (no-op on healthy layouts).
+    q = rebalance_if_skewed(q)
     b_count = max(1, (n + k) // (k + 1))
 
     # bounded driver scalars: row count (above) + one row for the dim
@@ -3186,6 +3192,10 @@ def graph_ann_routed_topk(
     )
     base = ensure_parallelism(proj).transform(lineage_checkpoint)
     n = base.count()
+    # layout-skew guard (r17, see nn_descent_knn_graph): the corpus
+    # assign + Lloyd kernels below are per-partition Arrow compute —
+    # a single-row-group scan would serialize them onto one core
+    base = rebalance_if_skewed(base)
     if n_cells is None:
         n_cells = max(16, n // 64)
     C1 = _ivf_train(base, n_cells, seed_frame=proj)

@@ -149,7 +149,14 @@ def plant_clustered_embeddings(
             "label": pa.array(labels.astype(np.int32)),
         }
     )
-    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+    # bounded row groups: pyarrow's default writes ONE row group for the
+    # whole table, and Spark cannot split a row group at scan time — a
+    # 1M-row corpus then lands in a single task no matter how many
+    # "partitions" the scan reports (31 of 32 empty; measured: every
+    # Arrow kernel in the ANN build ran single-core, ~20 min/stage).
+    pq.write_table(
+        tbl, f"{out_dir}/embeddings.parquet", row_group_size=65536
+    )
 
 
 def generate(
