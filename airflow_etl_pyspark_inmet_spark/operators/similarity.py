@@ -465,19 +465,27 @@ def _assign_udf(centroids: np.ndarray, n: int):
         Cn = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
-        sims = Vn @ Cn.T  # (rows, cells)
         # top-n by argpartition (O(cells)) + a sort of only the n
         # survivors, not a full row argsort (O(cells log cells) and a
         # (rows x cells) index matrix — the serving-path wall-clock at
         # SPANN cell counts). Equal to the old full argsort wherever
         # scores are distinct; under exact ties both were unstable.
-        if n >= sims.shape[1]:
-            top = np.argsort(-sims, axis=1).astype(np.int32)
-        else:
-            part = np.argpartition(-sims, n - 1, axis=1)[:, :n]
-            rows = np.arange(sims.shape[0])[:, None]
-            order = np.argsort(-sims[rows, part], axis=1)
-            top = part[rows, order].astype(np.int32)
+        # Chunked like the Lloyd kernel: the (rows x cells) score
+        # matrix is bounded at ~256 MB per worker so a full-core
+        # Arrow stage stays inside the box's memory.
+        n_cells_here = Cn.shape[0]
+        step = max(256, (256 << 20) // (8 * max(1, n_cells_here)))
+        outs = []
+        for s0 in range(0, Vn.shape[0], step):
+            sims = Vn[s0:s0 + step] @ Cn.T  # (chunk, cells)
+            if n >= sims.shape[1]:
+                outs.append(np.argsort(-sims, axis=1).astype(np.int32))
+            else:
+                part = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+                rows = np.arange(sims.shape[0])[:, None]
+                order = np.argsort(-sims[rows, part], axis=1)
+                outs.append(part[rows, order].astype(np.int32))
+        top = np.concatenate(outs) if outs else np.empty((0, n), np.int32)
         return pd.Series(list(top))
 
     return udf
@@ -529,10 +537,16 @@ def _ivf_train(
             # (n_cells = N/64, 15,625 at 1M vectors) that sort WAS
             # the training wall-clock. argmax is O(cells), allocates
             # nothing, and under ties is the deterministic first-max
-            # (unstable argsort was arbitrary there).
-            cell = np.argmax(Vn @ C0n.T, axis=1)
-            np.add.at(S, cell, V)
-            np.add.at(N, cell, 1)
+            # (unstable argsort was arbitrary there). The matmul runs
+            # in row chunks bounding the score matrix at ~256 MB:
+            # rows x cells x 8 B is the kernel's only big buffer, and
+            # with every core running one (r17 OOM: 32 workers x
+            # 1.25 GB + the 48 GB JVM heap exceeded the box).
+            step = max(256, (256 << 20) // (8 * max(1, n_cells_eff)))
+            for s0 in range(0, len(V), step):
+                cell = np.argmax(Vn[s0:s0 + step] @ C0n.T, axis=1)
+                np.add.at(S, cell, V[s0:s0 + step])
+                np.add.at(N, cell, 1)
         hit = np.nonzero(N)[0]
         if len(hit):
             yield pd.DataFrame(
