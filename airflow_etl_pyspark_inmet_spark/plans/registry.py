@@ -7635,3 +7635,79 @@ SELECT CAST(doc_id AS BIGINT) AS keep_doc,
 FROM k WHERE rn = 1 AND n_occ >= 2
 """
 QUERIES["st23_stream_substring_index"] = L.st23_stream_substring_index
+
+
+# --- r18 driver-window rotation (keep this block at the END of the file) ---
+# Front: the 3 r17 late registrations (never driver-checked — d33/d34
+# registered after the r17 window per the st22 convention, st23
+# likewise), then the 3 graph queries whose kernels changed this round
+# (broadcast scoring join, argmax/argpartition assign, partition-
+# balance guard — values unchanged, re-certify anyway), then
+# s10_hybrid_rrf (the last r11-stale entry, pre-verified by the r17
+# full sweep), then 43 of the 48 r12-stale entries in registration
+# order (d2_dedup_jaccard is r12-stale too but already rides the
+# r17 window front as a changed re-cert, so it takes no r18 slot).
+# The remaining r12 leftovers (d2 aside: t36_readability,
+# t37_char_entropy, st14_stream_topk, g7_clustering_coeff) are
+# covered by the r17-close 292/292 sweep (BASELINE.md r17 staleness
+# floor) and lead the r19 floor.
+_R18_WINDOW = [
+    # never driver-checked (3)
+    "d33_delta_substring_dedup",
+    "d34_duplication_profile",
+    "st23_stream_substring_index",
+    # kernels changed this round — re-certify (3)
+    "s12_nn_descent",
+    "s16_graph_ann_topk",
+    "s19_routed_graph_ann",
+    # oldest stale (r11) (1)
+    "s10_hybrid_rrf",
+    # r12-stale floor, registration order (43)
+    "q10_semi_join",
+    "q78_cdc_apply",
+    "q79_ratio_to_report",
+    "q80_ohlc_bars",
+    "q81_basket_pairs",
+    "q82_running_balance_floor",
+    "q83_basket_pairs_capped",
+    "q84_tpch_q6",
+    "q85_tpch_q7",
+    "q86_tpch_q8",
+    "q87_tpch_q10",
+    "q88_tpch_q13",
+    "q89_tpch_q14",
+    "q90_tpch_q15",
+    "q91_tpch_q19",
+    "q92_tpch_q21",
+    "q93_tpch_q22",
+    "q94_tpch_q4",
+    "q95_bloom_semi",
+    "q96_expectations",
+    "q97_interval_merge",
+    "q98_skew_split_join",
+    "q99_pit_scd2_join",
+    "q100_sliding_distinct",
+    "q101_active_intervals",
+    "q102_join_discovery",
+    "c1_curation_chain",
+    "c2_dedup_funnel",
+    "c10_dedup_ensemble",
+    "d25_semdedup",
+    "d26_semdedup_ivf",
+    "d27_semdedup_scaled",
+    "d28_blocked_neardup_flags",
+    "m13_multimodal_pack",
+    "m14_av_alignment",
+    "m15_keyframes",
+    "s5_pq_topk",
+    "s11_matryoshka_topk",
+    "t22_bpe_train",
+    "t24_leakage_safe_split",
+    "t25_interp_bigram",
+    "t26_jaccard_search",
+    "x7_weighted_sample",
+]
+assert len(_R18_WINDOW) == 50 and set(_R18_WINDOW) <= set(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _R18_WINDOW} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R18_WINDOW)
+}
