@@ -122,7 +122,24 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
+            .transform(lineage_checkpoint)
         )
+        # ADAPTIVE shortcut (r17): when NO shingle exceeds the cap,
+        # the capped output is definitionally the uncapped output —
+        # every candidate survives the anti join, _ic is the full
+        # intersection and the hot stages are empty busywork (~2x
+        # stage overhead measured on the cap-inert tiers: sf0.1
+        # max df 25, mutated factor-100 max df 25). One driver-
+        # bounded scalar job materializes the (checkpointed, tiny)
+        # hot frame and branches to the single-pass plan when the cap
+        # does not bind; when it does, the hybrid below REUSES the
+        # same materialized hot frame across its three consumers.
+        # Spark cannot make this choice lazily — the plan shape
+        # itself differs — so this is the AQE-style runtime decision
+        # lifted one level up, the s3 bounded-collect pattern.
+        if hot.limit(1).count() == 0:
+            max_shingle_df = None  # fall through to the uncapped plan
+    if max_shingle_df is not None:
         if broadcast_sizes:
             hot = F.broadcast(hot)
         # explicit selects, not positional toDF: the anti join reorders

@@ -2027,6 +2027,35 @@ def test_embedding_lsh_pairs_auto_planes_scale_with_corpus(spark):
         assert got == max(3, want), (n, got)
 
 
+def test_jaccard_pairs_cap_inert_equals_uncapped(spark):
+    """r17 adaptive shortcut: when no shingle's df exceeds the cap, the
+    capped call must emit EXACTLY the uncapped result (the cap cannot
+    bind, and the runtime branch falls through to the single-pass
+    plan — this is the sf0.1/mutated-factor-100 regime)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six"),
+        (4, "one two three four seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, threshold=0.2).collect()
+    )
+    capped = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(
+            df, threshold=0.2, max_shingle_df=64
+        ).collect()
+    )
+    assert uncapped == capped and len(uncapped) >= 2
+
+
 def test_jaccard_pairs_hot_shingle_guard(spark):
     """max_shingle_df (the hot-shingle guard): a planted stop-shingle
     shared by every doc must not drive the candidate join quadratic —
