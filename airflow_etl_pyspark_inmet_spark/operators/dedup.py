@@ -93,8 +93,29 @@ def jaccard_pairs(
     generated (such pairs share only boilerplate). Default ``None``
     keeps the uncapped single-pass plan unchanged.
     """
-    s = shingle_sets(df, id_col, text_col, ngram)
-    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17 (optimization): materialize the postings frame ONCE. Every
+    # plan below reads it at least 4 times (both self-join sides + the
+    # two per-doc size aggregates; the capped plan adds the hot-df agg
+    # and the cool/hot splits) and Catalyst does not reuse exchanges
+    # across the differently-aliased sides, so the unshared frame
+    # recomputed scan+explode+distinct per consumer — measured 8
+    # parquet scans / 28 exchanges in d2's sf0.1 plan. One
+    # localCheckpoint turns that into 1 scan + 1 distinct + k local
+    # reads. At 100 TB the postings frame is corpus-token-sized but
+    # data-LINEAR, and writing it once to executor-local disk replaces
+    # 3+ full corpus re-scans and re-shuffles — the same trade d33's
+    # base-index checkpoint and minhash's `stacked` already make. The
+    # per-doc sizes frame (one row per doc) is checkpointed too: na/nb
+    # each broadcast it, and without the checkpoint each broadcast
+    # re-runs the groupBy shuffle over the postings.
+    s = shingle_sets(df, id_col, text_col, ngram).transform(
+        lineage_checkpoint
+    )
+    sizes = (
+        s.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lineage_checkpoint)
+    )
 
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
@@ -258,8 +279,18 @@ def containment_pairs(
     surviving candidates re-verify on FULL shingle sets so the emitted
     containment ppm stays exact; pairs sharing only hotter-than-cap
     boilerplate are dropped (documented trade)."""
-    s = shingle_sets(df, id_col, text_col, ngram)
-    sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17 (optimization): same postings/sizes materialization as
+    # jaccard_pairs — 4+ consumers, one scan+distinct instead of one
+    # per consumer (see the jaccard_pairs comment for the 100 TB
+    # cost model).
+    s = shingle_sets(df, id_col, text_col, ngram).transform(
+        lineage_checkpoint
+    )
+    sizes = (
+        s.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lineage_checkpoint)
+    )
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
     if max_shingle_df is not None:
@@ -431,7 +462,17 @@ def _jaccard_verify(
         .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    s_c = s.join(F.broadcast(cand_docs), "_id", "left_semi").distinct()
+    # r17 (optimization): the candidate-pruned postings frame feeds
+    # three consumers (both self-join sides + the size agg); without a
+    # checkpoint each consumer re-ran the corpus gram scan + semi-join
+    # + distinct (d3's sf0.1 plan: 8 scans / 64 exchanges). The frame
+    # is CANDIDATE-bounded (docs appearing in at least one pair), so
+    # materializing it is small at any corpus scale.
+    s_c = (
+        s.join(F.broadcast(cand_docs), "_id", "left_semi")
+        .distinct()
+        .transform(lineage_checkpoint)
+    )
     sizes = s_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = s_c.toDF("id_a", "shingle")
     b = s_c.toDF("id_b", "shingle")
@@ -1008,6 +1049,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
+        # r17 (optimization): checkpoint `propagated` — it feeds BOTH
+        # sides of the pointer-jump self-join below, and without the
+        # checkpoint each side recomputed the whole propagate step
+        # (edges ⋈ labels + min-agg + left join) — i.e. every round
+        # paid the heaviest join twice. Lazy like new_labels: the
+        # round's single changed-count action materializes both.
         propagated = labels.join(
             neighbor_min, labels.node == neighbor_min.src, "left"
         ).select(
@@ -1015,7 +1062,7 @@ def connected_components(
             F.least(
                 F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
             ).alias("comp"),
-        )
+        ).transform(lineage_checkpoint)
         # pointer jump: comp <- comp's own label. Labels are node ids, so
         # every comp value has a row in `propagated`; the self-join is on
         # the same (node, comp)-sized frame — bounded by the candidate
