@@ -88,15 +88,30 @@ def q2_daily_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (key, day), MIN/MAX/AVG/SUM/COUNT."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    j = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "inner")
-    return j.groupBy(
-        "s_suppkey", "s_name", F.to_date("l_shipdate").alias("ship_date")
+    # r17 (optimization): aggregate FIRST on (l_suppkey, day), then
+    # broadcast-join the dim onto the aggregated frame. Equivalent by
+    # construction — s_name is functionally dependent on the join key,
+    # and the inner join drops exactly the same rows whether it runs
+    # before the agg (per fact row) or after (per group) — but the
+    # hash-agg now probes no broadcast per fact row, the shuffle rows
+    # carry no s_name string, and at 100 TB the join touches |groups|
+    # rows instead of |fact| rows (guide §2.3/§2.4: aggregate before
+    # you shuffle, shuffle fewer bytes). Measured 2.89 s -> 2.02 s
+    # (median-of-3, same session) at sf0.1.
+    g = li.groupBy(
+        "l_suppkey", F.to_date("l_shipdate").alias("ship_date")
     ).agg(
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
         exact_avg("l_quantity", 2).alias("qty_avg"),
         exact_sum("l_extendedprice", 2).alias("price_total"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.join(
+        F.broadcast(sup), g.l_suppkey == sup.s_suppkey, "inner"
+    ).select(
+        "s_suppkey", "s_name", "ship_date",
+        "qty_min", "qty_max", "qty_avg", "price_total", "n_rows",
     )
 
 
