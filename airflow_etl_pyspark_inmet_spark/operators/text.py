@@ -199,7 +199,17 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tokens = exploded_ngrams(df, id_col, text_col, 1)
-    tf = tokens.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    # r17 (optimization): tf feeds BOTH the document-frequency branch
+    # and the scoring join, and without a checkpoint each consumer
+    # re-ran the corpus scan + token explode + (doc, term) aggregate
+    # (plan showed two full chains). The frame is (doc, term, count) —
+    # data-linear — so one materialization replaces a full corpus
+    # re-pass at any scale.
+    tf = (
+        tokens.groupBy("_id", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(lineage_checkpoint)
+    )
     dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
