@@ -1826,7 +1826,15 @@ def pagerank_exact(
                 f"directions present); edge ({a!r}, {b!r}) has no mirror "
                 f"({b!r}, {a!r}). Union the reversed edges first."
             )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r17 (optimization): checkpoint the degree frame — it is read by
+    # the count job, the rank init, and EVERY iteration's update join
+    # (n_iters + 2 consumers), and without the checkpoint each round
+    # re-ran the degree aggregate over the edge frame. Node-sized.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(lineage_checkpoint)
+    )
     n = deg.count()
     base = scale // n
     teleport = (100 - damping_pct) * base // 100
@@ -2277,11 +2285,15 @@ def kcore_peel(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).transform(lineage_checkpoint)
     for _ in range(n_rounds):
+        # r17 (optimization): checkpoint the survivor set — both
+        # semi-joins below consume it, and without the checkpoint each
+        # side re-ran the round's degree aggregate. Node-sized.
         keep = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_deg"))
             .filter(F.col("_deg") >= k)
             .select("src")
+            .transform(lineage_checkpoint)
         )
         e = (
             e.join(keep, "src", "left_semi")
@@ -2475,7 +2487,12 @@ def bfs_distances(
         F.lit(0).cast("int").alias("dist"),
     ).transform(lineage_checkpoint)
     frontier = dist.select("node")
-    e = edges.select(F.col("src").alias("node"), F.col("dst"))
+    # r17 (optimization): checkpoint the edge frame — every round's
+    # frontier join consumes it, and without the checkpoint each round
+    # recomputed the caller's upstream edge derivation from storage.
+    e = edges.select(
+        F.col("src").alias("node"), F.col("dst")
+    ).transform(lineage_checkpoint)
     for r in range(1, n_rounds + 1):
         reached = (
             frontier.join(e, "node")
@@ -2526,11 +2543,13 @@ def sssp_distances(
         F.lit(0).cast("bigint").alias("dist"),
     ).transform(lineage_checkpoint)
     frontier = dist
+    # r17 (optimization): checkpoint the edge frame (the bfs_distances
+    # rationale — every round's relaxation join re-derived it).
     e = edges.select(
         F.col("src").cast("bigint").alias("node"),
         F.col("dst").cast("bigint").alias("dst"),
         F.col("w").cast("bigint").alias("w"),
-    )
+    ).transform(lineage_checkpoint)
     for _ in range(n_rounds):
         cand = (
             frontier.join(e, "node")
