@@ -600,3 +600,38 @@ def test_filtered_ann_predicate_reaches_scan(spark, sf_small):
     )
     plan = _explain(df)
     assert "GreaterThan(label,5)" in plan, plan[:4000]
+
+
+def test_jaccard_pairs_postings_materialized_once(spark, sf_small):
+    """r17 optimization contract: the shingle postings frame is
+    materialized ONCE and shared by every consumer (both self-join
+    sides + the per-doc size broadcasts). Before the change the final
+    plan re-derived it per consumer — 8 parquet scans / 28 exchanges
+    for one query; now the final fragment reads the checkpointed RDD
+    and contains NO parquet scan (the one scan lives in the
+    checkpoint's own lineage segment), and its exchange count is
+    bounded by the join/agg structure, not the consumer count."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _explain(jaccard_pairs(docs, ngram=3, threshold=0.5,
+                                  broadcast_sizes=True))
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    # uncapped plan: candidate join + inter agg + 2 size broadcasts
+    # (before the materialization this was 14 tree-node exchanges)
+    assert plan.count("Exchange (") <= 10, plan.count("Exchange (")
+
+
+def test_tfidf_tf_materialized_once(spark, sf_small):
+    """r17: tfidf_top_terms' tf frame feeds the df branch and the
+    scoring join through one checkpoint — the final plan must not
+    contain two token-explode chains (Generate nodes)."""
+    from airflow_etl_pyspark_inmet_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _explain(tfidf_top_terms(docs, k=3))
+    assert plan.count("Generate") <= 1, plan.count("Generate")
