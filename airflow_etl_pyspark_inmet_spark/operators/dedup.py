@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import exploded_ngrams
-from .util import lineage_checkpoint
+from .text import exploded_ngrams, ngram_hash_sets
+from .util import lineage_checkpoint, lineage_checkpoint_eager
 
 
 def dedup_exact(
@@ -55,11 +55,16 @@ def shingle_sets(
     """(id, shingle) pairs, distinct per doc. The shingle is carried as
     its 64-bit xxhash, not the string: set semantics are preserved
     (collision odds ~n²/2⁶⁵) while every downstream shuffle/join moves
-    8-byte keys instead of text."""
-    return (
-        exploded_ngrams(df, id_col, text_col, ngram)
-        .select("_id", F.xxhash64("g").alias("shingle"))
-        .distinct()
+    8-byte keys instead of text.
+
+    r18 (optimization): per-doc dedup never crosses doc boundaries, so
+    the old explode + corpus-wide ``distinct`` paid a full Exchange of
+    every (id, gram-hash) row for a purely row-local set construction.
+    Now built map-only via :func:`~..text.ngram_hash_sets`
+    (``array_distinct`` over the per-row gram-hash array) — identical
+    rows, one less full-corpus shuffle (guide §2.4)."""
+    return ngram_hash_sets(df, id_col, text_col, ngram).select(
+        "_id", F.explode("_sh").alias("shingle")
     )
 
 
@@ -93,29 +98,34 @@ def jaccard_pairs(
     generated (such pairs share only boilerplate). Default ``None``
     keeps the uncapped single-pass plan unchanged.
     """
-    # r17 (optimization): materialize the postings frame ONCE. Every
+    # r17 (optimization): materialize the shingle-set frame ONCE — every
     # plan below reads it at least 4 times (both self-join sides + the
-    # two per-doc size aggregates; the capped plan adds the hot-df agg
+    # two per-doc size broadcasts; the capped plan adds the hot-df agg
     # and the cool/hot splits) and Catalyst does not reuse exchanges
     # across the differently-aliased sides, so the unshared frame
     # recomputed scan+explode+distinct per consumer — measured 8
-    # parquet scans / 28 exchanges in d2's sf0.1 plan. One
-    # localCheckpoint turns that into 1 scan + 1 distinct + k local
-    # reads. At 100 TB the postings frame is corpus-token-sized but
-    # data-LINEAR, and writing it once to executor-local disk replaces
-    # 3+ full corpus re-scans and re-shuffles — the same trade d33's
-    # base-index checkpoint and minhash's `stacked` already make. The
-    # per-doc sizes frame (one row per doc) is checkpointed too: na/nb
-    # each broadcast it, and without the checkpoint each broadcast
-    # re-runs the groupBy shuffle over the postings.
-    s = shingle_sets(df, id_col, text_col, ngram).transform(
-        lineage_checkpoint
+    # parquet scans / 28 exchanges in d2's sf0.1 plan. At 100 TB the
+    # frame is corpus-token-sized but data-LINEAR, and writing it once
+    # to executor-local disk replaces 3+ full corpus re-scans and
+    # re-shuffles — the same trade d33's base-index checkpoint and
+    # minhash's `stacked` already make.
+    #
+    # r18 (optimization): the checkpointed frame is now the PER-DOC SET
+    # ARRAY (ngram_hash_sets), not the exploded postings. Set
+    # construction is map-only (array_distinct per row), which removes
+    # the full-corpus distinct Exchange outright (guide §2.4); the
+    # postings sides explode it locally, and the per-doc set size is
+    # size(_sh) — a projection, not a second groupBy shuffle over the
+    # postings (and no second checkpoint). Two corpus-wide shuffles and
+    # one materialization job gone; rows/results identical. (`sizes`
+    # now also carries n=0 rows for gram-less docs; every consumer
+    # inner-joins it on ids drawn from pairs that SHARE a shingle, so
+    # those rows never match.)
+    doc_sets = ngram_hash_sets(df, id_col, text_col, ngram).transform(
+        lineage_checkpoint_eager
     )
-    sizes = (
-        s.groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .transform(lineage_checkpoint)
-    )
+    s = doc_sets.select("_id", F.explode("_sh").alias("shingle"))
+    sizes = doc_sets.select("_id", F.size("_sh").cast("bigint").alias("n"))
 
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
@@ -207,7 +217,7 @@ def jaccard_pairs(
             .join(hnb, "id_b", "left")
             .filter(ub >= threshold)
             .select("id_a", "id_b", "_ic", "n_a", "n_b")
-            .transform(lineage_checkpoint)
+            .transform(lineage_checkpoint_eager)
         )
         ha = s_hot.select(F.col("_id").alias("id_a"), "shingle")
         hb = s_hot.select(F.col("_id").alias("id_b"), "shingle")
@@ -279,18 +289,17 @@ def containment_pairs(
     surviving candidates re-verify on FULL shingle sets so the emitted
     containment ppm stays exact; pairs sharing only hotter-than-cap
     boilerplate are dropped (documented trade)."""
-    # r17 (optimization): same postings/sizes materialization as
-    # jaccard_pairs — 4+ consumers, one scan+distinct instead of one
-    # per consumer (see the jaccard_pairs comment for the 100 TB
-    # cost model).
-    s = shingle_sets(df, id_col, text_col, ngram).transform(
-        lineage_checkpoint
+    # r17 (optimization): same shingle-set materialization as
+    # jaccard_pairs — 4+ consumers, one scan instead of one per
+    # consumer. r18: checkpoint the per-doc SET ARRAY (map-only
+    # construction, no corpus distinct shuffle); sizes = size(_sh)
+    # projection (see the jaccard_pairs comment for the full cost
+    # model and the n=0-row equivalence note).
+    doc_sets = ngram_hash_sets(df, id_col, text_col, ngram).transform(
+        lineage_checkpoint_eager
     )
-    sizes = (
-        s.groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .transform(lineage_checkpoint)
-    )
+    s = doc_sets.select("_id", F.explode("_sh").alias("shingle"))
+    sizes = doc_sets.select("_id", F.size("_sh").cast("bigint").alias("n"))
     a = s.toDF("id_a", "shingle")
     b = s.toDF("id_b", "shingle")
     if max_shingle_df is not None:
@@ -423,7 +432,7 @@ def minhash_lsh_pairs(
             ).alias("bh"),
         )
         .select("_id", "bh.band", "bh.h")
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
 
     l = stacked.toDF("id_a", "band", "h")
@@ -471,7 +480,7 @@ def _jaccard_verify(
     s_c = (
         s.join(F.broadcast(cand_docs), "_id", "left_semi")
         .distinct()
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
     sizes = s_c.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = s_c.toDF("id_a", "shingle")
@@ -670,7 +679,7 @@ def simhash_pairs(
     sig = (
         simhash64(df, id_col, text_col)
         .withColumnRenamed(id_col, "_id")
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
     return (
         _simhash_candidates(sig, n_bands, max_bucket_df)
@@ -724,7 +733,7 @@ def simhash_jaccard_pairs(
     sig = (
         simhash64(df, id_col, text_col)
         .withColumnRenamed(id_col, "_id")
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
     pairs = jaccard_pairs(
         df, id_col, text_col, ngram, threshold,

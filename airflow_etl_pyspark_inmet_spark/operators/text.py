@@ -129,6 +129,35 @@ def exploded_ngrams(
     )
 
 
+def ngram_hash_sets(df, id_col: str, text_col: str, n: int):
+    """(_id, _sh) rows with ``_sh`` = the doc's DISTINCT word-n-gram
+    xxhash64 set as an array column. The whole set construction is
+    per-row (split, gram assembly, hash, ``array_distinct``) — MAP-ONLY,
+    no shuffle: the explode + corpus-wide ``distinct`` it replaces paid a
+    full Exchange of every (id, gram-hash) row just to dedup WITHIN each
+    doc (dedup never crosses doc boundaries, so the shuffle bought
+    nothing). Dedup is on the 64-bit hash, identical to the old
+    distinct-AFTER-hash semantics: two grams colliding at ~2^-64 collapse
+    to one set element either way (the shingle_sets contract)."""
+    from .util import ensure_parallelism
+
+    d = ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    )
+    d = d.select("_id", F.split(F.trim(F.col(text_col)), "\\s+").alias("_ws"))
+    ws = F.col("_ws")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(_gram_at(ws, i, n)))
+    return d.select(
+        "_id",
+        F.array_distinct(
+            F.when(F.size(ws) >= n, hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("_sh"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 ngram: int = 3) -> DataFrame:
     """Content fingerprint: lexicographic min/max of md5(word-ngram) plus

@@ -33,10 +33,34 @@ AUDIT_NO_CHECKPOINT = False
 AUDIT_SEGMENTS: list | None = None
 
 
-def lineage_checkpoint(df: DataFrame) -> DataFrame:
+def lineage_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate lineage with a localCheckpoint.
+
+    ``eager`` (r18): materialize NOW, in one dedicated job, instead of
+    on first downstream action. Use eager=True for frames that are (a)
+    expensive to rebuild (interpreted higher-order functions, token
+    folds, Python stages) AND (b) consumed by several INDEPENDENT query
+    stages of one action (self-join sides, broadcast threads): AQE
+    submits those stages concurrently, and with a lazy checkpoint each
+    racing stage can recompute the full construction before any blocks
+    land in the cache — measured on d2 at local[32]: the same run flips
+    between 1.1 s (blocks hit) and 5-10 s (every consumer re-ran the
+    gram-hash fold), a 40x CPU inflation on identical code. Eager costs
+    one extra job launch (~50 ms locally) and removes the race: every
+    consumer reads materialized blocks. Keep the default (lazy) for
+    per-round iterative frames whose first action is the round's own
+    sequential convergence probe — there the materialization rides that
+    action and rebuild cost is one cached-block join."""
     if AUDIT_SEGMENTS is not None:
         AUDIT_SEGMENTS.append(df)
-    return df if AUDIT_NO_CHECKPOINT else df.localCheckpoint(eager=False)
+    return df if AUDIT_NO_CHECKPOINT else df.localCheckpoint(eager=eager)
+
+
+def lineage_checkpoint_eager(df: DataFrame) -> DataFrame:
+    """:func:`lineage_checkpoint` with eager=True, in ``.transform()``
+    shape — for multi-consumer frames where the lazy materialization
+    race is expensive (see lineage_checkpoint's docstring)."""
+    return lineage_checkpoint(df, eager=True)
 
 
 def rebalance_if_skewed(df: DataFrame, max_skew: int = 4) -> DataFrame:
