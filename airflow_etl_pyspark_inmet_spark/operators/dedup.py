@@ -1045,7 +1045,7 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

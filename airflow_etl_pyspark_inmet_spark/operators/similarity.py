@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from .util import lineage_checkpoint, rebalance_if_skewed
+from .util import lineage_checkpoint, lineage_checkpoint_eager, rebalance_if_skewed
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -378,7 +378,7 @@ def ann_with_recall_check(
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
-    ).transform(lineage_checkpoint)
+    ).transform(lineage_checkpoint_eager)
     # the ANN side is Q x k rows — broadcast it (stats-free window
     # output otherwise draws a SortMergeJoin for a 50-row join).
     hits = exact.select(query_id_col, "item_id").join(
@@ -434,7 +434,7 @@ def ann_with_corpus_recall_check(
     exact = cosine_topk(
         items, queries, k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
-    ).transform(lineage_checkpoint)  # consumers: recall agg + output
+    ).transform(lineage_checkpoint_eager)  # consumers: recall agg + output
     hits = exact.select(query_id_col, "item_id").join(
         ann.select(query_id_col, "item_id").withColumn("_hit", F.lit(1)),
         [query_id_col, "item_id"],

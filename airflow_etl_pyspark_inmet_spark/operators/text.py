@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from .util import lineage_checkpoint
+from .util import lineage_checkpoint, lineage_checkpoint_eager
 
 # Token pattern, BPE-ish: word pieces, digit runs, or single non-space symbols.
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -237,7 +237,7 @@ def tfidf_top_terms(
     tf = (
         tokens.groupBy("_id", "g")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .transform(lineage_checkpoint)
+        .transform(lineage_checkpoint_eager)
     )
     dfreq = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1673,7 +1673,7 @@ def winnow_pairs(
             .filter(F.col("_df") <= max_fp_df)
             .select("_id", "fp_hash")
         )
-    s = s.transform(lineage_checkpoint)  # 3 consumers below
+    s = s.transform(lineage_checkpoint_eager)  # 3 consumers below
     sizes = s.groupBy("_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = s.alias("a"), s.alias("b")
     pairs = (
@@ -1744,7 +1744,7 @@ def bm25_topk(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
         )
         .where(F.col("tok") != "")
-        .transform(lineage_checkpoint)  # consumers: dl, census, tf
+        .transform(lineage_checkpoint_eager)  # consumers: dl, census, tf
     )
     dl = tk.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
     terms = (

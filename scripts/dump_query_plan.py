@@ -26,6 +26,9 @@ def _formatted(df) -> str:
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
     outdir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     if not names:

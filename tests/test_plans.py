@@ -635,3 +635,96 @@ def test_tfidf_tf_materialized_once(spark, sf_small):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     plan = _explain(tfidf_top_terms(docs, k=3))
     assert plan.count("Generate") <= 1, plan.count("Generate")
+
+
+def test_shingle_sets_map_only(spark, sf_small):
+    """r18: per-doc shingle-set construction is map-only — the old
+    explode + corpus-wide distinct paid a full Exchange for row-local
+    dedup. The shingle_sets plan must contain no Exchange at all
+    (array_distinct over the per-row gram-hash array, then explode)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _explain(shingle_sets(docs, "doc_id", "text", 3))
+    # the only allowed Exchange is ensure_parallelism's round-robin
+    # repartition (the small-file scan guard, a no-op at scale); the
+    # old corpus-wide distinct showed up as a hashpartitioning Exchange
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "array_distinct" in plan, plan[:2000]
+
+
+def test_containment_pairs_doc_sets_materialized_once(spark, sf_small):
+    """r18 (VERDICT r17 item 8): containment_pairs shares the one
+    materialized per-doc set frame across every consumer — the final
+    fragment reads the checkpointed RDD, no parquet scan, and sizes are
+    projections (no extra groupBy exchange per size side)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _explain(
+        containment_pairs(docs, ngram=3, broadcast_sizes=True)
+    )
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+    assert plan.count("Exchange (") <= 10, plan.count("Exchange (")
+
+
+def test_jaccard_verify_postings_materialized_once(spark, sf_small):
+    """r18 (VERDICT r17 item 8): minhash_lsh_pairs' verify stage reads
+    the candidate-pruned postings checkpoint — the final plan must not
+    re-derive the corpus gram stream per consumer (zero parquet scans:
+    every scan lives behind the stacked/s_c checkpoints)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _explain(
+        minhash_lsh_pairs(docs, ngram=3, threshold=0.5,
+                          broadcast_sizes=True)
+    )
+    assert plan.count("Scan parquet") == 0, plan[:2000]
+
+
+def test_graph_iterative_checkpoints_truncate_lineage(spark, sf_small):
+    """r18 (VERDICT r17 items 2/8): the iterative graph operators'
+    per-round shared frames are checkpointed — after n rounds the final
+    plan reads checkpointed RDDs only (zero parquet scans; lineage does
+    not grow with round count), for pagerank (deg + per-round pr),
+    k-core (per-round keep/e), BFS and SSSP (edge frame + per-round
+    frontier)."""
+    from airflow_etl_pyspark_inmet_spark.operators.dedup import (
+        bfs_distances,
+        kcore_peel,
+        pagerank_exact,
+        sssp_distances,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    plan = _explain(pagerank_exact(edges, n_iters=3,
+                                   validate_undirected=False))
+    assert plan.count("Scan parquet") == 0, ("pagerank", plan[:2000])
+
+    plan = _explain(kcore_peel(edges, k=2, n_rounds=3))
+    assert plan.count("Scan parquet") == 0, ("kcore", plan[:2000])
+
+    sources = edges.select(F.col("src").alias("node")).distinct().limit(2)
+    plan = _explain(bfs_distances(edges, sources, n_rounds=3))
+    assert plan.count("Scan parquet") == 0, ("bfs", plan[:2000])
+
+    w_edges = edges.withColumn(
+        "w", (F.col("src") + F.col("dst")) % 5 + 1
+    )
+    plan = _explain(sssp_distances(w_edges, sources, n_rounds=3))
+    assert plan.count("Scan parquet") == 0, ("sssp", plan[:2000])
