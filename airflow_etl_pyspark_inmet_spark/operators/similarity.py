@@ -359,6 +359,7 @@ def ann_with_recall_check(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-checkable validation harness for an ANN tier.
 
@@ -375,10 +376,16 @@ def ann_with_recall_check(
     # The exact frame feeds BOTH the recall aggregate and the output join;
     # without a checkpoint the brute-force corpus scan + window would run
     # twice in the physical plan. The checkpointed frame is Q x k rows.
-    exact = cosine_topk(
-        items, queries, k, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
-    ).transform(lineage_checkpoint_eager)
+    # ``exact`` (r18): callers that build the ANN tier with blocking
+    # driver jobs of their own (e.g. the IVF train collects) can pass a
+    # pre-materialized exact frame built on a concurrent driver thread
+    # (guide §2.6 overlap) — it must be exactly
+    # cosine_topk(items, queries, k) for the recall contract to hold.
+    if exact is None:
+        exact = cosine_topk(
+            items, queries, k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).transform(lineage_checkpoint_eager)
     # the ANN side is Q x k rows — broadcast it (stats-free window
     # output otherwise draws a SortMergeJoin for a 50-row join).
     hits = exact.select(query_id_col, "item_id").join(
