@@ -50,7 +50,28 @@ def lineage_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     consumer reads materialized blocks. Keep the default (lazy) for
     per-round iterative frames whose first action is the round's own
     sequential convergence probe — there the materialization rides that
-    action and rebuild cost is one cached-block join."""
+    action and rebuild cost is one cached-block join.
+
+    FAULT-TOLERANCE TRADE (r18, VERDICT r17 item 7): ``localCheckpoint``
+    stores partitions UNREPLICATED on executor-local storage and severs
+    the lineage that would recompute them — on a real cluster, losing
+    one executor mid-query kills every query reading its blocks (no
+    recovery path; Spark raises a checkpoint-block-not-found error).
+    This is deliberate for these frames: they live for ONE query, are
+    rebuilt from parquet on every invocation, and the alternative
+    (reliable checkpoint to a replicated store) writes the corpus-
+    token-sized frames over the network — at 100 TB that is a second
+    full-corpus write per query, which costs more than re-running the
+    occasional executor-loss victim. Deployments where a multi-hour
+    dedup job cannot tolerate a restart should set a reliable
+    checkpoint dir and switch the CORPUS-SIZED sites (the jaccard/
+    containment doc_sets, minhash stacked, simhash sig) to
+    ``df.checkpoint()``; the candidate- and node-bounded frames are
+    cheap either way. Block lifetime: frames are never explicitly
+    unpersisted — blocks are freed by the ContextCleaner when the
+    query's RDDs are garbage-collected, which is bounded in practice
+    (one query's frames at a time) and avoids an unpersist barrier in
+    the hot path."""
     if AUDIT_SEGMENTS is not None:
         AUDIT_SEGMENTS.append(df)
     return df if AUDIT_NO_CHECKPOINT else df.localCheckpoint(eager=eager)
