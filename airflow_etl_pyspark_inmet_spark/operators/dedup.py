@@ -743,17 +743,38 @@ def simhash_jaccard_pairs(
     ALL hotter than the cap are never generated).
     """
     # checkpoint: both broadcast sides (a and b) read this frame — one
-    # token-fold scan instead of two
-    sig = (
-        simhash64(df, id_col, text_col)
-        .withColumnRenamed(id_col, "_id")
-        .transform(lineage_checkpoint_eager)
-    )
+    # token-fold scan instead of two. r18 (guide §2.6): the signature
+    # fold is independent of the jaccard tier, but jaccard_pairs'
+    # construction runs its own blocking jobs (doc_sets materialization
+    # + the hot-shingle probe) — materialize the signatures on a
+    # concurrent driver thread so the two corpus passes overlap instead
+    # of serializing. Results identical: both branches are
+    # deterministic and share nothing but the input frame.
+    from pyspark import InheritableThread
+
+    holder: dict = {}
+
+    def _sig() -> None:
+        try:
+            holder["df"] = (
+                simhash64(df, id_col, text_col)
+                .withColumnRenamed(id_col, "_id")
+                .transform(lineage_checkpoint_eager)
+            )
+        except BaseException as exc:  # re-raised on the main thread
+            holder["err"] = exc
+
+    th = InheritableThread(target=_sig)
+    th.start()
     pairs = jaccard_pairs(
         df, id_col, text_col, ngram, threshold,
         broadcast_sizes=broadcast_sizes,
         max_shingle_df=max_shingle_df,
     )
+    th.join()
+    if "err" in holder:
+        raise holder["err"]
+    sig = holder["df"]
     a = sig.toDF("id_a", "sig_a")
     b = sig.toDF("id_b", "sig_b")
     width = 64 // n_bands
